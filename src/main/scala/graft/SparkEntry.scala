@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 is exposed as a named query over
+  * the driver testdata, with an equivalent DuckDB oracle in [[oracleSql]]
+  * (omitted only for non-SQL-expressible ops, which get rows-only checks).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Sales.sicarRollup(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_sicar_rollup" -> ((s, d) => Sales.sicarRollup(s, d)),
+    "q02_legacy_agg" -> ((s, d) => Sales.legacyAgg(s, d)),
+    "q03_waterfall_clean" -> ((s, d) => Sales.waterfallClean(s, d)),
+    "q04_payment_qa" -> ((s, d) => Sales.paymentQa(s, d))
+  )
+
+  /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_sicar_rollup" -> Sales.sicarRollupSql,
+    "q02_legacy_agg" -> Sales.legacyAggSql,
+    "q03_waterfall_clean" -> Sales.waterfallCleanSql,
+    "q04_payment_qa" -> Sales.paymentQaSql
+  )
 }
