@@ -20,7 +20,13 @@ object SparkEntry {
     "q01_sicar_rollup" -> ((s, d) => Sales.sicarRollup(s, d)),
     "q02_legacy_agg" -> ((s, d) => Sales.legacyAgg(s, d)),
     "q03_waterfall_clean" -> ((s, d) => Sales.waterfallClean(s, d)),
-    "q04_payment_qa" -> ((s, d) => Sales.paymentQa(s, d))
+    "q04_payment_qa" -> ((s, d) => Sales.paymentQa(s, d)),
+    "q05_upsert_lastwins" -> ((s, d) => Incremental.upsertLastWins(s, d)),
+    "q06_checkpoint_max" -> ((s, d) => Incremental.checkpointMax(s, d)),
+    "q07_watermark_incr" -> ((s, d) => Incremental.watermarkIncrement(s, d)),
+    "q08_union_ledger" -> ((s, d) => Ledger.unionLedgerQuery(s, d)),
+    "q09_refilter_ledger" -> ((s, d) => Ledger.refilterLedger(s, d)),
+    "q10_earliest_per_day" -> ((s, d) => Ledger.earliestPerDay(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -28,6 +34,12 @@ object SparkEntry {
     "q01_sicar_rollup" -> Sales.sicarRollupSql,
     "q02_legacy_agg" -> Sales.legacyAggSql,
     "q03_waterfall_clean" -> Sales.waterfallCleanSql,
-    "q04_payment_qa" -> Sales.paymentQaSql
+    "q04_payment_qa" -> Sales.paymentQaSql,
+    "q05_upsert_lastwins" -> Incremental.upsertLastWinsSql,
+    "q06_checkpoint_max" -> Incremental.checkpointMaxSql,
+    "q07_watermark_incr" -> Incremental.watermarkIncrementSql,
+    "q08_union_ledger" -> Ledger.unionLedgerSql,
+    "q09_refilter_ledger" -> Ledger.refilterLedgerSql,
+    "q10_earliest_per_day" -> Ledger.earliestPerDaySql
   )
 }
