@@ -26,7 +26,12 @@ object SparkEntry {
     "q07_watermark_incr" -> ((s, d) => Incremental.watermarkIncrement(s, d)),
     "q08_union_ledger" -> ((s, d) => Ledger.unionLedgerQuery(s, d)),
     "q09_refilter_ledger" -> ((s, d) => Ledger.refilterLedger(s, d)),
-    "q10_earliest_per_day" -> ((s, d) => Ledger.earliestPerDay(s, d))
+    "q10_earliest_per_day" -> ((s, d) => Ledger.earliestPerDay(s, d)),
+    "q11_daily_net" -> ((s, d) => Stock.dailyNet(s, d)),
+    "q12_running_balance" -> ((s, d) => Stock.runningBalance(s, d)),
+    "q13_stock_points" -> ((s, d) => Stock.stockPoints(s, d)),
+    "q14_asof_lookup" -> ((s, d) => Stock.asOfLookup(s, d)),
+    "q15_reconcile" -> ((s, d) => Stock.reconcile(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -40,6 +45,11 @@ object SparkEntry {
     "q07_watermark_incr" -> Incremental.watermarkIncrementSql,
     "q08_union_ledger" -> Ledger.unionLedgerSql,
     "q09_refilter_ledger" -> Ledger.refilterLedgerSql,
-    "q10_earliest_per_day" -> Ledger.earliestPerDaySql
+    "q10_earliest_per_day" -> Ledger.earliestPerDaySql,
+    "q11_daily_net" -> Stock.dailyNetSql,
+    "q12_running_balance" -> Stock.runningBalanceSql,
+    "q13_stock_points" -> Stock.stockPointsSql,
+    "q14_asof_lookup" -> Stock.asOfLookupSql,
+    "q15_reconcile" -> Stock.reconcileSql
   )
 }
