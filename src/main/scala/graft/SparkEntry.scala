@@ -31,7 +31,22 @@ object SparkEntry {
     "q12_running_balance" -> ((s, d) => Stock.runningBalance(s, d)),
     "q13_stock_points" -> ((s, d) => Stock.stockPoints(s, d)),
     "q14_asof_lookup" -> ((s, d) => Stock.asOfLookup(s, d)),
-    "q15_reconcile" -> ((s, d) => Stock.reconcile(s, d))
+    "q15_reconcile" -> ((s, d) => Stock.reconcile(s, d)),
+    "q16_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
+    "q17_lang_profile" -> ((s, d) => TextOps.langProfile(s, d)),
+    "q18_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q19_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q20_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q21_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q22_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q23_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q24_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q25_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "q26_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q27_embed_neardup" -> ((s, d) => Similarity.embedNearDup(s, d)),
+    "q28_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "q29_dq_exclusions" -> ((s, d) => Dq.dqExclusions(s, d)),
+    "q30_dq_filtered_ledger" -> ((s, d) => Dq.dqFilteredLedger(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -50,6 +65,21 @@ object SparkEntry {
     "q12_running_balance" -> Stock.runningBalanceSql,
     "q13_stock_points" -> Stock.stockPointsSql,
     "q14_asof_lookup" -> Stock.asOfLookupSql,
-    "q15_reconcile" -> Stock.reconcileSql
+    "q15_reconcile" -> Stock.reconcileSql,
+    "q16_token_stats" -> TextOps.tokenStatsSql,
+    "q17_lang_profile" -> TextOps.langProfileSql,
+    "q18_quality_score" -> TextOps.qualityScoreSql,
+    "q19_fingerprint" -> TextOps.fingerprintSql,
+    "q20_exact_dedup" -> Dedup.exactDedupSql,
+    "q21_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q22_minhash_lsh" -> Dedup.minhashLshSql,
+    "q23_simhash" -> Dedup.simhashSql,
+    "q24_simhash_pairs" -> Dedup.simhashPairsSql,
+    "q25_cosine_topk" -> Similarity.cosineTopKSql,
+    "q26_ann_lsh" -> Similarity.annLshSql,
+    "q27_embed_neardup" -> Similarity.embedNearDupSql,
+    "q28_media_features" -> Multimodal.mediaFeaturesSql,
+    "q29_dq_exclusions" -> Dq.dqExclusionsSql,
+    "q30_dq_filtered_ledger" -> Dq.dqFilteredLedgerSql
   )
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-pipeline primitives shared by the training-data
+  * operators (TextOps / Dedup / Similarity). None of this exists in the
+  * reference (it has no text processing); these are the large-scale
+  * training-data-pipeline extensions mandated by BASELINE.json's
+  * north-star list.
+  *
+  * Portability contract: every helper here has an exact DuckDB-SQL twin
+  * (embedded in the operators' oracle SQL), so results hash-match across
+  * engines. The two non-obvious shared primitives:
+  *
+  *   - [[hash60]]: a deterministic 60-bit string hash via md5 — md5 hex is
+  *     identical in Spark and DuckDB, and 15 hex chars (60 bits) fit a
+  *     signed 64-bit int in both (`conv(_,16,10)` here,
+  *     `CAST('0x'||… AS BIGINT)` there). Murmur/xxhash would be faster but
+  *     are engine-specific.
+  *   - double arithmetic is written with an explicit left-to-right fold
+  *     order in BOTH engines, so sums are bit-identical and no fuzzy
+  *     compare is needed.
+  *
+  * All helpers are pure Catalyst expressions (codegen'd, no UDFs), so they
+  * stay inside WholeStageCodegen and distribute trivially.
+  */
+object TextFns {
+
+  /** Lowercased whitespace tokens, empty strings dropped (leading/double
+    * whitespace would otherwise yield "" in both engines).
+    */
+  def toks(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** 60-bit non-negative hash of a string: first 15 hex chars of md5.
+    * DuckDB twin: `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word 3-gram shingles over a token array (distinct). Docs with <3
+    * tokens degrade to one whole-doc shingle. DuckDB twin uses
+    * `range(1, len-1)` (exclusive end) + 1-based list indexing — same
+    * 1-based convention as `element_at`.
+    */
+  def shingles3(t: Column): Column = {
+    val tri = transform(sequence(lit(1), size(t) - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    array_distinct(when(size(t) >= 3, tri).otherwise(array(array_join(t, " "))))
+  }
+
+  /** The DuckDB-SQL twins as reusable fragments (kept adjacent to the Spark
+    * definitions so drift is caught in review).
+    */
+  val toksSql = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+  def hash60Sql(s: String): String = s"CAST('0x' || substr(md5($s),1,15) AS BIGINT)"
+  val shingles3Sql: String =
+    """list_distinct(CASE WHEN len(t) >= 3
+      |  THEN list_transform(range(1, len(t)-1),
+      |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2])
+      |  ELSE [array_to_string(t, ' ')] END)""".stripMargin
+
+  /** English stopword probe set used by lang-ID / quality scoring. Tiny on
+    * purpose: the point is the operator shape (set-membership ratio over
+    * tokens), not linguistic accuracy.
+    */
+  val enStops: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+  val esStops: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un")
+
+  private def inSet(set: Seq[String]): Column => Column =
+    x => x.isin(set.map(lit): _*)
+
+  /** Count of tokens that are members of `set` (frequency-weighted). */
+  def stopHits(t: Column, set: Seq[String]): Column =
+    size(filter(t, inSet(set)))
+
+  def stopHitsSql(set: Seq[String]): String =
+    s"len(list_filter(t, x -> x IN (${set.map(s => s"'$s'").mkString(",")})))"
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over `embeddings` (64-dim float vectors):
+  * brute-force cosine top-k (the exact baseline), random-hyperplane LSH
+  * bucketed ANN (the scale path), and thresholded near-dup pairs with
+  * label blocking. Training-data pipeline extensions (no reference
+  * counterpart); the LSH scheme is Charikar'02 random hyperplanes.
+  *
+  * Numeric portability: all vector math is double-precision with an
+  * explicit left-to-right fold (`aggregate(zip_with(...))` here,
+  * `list_reduce(list_transform(...))` in the DuckDB oracle) so dot
+  * products are bit-identical across engines; `round(.,6)` on output is
+  * cosmetic only.
+  *
+  * Scale design: the query side is tiny and broadcast — the corpus side is
+  * never shuffled for brute force (map-side join + per-query top-k via
+  * window over q_id). The LSH variant buckets both sides (equi-join on
+  * bucket id) so the pair count drops from |Q|·|C| to collisions only;
+  * at 100 TB the bucket join is the only shuffle and AQE handles bucket
+  * skew. An IVF variant would swap the bucket fn for k-means cells; the
+  * plumbing (bucket → equi-join → per-query top-k) is identical.
+  */
+object Similarity {
+
+  val TopK = 5
+  val AnnK = 3
+  val NumPlanes = 6
+  val NearDupThreshold = 0.35
+
+  /** Deterministic pseudo-random hyperplanes (Knuth multiplicative hash →
+    * uniform in [-0.5, 0.5]); literal constants, identical in the oracle.
+    */
+  val planes: Seq[Seq[Double]] = Seq.tabulate(NumPlanes) { j =>
+    Seq.tabulate(64) { i =>
+      ((1L + (j * 64L + i) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+    }
+  }
+
+  /** Left-to-right double fold of elementwise product — the portable dot. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)"
+
+  /** Corpus with double vectors and precomputed L2 norms. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  private val vecsCte =
+    s"""vecs AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |vn AS (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM vecs)""".stripMargin
+
+  /** Exact brute-force cosine top-k for the probe queries (vec_id % 100 = 0).
+    * The probe side is broadcast; scores are computed map-side against the
+    * corpus scan, and the only shuffle is the per-query top-k window
+    * (partitioned by q_id — |Q| partitions of |C| rows; at scale, replace
+    * with a partial top-k aggregator per partition, same semantics).
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val q = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH $vecsCte,
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vn WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    round(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) AS score
+      |  FROM vn c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, score
+      |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** LSH bucket id: 6 sign bits from dot products with fixed hyperplanes. */
+  private def bucket(v: Column): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, typedLit(p)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private val bucketSql: String =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lit = p.mkString("[", ",", "]")
+      s"(CASE WHEN ${dotSql("v", lit)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Approximate top-k: probes search only their own hyperplane bucket.
+    * The corpus→bucket map is one scan; candidate generation is an
+    * equi-join on bucket (vs |Q|·|C| brute force) — the LSH recall/cost
+    * trade. Same probe set as [[cosineTopK]] so recall is inspectable.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).withColumn("bucket", bucket(col("v")))
+    val q = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket"))
+    val scored = v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annLshSql: String =
+    s"""WITH $vecsCte,
+      |vb AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM vn),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM vb WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    round(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) AS score
+      |  FROM vb c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, score
+      |FROM ranked WHERE rank <= $AnnK ORDER BY q_id, rank""".stripMargin
+
+  /** Embedding near-dup pairs: label blocking (equi-join on label — the
+    * blocking key bounds the pair count) + cosine threshold.
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val a = v.select(col("label"), col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
+    val b = v.select(col("label"), col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
+    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .withColumn("score", round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6))
+      .filter(col("score") >= NearDupThreshold)
+      .select(col("va"), col("vb"), col("label"), col("score"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH $vecsCte
+      |SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+      |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS score
+      |FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $NearDupThreshold
+      |ORDER BY va, vb""".stripMargin
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline extensions (token stats, language-ID heuristic, quality
+  * scoring, document fingerprinting). No reference counterpart (the
+  * reference is a retail ETL); these follow the standard LLM-corpus
+  * preprocessing recipes (Gopher/C4-style heuristic filters).
+  *
+  * Scale notes: every query is scan → narrow per-row array expressions →
+  * (optional) explode + hash-agg. No joins, no windows; the only shuffle is
+  * the final aggregation, partial-aggregated map-side. All expressions are
+  * codegen'd Catalyst builtins — no UDFs — so at 100 TB these run at scan
+  * throughput with column pruning (only `doc_id`,`text`,`lang` are read).
+  */
+object TextOps {
+
+  private def docToks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), toks(col("text")).as("t"))
+
+  /** Token statistics: counts, type-token ratio, mean token length.
+    * Double divisions are ordered identically in the oracle so hashes match
+    * bit-for-bit.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docToks(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_uniq"),
+        aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x)
+          .as("sum_len"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_uniq"),
+        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("sum_len").cast("double") / col("n_tokens"), 6).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |s AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
+      |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len FROM toks)
+      |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_uniq AS INT) AS n_uniq,
+      |  round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS ttr,
+      |  round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS avg_token_len
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: stopword-set hit counts per language, highest
+    * wins (en-biased tiebreak), compared against the labeled `lang`.
+    */
+  def langProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = docToks(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        stopHits(col("t"), enStops).as("en_hits"),
+        stopHits(col("t"), esStops).as("es_hits"),
+        size(col("t")).as("n_tokens"))
+    d.select(
+        col("doc_id"), col("lang"), col("en_hits"), col("es_hits"),
+        round(col("en_hits").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        when(col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+          .when(col("es_hits") > col("en_hits"), "es")
+          .otherwise("und").as("predicted"))
+      .withColumn("agree", col("predicted") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langProfileSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+      |h AS (SELECT doc_id, lang,
+      |  ${stopHitsSql(enStops)} AS en_hits,
+      |  ${stopHitsSql(esStops)} AS es_hits,
+      |  len(t) AS n_tokens FROM toks)
+      |SELECT doc_id, lang, CAST(en_hits AS INT) AS en_hits, CAST(es_hits AS INT) AS es_hits,
+      |  round(CAST(en_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      |  CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+      |       WHEN es_hits > en_hits THEN 'es' ELSE 'und' END AS predicted,
+      |  (CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+      |        WHEN es_hits > en_hits THEN 'es' ELSE 'und' END = lang) AS agree
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style quality score: length term + stopword-density term +
+    * word-length term, each clamped to [0,1], fixed weights; bucketed.
+    * Term order is fixed left-to-right so double sums are bit-identical
+    * across engines.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docToks(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(col("t")).as("n_tokens"),
+      stopHits(col("t"), enStops).as("en_hits"),
+      aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x)
+        .as("sum_len"))
+    val score = round(
+      least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4 +
+      (col("en_hits").cast("double") / col("n_tokens")) * 0.3 +
+      least(lit(1.0), (col("sum_len").cast("double") / col("n_tokens")) / 10.0) * 0.3, 6)
+    d.withColumn("score", score)
+      .withColumn("bucket",
+        when(col("score") >= 0.5, "high")
+          .when(col("score") >= 0.3, "medium").otherwise("low"))
+      .select("doc_id", "n_chars_m", "n_tokens", "score", "bucket")
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, length(text) AS n_chars_m, $toksSql AS t FROM documents),
+      |s AS (SELECT doc_id, n_chars_m, len(t) AS n_tokens,
+      |  ${stopHitsSql(enStops)} AS en_hits,
+      |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len FROM toks),
+      |sc AS (SELECT doc_id, n_chars_m, n_tokens,
+      |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4 +
+      |        (CAST(en_hits AS DOUBLE) / n_tokens) * 0.3 +
+      |        least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 10.0) * 0.3, 6) AS score
+      | FROM s)
+      |SELECT doc_id, CAST(n_chars_m AS INT) AS n_chars_m, CAST(n_tokens AS INT) AS n_tokens, score,
+      |  CASE WHEN score >= 0.5 THEN 'high' WHEN score >= 0.3 THEN 'medium'
+      |       ELSE 'low' END AS bucket
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprints: whole-text md5 + 60-bit hash, plus a min-hash
+    * over word-3-gram shingles (the 1-permutation minhash — a content
+    * fingerprint stable under small edits) and the distinct-shingle count.
+    * Explode + hash-agg: the shuffle carries one row per (doc, shingle);
+    * partial min/count run map-side.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docToks(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("md5_hex"),
+        hash60(col("text")).as("h60"),
+        explode(shingles3(col("t"))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("md5_hex")).as("md5_hex"), max(col("h60")).as("h60"),
+        min(hash60(col("s"))).as("min_shingle_h"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+      |sh AS (SELECT doc_id, md5(text) AS md5_hex, ${hash60Sql("text")} AS h60,
+      |  unnest($shingles3Sql) AS s FROM toks)
+      |SELECT doc_id, max(md5_hex) AS md5_hex, max(h60) AS h60,
+      |  min(${hash60Sql("s")}) AS min_shingle_h,
+      |  count(*) AS n_shingles
+      |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

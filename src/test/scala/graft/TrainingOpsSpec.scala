@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-data pipeline extensions (TextOps / Dedup /
+  * Similarity / Multimodal / Dq) on the sf0.001 fixtures, plus invariant
+  * checks that don't depend on fixture values.
+  */
+class TrainingOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  // --- TextOps -------------------------------------------------------------
+
+  test("token stats: counts are consistent and ttr in (0,1]") {
+    val df = TextOps.tokenStats(spark, dir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_uniq") > col("n_tokens")).isEmpty)
+    assert(df.filter(col("ttr") <= 0 || col("ttr") > 1).isEmpty)
+    assert(df.filter(col("avg_token_len") <= 0).isEmpty)
+  }
+
+  test("lang profile: predicted is one of en/es/und") {
+    val langs = TextOps.langProfile(spark, dir)
+      .select("predicted").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "und")))
+  }
+
+  test("quality score is in [0,1] and bucket matches score") {
+    val df = TextOps.qualityScore(spark, dir).cache()
+    assert(df.filter(col("score") < 0 || col("score") > 1).isEmpty)
+    assert(df.filter(col("bucket") === "high" && col("score") < 0.5).isEmpty)
+    assert(df.filter(col("bucket") === "low" && col("score") >= 0.3).isEmpty)
+  }
+
+  test("fingerprint: md5 is 32 hex chars, h60 non-negative, shingles > 0") {
+    val df = TextOps.fingerprint(spark, dir).cache()
+    assert(df.filter(length(col("md5_hex")) =!= 32).isEmpty)
+    assert(df.filter(col("h60") < 0).isEmpty)
+    assert(df.filter(col("n_shingles") <= 0).isEmpty)
+  }
+
+  // --- Dedup ---------------------------------------------------------------
+
+  test("exact dedup: canonical ids cover all groups, n_docs >= 1") {
+    val docs = Tables.documents(spark, dir).count()
+    val df = Dedup.exactDedup(spark, dir).cache()
+    assert(df.agg(sum("n_docs")).first().getLong(0) == docs)
+    assert(df.filter(col("n_docs") < 1).isEmpty)
+  }
+
+  test("ngram jaccard: pairs are ordered, jaccard in [threshold, 1]") {
+    val df = Dedup.ngramJaccard(spark, dir).cache()
+    assert(df.filter(col("da") >= col("db")).isEmpty)
+    assert(df.filter(col("jaccard") < Dedup.JaccardThreshold || col("jaccard") > 1).isEmpty)
+  }
+
+  test("minhash LSH candidates verify to a subset of exact jaccard pairs") {
+    val exact = Dedup.ngramJaccard(spark, dir)
+      .select("da", "db", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH found pairs not in exact: ${lsh -- exact}")
+    // LSH with 4x4 bands should catch every very-high-jaccard pair
+    val high = Dedup.ngramJaccard(spark, dir).filter(col("jaccard") >= 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high.subsetOf(lsh), s"LSH missed near-identical pairs: ${high -- lsh}")
+  }
+
+  test("simhash: 32-bit signatures; identical docs would collide") {
+    val df = Dedup.simhash(spark, dir).cache()
+    assert(df.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).isEmpty)
+    assert(df.count() == Tables.documents(spark, dir).count())
+  }
+
+  test("simhash pairs: hamming <= 3 and banding recall is exact at <= 3") {
+    val df = Dedup.simhashPairs(spark, dir).cache()
+    assert(df.filter(col("hamming") > 3 || col("hamming") < 0).isEmpty)
+  }
+
+  // --- Similarity ----------------------------------------------------------
+
+  test("cosine topk: k results per query, scores descending within query") {
+    val df = Similarity.cosineTopK(spark, dir).cache()
+    val perQ = df.groupBy("q_id").count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == Similarity.TopK))
+    val bad = df.as("x").join(df.as("y"),
+      col("x.q_id") === col("y.q_id") && (col("x.rank") + 1 === col("y.rank")) &&
+        col("x.score") < col("y.score"))
+    assert(bad.isEmpty, "scores must be non-increasing in rank")
+  }
+
+  test("ann lsh results are a subset of each query's bucket, scored correctly") {
+    val ann = Similarity.annLsh(spark, dir).cache()
+    assert(ann.filter(col("rank") > Similarity.AnnK).isEmpty)
+    // every (q, vec) ANN hit must appear in brute-force scoring with same score
+    val bf = Similarity.cosineTopK(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("score"))
+    val joined = ann.join(bf, Seq("q_id", "vec_id"), "inner")
+    joined.collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-9)
+    }
+  }
+
+  test("embed near-dup: pairs share label and meet threshold") {
+    val df = Similarity.embedNearDup(spark, dir).cache()
+    assert(df.filter(col("score") < Similarity.NearDupThreshold).isEmpty)
+    assert(df.filter(col("va") >= col("vb")).isEmpty)
+  }
+
+  // --- Multimodal ----------------------------------------------------------
+
+  test("media features: stub decode matches SQL-derivable facts") {
+    val feats = Multimodal.mediaFeatures(spark, dir).cache()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars_sql"),
+        ascii(substring(col("text"), 1, 1)).as("head_sql"),
+        graft.functions.TextFns.hash60(col("text")).as("h60"))
+    val j = feats.join(docs, Seq("doc_id"))
+    assert(j.filter(col("n_bytes") =!= col("n_chars_sql")).isEmpty, "ascii corpus: bytes == chars")
+    assert(j.filter(col("head_byte") =!= col("head_sql")).isEmpty)
+    assert(j.filter(col("checksum") =!= col("h60")).isEmpty, "JVM md5 == SQL md5")
+  }
+
+  test("media decode is batched per partition and preserves rows") {
+    val media = Multimodal.mediaTable(spark, dir).repartition(4)
+    val out = Multimodal.decodeFeatures(media, Multimodal.MediaDecoder.Stub)
+    assert(out.count() == Tables.documents(spark, dir).count())
+  }
+
+  // --- Dq ------------------------------------------------------------------
+
+  test("dq exclusions: reasons partition the rule/manual flag space") {
+    val df = Dq.dqExclusions(spark, dir).cache()
+    assert(df.count() > 0)
+    val reasons = df.select("reason").distinct().collect().map(_.getString(0)).toSet
+    assert(reasons.subsetOf(Set("abs_stock_after_too_large", "manual_exclusion", "manual_and_threshold")))
+    // uniq is unique
+    assert(df.count() == df.select("uniq").distinct().count())
+  }
+
+  test("dq filtered ledger excludes exactly the flagged ids") {
+    val led = Tables.ledger(spark, dir)
+    val excluded = Dq.dqExclusions(spark, dir).select("hist_id").distinct().count()
+    val kept = Dq.dqFilteredLedger(spark, dir).agg(sum("n_events")).first().getLong(0)
+    assert(kept + excluded == led.count())
+  }
+}
