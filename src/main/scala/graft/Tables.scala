@@ -21,6 +21,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a small-file scan out to all cores. The fixture tables are single
+    * parquet files with one row group, so the scan gets ONE partition and
+    * every narrow stage behind it runs single-task (measured: the whole
+    * shingle+minhash lineage of q22 in one 11 s task). A row-group can't be
+    * split by maxPartitionBytes, so CPU-heavy per-row pipelines repartition
+    * explicitly right after the scan: a ~KBs round-robin shuffle buys
+    * full-core parallelism. At cluster scale inputs arrive in many files
+    * and this becomes a cheap no-op-ish rebalance.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

@@ -43,11 +43,21 @@ object TextFns {
     * tokens degrade to one whole-doc shingle. DuckDB twin uses
     * `range(1, len-1)` (exclusive end) + 1-based list indexing — same
     * 1-based convention as `element_at`.
+    *
+    * PERF: do NOT explode() this column — GenerateExec re-evaluates the
+    * generator child once per OUTPUT row, and `array_distinct` makes each
+    * interpreted re-eval ~50µs (measured 15× slowdown at sf0.1). For
+    * exploded pipelines use [[shingles3All]] + a relational distinct after
+    * hashing instead.
     */
-  def shingles3(t: Column): Column = {
+  def shingles3(t: Column): Column =
+    array_distinct(shingles3All(t))
+
+  /** Non-distinct 3-gram shingles — the cheap generator-safe variant. */
+  def shingles3All(t: Column): Column = {
     val tri = transform(sequence(lit(1), size(t) - 2), i =>
       concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
-    array_distinct(when(size(t) >= 3, tri).otherwise(array(array_join(t, " "))))
+    when(size(t) >= 3, tri).otherwise(array(array_join(t, " ")))
   }
 
   /** The DuckDB-SQL twins as reusable fragments (kept adjacent to the Spark
@@ -55,11 +65,12 @@ object TextFns {
     */
   val toksSql = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
   def hash60Sql(s: String): String = s"CAST('0x' || substr(md5($s),1,15) AS BIGINT)"
-  val shingles3Sql: String =
-    """list_distinct(CASE WHEN len(t) >= 3
+  val shingles3AllSql: String =
+    """CASE WHEN len(t) >= 3
       |  THEN list_transform(range(1, len(t)-1),
       |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2])
-      |  ELSE [array_to_string(t, ' ')] END)""".stripMargin
+      |  ELSE [array_to_string(t, ' ')] END""".stripMargin
+  val shingles3Sql: String = s"list_distinct($shingles3AllSql)"
 
   /** English stopword probe set used by lang-ID / quality scoring. Tiny on
     * purpose: the point is the operator shape (set-membership ratio over

@@ -35,20 +35,33 @@ object Dedup {
   val Rows = 4
   val JaccardThreshold = 0.2
 
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
-
-  /** `(doc_id, sh_h)` — exploded inverted-index rows, shingle as 60-bit hash. */
+  /** `(doc_id, sh_h)` — the distinct inverted-index rows, shingle as
+    * 60-bit hash. Explodes the NON-distinct shingle array (cheap generator
+    * — see TextFns.shingles3 perf note) and dedupes relationally after
+    * hashing, so the distinct shuffles fixed-width longs instead of
+    * re-running an interpreted array_distinct per output row.
+    *
+    * Cached: this is the shared intermediate of q21 AND q22 (Spark's
+    * CacheManager matches by logical plan, so both queries hit one
+    * InMemoryRelation), and both consume it from several join branches
+    * (self-joins recompute uncached lineage once per branch). ~16 B/row —
+    * at real corpus scale this would be a persisted intermediate table,
+    * which is exactly what production minhash pipelines do.
+    */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    docShingles(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    Tables.spread(Tables.documents(spark, dir))
+      // tokenize in its own projection BELOW the generator: Catalyst keeps
+      // it there, so the regex split runs once per doc, not once per shingle
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingles3All(col("t"))).as("s"))
       .select(col("doc_id"), hash60(col("s")).as("sh_h"))
+      .distinct()
+      .cache()
 
   private val shCte =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-      |sh AS (SELECT doc_id, unnest($shingles3Sql) AS s FROM toks),
-      |shx AS (SELECT doc_id, ${hash60Sql("s")} AS sh_h FROM sh)""".stripMargin
+      |sh AS (SELECT doc_id, unnest($shingles3AllSql) AS s FROM toks),
+      |shx AS (SELECT DISTINCT doc_id, ${hash60Sql("s")} AS sh_h FROM sh)""".stripMargin
 
   /** Exact dedup: whitespace-normalized md5 group, canonical = min doc_id.
     * The groupBy key is the hash, so the shuffle carries 32-byte keys
@@ -73,7 +86,7 @@ object Dedup {
     * joined back, |A∩B| / (|A|+|B|−|A∩B|). No cross join anywhere.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(spark, dir).cache()
+    val sh = shingleIndex(spark, dir)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("sh_h"))
     val b = sh.select(col("doc_id").as("db"), col("sh_h"))
@@ -103,61 +116,80 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
 
   /** MinHash signatures + LSH banding + candidate verification.
-    * Pipeline: shingle-hash → 16 minhashes (explode of the hash-function
-    * index, hash-agg min) → band signatures (4×4) → equi-join on
-    * (band, signature) for candidates → verify with exact Jaccard via
-    * array_intersect on the (small) candidate set only.
+    * Pipeline: shingle-hash (duplicates kept — min() is unaffected, so the
+    * distinct shuffle is skipped) → all 16 minhashes as aggregate columns
+    * of ONE hash-agg (no j-index explode: that would put 16× the rows
+    * through the shuffle and need a second groupBy for bands) → band
+    * signatures via posexplode of 4 tiny strings → candidates by GROUPING
+    * each (band, sig) bucket and emitting ordered pairs from the bucket's
+    * doc list — one pass over the subtree, where a bands⋈bands self-join
+    * would compute the whole shingle→minhash lineage twice (Spark
+    * self-joins duplicate the subplan; no exchange reuse — verified in the
+    * physical plan) — → verify candidates with exact Jaccard via
+    * array_intersect. Bucket skew (a bucket of c near-identical docs emits
+    * c²/2 pairs) is inherent to LSH; the pair explosion happens after the
+    * heavy lineage, on (band, sig, ids) rows only.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val aLit = typedLit(A)
-    val bLit = typedLit(B)
-    val shx = shingleIndex(spark, dir)
-      .withColumn("x", col("sh_h") % P)
-    // 16 rows per shingle instance; min per (doc, j) — partial agg map-side.
-    val mh = shx
-      .select(col("doc_id"), col("x"), explode(sequence(lit(0), lit(A.size - 1))).as("j"))
-      .withColumn("hv",
-        (element_at(aLit, col("j") + 1) * col("x") + element_at(bLit, col("j") + 1)) % P)
-      .groupBy(col("doc_id"), col("j")).agg(min(col("hv")).as("v"))
-    // 4-row band signature via manual pivot (portable ordered concat).
-    def rowv(k: Int): Column = min(when(col("j") % Rows === k, col("v")))
-    val bands = mh.withColumn("band", (col("j") / Rows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("-", rowv(0), rowv(1), rowv(2), rowv(3)).as("sig"))
-    val cand = bands.as("ba")
-      .join(bands.as("bb"),
-        col("ba.band") === col("bb.band") && col("ba.sig") === col("bb.sig") &&
-          col("ba.doc_id") < col("bb.doc_id"))
-      .select(col("ba.doc_id").as("da"), col("bb.doc_id").as("db"))
+    val shx = shingleIndex(spark, dir).withColumn("x", col("sh_h") % P)
+    val mins = A.indices.map(j =>
+      min((lit(A(j)) * col("x") + lit(B(j))) % P).as(s"v$j"))
+    val mh = shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandSigs = array((0 until Bands).map(bd =>
+      concat_ws("-", (0 until Rows).map(r => col(s"v${bd * Rows + r}")): _*)): _*)
+    val bands = mh.select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "sig")))
+    val buckets = bands.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("da"), b.as("db")))))).as("p"))
+      .select(col("p.da"), col("p.db"))
       .distinct()
-    val ds = docShingles(spark, dir)
-    cand
-      .join(ds.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
-      .join(ds.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      // consumed twice (candidate-doc restriction + final pair filter):
+      // caching a few hundred pairs skips a second minhash/bucket pass
+      .cache()
+    // Verify through the cached inverted index, NOT via per-doc shingle
+    // arrays: materializing array_distinct arrays for a broadcast build
+    // side runs single-threaded on the driver (measured 13.7 s at sf0.1).
+    // Restrict the index to candidate docs, count shared shingles
+    // relationally, keep only LSH-candidate pairs.
+    val candDocs = cand.select(col("da").as("doc_id"))
+      .union(cand.select(col("db").as("doc_id"))).distinct()
+    val idx = shingleIndex(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val n = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = idx.select(col("doc_id").as("da"), col("sh_h"))
+      .join(idx.select(col("doc_id").as("db"), col("sh_h")), Seq("sh_h"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+      .join(cand, Seq("da", "db"), "left_semi")
+    shared
+      .join(n.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), Seq("da"))
+      .join(n.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), Seq("db"))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
   }
 
   val minhashLshSql: String = {
-    val aSqlList = A.mkString("[", ",", "]")
-    val bSqlList = B.mkString("[", ",", "]")
+    val minCols = A.indices
+      .map(j => s"min((${A(j)} * x + ${B(j)}) % $P) AS v$j").mkString(",\n      |    ")
+    val bandSelects = (0 until Bands).map { bd =>
+      val vs = (0 until Rows).map(r => s"v${bd * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $bd AS band, concat_ws('-', $vs) AS sig FROM mh"
+    }.mkString("\n      |  UNION ALL ")
     s"""WITH $shCte,
       |xh AS (SELECT doc_id, sh_h % $P AS x FROM shx),
       |mh AS (
-      |  SELECT doc_id, j, min(($aSqlList[CAST(j AS INT)+1] * x + $bSqlList[CAST(j AS INT)+1]) % $P) AS v
-      |  FROM xh CROSS JOIN (SELECT unnest(range(0, ${A.size})) AS j) js
-      |  GROUP BY doc_id, j),
+      |  SELECT doc_id,
+      |    $minCols
+      |  FROM xh GROUP BY doc_id),
       |bands AS (
-      |  SELECT doc_id, CAST(j // $Rows AS INT) AS band,
-      |    concat_ws('-', min(CASE WHEN j % $Rows = 0 THEN v END),
-      |                   min(CASE WHEN j % $Rows = 1 THEN v END),
-      |                   min(CASE WHEN j % $Rows = 2 THEN v END),
-      |                   min(CASE WHEN j % $Rows = 3 THEN v END)) AS sig
-      |  FROM mh GROUP BY doc_id, band),
+      |  $bandSelects),
       |cand AS (
       |  SELECT DISTINCT ba.doc_id AS da, bb.doc_id AS db
       |  FROM bands ba JOIN bands bb
@@ -181,7 +213,7 @@ object Dedup {
     simhashSig(spark, dir).orderBy(col("doc_id"))
 
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash60(col("token")))
@@ -194,6 +226,9 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
         .otherwise(0L)).as("simhash"))
+      // one row per doc; cached so the band self-join in simhashPairs does
+      // not recompute the token-vote lineage for both sides
+      .cache()
   }
 
   private val simhashCte: String =

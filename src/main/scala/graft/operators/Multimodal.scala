@@ -62,7 +62,7 @@ object Multimodal {
   /** `documents` as a media table: UTF-8 payload bytes + metadata. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         lit("text/plain").as("kind"))
       .as[MediaRow]

@@ -51,7 +51,7 @@ object Similarity {
   /** Corpus with double vectors and precomputed L2 norms. */
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
     val v = col("embedding").cast("array<double>")
-    Tables.embeddings(spark, dir)
+    Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"), v.as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }

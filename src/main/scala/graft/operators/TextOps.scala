@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   private def docToks(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("text"), toks(col("text")).as("t"))
 
   /** Token statistics: counts, type-token ratio, mean token length.
@@ -133,19 +133,19 @@ object TextOps {
     docToks(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("md5_hex"),
         hash60(col("text")).as("h60"),
-        explode(shingles3(col("t"))).as("s"))
+        explode(shingles3All(col("t"))).as("s")) // t pre-projected: split runs once/doc
       .groupBy(col("doc_id"))
       .agg(max(col("md5_hex")).as("md5_hex"), max(col("h60")).as("h60"),
         min(hash60(col("s"))).as("min_shingle_h"),
-        count(lit(1)).as("n_shingles"))
+        countDistinct(hash60(col("s"))).as("n_shingles"))
       .orderBy(col("doc_id"))
 
   val fingerprintSql: String =
     s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
       |sh AS (SELECT doc_id, md5(text) AS md5_hex, ${hash60Sql("text")} AS h60,
-      |  unnest($shingles3Sql) AS s FROM toks)
+      |  unnest($shingles3AllSql) AS s FROM toks)
       |SELECT doc_id, max(md5_hex) AS md5_hex, max(h60) AS h60,
       |  min(${hash60Sql("s")}) AS min_shingle_h,
-      |  count(*) AS n_shingles
+      |  count(DISTINCT ${hash60Sql("s")}) AS n_shingles
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
