@@ -96,7 +96,7 @@ object Dedup {
       .join(n.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), Seq("da"))
       .join(n.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), Seq("db"))
       .withColumn("jaccard",
-        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
@@ -110,9 +110,9 @@ object Dedup {
       |  FROM shx a JOIN shx b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT da, db,
-      |  round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+      |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
       |FROM shared JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-      |WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) >= $JaccardThreshold
+      |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= $JaccardThreshold
       |ORDER BY da, db""".stripMargin
 
   /** MinHash signatures + LSH banding + candidate verification.
@@ -169,7 +169,7 @@ object Dedup {
       .join(n.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), Seq("da"))
       .join(n.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), Seq("db"))
       .withColumn("jaccard",
-        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
@@ -199,8 +199,8 @@ object Dedup {
       |  SELECT da, db, len(list_intersect(sa.sh, sb.sh)) AS inter,
       |    len(sa.sh) AS na, len(sb.sh) AS nb
       |  FROM cand JOIN ds sa ON sa.doc_id = da JOIN ds sb ON sb.doc_id = db)
-      |SELECT da, db, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-      |FROM v WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= $JaccardThreshold
+      |SELECT da, db, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
       |ORDER BY da, db""".stripMargin
   }
 

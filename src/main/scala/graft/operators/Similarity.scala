@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * Numeric portability: all vector math is double-precision with an
   * explicit left-to-right fold (`aggregate(zip_with(...))` here,
   * `list_reduce(list_transform(...))` in the DuckDB oracle) so dot
-  * products are bit-identical across engines; `round(.,6)` on output is
-  * cosmetic only.
+  * products are bit-identical across engines. Scores are emitted UNROUNDED:
+  * round() itself is the one non-portable op (Spark's BigDecimal HALF_UP vs
+  * DuckDB's float rounding differ by 1 ulp at decimal boundaries).
   *
   * Scale design: the query side is tiny and broadcast — the corpus side is
   * never shuffled for brute force (map-side join + per-query top-k via
@@ -74,7 +75,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -87,7 +88,7 @@ object Similarity {
       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vn WHERE vec_id % 100 = 0),
       |scored AS (
       |  SELECT q.q_id, c.vec_id,
-      |    round(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) AS score
+      |    ${dotSql("q.qv", "c.v")} / (q.qn * c.nrm) AS score
       |  FROM vn c CROSS JOIN q WHERE c.vec_id <> q.q_id),
       |ranked AS (
       |  SELECT q_id, vec_id, score,
@@ -120,7 +121,7 @@ object Similarity {
         col("bucket"))
     val scored = v.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= AnnK)
@@ -134,7 +135,7 @@ object Similarity {
       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM vb WHERE vec_id % 100 = 0),
       |scored AS (
       |  SELECT q.q_id, c.vec_id,
-      |    round(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) AS score
+      |    ${dotSql("q.qv", "c.v")} / (q.qn * c.nrm) AS score
       |  FROM vb c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.q_id),
       |ranked AS (
       |  SELECT q_id, vec_id, score,
@@ -151,7 +152,7 @@ object Similarity {
     val a = v.select(col("label"), col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
     val b = v.select(col("label"), col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("va") < col("vb"))
-      .withColumn("score", round(dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6))
+      .withColumn("score", dot(col("xa"), col("xb")) / (col("na") * col("nb")))
       .filter(col("score") >= NearDupThreshold)
       .select(col("va"), col("vb"), col("label"), col("score"))
       .orderBy(col("va"), col("vb"))
@@ -160,8 +161,8 @@ object Similarity {
   val embedNearDupSql: String =
     s"""WITH $vecsCte
       |SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
-      |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS score
+      |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS score
       |FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= $NearDupThreshold
+      |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $NearDupThreshold
       |ORDER BY va, vb""".stripMargin
 }

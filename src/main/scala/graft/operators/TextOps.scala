@@ -37,8 +37,8 @@ object TextOps {
           .as("sum_len"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_uniq"),
-        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("ttr"),
-        round(col("sum_len").cast("double") / col("n_tokens"), 6).as("avg_token_len"))
+        (col("n_uniq").cast("double") / col("n_tokens")).as("ttr"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
   val tokenStatsSql: String =
@@ -46,8 +46,8 @@ object TextOps {
       |s AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
       |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len FROM toks)
       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_uniq AS INT) AS n_uniq,
-      |  round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS ttr,
-      |  round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS avg_token_len
+      |  CAST(n_uniq AS DOUBLE) / n_tokens AS ttr,
+      |  CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len
       |FROM s ORDER BY doc_id""".stripMargin
 
   /** Language-ID heuristic: stopword-set hit counts per language, highest
@@ -61,7 +61,7 @@ object TextOps {
         size(col("t")).as("n_tokens"))
     d.select(
         col("doc_id"), col("lang"), col("en_hits"), col("es_hits"),
-        round(col("en_hits").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        (col("en_hits").cast("double") / col("n_tokens")).as("stop_ratio"),
         when(col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
           .when(col("es_hits") > col("en_hits"), "es")
           .otherwise("und").as("predicted"))
@@ -76,7 +76,7 @@ object TextOps {
       |  ${stopHitsSql(esStops)} AS es_hits,
       |  len(t) AS n_tokens FROM toks)
       |SELECT doc_id, lang, CAST(en_hits AS INT) AS en_hits, CAST(es_hits AS INT) AS es_hits,
-      |  round(CAST(en_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      |  CAST(en_hits AS DOUBLE) / n_tokens AS stop_ratio,
       |  CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
       |       WHEN es_hits > en_hits THEN 'es' ELSE 'und' END AS predicted,
       |  (CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
@@ -96,10 +96,12 @@ object TextOps {
       stopHits(col("t"), enStops).as("en_hits"),
       aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x)
         .as("sum_len"))
-    val score = round(
+    // no round(): Spark and DuckDB round() differ by 1 ulp at decimal
+    // boundaries; the unrounded doubles are bit-identical (same fold order)
+    val score =
       least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4 +
       (col("en_hits").cast("double") / col("n_tokens")) * 0.3 +
-      least(lit(1.0), (col("sum_len").cast("double") / col("n_tokens")) / 10.0) * 0.3, 6)
+      least(lit(1.0), (col("sum_len").cast("double") / col("n_tokens")) / 10.0) * 0.3
     d.withColumn("score", score)
       .withColumn("bucket",
         when(col("score") >= 0.5, "high")
@@ -114,9 +116,9 @@ object TextOps {
       |  ${stopHitsSql(enStops)} AS en_hits,
       |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len FROM toks),
       |sc AS (SELECT doc_id, n_chars_m, n_tokens,
-      |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4 +
+      |  least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4 +
       |        (CAST(en_hits AS DOUBLE) / n_tokens) * 0.3 +
-      |        least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 10.0) * 0.3, 6) AS score
+      |        least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 10.0) * 0.3 AS score
       | FROM s)
       |SELECT doc_id, CAST(n_chars_m AS INT) AS n_chars_m, CAST(n_tokens AS INT) AS n_tokens, score,
       |  CASE WHEN score >= 0.5 THEN 'high' WHEN score >= 0.3 THEN 'medium'
