@@ -46,7 +46,8 @@ object SparkEntry {
     "q27_embed_neardup" -> ((s, d) => Similarity.embedNearDup(s, d)),
     "q28_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q29_dq_exclusions" -> ((s, d) => Dq.dqExclusions(s, d)),
-    "q30_dq_filtered_ledger" -> ((s, d) => Dq.dqFilteredLedger(s, d))
+    "q30_dq_filtered_ledger" -> ((s, d) => Dq.dqFilteredLedger(s, d)),
+    "q31_ivf_ann" -> ((s, d) => Similarity.ivfAnn(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -80,6 +81,7 @@ object SparkEntry {
     "q27_embed_neardup" -> Similarity.embedNearDupSql,
     "q28_media_features" -> Multimodal.mediaFeaturesSql,
     "q29_dq_exclusions" -> Dq.dqExclusionsSql,
-    "q30_dq_filtered_ledger" -> Dq.dqFilteredLedgerSql
+    "q30_dq_filtered_ledger" -> Dq.dqFilteredLedgerSql,
+    "q31_ivf_ann" -> Similarity.ivfAnnSql
   )
 }

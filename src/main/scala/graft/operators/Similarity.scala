@@ -31,6 +31,7 @@ object Similarity {
   val TopK = 5
   val AnnK = 3
   val NumPlanes = 6
+  val NProbe = 2
   val NearDupThreshold = 0.35
 
   /** Deterministic pseudo-random hyperplanes (Knuth multiplicative hash →
@@ -137,6 +138,63 @@ object Similarity {
       |  SELECT q.q_id, c.vec_id,
       |    ${dotSql("q.qv", "c.v")} / (q.qn * c.nrm) AS score
       |  FROM vb c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, score
+      |FROM ranked WHERE rank <= $AnnK ORDER BY q_id, rank""".stripMargin
+
+  /** IVF-style ANN: a deterministic coarse quantizer (every 125th vector
+    * is a centroid — the "train on a sample" step), each corpus vector
+    * assigned to its best cosine cell, probes searching their nprobe=2
+    * nearest cells for cosine top-k. This is the production ANN shape at
+    * 100 TB: the cell assignment is one scan with a broadcast centroid
+    * table (|C| small), the index is an equi-join key, and recall/cost is
+    * tuned by |C| and nprobe without touching the plumbing.
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cent = v.filter(col("vec_id") % 125 === 1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cellScores = v.crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
+    val assigned = cellScores.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val probes = cellScores.filter(col("vec_id") % 100 === 0 && col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("c_id").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val ivfAnnSql: String =
+    s"""WITH $vecsCte,
+      |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vn WHERE vec_id % 125 = 1),
+      |cs AS (
+      |  SELECT a.vec_id, a.v, a.nrm, c.c_id,
+      |    ${dotSql("a.v", "c.cv")} / (a.nrm * c.cn) AS csim
+      |  FROM vn a CROSS JOIN cent c),
+      |cr AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crn
+      |  FROM cs),
+      |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM cr WHERE crn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+      |  FROM cr WHERE vec_id % 100 = 0 AND crn <= $NProbe),
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    ${dotSql("p.qv", "a.v")} / (p.qn * a.nrm) AS score
+      |  FROM assigned a JOIN probes p ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.q_id),
       |ranked AS (
       |  SELECT q_id, vec_id, score,
       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank

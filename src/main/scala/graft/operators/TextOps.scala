@@ -27,25 +27,35 @@ object TextOps {
     * Double divisions are ordered identically in the oracle so hashes match
     * bit-for-bit.
     */
+  /** BPE-ish subtokenizer regex: letter runs, digit runs, single
+    * punctuation marks — the standard pre-tokenization shape. Portable:
+    * both engines use a regexp_extract_all with this exact pattern.
+    */
+  val SubtokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     docToks(spark, dir)
       .select(
         col("doc_id"),
         size(col("t")).as("n_tokens"),
         size(array_distinct(col("t"))).as("n_uniq"),
+        size(regexp_extract_all(lower(col("text")), lit(SubtokenRe), lit(0)))
+          .as("n_subtokens"),
         aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x)
           .as("sum_len"))
       .select(
-        col("doc_id"), col("n_tokens"), col("n_uniq"),
+        col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_subtokens"),
         (col("n_uniq").cast("double") / col("n_tokens")).as("ttr"),
         (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
   val tokenStatsSql: String =
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
       |s AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
+      |  len(regexp_extract_all(lower(text), '$SubtokenRe')) AS n_subtokens,
       |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len FROM toks)
       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_uniq AS INT) AS n_uniq,
+      |  CAST(n_subtokens AS INT) AS n_subtokens,
       |  CAST(n_uniq AS DOUBLE) / n_tokens AS ttr,
       |  CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len
       |FROM s ORDER BY doc_id""".stripMargin
@@ -135,9 +145,16 @@ object TextOps {
     docToks(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("md5_hex"),
         hash60(col("text")).as("h60"),
+        // rolling polynomial hash over the characters (base 31 mod 1e9+7);
+        // the 0-seed left fold here matches DuckDB's seedless list_reduce
+        // because (0*31 + c1) = c1
+        expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
+                (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)""")
+          .as("poly_h"),
         explode(shingles3All(col("t"))).as("s")) // t pre-projected: split runs once/doc
       .groupBy(col("doc_id"))
       .agg(max(col("md5_hex")).as("md5_hex"), max(col("h60")).as("h60"),
+        max(col("poly_h")).as("poly_h"),
         min(hash60(col("s"))).as("min_shingle_h"),
         countDistinct(hash60(col("s"))).as("n_shingles"))
       .orderBy(col("doc_id"))
@@ -145,8 +162,12 @@ object TextOps {
   val fingerprintSql: String =
     s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
       |sh AS (SELECT doc_id, md5(text) AS md5_hex, ${hash60Sql("text")} AS h60,
+      |  list_reduce(list_transform(range(1, length(text)+1),
+      |    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS poly_h,
       |  unnest($shingles3AllSql) AS s FROM toks)
       |SELECT doc_id, max(md5_hex) AS md5_hex, max(h60) AS h60,
+      |  max(poly_h) AS poly_h,
       |  min(${hash60Sql("s")}) AS min_shingle_h,
       |  count(DISTINCT ${hash60Sql("s")}) AS n_shingles
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin

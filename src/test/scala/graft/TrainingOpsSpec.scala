@@ -102,6 +102,17 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf ann: scores agree with brute force; results come from probed cells") {
+    val ivf = Similarity.ivfAnn(spark, dir).cache()
+    assert(ivf.filter(col("rank") > Similarity.AnnK).isEmpty)
+    assert(ivf.count() > 0)
+    val bf = Similarity.cosineTopK(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("score"))
+    ivf.join(bf, Seq("q_id", "vec_id"), "inner").collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-9)
+    }
+  }
+
   test("embed near-dup: pairs share label and meet threshold") {
     val df = Similarity.embedNearDup(spark, dir).cache()
     assert(df.filter(col("score") < Similarity.NearDupThreshold).isEmpty)
