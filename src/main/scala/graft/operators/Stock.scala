@@ -117,8 +117,14 @@ object Stock {
     * long-format cross join, never the pandas pivot) → forward fill → SOD =
     * yesterday's EOD (R5/R6; reference seed_stock_points.py:92-116).
     */
-  def denseSod(spark: SparkSession, dir: String): DataFrame = {
-    val bal = withBalance(Tables.ledger(spark, dir))
+  def denseSod(spark: SparkSession, dir: String): DataFrame =
+    denseSodFrom(Tables.ledger(spark, dir))
+
+  /** Parametric form over any ledger frame (used by the incremental
+    * pipeline layer with a seeded/re-filtered ledger).
+    */
+  def denseSodFrom(ledger: DataFrame): DataFrame = {
+    val bal = withBalance(ledger)
     // end-of-day balance per active (key, day)
     val wDay = Window.partitionBy(col("tienda_id"), col("art_id"), col("d"))
       .orderBy(col("fecha").desc, col("id_origen").desc)
@@ -128,10 +134,10 @@ object Stock {
       .filter(col("rn") === 1)
       .select(col("tienda_id"), col("art_id"), col("d"), col("balance").as("eod"))
     // D1 calendar spanning the whole ledger (distributed; no driver collect)
-    val cal = Tables.ledger(spark, dir)
+    val cal = ledger
       .agg(min(to_date(col("fecha"))).as("d0"), max(to_date(col("fecha"))).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("d"))
-    val keys = Tables.ledger(spark, dir)
+    val keys = ledger
       .select(col("tienda_id"), col("art_id")).distinct()
     // D2': stay long — keys × calendar, left join actual EODs
     val dense = keys.crossJoin(broadcast(cal))
@@ -178,15 +184,23 @@ object Stock {
       |  FROM filled)""".stripMargin
 
   /** q13 — R7 change-point compression of the dense SOD series: keep a row
-    * only on the first day or when SOD changes (reference
-    * seed_stock_points.py:119-127) → the sparse `stock_points` table.
+    * iff SOD differs from the previous value, with the previous value
+    * DEFAULTING TO 0 (reference seed_stock_points.py:119-127 also emits a
+    * first-day row when the value is 0; we suppress those zero baselines so
+    * the series is a pure delta encoding — "no point yet" ≡ 0 on read, and
+    * incremental reprocessing windows (Pipelines.refreshStockPoints) emit
+    * byte-identical points regardless of where the window starts).
     */
-  def stockPoints(spark: SparkSession, dir: String): DataFrame = {
+  def stockPoints(spark: SparkSession, dir: String): DataFrame =
+    stockPointsFrom(Tables.ledger(spark, dir))
+
+  /** Parametric form over any ledger frame. */
+  def stockPointsFrom(ledger: DataFrame): DataFrame = {
     val wFill = Window.partitionBy(col("tienda_id"), col("art_id"))
       .orderBy(col("d"))
-    denseSod(spark, dir)
+    denseSodFrom(ledger)
       .withColumn("prev_sod", lag(col("sod"), 1).over(wFill))
-      .filter(col("prev_sod").isNull || col("sod") =!= col("prev_sod"))
+      .filter(col("sod") =!= coalesce(col("prev_sod"), lit(0L)))
       .select(col("tienda_id").as("store_id"), col("art_id"),
         col("d").cast("timestamp").as("point_date"),
         col("sod").as("sod_stock"))
@@ -202,7 +216,7 @@ object Stock {
       |SELECT tienda_id AS store_id, art_id,
       |  CAST(d AS TIMESTAMP) AS point_date, sod AS sod_stock
       |FROM cp
-      |WHERE prev_sod IS NULL OR sod != prev_sod
+      |WHERE sod != COALESCE(prev_sod, 0)
       |ORDER BY store_id, art_id, point_date""".stripMargin
 
   /** q14 — J9 as-of lookup: latest stock point per (store, SKU) at or before
@@ -231,7 +245,7 @@ object Stock {
       |points AS (
       |  SELECT tienda_id AS store_id, art_id,
       |    CAST(d AS TIMESTAMP) AS point_date, sod AS sod_stock
-      |  FROM cp WHERE prev_sod IS NULL OR sod != prev_sod),
+      |  FROM cp WHERE sod != COALESCE(prev_sod, 0)),
       |ranked AS (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY store_id, art_id ORDER BY point_date DESC) AS rn
