@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,6 +50,42 @@ object Stock {
       .withColumn("balance",
         coalesce(col("run_abs"), lit(0L)) + col("cum_delta")
           - coalesce(col("cum_at_reset"), lit(0L)))
+  }
+
+  /** Typed event row for the [[withBalanceTyped]] fallback. */
+  final case class LedgerEv(id_origen: Long, art_id: Long, tienda_id: Int,
+                            fecha: java.sql.Timestamp, is_absolute: Boolean,
+                            delta_cantidad: Option[Long],
+                            abs_stock_after: Option[Long])
+
+  final case class BalanceRow(tienda_id: Int, art_id: Long, id_origen: Long,
+                              balance: Long)
+
+  /** R4 fallback formulation (SURVEY.md §2.5 R4b): typed
+    * `groupByKey.flatMapGroups` running the reference's fold verbatim per
+    * key. Same single shuffle as the window plan, but each group is
+    * materialized and sorted in executor heap (no spill) and rows leave
+    * whole-stage codegen — kept as the documented alternative and as a
+    * differential test target for [[withBalance]], which is the default.
+    */
+  def withBalanceTyped(ledger: DataFrame): Dataset[BalanceRow] = {
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    ledger
+      .select(col("id_origen").cast("long"), col("art_id").cast("long"),
+        col("tienda_id").cast("int"), col("fecha"), col("is_absolute"),
+        col("delta_cantidad").cast("long"), col("abs_stock_after").cast("long"))
+      .as[LedgerEv]
+      .groupByKey(e => (e.tienda_id, e.art_id))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[LedgerEv]) =>
+        val evs = it.toArray.sortBy(e => (e.fecha.getTime, e.id_origen))
+        var running = 0L
+        evs.iterator.map { e =>
+          if (e.is_absolute) running = e.abs_stock_after.getOrElse(running)
+          else running += e.delta_cantidad.getOrElse(0L)
+          BalanceRow(key._1, key._2, e.id_origen, running)
+        }
+      }
   }
 
   /** The same replay as DuckDB CTEs over `ledger` (layered: cum first,

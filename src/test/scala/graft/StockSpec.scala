@@ -88,6 +88,35 @@ class StockSpec extends SparkSpec {
     }
   }
 
+  test("scalacheck: window plan == typed flatMapGroups fold == naive fold") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEv: Gen[Int => Ev] = for {
+      art <- Gen.choose(0L, 3L)
+      tid <- Gen.choose(0, 1)
+      t <- Gen.choose(0L, 30L)
+      isAbs <- Gen.prob(0.25)
+      d <- Gen.choose(-10L, 10L)
+      a <- Gen.choose(-50L, 50L)
+    } yield (i: Int) =>
+      Ev(i.toLong, art, tid, ts(t), isAbs,
+        if (isAbs) None else Some(d), if (isAbs) Some(a) else None)
+    val genEvs = Gen.listOfN(60, genEv).map(_.zipWithIndex.map { case (f, i) => f(i + 1) })
+    val prop = Prop.forAll(genEvs) { evs =>
+      val df = ledgerDf(evs)
+      val window = Stock.withBalance(df)
+        .select($"tienda_id", $"art_id", $"id_origen", $"balance")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val typed = Stock.withBalanceTyped(df)
+        .collect().map(b => (b.tienda_id, b.art_id, b.id_origen, b.balance)).toSet
+      val naive = naiveFold(evs).flatMap { case ((tid, art), rows) =>
+        rows.map { case (id, bal) => (tid, art, id, bal) }
+      }.toSet
+      window == naive && typed == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("change-point compression round-trips to the dense series") {
     // dense per-key daily series → compress → as-of expand → must equal dense
     val dense = Seq(
