@@ -56,6 +56,56 @@ class StreamingSpec extends SparkSpec {
     assert(dups.isEmpty)
   }
 
+  test("stateful balance carries per-key state across micro-batches") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    import graft.operators.Stock
+    val tmp = Files.createTempDirectory("graft-state").toString
+
+    val stream = MemoryStream[Stock.LedgerEv](spark)
+    val out = graft.streaming.StatefulBalance(stream.toDS())
+    val query = out.writeStream.format("memory").queryName("bal")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+
+    def ev(id: Long, art: Long, t: String, abs: Option[Long], d: Option[Long]) =
+      Stock.LedgerEv(id, art, 1, ts(t), abs.isDefined, d, abs)
+
+    // batch 1: deltas then an absolute reset for art 7
+    stream.addData(
+      ev(1, 7L, "2025-01-01 10:00:00", None, Some(5L)),
+      ev(2, 7L, "2025-01-01 11:00:00", Some(100L), None),
+      ev(3, 8L, "2025-01-01 11:30:00", None, Some(-4L)))
+    query.processAllAvailable()
+    // batch 2: state must continue from 100 (art 7) and -4 (art 8)
+    stream.addData(
+      ev(4, 7L, "2025-01-02 09:00:00", None, Some(-30L)),
+      ev(5, 8L, "2025-01-02 09:30:00", None, Some(10L)))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("bal")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      (7L, 1L, 5L), (7L, 2L, 100L), (8L, 3L, -4L), // batch 1
+      (7L, 4L, 70L), (8L, 5L, 6L)) // batch 2 continues persisted state
+    assert(got == expected)
+
+    // and it matches the batch window plan over the concatenated input
+    val all = Seq(
+      ev(1, 7L, "2025-01-01 10:00:00", None, Some(5L)),
+      ev(2, 7L, "2025-01-01 11:00:00", Some(100L), None),
+      ev(3, 8L, "2025-01-01 11:30:00", None, Some(-4L)),
+      ev(4, 7L, "2025-01-02 09:00:00", None, Some(-30L)),
+      ev(5, 8L, "2025-01-02 09:30:00", None, Some(10L))).toDF()
+      .withColumn("tipo_movimiento", lit("x"))
+    val batch = Stock.withBalance(all)
+      .select(col("art_id"), col("id_origen"), col("balance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == got)
+  }
+
   test("the streaming aggregation plan also runs in plain batch mode") {
     val sql = spark.sqlContext
     import sql.implicits._
