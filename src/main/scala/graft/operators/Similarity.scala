@@ -43,9 +43,17 @@ object Similarity {
     }
   }
 
-  /** Left-to-right double fold of elementwise product — the portable dot. */
+  /** Left-to-right double fold of elementwise product — the portable dot.
+    * Kept for norms/hyperplanes; full cosines use the fused native
+    * [[org.apache.spark.sql.graft.CosineSimilarity]] expression, which is
+    * bit-identical (same per-accumulator order; VectorExprsSpec) but one
+    * codegen'd pass instead of three interpreted lambda folds.
+    */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExprs.cosineSim(a, b)
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)"
@@ -76,7 +84,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("score", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -122,7 +130,7 @@ object Similarity {
         col("bucket"))
     val scored = v.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("score", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= AnnK)
@@ -168,7 +176,7 @@ object Similarity {
         col("c_id").as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("score", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= AnnK)
@@ -210,7 +218,7 @@ object Similarity {
     val a = v.select(col("label"), col("vec_id").as("va"), col("v").as("xa"), col("nrm").as("na"))
     val b = v.select(col("label"), col("vec_id").as("vb"), col("v").as("xb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("va") < col("vb"))
-      .withColumn("score", dot(col("xa"), col("xb")) / (col("na") * col("nb")))
+      .withColumn("score", cosine(col("xa"), col("xb")))
       .filter(col("score") >= NearDupThreshold)
       .select(col("va"), col("vb"), col("label"), col("score"))
       .orderBy(col("va"), col("vb"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExprs
+
+/** The native fused cosine must be BIT-identical to the declarative
+  * three-fold HOF formulation (which the DuckDB oracle mirrors).
+  */
+class VectorExprsSpec extends SparkSpec {
+
+  private def hofCosine = {
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    expr(s"${dot("a", "b")} / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))")
+  }
+
+  test("fused codegen cosine is bit-identical to the HOF fold formulation") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .withColumn("native", VectorExprs.cosineSim(col("a"), col("b")))
+      .withColumn("hof", hofCosine)
+    // bit-identical, not approximately equal
+    assert(df.filter(col("native") =!= col("hof")).isEmpty)
+  }
+
+  test("interpreted eval path matches codegen path") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0))).toDF("a", "b")
+    val got = df.select(VectorExprs.cosineSim(col("a"), col("b"))).first().getDouble(0)
+    val want = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(got == want)
+  }
+
+  test("cosine_sim registers as a SQL function") {
+    VectorExprs.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s").first().getDouble(0)
+    assert(got == 1.0)
+  }
+
+  test("real embeddings: native == HOF on the fixture corpus") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("x").crossJoin(e.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id")).limit(2000)
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+    val df = pairs
+      .withColumn("native", VectorExprs.cosineSim(col("a"), col("b")))
+      .withColumn("hof", hofCosine)
+    assert(df.filter(col("native") =!= col("hof")).isEmpty)
+  }
+}
