@@ -22,7 +22,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype(bool)
-        elif pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_float_dtype(df[c]):
+        elif pd.api.types.is_integer_dtype(df[c]):
+            # keep exact: int64 -> float64 would mask diffs below ~128 ulp
+            # in 60-bit hash columns (values >> 2^53)
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
     return df.reset_index(drop=True)
 

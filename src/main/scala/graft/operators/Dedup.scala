@@ -116,8 +116,10 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
 
   /** MinHash signatures + LSH banding + candidate verification.
-    * Pipeline: shingle-hash (duplicates kept — min() is unaffected, so the
-    * distinct shuffle is skipped) → all 16 minhashes as aggregate columns
+    * Pipeline: the shared cached distinct shingle index (one materialize
+    * serves q21, the minhash aggregation AND the verify pass — min() per
+    * se wouldn't need the distinct, but reusing the cache beats a second
+    * scan+explode) → all 16 minhashes as aggregate columns
     * of ONE hash-agg (no j-index explode: that would put 16× the rows
     * through the shuffle and need a second groupBy for bands) → band
     * signatures via posexplode of 4 tiny strings → candidates by GROUPING

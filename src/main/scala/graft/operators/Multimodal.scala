@@ -53,7 +53,9 @@ object Multimodal {
         MediaFeatures(
           doc_id = doc_id,
           n_bytes = payload.length.toLong,
-          head_byte = if (payload.isEmpty) -1 else payload(0) & 0xff,
+          // empty payload → 0, matching ascii('') in both Spark and DuckDB
+          // (the oracle computes ascii(substr(text,1,1)))
+          head_byte = if (payload.isEmpty) 0 else payload(0) & 0xff,
           checksum = java.lang.Long.parseLong(hex.take(15), 16))
       }
     }

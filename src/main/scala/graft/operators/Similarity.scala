@@ -166,7 +166,7 @@ object Similarity {
     val cent = v.filter(col("vec_id") % 125 === 1)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val cellScores = v.crossJoin(broadcast(cent))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("csim", cosine(col("v"), col("cv")))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
     val assigned = cellScores.filter(col("crn") === 1)

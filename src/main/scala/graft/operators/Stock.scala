@@ -79,10 +79,17 @@ object Stock {
       .groupByKey(e => (e.tienda_id, e.art_id))
       .flatMapGroups { (key: (Int, Long), it: Iterator[LedgerEv]) =>
         val evs = it.toArray.sortBy(e => (e.fecha.getTime, e.id_origen))
+        // lastAbs mirrors the window plan's run_abs: an absolute event with
+        // a NULL value still RESETS the balance (to the previous non-null
+        // absolute, or 0) because cum_at_reset advances regardless — the
+        // formulations must agree even on out-of-contract rows
         var running = 0L
+        var lastAbs = 0L
         evs.iterator.map { e =>
-          if (e.is_absolute) running = e.abs_stock_after.getOrElse(running)
-          else running += e.delta_cantidad.getOrElse(0L)
+          if (e.is_absolute) {
+            lastAbs = e.abs_stock_after.getOrElse(lastAbs)
+            running = lastAbs
+          } else running += e.delta_cantidad.getOrElse(0L)
           BalanceRow(key._1, key._2, e.id_origen, running)
         }
       }

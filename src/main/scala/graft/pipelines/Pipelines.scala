@@ -55,23 +55,38 @@ object InventoryPipeline {
 
   /** Ledger ingest: append events strictly above the timestamp watermark
     * (reference update_raw_stock_movements.py:84-85 — at-least-once
-    * extract, exactly-once effect via the strict `>` re-filter), advance
-    * the watermark to max(fecha). Returns rows appended.
+    * extract, exactly-once effect), advance the watermark to max(fecha).
+    * The strict `>` re-filter alone does NOT cover a crash between the
+    * append and the checkpoint advance (the whole window would be
+    * re-appended), so incoming rows are additionally anti-joined against
+    * the ids already present above the watermark — that closes the crash
+    * window and makes the append itself idempotent. Returns rows appended.
     */
   def updateLedger(wh: Warehouse, srcDir: String,
                    upToTs: Option[java.sql.Timestamp] = None): Long = {
     val cpMicros = wh.checkpoint("ledger_last_ts")
     val src0 = Tables.ledger(wh.spark, srcDir)
     val src1 = upToTs.map(t => src0.filter(col("fecha") <= lit(t))).getOrElse(src0)
-    val incoming = cpMicros
+    val fresh = cpMicros
       .map(m => src1.filter(col("fecha") > timestamp_micros(lit(m)))) // P8 strict
       .getOrElse(src1)
-      .cache()
-    val n = incoming.count()
+    // crash-window dedup: drop ids already landed above the watermark
+    val incoming = (if (wh.exists("raw_stock_movements")) {
+      val landed = wh.read("raw_stock_movements")
+        .filter(cpMicros.map(m => col("fecha") > timestamp_micros(lit(m)))
+          .getOrElse(lit(true)))
+        .select(col("id_origen"))
+      fresh.join(landed, Seq("id_origen"), "left_anti")
+    } else fresh).cache()
+    // count + max in ONE action BEFORE the append: the incoming plan
+    // anti-joins against the sink table, so evaluating it after the
+    // append (e.g. on a cache miss) would read its own output and
+    // anti-join everything away
+    val stats = incoming.agg(count(lit(1)), max(unix_micros(col("fecha")))).first()
+    val n = stats.getLong(0)
     if (n > 0) {
       wh.append("raw_stock_movements", incoming)
-      val maxTs = incoming.agg(max(unix_micros(col("fecha")))).first().getLong(0)
-      wh.setCheckpoint("ledger_last_ts", maxTs)
+      wh.setCheckpoint("ledger_last_ts", stats.getLong(1))
     }
     incoming.unpersist()
     n
@@ -135,16 +150,13 @@ object InventoryPipeline {
     if (isSeed) wh.write("stock_points", outCached)
     else if (n > 0) {
       // S9 keyed merge: new points replace same-key rows, everything else
-      // carries over (materialized before the same-path rewrite)
+      // carries over (wh.write streams the old table into a tmp dir and
+      // swaps — no same-path read/write race)
       val keys = Seq("store_id", "art_id", "point_date")
-      val merged = wh.read("stock_points")
-        .join(outCached.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(outCached)
-        .cache()
-      merged.count()
-      wh.write("stock_points", merged)
-      merged.unpersist()
-      ()
+      wh.write("stock_points",
+        wh.read("stock_points")
+          .join(outCached.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(outCached))
     }
     val maxDay = ledger.agg(max(unix_date(to_date(col("fecha"))))).first().getInt(0)
     wh.setCheckpoint("points_last_dt", maxDay.toLong)

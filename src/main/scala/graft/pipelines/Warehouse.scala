@@ -12,42 +12,35 @@ import org.apache.spark.sql.functions._
   *
   * Crash-safety contract (SURVEY.md §7.3): checkpoints are advanced AFTER
   * the sink write commits. A crash between the two replays the window on
-  * the next run; last-wins upserts make the replay idempotent — the same
-  * at-least-once-extract / exactly-once-effect scheme the reference gets
-  * from transactions.
+  * the next run; last-wins upserts (and the ledger ingest's id anti-join)
+  * make the replay idempotent — the same at-least-once-extract /
+  * exactly-once-effect scheme the reference gets from transactions.
+  * Table rewrites go through [[Fs.replaceWith]] (write tmp → swap), so a
+  * failed merge never destroys the previous table contents.
   */
 final class Warehouse(val spark: SparkSession, val root: String) {
 
   private def path(table: String): String = s"$root/$table"
 
-  def exists(table: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path(table)))
+  def exists(table: String): Boolean = Fs.exists(spark, path(table))
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
-  def write(table: String, df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).parquet(path(table))
+  def write(table: String, df: DataFrame): Unit =
+    Fs.replaceWith(spark, path(table))(tmp => df.write.parquet(tmp))
 
   def append(table: String, df: DataFrame): Unit =
-    write(table, df, SaveMode.Append)
+    df.write.mode(SaveMode.Append).parquet(path(table))
 
-  /** Keyed last-wins upsert (S8/S9). Reads the current table, merges via
-    * [[Upsert.upsertByKey]], materializes, rewrites. The materialize step
-    * (cache + count) closes the read-overwrite-same-path race on plain
-    * parquet; a real table format commits atomically instead.
+  /** Keyed last-wins upsert (S8/S9): read current, merge via
+    * [[Upsert.upsertByKey]], write to a tmp dir (the read of the old
+    * table streams into the tmp write — no same-path race), swap.
     */
   def upsert(table: String, incoming: DataFrame, keys: Seq[String],
-             versionCol: String, tiebreakCol: String): Unit = {
+             versionCol: String, tiebreakCol: String): Unit =
     if (!exists(table)) write(table, incoming)
-    else {
-      val merged = Upsert.upsertByKey(read(table), incoming, keys, versionCol, tiebreakCol)
-        .cache()
-      merged.count()
-      write(table, merged)
-      merged.unpersist()
-      ()
-    }
-  }
+    else write(table,
+      Upsert.upsertByKey(read(table), incoming, keys, versionCol, tiebreakCol))
 
   /** Scalar checkpoint per (pipeline, key) — the `etl_progress` row. Stored
     * as a tiny one-row parquet; read returns None before the first seed.

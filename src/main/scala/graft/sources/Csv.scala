@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.pipelines.Fs
+import graft.operators.Upsert
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -13,10 +15,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *  - the atomic dedup-append upsert: concat old+new, drop duplicate
   *    `uniq` keys, atomic replace (dq_exclusions_csv.py:57-66, S13).
   *
-  * Spark-native mapping: a CSV *directory* instead of a single file (the
-  * job commit protocol provides the reference's tmp-file + os.replace
-  * atomicity), `dropDuplicates` instead of pandas drop_duplicates, and an
-  * explicit all-`StringType` schema instead of dtype=str.
+  * Spark-native mapping: a CSV *directory* instead of a single file; the
+  * rewrite goes through [[Fs.replaceWith]] (write tmp → swap), the
+  * closest plain-filesystem analog of the reference's tmp-file +
+  * os.replace — the old log stays intact until the new one is fully
+  * written.
   */
 object Csv {
 
@@ -36,31 +39,41 @@ object Csv {
     df.write.mode(SaveMode.Append).option("header", "true").csv(path)
 
   /** S13: idempotent dedup-append — union the existing log with new rows,
-    * keep the first row per `uniq` key (existing rows win, like the
-    * reference's keep='first' after concat [old, new]), rewrite
-    * atomically. Returns the merged row count.
+    * keep one row per `uniq` key with existing rows winning over incoming
+    * (the reference's keep='first' after concat [old, new]), rewrite via
+    * tmp+swap. Reuses the keyed last-wins machinery ([[Upsert]]); the
+    * tiebreak inside a precedence class is the full row text, so repeated
+    * runs over an incoming batch with duplicate keys pick the same row.
+    * Returns the merged row count.
     */
   def dedupAppend(spark: SparkSession, path: String, incoming: DataFrame,
                   uniqCol: String = "uniq"): Long = {
     val cols = incoming.columns.toSeq
+    def prioritized(df: DataFrame, p: Int): DataFrame =
+      df.select(cols.map(col): _*)
+        .withColumn("__p", lit(p))
+        .withColumn("__tie", concat_ws("", cols.map(col): _*))
     val merged =
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-        incoming.dropDuplicates(uniqCol)
-      } else {
-        val existing = readAllStrings(spark, path, cols)
-        // precedence flag: existing rows sort first within a uniq key
-        val tagged = existing.withColumn("__p", lit(0))
-          .unionByName(incoming.select(cols.map(col): _*).withColumn("__p", lit(1)))
+      if (!Fs.exists(spark, path)) {
+        // same determinism for the bootstrap batch: highest row text wins
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(uniqCol)).orderBy(col("__p"))
-        tagged.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__p", "__rn")
+          .partitionBy(col(uniqCol))
+          .orderBy(col("__tie").desc)
+        prioritized(incoming, 0)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__p", "__tie", "__rn")
+      } else {
+        // existing rows outrank incoming: __p desc with existing=1
+        Upsert.upsertByKey(
+          prioritized(readAllStrings(spark, path, cols), 1),
+          prioritized(incoming, 0),
+          Seq(uniqCol), "__p", "__tie")
+          .drop("__p", "__tie")
       }
     val out = merged.cache()
     val n = out.count()
-    // materialized above, so the same-path rewrite is safe; the write's
-    // job commit gives the os.replace-style atomicity
-    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    Fs.replaceWith(spark, path)(tmp =>
+      out.write.option("header", "true").csv(tmp))
     out.unpersist()
     n
   }

@@ -23,8 +23,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulBalance {
 
-  /** Running balance carried across micro-batches. */
-  final case class KeyState(balance: Long)
+  /** Running balance + last absolute value carried across micro-batches
+    * (lastAbs mirrors the batch window plan's run_abs so a null-valued
+    * absolute event resets identically in both formulations).
+    */
+  final case class KeyState(balance: Long, lastAbs: Long)
 
   def apply(ledger: Dataset[LedgerEv]): Dataset[BalanceRow] = {
     val spark = ledger.sparkSession
@@ -34,12 +37,15 @@ object StatefulBalance {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, Long), events: Iterator[LedgerEv], state: GroupState[KeyState]) => {
           var running = state.getOption.map(_.balance).getOrElse(0L)
+          var lastAbs = state.getOption.map(_.lastAbs).getOrElse(0L)
           val out = events.toArray.sortBy(e => (e.fecha.getTime, e.id_origen)).map { e =>
-            if (e.is_absolute) running = e.abs_stock_after.getOrElse(running)
-            else running += e.delta_cantidad.getOrElse(0L)
+            if (e.is_absolute) {
+              lastAbs = e.abs_stock_after.getOrElse(lastAbs)
+              running = lastAbs
+            } else running += e.delta_cantidad.getOrElse(0L)
             BalanceRow(key._1, key._2, e.id_origen, running)
           }
-          state.update(KeyState(running))
+          state.update(KeyState(running, lastAbs))
           out.iterator
         })
   }

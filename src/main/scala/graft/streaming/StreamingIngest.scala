@@ -66,16 +66,14 @@ object StreamingIngest {
           .withColumn("__version", lit(batchId))
           .withColumn("__tiebreak", lit(batchId))
         val merged =
-          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sinkDir))) incoming
+          if (!graft.pipelines.Fs.exists(spark, sinkDir)) incoming
           else Upsert.upsertByKey(
             spark.read.parquet(sinkDir), incoming,
             Seq("tienda_id", "art_id", "dia"), "__version", "__tiebreak")
-        // rewrite-to-tmp + swap would be the real-table path; plain
-        // overwrite keeps the demonstrator self-contained on local FS
-        val out = merged.cache()
-        out.count()
-        out.write.mode("overwrite").parquet(sinkDir)
-        out.unpersist()
+        // tmp write streams the old sink in, then swap — the previous
+        // table survives a failed micro-batch (Delta MERGE in production)
+        graft.pipelines.Fs.replaceWith(spark, sinkDir)(tmp =>
+          merged.write.parquet(tmp))
         ()
       }
   }

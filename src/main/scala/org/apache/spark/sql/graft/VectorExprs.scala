@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
@@ -21,6 +22,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `list_reduce`, so results stay BIT-IDENTICAL (property-tested in
   * VectorExprsSpec) — a faster plan for the same semantics, the (b)-tier
   * extension path: custom Expression before custom physical operator.
+  *
+  * Degenerate-input contract matches the declarative form exactly:
+  * zero-norm vectors yield NULL (Spark's `Divide` and DuckDB both return
+  * NULL for x/0 — a raw Java division would produce NaN, which sorts
+  * ABOVE every real score and would corrupt top-k), and length-mismatched
+  * arrays yield NULL (`zip_with` pads with null, nulling the fold).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -29,11 +36,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -41,7 +54,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -53,15 +67,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = $a.getDouble($i);
-          double $y = $b.getDouble($i);
-          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = $a.getDouble($i);
+            double $y = $b.getDouble($i);
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+          if ($denom == 0.0) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = $dot / $denom;
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

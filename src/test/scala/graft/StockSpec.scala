@@ -23,13 +23,19 @@ class StockSpec extends SparkSpec {
   private def ledgerDf(evs: Seq[Ev]): DataFrame =
     evs.toDF().withColumn("tipo_movimiento", lit("x"))
 
-  /** The reference's replay loop, verbatim in Scala. */
+  /** The reference's replay loop, verbatim in Scala. A null-valued
+    * absolute (out-of-contract input) resets to the last non-null
+    * absolute or 0 — the semantics the window plan produces.
+    */
   private def naiveFold(evs: Seq[Ev]): Map[(Int, Long), Seq[(Long, Long)]] =
     evs.groupBy(e => (e.tienda_id, e.art_id)).map { case (k, g) =>
       var running = 0L
+      var lastAbs = 0L
       val out = g.sortBy(e => (e.fecha.getTime, e.id_origen)).map { e =>
-        if (e.is_absolute) running = e.abs_stock_after.get
-        else running += e.delta_cantidad.get
+        if (e.is_absolute) {
+          lastAbs = e.abs_stock_after.getOrElse(lastAbs)
+          running = lastAbs
+        } else running += e.delta_cantidad.getOrElse(0L)
         (e.id_origen, running)
       }
       k -> out
@@ -95,11 +101,13 @@ class StockSpec extends SparkSpec {
       tid <- Gen.choose(0, 1)
       t <- Gen.choose(0L, 30L)
       isAbs <- Gen.prob(0.25)
+      nullAbs <- Gen.prob(0.15) // out-of-contract: absolute with NULL value
       d <- Gen.choose(-10L, 10L)
       a <- Gen.choose(-50L, 50L)
     } yield (i: Int) =>
       Ev(i.toLong, art, tid, ts(t), isAbs,
-        if (isAbs) None else Some(d), if (isAbs) Some(a) else None)
+        if (isAbs) None else Some(d),
+        if (isAbs && !nullAbs) Some(a) else None)
     val genEvs = Gen.listOfN(60, genEv).map(_.zipWithIndex.map { case (f, i) => f(i + 1) })
     val prop = Prop.forAll(genEvs) { evs =>
       val df = ledgerDf(evs)

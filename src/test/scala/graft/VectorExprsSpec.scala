@@ -44,6 +44,19 @@ class VectorExprsSpec extends SparkSpec {
     assert(got == 1.0)
   }
 
+  test("zero-norm and length-mismatched inputs yield NULL (matching DuckDB), never NaN") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // ANSI Spark THROWS on double x/0 and DuckDB returns NULL — the native
+    // expression must follow the oracle (NULL), and NaN would corrupt
+    // top-k ranking (NaN sorts above every real score)
+    val df = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)), // zero norm
+      (Seq(1.0, 2.0), Seq(1.0)) // length mismatch
+    ).toDF("a", "b").withColumn("s", VectorExprs.cosineSim(col("a"), col("b")))
+    assert(df.filter(col("s").isNotNull).isEmpty)
+  }
+
   test("real embeddings: native == HOF on the fixture corpus") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
