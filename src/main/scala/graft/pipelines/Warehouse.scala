@@ -42,6 +42,25 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     else write(table,
       Upsert.upsertByKey(read(table), incoming, keys, versionCol, tiebreakCol))
 
+  /** Bucketed write: co-locates the table by `bucketCol` so repeated
+    * joins/aggregations on that key skip their shuffle entirely (the scan
+    * reports the bucketing as its output partitioning). This is the
+    * at-rest form of the pre-partitioning the big fact tables want at
+    * 100 TB — bucket `raw_stock_movements` by art_id once, and every
+    * nightly replay's window exchange disappears. Registers the table in
+    * the session catalog (bucketing metadata lives there), data under the
+    * warehouse root.
+    */
+  def writeBucketed(table: String, df: DataFrame, bucketCol: String,
+                    numBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path(table))
+      .saveAsTable(table)
+  }
+
   /** Scalar checkpoint per (pipeline, key) — the `etl_progress` row. Stored
     * as a tiny one-row parquet; read returns None before the first seed.
     */
