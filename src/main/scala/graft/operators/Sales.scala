@@ -64,7 +64,17 @@ object Sales {
     * by the first line of each order (l_linenumber = 1) with amount
     * l_tax * 100. Keeps Decimal columns; callers cast for output.
     */
-  def legacyAggDecimal(spark: SparkSession, dir: String): DataFrame = {
+  def legacyAggDecimal(spark: SparkSession, dir: String): DataFrame = legacyAggCached(spark, dir)
+
+  /** Cached: the shared intermediate of q02/q03/q04 (Spark's CacheManager
+    * dedupes by logical plan, so the three queries materialize one
+    * ~|orders|-row decimal aggregate instead of re-running the double
+    * join each).
+    */
+  private def legacyAggCached(spark: SparkSession, dir: String): DataFrame =
+    legacyAggPlan(spark, dir).cache()
+
+  private def legacyAggPlan(spark: SparkSession, dir: String): DataFrame = {
     val ventas = Tables.orders(spark, dir)
       .filter(col("o_orderstatus").isin("F", "O")) // P4-style static predicate
       .select(col("o_orderkey").as("venta"),
