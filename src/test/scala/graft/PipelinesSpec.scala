@@ -50,30 +50,29 @@ class PipelinesSpec extends SparkSpec {
     assert(rowsOf(wh.read("raw_stock_movements")) == rowsOf(fullLedger))
   }
 
-  test("stock points: as-of-seeded incremental replay == full rebuild") {
-    val wh = freshWh()
+  test("stock points: as-of-seeded incremental replay == full rebuild (any split)") {
     val fullLedger = Tables.ledger(spark, dir)
-    val midTs = new java.sql.Timestamp(
-      fullLedger.agg(expr("percentile_approx(unix_micros(fecha), 0.5)"))
+    val expected = rowsOf(Stock.stockPointsFrom(fullLedger))
+    def quantTs(q: Double): java.sql.Timestamp = new java.sql.Timestamp(
+      fullLedger.agg(expr(s"percentile_approx(unix_micros(fecha), $q)"))
         .first().getLong(0) / 1000)
 
-    // night 1: half the ledger, cold-start points
-    InventoryPipeline.updateLedger(wh, dir, upToTs = Some(midTs))
-    val nSeed = InventoryPipeline.refreshStockPoints(wh)
-    assert(nSeed > 0)
+    // two-night cycles at different split points (incl. an early and a
+    // late boundary), and a three-night chained cycle
+    for (splits <- Seq(Seq(0.25), Seq(0.5), Seq(0.8), Seq(0.33, 0.66))) {
+      val wh = freshWh()
+      splits.foreach { q =>
+        InventoryPipeline.updateLedger(wh, dir, upToTs = Some(quantTs(q)))
+        assert(InventoryPipeline.refreshStockPoints(wh) >= 0)
+      }
+      InventoryPipeline.updateLedger(wh, dir)
+      InventoryPipeline.refreshStockPoints(wh)
+      assert(rowsOf(wh.read("stock_points")) == expected,
+        s"incremental(${splits.mkString(",")}) must equal the full rebuild")
 
-    // night 2: rest of the ledger, incremental seeded replay
-    InventoryPipeline.updateLedger(wh, dir)
-    val nIncr = InventoryPipeline.refreshStockPoints(wh)
-    assert(nIncr > 0)
-
-    val expected = Stock.stockPointsFrom(fullLedger)
-    assert(rowsOf(wh.read("stock_points")) == rowsOf(expected),
-      "incremental change-point series must equal the full rebuild")
-
-    // night 3: no new events — refresh must not change the table
-    val before = rowsOf(wh.read("stock_points"))
-    InventoryPipeline.refreshStockPoints(wh)
-    assert(rowsOf(wh.read("stock_points")) == before)
+      // extra night with no new events — refresh must not change the table
+      InventoryPipeline.refreshStockPoints(wh)
+      assert(rowsOf(wh.read("stock_points")) == expected)
+    }
   }
 }
