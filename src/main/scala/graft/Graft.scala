@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators._
+import graft.pipelines.{InventoryPipeline, SalesPipeline, Warehouse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The library's front door — one object mapping everything a user of the
+  * reference (Oscar-Duque/osmart-etl) runs today onto this engine, plus
+  * the training-data extensions. Each entry is a thin delegate; see the
+  * operator objects for semantics and SURVEY.md §2.11/§2.12 for the
+  * complete coverage map.
+  *
+  * {{{
+  * val spark = SparkSession.builder()...getOrCreate()
+  * val wh = Graft.warehouse(spark, "/data/warehouse")
+  * Graft.nightly(wh, srcDir)                  // the run_etl.sh cycle
+  * Graft.stockPoints(spark, srcDir)           // flagship derivation
+  * Graft.minhashNearDups(spark, corpusDir)    // corpus dedup
+  * }}}
+  */
+object Graft {
+
+  // --- reference pipelines (run_etl.sh:34-36) -----------------------------
+
+  def warehouse(spark: SparkSession, root: String): Warehouse =
+    new Warehouse(spark, root)
+
+  /** The nightly cycle: incremental sales refresh, ledger ingest,
+    * stock-point derivation. Idempotent; seeds automatically on an empty
+    * warehouse. Returns (salesRows, ledgerRows, pointsUpserted).
+    */
+  def nightly(wh: Warehouse, srcDir: String): (Long, Long, Long) = {
+    val sales = SalesPipeline.update(wh, srcDir)
+    val ledger = InventoryPipeline.updateLedger(wh, srcDir)
+    val points = InventoryPipeline.refreshStockPoints(wh)
+    (sales, ledger, points)
+  }
+
+  // --- sales layer --------------------------------------------------------
+
+  def sicarSales(spark: SparkSession, dir: String): DataFrame = Sales.sicarRollup(spark, dir)
+  def cleanSales(spark: SparkSession, dir: String): DataFrame = Sales.waterfallClean(spark, dir)
+  def paymentQa(spark: SparkSession, dir: String): DataFrame = Sales.paymentQa(spark, dir)
+
+  // --- inventory layer ----------------------------------------------------
+
+  def movementLedger(spark: SparkSession, dir: String): DataFrame = Ledger.unionLedgerQuery(spark, dir)
+  def runningBalance(spark: SparkSession, dir: String): DataFrame = Stock.runningBalance(spark, dir)
+  def stockPoints(spark: SparkSession, dir: String): DataFrame = Stock.stockPoints(spark, dir)
+  def stockAsOf(spark: SparkSession, dir: String): DataFrame = Stock.asOfLookup(spark, dir)
+  def reconcile(spark: SparkSession, dir: String): DataFrame = Stock.reconcile(spark, dir)
+  def dqExclusions(spark: SparkSession, dir: String): DataFrame = Dq.dqExclusions(spark, dir)
+
+  // --- training-data extensions ------------------------------------------
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = TextOps.tokenStats(spark, dir)
+  def languageId(spark: SparkSession, dir: String): DataFrame = TextOps.langProfile(spark, dir)
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = TextOps.qualityScore(spark, dir)
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = TextOps.fingerprint(spark, dir)
+  def exactDups(spark: SparkSession, dir: String): DataFrame = Dedup.exactDedup(spark, dir)
+  def jaccardNearDups(spark: SparkSession, dir: String): DataFrame = Dedup.ngramJaccard(spark, dir)
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame = Dedup.minhashLsh(spark, dir)
+  def simhashes(spark: SparkSession, dir: String): DataFrame = Dedup.simhash(spark, dir)
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = Similarity.cosineTopK(spark, dir)
+  def annSearch(spark: SparkSession, dir: String): DataFrame = Similarity.annLsh(spark, dir)
+  def ivfSearch(spark: SparkSession, dir: String): DataFrame = Similarity.ivfAnn(spark, dir)
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = Similarity.embedNearDup(spark, dir)
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = Multimodal.mediaFeatures(spark, dir)
+}
