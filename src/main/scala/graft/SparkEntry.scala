@@ -47,7 +47,8 @@ object SparkEntry {
     "q28_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q29_dq_exclusions" -> ((s, d) => Dq.dqExclusions(s, d)),
     "q30_dq_filtered_ledger" -> ((s, d) => Dq.dqFilteredLedger(s, d)),
-    "q31_ivf_ann" -> ((s, d) => Similarity.ivfAnn(s, d))
+    "q31_ivf_ann" -> ((s, d) => Similarity.ivfAnn(s, d)),
+    "q32_top_terms" -> ((s, d) => TextOps.topTerms(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -82,6 +83,7 @@ object SparkEntry {
     "q28_media_features" -> Multimodal.mediaFeaturesSql,
     "q29_dq_exclusions" -> Dq.dqExclusionsSql,
     "q30_dq_filtered_ledger" -> Dq.dqFilteredLedgerSql,
-    "q31_ivf_ann" -> Similarity.ivfAnnSql
+    "q31_ivf_ann" -> Similarity.ivfAnnSql,
+    "q32_top_terms" -> TextOps.topTermsSql
   )
 }

@@ -135,6 +135,42 @@ object TextOps {
       |       ELSE 'low' END AS bucket
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Per-document salient terms: rank each doc's tokens by term frequency
+    * (desc), document frequency (asc — rarer across the corpus beats
+    * common), then term text; keep the top 3. The tf-idf shape with
+    * integer-only ranking (no float idf, so cross-engine determinism is
+    * structural). Plan: one (doc, token) hash-agg → a broadcast join
+    * against the (small) vocabulary df table → per-doc top-k window.
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docToks(spark, dir)
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val topTermsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tf AS (
+      |  SELECT doc_id, unnest(t) AS term FROM toks),
+      |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      |ranked AS (
+      |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+      |    row_number() OVER (PARTITION BY tfc.doc_id
+      |                       ORDER BY tfc.tf DESC, dfc.df ASC, tfc.term) AS rank
+      |  FROM tfc JOIN dfc ON tfc.term = dfc.term)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Document fingerprints: whole-text md5 + 60-bit hash, plus a min-hash
     * over word-3-gram shingles (the 1-permutation minhash — a content
     * fingerprint stable under small edits) and the distinct-shingle count.
