@@ -66,4 +66,6 @@ object Graft {
   def ivfSearch(spark: SparkSession, dir: String): DataFrame = Similarity.ivfAnn(spark, dir)
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = Similarity.embedNearDup(spark, dir)
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = Multimodal.mediaFeatures(spark, dir)
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = Contamination.contamination(spark, dir)
+  def datasetSplits(spark: SparkSession, dir: String): DataFrame = Contamination.splitAssign(spark, dir)
 }

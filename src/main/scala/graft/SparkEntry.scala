@@ -48,7 +48,9 @@ object SparkEntry {
     "q29_dq_exclusions" -> ((s, d) => Dq.dqExclusions(s, d)),
     "q30_dq_filtered_ledger" -> ((s, d) => Dq.dqFilteredLedger(s, d)),
     "q31_ivf_ann" -> ((s, d) => Similarity.ivfAnn(s, d)),
-    "q32_top_terms" -> ((s, d) => TextOps.topTerms(s, d))
+    "q32_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
+    "q33_contamination" -> ((s, d) => Contamination.contamination(s, d)),
+    "q34_split_assign" -> ((s, d) => Contamination.splitAssign(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -84,6 +86,8 @@ object SparkEntry {
     "q29_dq_exclusions" -> Dq.dqExclusionsSql,
     "q30_dq_filtered_ledger" -> Dq.dqFilteredLedgerSql,
     "q31_ivf_ann" -> Similarity.ivfAnnSql,
-    "q32_top_terms" -> TextOps.topTermsSql
+    "q32_top_terms" -> TextOps.topTermsSql,
+    "q33_contamination" -> Contamination.contaminationSql,
+    "q34_split_assign" -> Contamination.splitAssignSql
   )
 }
