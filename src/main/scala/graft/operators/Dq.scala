@@ -88,7 +88,7 @@ object Dq {
     s"""WITH ledger AS (${Tables.ledgerSql}),
       |f AS (SELECT *, $flagsSql FROM ledger)
       |SELECT tienda_id, CAST(fecha AS DATE) AS dia, count(*) AS n_events,
-      |  sum(COALESCE(delta_cantidad, 0)) AS net_delta
+      |  CAST(sum(COALESCE(delta_cantidad, 0)) AS BIGINT) AS net_delta
       |FROM f WHERE NOT (rule_hit OR manual_hit)
       |GROUP BY 1, 2 ORDER BY tienda_id, dia""".stripMargin
 }

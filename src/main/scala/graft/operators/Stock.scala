@@ -110,9 +110,9 @@ object Stock {
       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |bal AS (
       |  SELECT *,
-      |    COALESCE(run_abs, 0) + cum_delta
+      |    CAST(COALESCE(run_abs, 0) + cum_delta
       |      - COALESCE(last_value(CASE WHEN is_absolute THEN cum_delta END IGNORE NULLS)
-      |                 OVER wk, 0) AS balance
+      |                 OVER wk, 0) AS BIGINT) AS balance
       |  FROM bal0
       |  WINDOW wk AS (PARTITION BY tienda_id, art_id
       |                ORDER BY fecha, id_origen
@@ -136,7 +136,7 @@ object Stock {
     s"""WITH $ledgerPrelude
       |SELECT tienda_id, art_id,
       |  CAST(CAST(fecha AS DATE) AS TIMESTAMP) AS fecha,
-      |  sum(delta_cantidad) AS daily_delta
+      |  CAST(sum(delta_cantidad) AS BIGINT) AS daily_delta
       |FROM ledger WHERE NOT is_absolute
       |GROUP BY 1, 2, 3
       |ORDER BY tienda_id, art_id, fecha""".stripMargin
@@ -364,10 +364,10 @@ object Stock {
       |    FROM ledger WHERE is_absolute) t WHERE rn = 1),
       |prod AS (
       |  SELECT l.tienda_id, l.art_id,
-      |    max(COALESCE(a.a_abs, 0)) +
+      |    CAST(max(COALESCE(a.a_abs, 0)) +
       |      sum(CASE WHEN a.a_fecha IS NULL OR l.fecha > a.a_fecha
       |                 OR (l.fecha = a.a_fecha AND l.id_origen > a.a_id)
-      |               THEN l.delta_cantidad ELSE 0 END) AS prod_stock
+      |               THEN l.delta_cantidad ELSE 0 END) AS BIGINT) AS prod_stock
       |  FROM ledger l
       |  LEFT JOIN last_abs a ON l.tienda_id = a.a_tid AND l.art_id = a.a_art
       |  WHERE NOT l.is_absolute
@@ -384,6 +384,6 @@ object Stock {
       |    ON s.tienda_id = p.tienda_id AND s.art_id = p.art_id)
       |SELECT count(*) AS total_skus,
       |  count(CASE WHEN diff != 0 THEN 1 END) AS mismatch_skus,
-      |  max(abs(diff)) AS max_abs_diff
+      |  CAST(max(abs(diff)) AS BIGINT) AS max_abs_diff
       |FROM cmp""".stripMargin
 }

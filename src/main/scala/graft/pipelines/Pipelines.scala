@@ -105,6 +105,9 @@ object InventoryPipeline {
     */
   def refreshStockPoints(wh: Warehouse): Long = {
     val spark = wh.spark
+    // nothing ingested yet (Graft.nightly on a fresh warehouse): no-op
+    // rather than a path-not-found / NPE on the empty max() below
+    if (!wh.exists("raw_stock_movements")) return 0L
     val ledger = wh.read("raw_stock_movements")
     val cpDays = wh.checkpoint("points_last_dt")
 
@@ -158,8 +161,10 @@ object InventoryPipeline {
           .join(outCached.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(outCached))
     }
-    val maxDay = ledger.agg(max(unix_date(to_date(col("fecha"))))).first().getInt(0)
-    wh.setCheckpoint("points_last_dt", maxDay.toLong)
+    val maxRow = ledger.agg(max(unix_date(to_date(col("fecha"))))).first()
+    // empty ledger table → max() is NULL → leave the checkpoint untouched
+    if (!maxRow.isNullAt(0))
+      wh.setCheckpoint("points_last_dt", maxRow.getInt(0).toLong)
     outCached.unpersist()
     n
   }

@@ -52,7 +52,9 @@ object Csv {
     def prioritized(df: DataFrame, p: Int): DataFrame =
       df.select(cols.map(col): _*)
         .withColumn("__p", lit(p))
-        .withColumn("__tie", concat_ws("", cols.map(col): _*))
+        // JSON-encode the row: field quoting keeps column boundaries
+        // unambiguous (("ab","c") vs ("a","bc")), so distinct rows never tie
+        .withColumn("__tie", to_json(struct(cols.map(col): _*)))
     val merged =
       if (!Fs.exists(spark, path)) {
         // same determinism for the bootstrap batch: highest row text wins

@@ -50,6 +50,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element nulls the whole score — exact parity with the
+      // declarative aggregate(zip_with(...)) fold, whose sum goes null
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = xs.getDouble(i); val y = ys.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -75,15 +78,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
         } else {
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
             double $x = $a.getDouble($i);
             double $y = $b.getDouble($i);
             $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
           }
-          double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-          if ($denom == 0.0) {
-            ${ev.isNull} = true;
-          } else {
-            ${ev.value} = $dot / $denom;
+          if (!${ev.isNull}) {
+            double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+            if ($denom == 0.0) {
+              ${ev.isNull} = true;
+            } else {
+              ${ev.value} = $dot / $denom;
+            }
           }
         }
       """
