@@ -48,7 +48,7 @@ object Dedup {
     * at real corpus scale this would be a persisted intermediate table,
     * which is exactly what production minhash pipelines do.
     */
-  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(spark, dir))
       // tokenize in its own projection BELOW the generator: Catalyst keeps
       // it there, so the regex split runs once per doc, not once per shingle
@@ -149,29 +149,32 @@ object Dedup {
           struct(a.as("da"), b.as("db")))))).as("p"))
       .select(col("p.da"), col("p.db"))
       .distinct()
-      // consumed twice (candidate-doc restriction + final pair filter):
+      // consumed twice (candidate-doc restriction + final verify join):
       // caching a few hundred pairs skips a second minhash/bucket pass
       .cache()
-    // Verify through the cached inverted index, NOT via per-doc shingle
-    // arrays: materializing array_distinct arrays for a broadcast build
-    // side runs single-threaded on the driver (measured 13.7 s at sf0.1).
-    // Restrict the index to candidate docs, count shared shingles
-    // relationally, keep only LSH-candidate pairs.
-    val candDocs = cand.select(col("da").as("doc_id"))
-      .union(cand.select(col("db").as("doc_id"))).distinct()
-    val idx = shingleIndex(spark, dir)
+    // Verify via per-CANDIDATE-doc shingle sets: restrict the cached index
+    // to candidate docs (a broadcast semi-join — candidates are a tiny
+    // fraction of the corpus), collect each doc's shingle-hash set, then
+    // intersect per pair. Distributed end to end — the 13.7 s trap was
+    // materializing arrays for ALL docs as a driver-built broadcast; a few
+    // hundred candidate rows broadcast fine. The relational shared-count
+    // alternative re-shuffles the whole index twice more; this touches it
+    // once. At corpus scale candDocs stays broadcastable because LSH
+    // candidates are threshold-bounded, not corpus-bounded.
+    val candDocs = cand
+      .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
+    val docSets = shingleIndex(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val n = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = idx.select(col("doc_id").as("da"), col("sh_h"))
-      .join(idx.select(col("doc_id").as("db"), col("sh_h")), Seq("sh_h"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
-      .join(cand, Seq("da", "db"), "left_semi")
-    shared
-      .join(n.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), Seq("da"))
-      .join(n.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), Seq("db"))
+      .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
+      // consumed by both sides of the pair join (self-joins duplicate the
+      // uncached subplan); a few hundred candidate rows
+      .cache()
+    cand
+      .join(broadcast(docSets.select(col("doc_id").as("da"), col("sh").as("sha"))), Seq("da"))
+      .join(broadcast(docSets.select(col("doc_id").as("db"), col("sh").as("shb"))), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
@@ -207,27 +210,27 @@ object Dedup {
   }
 
   /** 32-bit SimHash signature per document: frequency-weighted bit votes
-    * over token hashes. Explode is (tokens × 32) rows, but the two-level
-    * hash-agg runs partials map-side so the shuffle carries only
-    * (doc, bit) partial sums.
+    * over token hashes. The vote is linear in token frequency, so summing
+    * ±1 per OCCURRENCE equals the cnt-weighted sum per distinct token —
+    * no (doc, token) pre-aggregation needed — and the 32 bit-votes are 32
+    * aggregate columns of ONE hash-agg rather than a ×32 row explode:
+    * a single shuffle of |docs| rows with map-side partials, where the
+    * exploded shape pushed tokens×32 rows into two aggregations.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashSig(spark, dir).orderBy(col("doc_id"))
 
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(Tables.documents(spark, dir))
+    val votes = (0 until 32).map(b =>
+      sum((shiftright(col("h"), b).bitwiseAND(lit(1L))) * 2 - 1).as(s"v$b"))
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", hash60(col("token")))
-    tok
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("vote",
-        col("cnt") * (expr("(shiftright(h, b) & 1)") * 2 - 1))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("vote")).as("vote"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-        .otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), hash60(col("token")).as("h"))
+      .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       // one row per doc; cached so the band self-join in simhashPairs does
       // not recompute the token-vote lineage for both sides
       .cache()

@@ -94,6 +94,10 @@ object Ledger {
     Seq(venta, compra, salida, entrada, ajuste, importar)
       .reduce(_ unionByName _)
       .distinct() // bare SQL UNION = distinct semantics (SURVEY.md §2.6 U1)
+      // cached: q08 returns this frame and q09's re-filter reads it from
+      // SIX branches (plain/salida/cancel/keys/entrada/ajuste) — uncached,
+      // every branch replays the whole 6-way union-of-scans subplan
+      .cache()
   }
 
   /** Shared DuckDB CTE prelude defining `ledger` (same six branches). */

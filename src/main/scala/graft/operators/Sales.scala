@@ -80,32 +80,47 @@ object Sales {
       .select(col("o_orderkey").as("venta"),
         col("o_orderdate").as("fecha"),
         col("o_totalprice").cast(Tables.Money).as("total"))
+    // The reference joins flujo+cobranza onto tickets and then aggregates
+    // the fanned-out rows (extract_legacy_sales.sql:9-21). Aggregating the
+    // payment events FIRST is value-identical ONCE the fan-out is modeled:
+    // a ticket with c cobranza rows duplicates every flujo row c times, so
+    // each conditional sum carries a ×max(c,1) factor, and
+    // max(coalesce(c_importe,0)) ≡ coalesce(max(c_importe),0). (The fixture
+    // lineitem is TPC-H-ish, not TPC-H — l_linenumber=1 is NOT unique per
+    // order, so c>1 happens.) This is the scale shape: ONE pass over
+    // lineitem with map-side partials collapses the (flujo × cobranza)
+    // fan-out into |orders| rows before any join, instead of shuffling
+    // c×|lineitem| joined rows into a post-join aggregation.
+    val isCob = col("l_linenumber") === 1
     val flujo = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("venta"),
         col("l_returnflag").as("concepto2"),
         col("l_linestatus").as("ing_eg"),
-        col("l_extendedprice").cast(Tables.Money).as("importe"))
-    val cobranza = Tables.lineitem(spark, dir)
-      .filter(col("l_linenumber") === 1)
-      .select(col("l_orderkey").as("venta"),
-        (col("l_tax").cast(Tables.Money) * lit(100)).as("c_importe"))
-
-    ventas
-      .join(flujo, Seq("venta"), "left")
-      .join(cobranza, Seq("venta"), "left")
+        col("l_extendedprice").cast(Tables.Money).as("importe"),
+        when(isCob, col("l_tax").cast(Tables.Money) * lit(100)).as("c_importe"),
+        when(isCob, 1L).otherwise(0L).as("is_cob"))
       .groupBy(col("venta"))
       .agg(
-        max(col("fecha")).as("fecha"),
-        max(col("total")).as("total"),
         sum(when(col("concepto2") === "R" && col("ing_eg") === "O", col("importe"))
-          .otherwise(lit(0))).as("tarjeta_in"),
+          .otherwise(lit(0))).as("t_raw"),
         sum(when(col("concepto2") === "N" && col("ing_eg") === "O", col("importe"))
-          .otherwise(lit(0))).as("efectivo_in"),
+          .otherwise(lit(0))).as("e_raw"),
         sum(when(!col("concepto2").isin("N", "R") && col("ing_eg") === "O", col("importe"))
-          .otherwise(lit(0))).as("otros_in"),
-        max(coalesce(col("c_importe"), lit(0))).as("cobranza_aplicada"),
-        sum(when(col("ing_eg") === "F", col("importe")).otherwise(lit(0))).as("egresos")
-      )
+          .otherwise(lit(0))).as("o_raw"),
+        sum(when(col("ing_eg") === "F", col("importe")).otherwise(lit(0))).as("g_raw"),
+        sum(col("is_cob")).as("c_cnt"),
+        max(col("c_importe")).as("c_max"))
+
+    val z = lit(0).cast(Tables.Money)
+    val m = greatest(col("c_cnt"), lit(1L))
+    ventas
+      .join(flujo, Seq("venta"), "left")
+      .select(col("venta"), col("fecha"), col("total"),
+        coalesce(col("t_raw") * m, z).cast(Tables.Money).as("tarjeta_in"),
+        coalesce(col("e_raw") * m, z).cast(Tables.Money).as("efectivo_in"),
+        coalesce(col("o_raw") * m, z).cast(Tables.Money).as("otros_in"),
+        coalesce(col("c_max"), z).as("cobranza_aplicada"),
+        coalesce(col("g_raw") * m, z).cast(Tables.Money).as("egresos"))
   }
 
   /** legacyAggDecimal as a query (doubles out, ordered). */

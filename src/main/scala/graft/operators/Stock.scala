@@ -235,7 +235,10 @@ object Stock {
     * byte-identical points regardless of where the window starts).
     */
   def stockPoints(spark: SparkSession, dir: String): DataFrame =
-    stockPointsFrom(Tables.ledger(spark, dir))
+    // cached: q13 returns it and q14's as-of lookup re-reads it — one
+    // materialization of the whole replay lineage serves both (the
+    // parametric stockPointsFrom used by the pipelines stays uncached)
+    stockPointsFrom(Tables.ledger(spark, dir)).cache()
 
   /** Parametric form over any ledger frame. */
   def stockPointsFrom(ledger: DataFrame): DataFrame = {

@@ -174,11 +174,15 @@ object TextOps {
   /** Document fingerprints: whole-text md5 + 60-bit hash, plus a min-hash
     * over word-3-gram shingles (the 1-permutation minhash — a content
     * fingerprint stable under small edits) and the distinct-shingle count.
-    * Explode + hash-agg: the shuffle carries one row per (doc, shingle);
-    * partial min/count run map-side.
+    * The shingle side reads [[Dedup.shingleIndex]] — the same cached
+    * distinct (doc, shingle-hash) intermediate q21/q22 verify through — so
+    * this query is a narrow per-doc scan joined to one small aggregate:
+    * no explode here, and no countDistinct Expand (the index is already
+    * distinct, so min/count suffice). Inner join ≡ the old explode shape:
+    * docs with < 3 tokens have no shingles and emit no row either way.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docToks(spark, dir)
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("text")).as("md5_hex"),
         hash60(col("text")).as("h60"),
         // rolling polynomial hash over the characters (base 31 mod 1e9+7);
@@ -186,14 +190,16 @@ object TextOps {
         // because (0*31 + c1) = c1
         expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
                 (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)""")
-          .as("poly_h"),
-        explode(shingles3All(col("t"))).as("s")) // t pre-projected: split runs once/doc
+          .as("poly_h"))
+    val shAgg = Dedup.shingleIndex(spark, dir)
       .groupBy(col("doc_id"))
-      .agg(max(col("md5_hex")).as("md5_hex"), max(col("h60")).as("h60"),
-        max(col("poly_h")).as("poly_h"),
-        min(hash60(col("s"))).as("min_shingle_h"),
-        countDistinct(hash60(col("s"))).as("n_shingles"))
+      .agg(min(col("sh_h")).as("min_shingle_h"),
+        count(lit(1)).as("n_shingles"))
+    perDoc.join(shAgg, Seq("doc_id"))
+      .select(col("doc_id"), col("md5_hex"), col("h60"), col("poly_h"),
+        col("min_shingle_h"), col("n_shingles"))
       .orderBy(col("doc_id"))
+  }
 
   val fingerprintSql: String =
     s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
