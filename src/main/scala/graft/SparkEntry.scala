@@ -50,7 +50,13 @@ object SparkEntry {
     "q31_ivf_ann" -> ((s, d) => Similarity.ivfAnn(s, d)),
     "q32_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
     "q33_contamination" -> ((s, d) => Contamination.contamination(s, d)),
-    "q34_split_assign" -> ((s, d) => Contamination.splitAssign(s, d))
+    "q34_split_assign" -> ((s, d) => Contamination.splitAssign(s, d)),
+    "q35_repetition" -> ((s, d) => TextOps.repetition(s, d)),
+    "q36_sessionize" -> ((s, d) => Sessions.sessionize(s, d)),
+    "q37_json_props" -> ((s, d) => Sessions.jsonProps(s, d)),
+    "q38_asof_join" -> ((s, d) => AsOf.asOfJoin(s, d)),
+    "q39_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "q40_kmv_distinct" -> ((s, d) => Sketch.kmvDistinct(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -88,6 +94,12 @@ object SparkEntry {
     "q31_ivf_ann" -> Similarity.ivfAnnSql,
     "q32_top_terms" -> TextOps.topTermsSql,
     "q33_contamination" -> Contamination.contaminationSql,
-    "q34_split_assign" -> Contamination.splitAssignSql
+    "q34_split_assign" -> Contamination.splitAssignSql,
+    "q35_repetition" -> TextOps.repetitionSql,
+    "q36_sessionize" -> Sessions.sessionizeSql,
+    "q37_json_props" -> Sessions.jsonPropsSql,
+    "q38_asof_join" -> AsOf.asOfJoinSql,
+    "q39_stratified_sample" -> TextOps.stratifiedSampleSql,
+    "q40_kmv_distinct" -> Sketch.kmvDistinctSql
   )
 }

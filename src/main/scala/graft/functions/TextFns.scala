@@ -53,6 +53,21 @@ object TextFns {
   def shingles3(t: Column): Column =
     array_distinct(shingles3All(t))
 
+  /** Non-distinct word bigrams; empty for single-token docs. Same
+    * generator-safety note as [[shingles3All]].
+    */
+  def bigramsAll(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  val bigramsAllSql: String =
+    """CASE WHEN len(t) >= 2
+      |  THEN list_transform(range(1, len(t)),
+      |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1])
+      |  ELSE [] END""".stripMargin
+
   /** Non-distinct 3-gram shingles — the cheap generator-safe variant. */
   def shingles3All(t: Column): Column = {
     val tri = transform(sequence(lit(1), size(t) - 2), i =>

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream shaping operators over the `events` fixture: gap-based
+  * sessionization (the batch twin of the Structured Streaming
+  * `session_window` / flatMapGroupsWithState pattern) and semi-structured
+  * JSON property extraction. The reference stores per-row JSON-ish `props`
+  * and replays per-key event sequences; these are the generalized forms a
+  * training-data/telemetry pipeline runs at scale.
+  */
+object Sessions {
+
+  /** Session gap: a new session starts when a user is idle longer than
+    * this. The fixture averages ~2 events/user/day, so 6 h yields a real
+    * mix of singleton and multi-event sessions.
+    */
+  val GapSql = "INTERVAL 6 HOURS"
+
+  /** q36 — gap-based sessionization: per user, chronological events split
+    * into sessions at >6 h gaps; one output row per session.
+    *
+    * Plan shape: lag + running sum over ONE (user_id) window partition,
+    * then a hash-agg on (user_id, session_no) that reuses the same
+    * partitioning — a single shuffle end to end. This is exactly how
+    * session assignment stays linear at 100 TB: no self-joins, no
+    * interval trees; ordering ties broken by event_id (R2 — Spark sort is
+    * not stable).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(GapSql), 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH lagged AS (
+      |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + $GapSql
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM lagged),
+      |numbered AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+      |FROM numbered
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
+  /** q37 — semi-structured JSON extraction: parse `props` (a JSON object)
+    * per row and roll the typed value up per event_type. get_json_object
+    * is a codegen'd path expression over the string — no UDF, so the parse
+    * stays inside the scan stage and prunes to the one referenced field;
+    * the aggregate is a 5-group hash-agg. mean_k is a single
+    * exact-integer division, bit-identical across engines.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("mean_k"))
+      .orderBy(col("event_type"))
+
+  val jsonPropsSql: String =
+    """WITH parsed AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+      |  min(k) AS min_k, max(k) AS max_k,
+      |  CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(k) AS mean_k
+      |FROM parsed
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+}

@@ -213,4 +213,85 @@ object TextOps {
       |  min(${hash60Sql("s")}) AS min_shingle_h,
       |  count(DISTINCT ${hash60Sql("s")}) AS n_shingles
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q35 — Gopher-style repetition stats: the fraction of bigram mass in
+    * the single most frequent bigram, and the duplicate-trigram fraction
+    * (1 − distinct/total). High values flag boilerplate / degenerate
+    * machine text for corpus filtering.
+    *
+    * Shape: explode the cheap non-distinct bigram generator → two stacked
+    * hash-aggs (per-(doc,bigram) count, then per-doc max/sum — partials
+    * map-side); the trigram side reuses the cached distinct shingle index
+    * (the q19/q21/q22 intermediate). Docs with <2 tokens have no bigrams
+    * and drop out (inner join), mirrored in the oracle.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val bi = docToks(spark, dir)
+      .select(col("doc_id"), explode(bigramsAll(col("t"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
+    val triD = Dedup.shingleIndex(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri_d"))
+    val triTot = docToks(spark, dir)
+      .select(col("doc_id"), greatest(size(col("t")) - 2, lit(1)).as("n_tri"))
+    bi.join(triD, Seq("doc_id")).join(triTot, Seq("doc_id"))
+      .withColumn("top_bigram_frac", col("top_bi").cast("double") / col("n_bi"))
+      .withColumn("dup_trigram_frac",
+        lit(1.0) - col("n_tri_d").cast("double") / col("n_tri"))
+      .withColumn("flagged",
+        col("top_bigram_frac") > 0.1 || col("dup_trigram_frac") > 0.5)
+      .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac"),
+        col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest($bigramsAllSql) AS bg FROM toks),
+      |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bi AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi,
+      |         CAST(sum(c) AS BIGINT) AS n_bi FROM bgc GROUP BY doc_id),
+      |sh AS (SELECT doc_id, unnest($shingles3AllSql) AS s FROM toks),
+      |tri AS (SELECT doc_id, count(DISTINCT ${hash60Sql("s")}) AS n_tri_d
+      |        FROM sh GROUP BY doc_id),
+      |tot AS (SELECT doc_id, greatest(len(t) - 2, 1) AS n_tri FROM toks),
+      |j AS (
+      |  SELECT b.doc_id,
+      |    CAST(top_bi AS DOUBLE) / n_bi AS top_bigram_frac,
+      |    1.0 - CAST(n_tri_d AS DOUBLE) / n_tri AS dup_trigram_frac
+      |  FROM bi b JOIN tri USING (doc_id) JOIN tot USING (doc_id))
+      |SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+      |  (top_bigram_frac > 0.1 OR dup_trigram_frac > 0.5) AS flagged
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  /** q39 — deterministic stratified sampling: per-language keep rates
+    * applied via a content-keyed hash bucket, so the sample is stable
+    * across re-runs, partitionings and cluster sizes (same property as
+    * the q34 split assignment — sampling decisions must never depend on
+    * row order at 100 TB). A narrow filter at scan speed: no shuffle at
+    * all until the output sort.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        hash60(concat(lit("strat:"), col("doc_id").cast("string"))) % 100)
+      .withColumn("rate",
+        when(col("lang") === "en", 50L)
+          .when(col("lang") === "es", 30L)
+          .otherwise(10L))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("rate"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
+    s"""WITH b AS (
+      |  SELECT doc_id, lang,
+      |    ${hash60Sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+      |    CASE WHEN lang = 'en' THEN 50
+      |         WHEN lang = 'es' THEN 30 ELSE 10 END AS rate
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket, CAST(rate AS BIGINT) AS rate
+      |FROM b WHERE bucket < rate
+      |ORDER BY doc_id""".stripMargin
 }

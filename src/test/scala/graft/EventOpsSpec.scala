@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.{AsOf, Sessions, Sketch}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Event-shaping + sketch operators: as-of join semantics (backward,
+  * inclusive ties, no-match nulls), gap sessionization boundaries, and the
+  * KMV estimator's behavior on a known universe.
+  */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 10L, ts("2024-01-01 08:00:00")), // before any right row -> null
+      (4L, 20L, ts("2024-01-01 10:00:00"))  // tie with right at same ts
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 100L),
+      (10L, ts("2024-01-01 11:30:00"), 200L),
+      (20L, ts("2024-01-01 10:00:00"), 300L) // equal ts: must be visible
+    ).toDF("user_id", "ts", "snap")
+
+    val out = AsOf.joinBackward(left, right, Seq("user_id"), "ts", Seq("snap"))
+      .orderBy("event_id")
+      .select("event_id", "snap")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+
+    assert(out(1L).contains(100L)) // 10:00 sees 09:00
+    assert(out(2L).contains(200L)) // 12:00 sees 11:30
+    assert(out(3L).isEmpty)        // nothing at or before 08:00
+    assert(out(4L).contains(300L)) // inclusive: equal-ts right row counts
+  }
+
+  test("as-of join matches a naive per-row lookup on random data") {
+    val rnd = new scala.util.Random(7)
+    val lRows = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+    val rRows = (1 to 80).map(i =>
+      ((rnd.nextInt(5) + 1).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        i.toLong))
+      // as-of needs one row per (key, ts): keep max payload like the query
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val left = lRows.toDF("event_id", "user_id", "ts")
+    val right = rRows.toDF("user_id", "ts", "snap")
+
+    val got = AsOf.joinBackward(left, right, Seq("user_id"), "ts", Seq("snap"))
+      .select("event_id", "snap").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val want = lRows.map { case (id, k, t) =>
+      val cands = rRows.filter(r => r._1 == k && !r._2.after(t))
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(r => (r._2.getTime, r._3))._3))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("sessionize splits strictly-greater-than-gap idle periods") {
+    val rows = Seq(
+      // user 1: 3 events, second exactly at the 6h boundary (same session,
+      // split is strict >), third 6h+1s later (new session)
+      (1L, 1L, ts("2024-01-01 00:00:00"), "click"),
+      (2L, 1L, ts("2024-01-01 06:00:00"), "purchase"),
+      (3L, 1L, ts("2024-01-01 12:00:01"), "click"),
+      // user 2: single event
+      (4L, 2L, ts("2024-01-01 00:00:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    rows.createOrReplaceTempView("___sess_in")
+
+    // run the same plan shape as the query but over the crafted frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val out = rows
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess", when(col("prev_ts").isNull ||
+        col("ts") > col("prev_ts") + expr(Sessions.GapSql), 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess"))
+        .over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", lit(1))).as("np"))
+      .orderBy("user_id", "session_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    assert(out.toSeq == Seq((1L, 1L, 2L, 1L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("KMV estimate is close on a known universe and exact-count sane") {
+    // 5000 distinct strings through the production hash; k = 64
+    val n = 5000
+    val h = (1 to n).map(i => s"value-$i").toDF("s")
+      .select(TextFns.hash60(col("s")).as("sh_h")).distinct()
+    val hk = h.orderBy(col("sh_h")).limit(Sketch.K)
+      .agg(max(col("sh_h"))).head().getLong(0)
+    val est = (Sketch.K - 1).toDouble * 1152921504606846976.0 / hk.toDouble
+    // KMV standard error is ~1/sqrt(k-2) ≈ 13%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.52, s"estimate $est too far from $n")
+  }
+
+  test("stratified sample is invariant under repartitioning") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.operators.TextOps.stratifiedSample(spark, dir).collect().toSeq
+    val b = graft.operators.TextOps.stratifiedSample(spark, dir)
+      .repartition(7).orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
