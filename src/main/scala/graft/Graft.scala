@@ -68,4 +68,19 @@ object Graft {
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = Multimodal.mediaFeatures(spark, dir)
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame = Contamination.contamination(spark, dir)
   def datasetSplits(spark: SparkSession, dir: String): DataFrame = Contamination.splitAssign(spark, dir)
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = TextOps.repetition(spark, dir)
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = TextOps.stratifiedSample(spark, dir)
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame = Sketch.kmvDistinct(spark, dir)
+
+  // --- event shaping --------------------------------------------------------
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = Sessions.sessionize(spark, dir)
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = Sessions.jsonProps(spark, dir)
+
+  /** Generic backward as-of join (latest right row at or before each left
+    * row's timestamp, per key) — see [[operators.AsOf.joinBackward]].
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+               ts: String, payload: Seq[String]): DataFrame =
+    AsOf.joinBackward(left, right, key, ts, payload)
 }

@@ -38,7 +38,10 @@ object StatefulBalance {
         (key: (Int, Long), events: Iterator[LedgerEv], state: GroupState[KeyState]) => {
           var running = state.getOption.map(_.balance).getOrElse(0L)
           var lastAbs = state.getOption.map(_.lastAbs).getOrElse(0L)
-          val out = events.toArray.sortBy(e => (e.fecha.getTime, e.id_origen)).map { e =>
+          // getTime truncates to ms — include nanos so same-millisecond
+          // events keep the batch plan's micro-precision (fecha, id) order
+          val out = events.toArray
+            .sortBy(e => (e.fecha.getTime, e.fecha.getNanos, e.id_origen)).map { e =>
             if (e.is_absolute) {
               lastAbs = e.abs_stock_after.getOrElse(lastAbs)
               running = lastAbs

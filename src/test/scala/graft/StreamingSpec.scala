@@ -106,6 +106,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming sessionization finalizes sessions across micro-batches " +
+    "and matches the batch window plan") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.SessEv
+    val tmp = Files.createTempDirectory("graft-sess").toString
+
+    // the whole sf0.001 events table, chronologically split into 3
+    // micro-batches (in-order-per-key contract, as the day-replay ingest
+    // guarantees)
+    val evs = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[SessEv].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+    val chunks = evs.grouped((evs.size + 2) / 3).toSeq
+
+    val stream = MemoryStream[SessEv](spark)
+    val query = StreamingSessions(stream.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+    query.stop()
+
+    val got = spark.table("sess")
+      .select("user_id", "session_no", "session_start", "session_end",
+        "n_events", "n_purchases")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getLong(5))).toSet
+
+    // batch q36 result minus each user's last (still-open) session
+    val batch = graft.operators.Sessions.sessionize(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getLong(5)))
+    val finalized = batch.groupBy(_._1).values
+      .flatMap(ss => ss.sortBy(_._2).dropRight(1)).toSet
+
+    assert(got == finalized && got.nonEmpty)
+  }
+
   test("the streaming aggregation plan also runs in plain batch mode") {
     val sql = spark.sqlContext
     import sql.implicits._
