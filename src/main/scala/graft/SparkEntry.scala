@@ -56,7 +56,11 @@ object SparkEntry {
     "q37_json_props" -> ((s, d) => Sessions.jsonProps(s, d)),
     "q38_asof_join" -> ((s, d) => AsOf.asOfJoin(s, d)),
     "q39_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
-    "q40_kmv_distinct" -> ((s, d) => Sketch.kmvDistinct(s, d))
+    "q40_kmv_distinct" -> ((s, d) => Sketch.kmvDistinct(s, d)),
+    "q41_token_quantiles" -> ((s, d) => Analytics.tokenQuantiles(s, d)),
+    "q42_lang_source_rollup" -> ((s, d) => Analytics.langSourceRollup(s, d)),
+    "q43_event_type_pivot" -> ((s, d) => Analytics.eventTypePivot(s, d)),
+    "q44_rolling_daily_net" -> ((s, d) => Analytics.rollingDailyNet(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -100,6 +104,10 @@ object SparkEntry {
     "q37_json_props" -> Sessions.jsonPropsSql,
     "q38_asof_join" -> AsOf.asOfJoinSql,
     "q39_stratified_sample" -> TextOps.stratifiedSampleSql,
-    "q40_kmv_distinct" -> Sketch.kmvDistinctSql
+    "q40_kmv_distinct" -> Sketch.kmvDistinctSql,
+    "q41_token_quantiles" -> Analytics.tokenQuantilesSql,
+    "q42_lang_source_rollup" -> Analytics.langSourceRollupSql,
+    "q43_event_type_pivot" -> Analytics.eventTypePivotSql,
+    "q44_rolling_daily_net" -> Analytics.rollingDailyNetSql
   )
 }

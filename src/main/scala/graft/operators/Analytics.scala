@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General OLAP surface beyond the reference's query set: exact grouped
+  * quantiles, hierarchical rollups, long→wide pivots and rolling-frame
+  * windows — the relational shapes any 100 TB analytics layer serves
+  * daily. All engine-portable by construction (rank-based quantiles
+  * instead of interpolation, conditional sums instead of native PIVOT,
+  * explicit CAST/division order).
+  */
+object Analytics {
+
+  /** q41 — exact grouped quantiles by ranking (discrete, lower-value
+    * convention): the P50/P90/P99 token count per language. Rank-based
+    * selection (`row_number` vs `floor((n-1)·q)`) sidesteps engines'
+    * diverging interpolation formulas AND is the scalable shape — a
+    * per-group sort, no global collect; Spark's exact `percentile` would
+    * buffer each group's values the same way without the portability.
+    */
+  def tokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+    val ranked = counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    def pick(q: Double) = max(when(
+      col("rn") === floor((col("n") - 1) * lit(q)).cast("long") + 1,
+      col("n_tokens")))
+    ranked.groupBy(col("lang"))
+      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
+        max(col("n")).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenQuantilesSql: String =
+    s"""WITH counts AS (
+      |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+      |ranked AS (
+      |  SELECT lang, n_tokens,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM counts)
+      |SELECT lang,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN n_tokens END) AS p50,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1 THEN n_tokens END) AS p90,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.99) AS BIGINT) + 1 THEN n_tokens END) AS p99,
+      |  CAST(max(n) AS BIGINT) AS n_docs
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q42 — hierarchical ROLLUP over (lang, source): doc counts and total
+    * chars at every aggregation level, subtotal rows marked by nulls.
+    * Spark's `rollup` plans ONE Expand + hash-agg pass (not one scan per
+    * level); grouping-set semantics match ANSI ROLLUP in any engine.
+    */
+  def langSourceRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val langSourceRollupSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
+  /** q43 — long→wide pivot: events per (store, event_type) as one row per
+    * store with a column per type. Written as conditional sums (the
+    * portable / explicit-column form; Spark's `.pivot(col, values)` plans
+    * the identical aggregate). A fixed column set is the only shape that
+    * scales anyway — dynamic pivot needs a driver-side distinct pass.
+    */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.events(spark, dir)
+      .select((col("user_id") % 3).cast("int").as("tienda_id"), col("event_type"))
+    val aggs = types.map(t =>
+      count(when(col("event_type") === t, lit(1))).as(s"n_$t"))
+    ev.groupBy(col("tienda_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("tienda_id"))
+  }
+
+  val eventTypePivotSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(",\n      |  ")
+    s"""SELECT CAST(user_id % 3 AS INTEGER) AS tienda_id,
+      |  $cols
+      |FROM events
+      |GROUP BY 1 ORDER BY tienda_id""".stripMargin
+  }
+
+  /** q44 — rolling-frame window: the 7-day moving average of each store's
+    * daily net movement, over the gap-free day sequence (rows frame ==
+    * range frame here because the daily grid is dense after the
+    * zero-fill). One partition-by-store window over the pre-aggregated
+    * daily rows — the window input is |stores|·|days|, never raw events.
+    */
+  def rollingDailyNet(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.ledger(spark, dir)
+      .filter(!col("is_absolute"))
+      .groupBy(col("tienda_id"), to_date(col("fecha")).as("dia"))
+      .agg(sum(col("delta_cantidad")).as("net"))
+    val cal = daily.agg(min(col("dia")).as("d0"), max(col("dia")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("dia"))
+    val stores = daily.select(col("tienda_id")).distinct()
+    val dense = stores.crossJoin(broadcast(cal))
+      .join(daily, Seq("tienda_id", "dia"), "left")
+      .na.fill(0L, Seq("net"))
+    val w = Window.partitionBy(col("tienda_id")).orderBy(col("dia"))
+      .rowsBetween(-6, Window.currentRow)
+    dense
+      .withColumn("ma7",
+        (sum(col("net")).over(w).cast("double") / count(lit(1)).over(w)))
+      .select(col("tienda_id"), col("dia").cast("timestamp").as("dia"),
+        col("net"), col("ma7"))
+      .orderBy(col("tienda_id"), col("dia"))
+  }
+
+  val rollingDailyNetSql: String =
+    s"""WITH ledger AS (${Tables.ledgerSql}),
+      |daily AS (
+      |  SELECT tienda_id, CAST(fecha AS DATE) AS dia,
+      |    CAST(sum(delta_cantidad) AS BIGINT) AS net
+      |  FROM ledger WHERE NOT is_absolute GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT CAST(unnest(generate_series(
+      |    (SELECT min(dia) FROM daily), (SELECT max(dia) FROM daily),
+      |    INTERVAL 1 DAY)) AS DATE) AS dia),
+      |dense AS (
+      |  SELECT s.tienda_id, c.dia, COALESCE(d.net, 0) AS net
+      |  FROM (SELECT DISTINCT tienda_id FROM daily) s
+      |  CROSS JOIN cal c
+      |  LEFT JOIN daily d ON d.tienda_id = s.tienda_id AND d.dia = c.dia)
+      |SELECT tienda_id, CAST(dia AS TIMESTAMP) AS dia, net,
+      |  CAST(CAST(sum(net) OVER w AS BIGINT) AS DOUBLE)
+      |    / count(*) OVER w AS ma7
+      |FROM dense
+      |WINDOW w AS (PARTITION BY tienda_id ORDER BY dia
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY tienda_id, dia""".stripMargin
+}
