@@ -35,7 +35,7 @@ object Analytics {
     ranked.groupBy(col("lang"))
       .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
         max(col("n")).as("n_docs"))
-      .orderBy(col("lang"))
+      .orderBy(col("lang").asc_nulls_first)
   }
 
   val tokenQuantilesSql: String =
@@ -51,7 +51,7 @@ object Analytics {
       |  max(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1 THEN n_tokens END) AS p90,
       |  max(CASE WHEN rn = CAST(floor((n-1) * 0.99) AS BIGINT) + 1 THEN n_tokens END) AS p99,
       |  CAST(max(n) AS BIGINT) AS n_docs
-      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM ranked GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
 
   /** q42 — hierarchical ROLLUP over (lang, source): doc counts and total
     * chars at every aggregation level, subtotal rows marked by nulls.
@@ -105,10 +105,14 @@ object Analytics {
     * daily rows — the window input is |stores|·|days|, never raw events.
     */
   def rollingDailyNet(spark: SparkSession, dir: String): DataFrame = {
+    // cached: consumed three times below (calendar bounds, store list, the
+    // left join) — without it each consumer replays the full ledger
+    // scan+aggregation (self-join duplication, no exchange reuse)
     val daily = Tables.ledger(spark, dir)
       .filter(!col("is_absolute"))
       .groupBy(col("tienda_id"), to_date(col("fecha")).as("dia"))
       .agg(sum(col("delta_cantidad")).as("net"))
+      .cache()
     val cal = daily.agg(min(col("dia")).as("d0"), max(col("dia")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("dia"))
     val stores = daily.select(col("tienda_id")).distinct()

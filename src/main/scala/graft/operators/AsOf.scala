@@ -36,17 +36,30 @@ object AsOf {
     * row with `right(ts) <= left(ts)` and equal `key`; nulls when no such
     * row exists. Column sets of the two sides must be disjoint apart from
     * `key` and `ts`.
+    *
+    * The payload travels as ONE nullable struct: a right row contributes a
+    * non-null struct even when every payload FIELD is null, so
+    * `last(ignoreNulls)` picks whole right rows atomically — a latest row
+    * with a null value correctly yields null (not an older non-null value),
+    * and multi-column payloads never mix fields from different right rows.
+    * Right rows with a null `ts` are dropped to match SQL comparison
+    * semantics (`left.ts >= NULL` is never true).
     */
   def joinBackward(left: DataFrame, right: DataFrame, key: Seq[String],
                    ts: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns.toSeq
-    val nulled = payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
     val l = left
-      .select((key.map(col) ++ Seq(col(ts)) ++ nulled ++
+      .select((key.map(col) ++ Seq(col(ts)) ++
+        Seq(lit(null).cast(payloadType).as("__p")) ++
         leftCols.filterNot(c => key.contains(c) || c == ts).map(col) ++
         Seq(lit(1).as("__side"))): _*)
     val r = right
-      .select((key.map(col) ++ Seq(col(ts)) ++ payload.map(col) ++
+      .filter(col(ts).isNotNull)
+      .select((key.map(col) ++ Seq(col(ts)) ++
+        Seq(struct(payload.map(col): _*).as("__p")) ++
         leftCols.filterNot(c => key.contains(c) || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(lit(0).as("__side"))): _*)
@@ -54,11 +67,11 @@ object AsOf {
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
-      .select((leftCols ++ payload).map(col): _*)
+    val filled = l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        payload.map(p => col("__p").getField(p).as(p))): _*)
   }
 
   /** q38 — as-of join over the events fixture: every `click` is annotated

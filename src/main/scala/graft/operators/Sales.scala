@@ -87,7 +87,11 @@ object Sales {
     // each conditional sum carries a ×max(c,1) factor, and
     // max(coalesce(c_importe,0)) ≡ coalesce(max(c_importe),0). (The fixture
     // lineitem is TPC-H-ish, not TPC-H — l_linenumber=1 is NOT unique per
-    // order, so c>1 happens.) This is the scale shape: ONE pass over
+    // order, so c>1 happens.) PRECONDITION: one header row per venta —
+    // ventas.venta is the reference's PRIMARY KEY (db_helpers.py:21) and
+    // o_orderkey is unique in the fixture; duplicated headers would fan out
+    // in the join-then-group formulation but not here. This is the scale
+    // shape: ONE pass over
     // lineitem with map-side partials collapses the (flujo × cobranza)
     // fan-out into |orders| rows before any join, instead of shuffling
     // c×|lineitem| joined rows into a post-join aggregation.

@@ -181,8 +181,9 @@ object TextOps {
     * distinct (doc, shingle-hash) intermediate q21/q22 verify through — so
     * this query is a narrow per-doc scan joined to one small aggregate:
     * no explode here, and no countDistinct Expand (the index is already
-    * distinct, so min/count suffice). Inner join ≡ the old explode shape:
-    * docs with < 3 tokens have no shingles and emit no row either way.
+    * distinct, so min/count suffice). The inner join drops nothing:
+    * [[graft.functions.TextFns.shingles3All]] emits a whole-doc fallback
+    * shingle for < 3-token docs, so every doc has >= 1 index row.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = Tables.spread(Tables.documents(spark, dir))
@@ -236,9 +237,10 @@ object TextOps {
       .agg(max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
     val triD = Dedup.shingleIndex(spark, dir)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri_d"))
-    val triTot = docToks(spark, dir)
-      .select(col("doc_id"), greatest(size(col("t")) - 2, lit(1)).as("n_tri"))
-    bi.join(triD, Seq("doc_id")).join(triTot, Seq("doc_id"))
+    // surviving docs have >= 2 tokens, so n_bi = tokens-1 exactly and the
+    // trigram total is greatest(n_bi-1, 1) — no second tokenize pass
+    bi.join(triD, Seq("doc_id"))
+      .withColumn("n_tri", greatest(col("n_bi") - 1, lit(1L)))
       .withColumn("top_bigram_frac", col("top_bi").cast("double") / col("n_bi"))
       .withColumn("dup_trigram_frac",
         lit(1.0) - col("n_tri_d").cast("double") / col("n_tri"))

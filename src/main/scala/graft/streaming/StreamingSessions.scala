@@ -32,7 +32,10 @@ object StreamingSessions {
                                n: Long, nPurch: Long)
 
   private def micros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    // floorDiv: plain `/` truncates toward zero, shifting pre-1970
+    // timestamps one second late (getTime already includes the sub-second
+    // part that getNanos re-adds)
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   private def toTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)

@@ -39,6 +39,34 @@ class EventOpsSpec extends SparkSpec {
     assert(out(4L).contains(300L)) // inclusive: equal-ts right row counts
   }
 
+  test("as-of join carries null payloads and whole rows atomically") {
+    // latest right row has a NULL snap: the as-of value must be NULL, not
+    // the older non-null value; with two payload columns the result must
+    // come from ONE right row, never a field mix; null right ts never
+    // matches (SQL `left.ts >= NULL` semantics)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")),
+      (2L, 20L, ts("2024-01-01 12:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, Some(ts("2024-01-01 10:00:00")), Some(5L), Option.empty[Long]),
+      (10L, Some(ts("2024-01-01 11:00:00")), None, Some(7L)),
+      (20L, Option.empty[java.sql.Timestamp], Some(9L), Some(9L))
+    ).toDF("user_id", "ts", "a", "b")
+
+    val out = AsOf.joinBackward(left, right, Seq("user_id"), "ts", Seq("a", "b"))
+      .orderBy("event_id")
+      .select("event_id", "a", "b")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+         (if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+
+    assert(out(1L) == (None, Some(7L))) // latest row verbatim, no chimera
+    assert(out(2L) == (None, None))     // null-ts right row never matches
+  }
+
   test("as-of join matches a naive per-row lookup on random data") {
     val rnd = new scala.util.Random(7)
     val lRows = (1 to 200).map(i =>
