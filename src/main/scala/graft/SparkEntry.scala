@@ -60,7 +60,8 @@ object SparkEntry {
     "q41_token_quantiles" -> ((s, d) => Analytics.tokenQuantiles(s, d)),
     "q42_lang_source_rollup" -> ((s, d) => Analytics.langSourceRollup(s, d)),
     "q43_event_type_pivot" -> ((s, d) => Analytics.eventTypePivot(s, d)),
-    "q44_rolling_daily_net" -> ((s, d) => Analytics.rollingDailyNet(s, d))
+    "q44_rolling_daily_net" -> ((s, d) => Analytics.rollingDailyNet(s, d)),
+    "q45_dedup_clusters" -> ((s, d) => Graph.dedupClusters(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -108,6 +109,7 @@ object SparkEntry {
     "q41_token_quantiles" -> Analytics.tokenQuantilesSql,
     "q42_lang_source_rollup" -> Analytics.langSourceRollupSql,
     "q43_event_type_pivot" -> Analytics.eventTypePivotSql,
-    "q44_rolling_daily_net" -> Analytics.rollingDailyNetSql
+    "q44_rolling_daily_net" -> Analytics.rollingDailyNetSql,
+    "q45_dedup_clusters" -> Graph.dedupClustersSql
   )
 }

@@ -278,8 +278,11 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
-  val simhashPairsSql: String =
-    s"""WITH $simhashCte,
+  /** The CTE chain up to `cand` (candidate simhash pairs), shared with
+    * the q45 cluster oracle in [[Graph]].
+    */
+  val simhashPairsCtes: String =
+    s"""$simhashCte,
       |banded AS (
       |  SELECT doc_id, CAST(simhash AS BIGINT) AS simhash, k,
       |    (CAST(simhash AS BIGINT) >> (CAST(k AS INT) * 8)) & 255 AS byte
@@ -287,7 +290,10 @@ object Dedup {
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS da, x.simhash AS ha, y.doc_id AS db, y.simhash AS hb
       |  FROM banded x JOIN banded y
-      |    ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id)
+      |    ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id)""".stripMargin
+
+  val simhashPairsSql: String =
+    s"""WITH $simhashPairsCtes
       |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY da, db""".stripMargin

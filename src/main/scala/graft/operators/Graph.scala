@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the missing last step of every
+  * near-dup pipeline: candidate PAIRS (q21/q22/q24/q27) must become
+  * CLUSTERS before one canonical document per cluster can be kept, and
+  * near-dup similarity is not transitive, so clusters are the connected
+  * components of the pair graph.
+  *
+  * Algorithm: iterative min-label propagation. Each round every node
+  * takes the minimum label among itself and its neighbors; at fixpoint
+  * every node carries the smallest doc_id of its component (the
+  * canonical id). Each round is one join + one hash-agg — all
+  * map/shuffle-side, no driver state beyond the convergence counter.
+  *
+  * Scale: rounds = graph diameter. Near-dup graphs are short, fat
+  * clusters (diameter 2-4), so 3-5 rounds cover real corpora; the
+  * large-star/small-star variant (Kiveris et al. 2014) gets O(log n)
+  * rounds on adversarial chains and is the drop-in upgrade if diameter
+  * ever bites. Every round ends in an EAGER `localCheckpoint` — without
+  * it the round's logical plan references the previous round twice
+  * (join + union), so the plan tree doubles per iteration and planning
+  * itself goes exponential long before any data does; checkpointing
+  * truncates lineage to one round (a cluster deployment would use
+  * `checkpoint` against reliable storage instead). The convergence count
+  * reads the checkpointed data (no recompute). The edge list shuffles
+  * once (distinct) and is reused every round.
+  */
+object Graph {
+
+  /** Connected components of the undirected graph given by `edges`
+    * (one row per edge, endpoints in columns `src` and `dst`). Returns
+    * `(node, component)` where `component` is the minimum node id in the
+    * node's component. Nodes are every distinct edge endpoint; isolated
+    * nodes (no edges) are the caller's own singletons.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .cache()
+    var labels = e.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // candidate labels: own label ∪ every in-neighbor's label
+      val prop = e.join(labels, col("a") === col("node"))
+        .select(col("b").as("node"), col("component"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      // min-propagation is monotone: a change is always a strict decrease
+      changed = next
+        .join(labels.withColumnRenamed("component", "prev"), Seq("node"))
+        .filter(col("component") < col("prev"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** q45 — near-dup clusters: connected components over the SimHash
+    * hamming<=3 pair graph (q24's edges), with the canonical id (min
+    * member) and the member count per cluster. Only docs that appear in
+    * at least one near-dup pair are emitted — every other doc is its own
+    * singleton cluster by definition.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashPairs(spark, dir).select(col("da"), col("db"))
+    val cc = connectedComponents(pairs, "da", "db")
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("component"))
+      .select(col("node").as("doc_id"), col("component"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE (min reachable id ==
+    * min component member because the edge set is symmetric).
+    */
+  val dedupClustersSql: String = {
+    // reuse the simhash pair derivation up to `cand`
+    val pairCtes = Dedup.simhashPairsCtes
+    s"""WITH RECURSIVE $pairCtes,
+      |pairs AS (
+      |  SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+      |e AS (SELECT da AS a, db AS b FROM pairs
+      |      UNION SELECT db, da FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, a AS lbl FROM e
+      |  UNION
+      |  SELECT e.b AS node, r.lbl FROM reach r JOIN e ON e.a = r.node),
+      |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+      |sizes AS (SELECT component, count(*) AS n_members
+      |          FROM comp GROUP BY component)
+      |SELECT node AS doc_id, component, n_members
+      |FROM comp JOIN sizes USING (component)
+      |ORDER BY doc_id""".stripMargin
+  }
+}
