@@ -61,7 +61,9 @@ object SparkEntry {
     "q42_lang_source_rollup" -> ((s, d) => Analytics.langSourceRollup(s, d)),
     "q43_event_type_pivot" -> ((s, d) => Analytics.eventTypePivot(s, d)),
     "q44_rolling_daily_net" -> ((s, d) => Analytics.rollingDailyNet(s, d)),
-    "q45_dedup_clusters" -> ((s, d) => Graph.dedupClusters(s, d))
+    "q45_dedup_clusters" -> ((s, d) => Graph.dedupClusters(s, d)),
+    "q46_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
+    "q47_doc_ranks" -> ((s, d) => Analytics.docRanks(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -110,6 +112,8 @@ object SparkEntry {
     "q42_lang_source_rollup" -> Analytics.langSourceRollupSql,
     "q43_event_type_pivot" -> Analytics.eventTypePivotSql,
     "q44_rolling_daily_net" -> Analytics.rollingDailyNetSql,
-    "q45_dedup_clusters" -> Graph.dedupClustersSql
+    "q45_dedup_clusters" -> Graph.dedupClustersSql,
+    "q46_pii_scrub" -> TextOps.piiScrubSql,
+    "q47_doc_ranks" -> Analytics.docRanksSql
   )
 }

@@ -151,4 +151,34 @@ object Analytics {
       |WINDOW w AS (PARTITION BY tienda_id ORDER BY dia
       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY tienda_id, dia""".stripMargin
+
+  /** q47 — the analytic-rank suite (rank / percent_rank / cume_dist /
+    * ntile) per language over document length. One window partitioning
+    * serves all four functions (one Exchange + one Sort); doc_id breaks
+    * ordering ties so ntile — which is row-order-dependent — is
+    * deterministic. percent_rank = (rank−1)/(n−1) and cume_dist = peers/n
+    * are evaluated as the same double division in both engines, so the
+    * hashes are bit-exact without rounding.
+    */
+  def docRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docRanksSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM documents
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -259,7 +259,14 @@ object Dedup {
     * least one byte untouched, so banding has perfect recall at this
     * threshold), verified by exact Hamming distance ≤ 3.
     */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsUnsorted(spark, dir).orderBy(col("da"), col("db"))
+
+  /** The verified pair set without the presentation sort — downstream
+    * consumers (q45 clustering) feed it straight into a join, where a
+    * sort would be a wasted exchange.
+    */
+  private[operators] def simhashPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSig(spark, dir)
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("k"))
@@ -275,7 +282,6 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= 3)
       .select(col("da"), col("db"), col("hamming"))
-      .orderBy(col("da"), col("db"))
   }
 
   /** The CTE chain up to `cand` (candidate simhash pairs), shared with

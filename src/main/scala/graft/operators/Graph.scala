@@ -38,8 +38,13 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIters: Int = 50): DataFrame = {
-    val e = edges.select(col(src).as("a"), col(dst).as("b"))
-      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+    // symmetrize in ONE pass over `edges` (explode of both orientations):
+    // a self-union would compute the caller's whole edge lineage twice —
+    // Spark duplicates the subplan under each union branch, no reuse
+    val e = edges.select(explode(array(
+        struct(col(src).as("a"), col(dst).as("b")),
+        struct(col(dst).as("a"), col(src).as("b")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
       .distinct()
       .cache()
     var labels = e.select(col("a").as("node")).distinct()
@@ -48,18 +53,21 @@ object Graph {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // candidate labels: own label ∪ every in-neighbor's label
+      // candidate labels: own label ∪ every in-neighbor's label. The own
+      // row is tagged so the SAME aggregation yields both the new label
+      // and the previous one — the convergence count is then a narrow
+      // filter over the checkpointed round, not a second join job
+      val own = labels.withColumn("is_own", lit(true))
       val prop = e.join(labels, col("a") === col("node"))
-        .select(col("b").as("node"), col("component"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .select(col("b").as("node"), col("component"), lit(false).as("is_own"))
+      val next = own.unionByName(prop)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("is_own"), col("component"))).as("prev"))
         .localCheckpoint()
       // min-propagation is monotone: a change is always a strict decrease
-      changed = next
-        .join(labels.withColumnRenamed("component", "prev"), Seq("node"))
-        .filter(col("component") < col("prev"))
-        .count()
-      labels = next
+      changed = next.filter(col("component") < col("prev")).count()
+      labels = next.select(col("node"), col("component"))
       iter += 1
     }
     e.unpersist()
@@ -73,7 +81,7 @@ object Graph {
     * singleton cluster by definition.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.simhashPairs(spark, dir).select(col("da"), col("db"))
+    val pairs = Dedup.simhashPairsUnsorted(spark, dir).select(col("da"), col("db"))
     val cc = connectedComponents(pairs, "da", "db")
     val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
     cc.join(sizes, Seq("component"))

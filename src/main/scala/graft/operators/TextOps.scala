@@ -299,4 +299,56 @@ object TextOps {
       |SELECT doc_id, lang, bucket, CAST(rate AS BIGINT) AS rate
       |FROM b WHERE bucket < rate
       |ORDER BY doc_id""".stripMargin
+
+  /** PII patterns — RE2-and-Java-regex-portable subset (no backrefs, no
+    * lookaround) so the Spark and DuckDB evaluations agree byte-for-byte.
+    */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRe = "[0-9]+"
+
+  /** q46 — PII scrub: per-doc counts of URLs / emails / digit runs
+    * (detected on the pre-scrub text), plus the md5 of the redacted text
+    * with placeholders substituted in a fixed order (URL first — it can
+    * contain '@' — then email, then remaining digit runs). The standard
+    * pre-training redaction stage: pure codegen'd regex expressions at
+    * scan speed, no shuffle until the output sort; the md5 stands in for
+    * shipping the scrubbed text so the oracle diff stays compact.
+    *
+    * The fixture text contains NO urls/emails/digits (verified — every
+    * count is zero on the raw column), which would make the oracle check
+    * vacuous; a deterministic doc_id-derived PII suffix is appended in
+    * BOTH engines so detection and every redaction branch are actually
+    * exercised.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+      .withColumn("aug", concat(col("text"),
+        lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com http://ex.com/d/"), col("doc_id").cast("string"),
+        lit(" ref:"), col("doc_id").cast("string")))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(DigitRe)).cast("long").as("n_digit_runs"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          UrlRe, "<URL>"), EmailRe, "<EMAIL>"), DigitRe, "<NUM>"))
+          .as("scrub_md5"))
+      .orderBy(col("doc_id"))
+
+  val piiScrubSql: String =
+    s"""WITH a AS (
+      |  SELECT doc_id,
+      |    text || ' contact: user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com http://ex.com/d/' || CAST(doc_id AS VARCHAR)
+      |      || ' ref:' || CAST(doc_id AS VARCHAR) AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '$UrlRe')) AS BIGINT) AS n_urls,
+      |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(aug, '$DigitRe')) AS BIGINT) AS n_digit_runs,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+      |    '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'),
+      |    '$DigitRe', '<NUM>', 'g')) AS scrub_md5
+      |FROM a ORDER BY doc_id""".stripMargin
 }
