@@ -83,4 +83,14 @@ object Graft {
   def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                ts: String, payload: Seq[String]): DataFrame =
     AsOf.joinBackward(left, right, key, ts, payload)
+
+  /** Generic connected components (min-member component ids) — see
+    * [[operators.Graph.connectedComponents]].
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame =
+    Graph.connectedComponents(edges, src, dst)
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = Graph.dedupClusters(spark, dir)
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = TextOps.piiScrub(spark, dir)
+  def docRanks(spark: SparkSession, dir: String): DataFrame = Analytics.docRanks(spark, dir)
 }

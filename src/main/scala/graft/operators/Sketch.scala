@@ -25,6 +25,14 @@ object Sketch {
     * shingles (via the shared cached shingle index) vs the exact count.
     * One summary row: exact, k, estimate, relative error.
     */
+  /** The (non-distinct) shingle-hash stream — the input both KMV forms
+    * consume: the relational q40 below and the typed
+    * [[graft.functions.KmvSketch]] Aggregator (their estimates must
+    * agree bit-for-bit, see KmvSketchSpec).
+    */
+  def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleIndex(spark, dir).select(col("sh_h"))
+
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     // cached: consumed by both the exact count and the top-k below —
     // without it the distinct exchange over the shingle index runs twice
