@@ -63,7 +63,8 @@ object SparkEntry {
     "q44_rolling_daily_net" -> ((s, d) => Analytics.rollingDailyNet(s, d)),
     "q45_dedup_clusters" -> ((s, d) => Graph.dedupClusters(s, d)),
     "q46_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
-    "q47_doc_ranks" -> ((s, d) => Analytics.docRanks(s, d))
+    "q47_doc_ranks" -> ((s, d) => Analytics.docRanks(s, d)),
+    "q48_tumbling_counts" -> ((s, d) => Sessions.tumblingCounts(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -114,6 +115,7 @@ object SparkEntry {
     "q44_rolling_daily_net" -> Analytics.rollingDailyNetSql,
     "q45_dedup_clusters" -> Graph.dedupClustersSql,
     "q46_pii_scrub" -> TextOps.piiScrubSql,
-    "q47_doc_ranks" -> Analytics.docRanksSql
+    "q47_doc_ranks" -> Analytics.docRanksSql,
+    "q48_tumbling_counts" -> Sessions.tumblingCountsSql
   )
 }

@@ -98,4 +98,32 @@ object Sessions {
       |  CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(k) AS mean_k
       |FROM parsed
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q48 — tumbling event-time windows: per-hour × event-type counts via
+    * Spark's `window()` generator, the BATCH twin of the Structured
+    * Streaming windowed aggregation (same expression works under
+    * readStream + watermark — see streaming/StreamingSessions for the
+    * stateful side). window() is epoch-aligned, so the hour bucket equals
+    * ANSI date_trunc and the oracle needs no engine-specific alignment.
+    * Aggregates are counts and an exact integer sum — order-insensitive,
+    * so results are bit-stable under any partitioning (a double sum here
+    * would not be).
+    */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_floor_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_floor_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val tumblingCountsSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin
 }

@@ -47,6 +47,18 @@ object StreamingIngest {
         to_date(col("w.start")).as("dia"),
         col("daily_delta"), col("n_events"))
 
+  /** At-least-once ingest → exactly-once effect: drop re-delivered events
+    * by natural key within the watermark horizon — the streaming form of
+    * the reference's full-day re-read + strict `fecha > last_ts` filter
+    * (update_raw_stock_movements.py:69,84-85). Unlike plain
+    * dropDuplicates, the state store evicts keys older than the lateness
+    * bound, so dedup state is O(events per horizon), not O(history).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String,
+                  lateness: String = "1 day"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Wire a streaming daily-net frame into an idempotent parquet sink:
     * each micro-batch is merged into `sinkDir` with last-wins semantics on
     * (tienda_id, art_id, dia). Update-mode rows re-emitted for late events

@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
 case class LedgerEvent(fecha: Timestamp, tienda_id: Int, art_id: Long,
                        delta_cantidad: Option[Long])
 
+case class IdEvent(event_id: Long, ts: Timestamp, event_type: String)
+
 /** Structured-Streaming incremental layer: micro-batch ingest with
   * event-time watermark + idempotent last-wins parquet sink.
   */
@@ -148,6 +150,62 @@ class StreamingSpec extends SparkSpec {
       .flatMap(ss => ss.sortBy(_._2).dropRight(1)).toSet
 
     assert(got == finalized && got.nonEmpty)
+  }
+
+  test("watermark dedup drops cross-batch re-deliveries (at-least-once -> exactly-once)") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val tmp = Files.createTempDirectory("graft-dedup").toString
+
+    val stream = MemoryStream[IdEvent](spark)
+    val query = StreamingIngest.dedupStream(stream.toDF(), Seq("event_id"), "ts")
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    // batch 1: two events; batch 2 re-delivers event 1 (the reference's
+    // full-day re-read) plus a new event — the duplicate must be dropped
+    stream.addData(IdEvent(1L, ts("2025-03-01 10:00:00"), "a"),
+      IdEvent(2L, ts("2025-03-01 11:00:00"), "b"))
+    query.processAllAvailable()
+    stream.addData(IdEvent(1L, ts("2025-03-01 10:00:00"), "a"),
+      IdEvent(3L, ts("2025-03-01 12:00:00"), "c"))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("dedup_t").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming tumbling windows equal the q48 batch aggregation") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val rows = Seq(
+      IdEvent(1L, ts("2025-04-01 10:05:00"), "click"),
+      IdEvent(2L, ts("2025-04-01 10:55:00"), "click"),
+      IdEvent(3L, ts("2025-04-01 11:05:00"), "view"),
+      IdEvent(4L, ts("2025-04-01 10:20:00"), "view"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
+
+    val stream = MemoryStream[IdEvent](spark)
+    stream.addData(rows.take(2))
+    stream.addData(rows.drop(2))
+    val query = agg(stream.toDF())
+      .writeStream.format("memory").queryName("tumb_t")
+      .outputMode("complete")
+      .start()
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("tumb_t").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = agg(rows.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.size == 3)
   }
 
   test("the streaming aggregation plan also runs in plain batch mode") {
