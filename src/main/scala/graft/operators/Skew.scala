@@ -41,4 +41,28 @@ object Skew {
       partial = Seq(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt")),
       merge = Seq(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("n_rows")))
+
+  /** Salted shuffle JOIN for heavy-hitter join keys: the skewed (fact)
+    * side gets a random-ish salt in [0, buckets); the small-but-not-
+    * broadcastable (dim) side is REPLICATED `buckets` times, once per
+    * salt value, and the join key becomes (key, salt) — a hot key's rows
+    * land on `buckets` reducers instead of one.
+    *
+    * When to use: AQE's skew-join split (OptimizeSkewedJoin) already
+    * handles most cases at runtime and needs no replication — prefer it.
+    * Salting is for the cases AQE can't help: a skewed key feeding an
+    * aggregation-after-join on the same key (AQE must keep such
+    * partitions intact), or engines/stages where AQE is off. Replication
+    * cost is `buckets × |right|` shuffle rows — bounded and chosen by the
+    * caller, vs the unbounded single-reducer straggler it removes.
+    */
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, keys: Seq[String],
+                 buckets: Int = 16): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicated = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

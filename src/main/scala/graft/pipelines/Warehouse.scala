@@ -61,6 +61,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .saveAsTable(table)
   }
 
+  /** Date/column-partitioned write — the at-rest layout every 100 TB fact
+    * table needs: one directory per partition value, so date-range and
+    * store predicates prune at PLANNING time (the scan's
+    * `PartitionFilters` — zero IO for untouched partitions, where a flat
+    * table would scan-and-filter everything). This is the file-source
+    * form of the reference's date-window batching + `tienda_id` filters
+    * (SURVEY.md §4 "partition-style pruning"). Combine with bucketing
+    * (partition by day, bucket by SKU) for pruned AND shuffle-free reads.
+    */
+  def writePartitioned(table: String, df: DataFrame,
+                       partitionCols: Seq[String]): Unit =
+    Fs.replaceWith(spark, path(table))(tmp =>
+      df.write.partitionBy(partitionCols: _*).parquet(tmp))
+
   /** Scalar checkpoint per (pipeline, key) — the `etl_progress` row. Stored
     * as a tiny one-row parquet; read returns None before the first seed.
     */

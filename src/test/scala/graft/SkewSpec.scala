@@ -27,6 +27,25 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted join equals the plain join on skewed data") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val rnd = new scala.util.Random(5)
+    // 90% of fact rows hit one hot key
+    val fact = (1 to 3000).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 1L else (rnd.nextInt(50) + 2).toLong
+      (k, i.toLong)
+    }.toDF("k", "v").repartition(8)
+    val dim = (1L to 51L).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), buckets = 8)
+      .select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain && plain.size == 3000)
+  }
+
   test("salted aggregation spreads a hot key over multiple partial groups") {
     val sql = spark.sqlContext
     import sql.implicits._
