@@ -60,13 +60,27 @@ object Graph {
       val own = labels.withColumn("is_own", lit(true))
       val prop = e.join(labels, col("a") === col("node"))
         .select(col("b").as("node"), col("component"), lit(false).as("is_own"))
-      val next = own.unionByName(prop)
+      val minNbr = own.unionByName(prop)
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"),
           min(when(col("is_own"), col("component"))).as("prev"))
+      // pointer jumping: follow the label one step (label-of-label).
+      // Plain neighbor-min moves a label ONE hop per round (measured: 10
+      // rounds on the sf0.1 pair graph, the last 5 chasing <120 nodes);
+      // composing with the jump halves remaining distances each round →
+      // O(log diameter). Every label is itself a node id, so the lookup
+      // join always hits; left+coalesce guards the invariant anyway.
+      val lookup = minNbr
+        .select(col("node").as("l_node"), col("component").as("l_comp"))
+      val next = minNbr
+        .join(lookup, minNbr("component") === lookup("l_node"), "left")
+        .select(col("node"),
+          coalesce(col("l_comp"), col("component")).as("component"),
+          col("prev"))
         .localCheckpoint()
       // min-propagation is monotone: a change is always a strict decrease
       changed = next.filter(col("component") < col("prev")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"cc round $iter changed=$changed")
       labels = next.select(col("node"), col("component"))
       iter += 1
     }
