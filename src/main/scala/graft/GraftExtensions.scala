@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.CosineSimilarity
+
+/** The (c)-tier extension entry point (SURVEY.md §2.2 build stance):
+  * `SparkSessionExtensions` injection, so the engine's native expressions
+  * are available to PURE-SQL users with zero code — either
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or programmatically:
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Unlike [[org.apache.spark.sql.graft.VectorExprs.register]] (a per-
+  * session temp function), injected functions are part of session
+  * BUILD-time state: present in every derived session (`newSession()`),
+  * visible to thrift/SQL-only clients, and resolvable during view
+  * analysis. This class is also where custom `Rule[LogicalPlan]` /
+  * `SparkStrategy` injections would go; the engine deliberately needs
+  * none (SURVEY.md §4) — every operator resolves to built-in plans.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -44,6 +44,30 @@ class VectorExprsSpec extends SparkSpec {
     assert(got == 1.0)
   }
 
+  test("GraftExtensions injects cosine_sim at session build time") {
+    // a session built WITH the extension resolves the function with no
+    // per-session register() call. getOrCreate() reuses the default
+    // session (ignoring extensions), so clear it first; the new session
+    // shares the running SparkContext. Restore the shared session after.
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val got = extended.sql(
+        "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS s")
+        .first().getDouble(0)
+      assert(got == 1.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("zero-norm and length-mismatched inputs yield NULL (matching DuckDB), never NaN") {
     val sql = spark.sqlContext
     import sql.implicits._
