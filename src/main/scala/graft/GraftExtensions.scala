@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // arity-check here: without it, extra args are silently ignored
+        // and missing args surface as an internal IndexOutOfBounds
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      }))
   }
 }

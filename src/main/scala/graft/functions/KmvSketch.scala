@@ -73,7 +73,9 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
 }
 
 object KmvSketch {
-  /** Column form: `df.agg(KmvSketch.distinctEstimate(64)(col))`. */
+  /** Typed-column form, applied to a `Dataset[Long]` of hash values:
+    * `hashes.as[Long].select(KmvSketch.distinctEstimate(64))`.
+    */
   def distinctEstimate(k: Int): org.apache.spark.sql.TypedColumn[Long, Double] =
     new KmvSketch(k).toColumn
 }

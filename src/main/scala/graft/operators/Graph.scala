@@ -50,42 +50,49 @@ object Graph {
     var labels = e.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      // candidate labels: own label ∪ every in-neighbor's label. The own
-      // row is tagged so the SAME aggregation yields both the new label
-      // and the previous one — the convergence count is then a narrow
-      // filter over the checkpointed round, not a second join job
-      val own = labels.withColumn("is_own", lit(true))
-      val prop = e.join(labels, col("a") === col("node"))
-        .select(col("b").as("node"), col("component"), lit(false).as("is_own"))
-      val minNbr = own.unionByName(prop)
-        .groupBy(col("node"))
-        .agg(min(col("component")).as("component"),
-          min(when(col("is_own"), col("component"))).as("prev"))
-      // pointer jumping: follow the label one step (label-of-label).
-      // Plain neighbor-min moves a label ONE hop per round (measured: 10
-      // rounds on the sf0.1 pair graph, the last 5 chasing <120 nodes);
-      // composing with the jump halves remaining distances each round →
-      // O(log diameter). Every label is itself a node id, so the lookup
-      // join always hits; left+coalesce guards the invariant anyway.
-      val lookup = minNbr
-        .select(col("node").as("l_node"), col("component").as("l_comp"))
-      val next = minNbr
-        .join(lookup, minNbr("component") === lookup("l_node"), "left")
-        .select(col("node"),
-          coalesce(col("l_comp"), col("component")).as("component"),
-          col("prev"))
-        .localCheckpoint()
-      // min-propagation is monotone: a change is always a strict decrease
-      changed = next.filter(col("component") < col("prev")).count()
-      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"cc round $iter changed=$changed")
-      labels = next.select(col("node"), col("component"))
-      iter += 1
-    }
-    e.unpersist()
-    labels
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        // candidate labels: own label ∪ every in-neighbor's label. The own
+        // row is tagged so the SAME aggregation yields both the new label
+        // and the previous one — the convergence count is then a narrow
+        // filter over the checkpointed round, not a second join job
+        val own = labels.withColumn("is_own", lit(true))
+        val prop = e.join(labels, col("a") === col("node"))
+          .select(col("b").as("node"), col("component"), lit(false).as("is_own"))
+        // cached: the jump below consumes minNbr on BOTH join sides and
+        // Spark plans each subtree independently — uncached, the whole
+        // union+groupBy would execute twice per round. The cache fills
+        // during the checkpoint job and is dropped at round end.
+        val minNbr = own.unionByName(prop)
+          .groupBy(col("node"))
+          .agg(min(col("component")).as("component"),
+            min(when(col("is_own"), col("component"))).as("prev"))
+          .cache()
+        // pointer jumping: follow the label one step (label-of-label).
+        // Plain neighbor-min moves a label ONE hop per round (measured: 10
+        // rounds on the sf0.1 pair graph, the last 5 chasing <120 nodes);
+        // composing with the jump halves remaining distances each round →
+        // O(log diameter). Every label is itself a node id, so the lookup
+        // join always hits; left+coalesce guards the invariant anyway.
+        val lookup = minNbr
+          .select(col("node").as("l_node"), col("component").as("l_comp"))
+        val next = minNbr
+          .join(lookup, minNbr("component") === lookup("l_node"), "left")
+          .select(col("node"),
+            coalesce(col("l_comp"), col("component")).as("component"),
+            col("prev"))
+          .localCheckpoint()
+        minNbr.unpersist()
+        // min-propagation is monotone: a change is always a strict decrease
+        changed = next.filter(col("component") < col("prev")).count()
+        if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"cc round $iter changed=$changed")
+        labels = next.select(col("node"), col("component"))
+        iter += 1
+      }
+      labels
+    } finally e.unpersist()
   }
 
   /** q45 — near-dup clusters: connected components over the SimHash

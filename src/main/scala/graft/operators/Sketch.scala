@@ -21,10 +21,6 @@ object Sketch {
   val K = 64
   private val HashSpace = 1152921504606846976.0 // 2^60, exact in double
 
-  /** q40 — KMV distinct-count estimate of the corpus' distinct 3-gram
-    * shingles (via the shared cached shingle index) vs the exact count.
-    * One summary row: exact, k, estimate, relative error.
-    */
   /** The (non-distinct) shingle-hash stream — the input both KMV forms
     * consume: the relational q40 below and the typed
     * [[graft.functions.KmvSketch]] Aggregator (their estimates must
@@ -33,6 +29,10 @@ object Sketch {
   def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     Dedup.shingleIndex(spark, dir).select(col("sh_h"))
 
+  /** q40 — KMV distinct-count estimate of the corpus' distinct 3-gram
+    * shingles (via the shared cached shingle index) vs the exact count.
+    * One summary row: exact, k, estimate, relative error.
+    */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     // cached: consumed by both the exact count and the top-k below —
     // without it the distinct exchange over the shingle index runs twice

@@ -58,6 +58,8 @@ object Skew {
     */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, keys: Seq[String],
                  buckets: Int = 16): DataFrame = {
+    require(!skewed.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the inputs")
     val salted = skewed.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
     val replicated = dim
