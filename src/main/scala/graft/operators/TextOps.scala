@@ -189,11 +189,15 @@ object TextOps {
     val perDoc = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("text")).as("md5_hex"),
         hash60(col("text")).as("h60"),
-        // rolling polynomial hash over the characters (base 31 mod 1e9+7);
-        // the 0-seed left fold here matches DuckDB's seedless list_reduce
-        // because (0*31 + c1) = c1
-        expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
-                (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)""")
+        // rolling polynomial hash over the characters (base 31 mod 1e9+7)
+        // as a native codegen'd walk — the declarative
+        // aggregate(sequence(..)) form materializes an index array and
+        // interprets the lambda per character (O(chars) interpreter cost
+        // that matters on real-length documents; the fixture's ~300-char
+        // docs hide it behind the shared shingle-index build). Bit-parity
+        // with that form (and the oracle's seedless list_reduce, since
+        // 0*31+c1 = c1) is differential-tested in VectorExprsSpec
+        org.apache.spark.sql.graft.VectorExprs.polyHash(col("text"))
           .as("poly_h"))
     val shAgg = Dedup.shingleIndex(spark, dir)
       .groupBy(col("doc_id"))

@@ -2,11 +2,12 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector-similarity hot path.
   *
@@ -100,16 +101,104 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native rolling polynomial hash: acc = (acc*31 + ascii(char)) mod 1e9+7
+  * over the string's characters — the q19 fingerprint primitive. The
+  * declarative form (`aggregate(sequence(1, length(text)), ...)` with a
+  * per-character `ascii(substr(...))`) materializes an index array and
+  * interprets the lambda per character — measured as q19's dominant cost.
+  * This expression is one codegen'd walk over the UTF-8 bytes.
+  *
+  * Bit-parity contract with the HOF form (differential-tested): Spark's
+  * `ascii` returns the character's full Unicode CODE POINT (probed:
+  * ascii('ñ')=241, ascii('北')=21271, ascii('😀')=128512) and `substr`/
+  * `length` step by code point — so the walk decodes each UTF-8 sequence
+  * to its code point. The empty string hashes to 0 in both forms.
+  */
+case class PolyHash(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val u = bytes(i) & 0xFF
+      var cp = 0
+      var len = 0
+      if (u < 0x80) { cp = u; len = 1 }
+      else if (u < 0xE0) { cp = ((u & 0x1F) << 6) | (bytes(i + 1) & 0x3F); len = 2 }
+      else if (u < 0xF0) {
+        cp = ((u & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) | (bytes(i + 2) & 0x3F)
+        len = 3
+      } else {
+        cp = ((u & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+          ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F)
+        len = 4
+      }
+      acc = (acc * 31L + cp) % 1000000007L
+      i += len
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val u = ctx.freshName("u")
+      val cp = ctx.freshName("cp")
+      val len = ctx.freshName("len")
+      s"""
+        byte[] $bytes = $s.getBytes();
+        long $acc = 0L;
+        int $i = 0;
+        while ($i < $bytes.length) {
+          int $u = $bytes[$i] & 0xFF;
+          int $cp; int $len;
+          if ($u < 0x80) { $cp = $u; $len = 1; }
+          else if ($u < 0xE0) {
+            $cp = (($u & 0x1F) << 6) | ($bytes[$i + 1] & 0x3F); $len = 2;
+          } else if ($u < 0xF0) {
+            $cp = (($u & 0x0F) << 12) | (($bytes[$i + 1] & 0x3F) << 6)
+              | ($bytes[$i + 2] & 0x3F); $len = 3;
+          } else {
+            $cp = (($u & 0x07) << 18) | (($bytes[$i + 1] & 0x3F) << 12)
+              | (($bytes[$i + 2] & 0x3F) << 6) | ($bytes[$i + 3] & 0x3F); $len = 4;
+          }
+          $acc = ($acc * 31L + $cp) % 1000000007L;
+          $i += $len;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column API for the native cosine. Inputs must be array<double>. */
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Register `cosine_sim` as a SQL function on the session (the
+  /** Column API for the native rolling hash. Input must be string. */
+  def polyHash(s: Column): Column =
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(s)))
+
+  /** Register the native functions on the session (the
     * SparkSessionExtensions-style injection, callable from spark.sql).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
+  }
 }

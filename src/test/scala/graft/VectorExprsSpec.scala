@@ -68,6 +68,26 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("native poly_hash is bit-identical to the declarative HOF fold") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val hof = expr("""aggregate(sequence(1, length(s)), CAST(0 AS BIGINT),
+      (acc, i) -> (acc * 31 + ascii(substr(s, i, 1))) % 1000000007)""")
+    // ascii + multibyte + empty + long strings; plus the fixture corpus
+    val cases = Seq("", "a", "hello world", "ñandú über 北京 emoji",
+      "x" * 5000).toDF("s")
+    val diff = cases.select(VectorExprs.polyHash(col("s")).as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h") ||
+        col("n").isNull =!= col("h").isNull)
+    assert(diff.isEmpty)
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text").as("s"))
+    val diffDocs = docs.select(VectorExprs.polyHash(col("s")).as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(diffDocs.isEmpty)
+  }
+
   test("zero-norm and length-mismatched inputs yield NULL (matching DuckDB), never NaN") {
     val sql = spark.sqlContext
     import sql.implicits._
