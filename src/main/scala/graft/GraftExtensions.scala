@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.CosineSimilarity
+import org.apache.spark.sql.graft.{CosineSimilarity, PolyHash}
 
 /** The (c)-tier extension entry point (SURVEY.md §2.2 build stance):
   * `SparkSessionExtensions` injection, so the engine's native expressions
@@ -35,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"poly_hash requires exactly 1 argument, got ${exprs.length}")
+        PolyHash(exprs.head)
       }))
   }
 }

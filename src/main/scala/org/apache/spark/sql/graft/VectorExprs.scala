@@ -165,11 +165,11 @@ case class PolyHash(child: Expression)
           else if ($u < 0xE0) {
             $cp = (($u & 0x1F) << 6) | ($bytes[$i + 1] & 0x3F); $len = 2;
           } else if ($u < 0xF0) {
-            $cp = (($u & 0x0F) << 12) | (($bytes[$i + 1] & 0x3F) << 6)
-              | ($bytes[$i + 2] & 0x3F); $len = 3;
+            $cp = (($u & 0x0F) << 12) | (($bytes[$i + 1] & 0x3F) << 6) |
+              ($bytes[$i + 2] & 0x3F); $len = 3;
           } else {
-            $cp = (($u & 0x07) << 18) | (($bytes[$i + 1] & 0x3F) << 12)
-              | (($bytes[$i + 2] & 0x3F) << 6) | ($bytes[$i + 3] & 0x3F); $len = 4;
+            $cp = (($u & 0x07) << 18) | (($bytes[$i + 1] & 0x3F) << 12) |
+              (($bytes[$i + 2] & 0x3F) << 6) | ($bytes[$i + 3] & 0x3F); $len = 4;
           }
           $acc = ($acc * 31L + $cp) % 1000000007L;
           $i += $len;

@@ -37,6 +37,21 @@ class VectorExprsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("poly_hash interpreted eval matches the codegen/DataFrame path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val sql = spark.sqlContext
+    import sql.implicits._
+    for (s <- Seq("", "abc", "hello world", "ñ北😀x")) {
+      val interp = org.apache.spark.sql.graft.PolyHash(
+        Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType))
+        .eval(null)
+      val codegen = Seq(s).toDF("s")
+        .select(VectorExprs.polyHash(col("s"))).first().getLong(0)
+      assert(interp == codegen, s"mismatch for '$s'")
+    }
+  }
+
   test("cosine_sim registers as a SQL function") {
     VectorExprs.register(spark)
     val got = spark.sql(
