@@ -64,7 +64,8 @@ object SparkEntry {
     "q45_dedup_clusters" -> ((s, d) => Graph.dedupClusters(s, d)),
     "q46_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q47_doc_ranks" -> ((s, d) => Analytics.docRanks(s, d)),
-    "q48_tumbling_counts" -> ((s, d) => Sessions.tumblingCounts(s, d))
+    "q48_tumbling_counts" -> ((s, d) => Sessions.tumblingCounts(s, d)),
+    "q49_lang_source_cube" -> ((s, d) => Analytics.langSourceCube(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -116,6 +117,7 @@ object SparkEntry {
     "q45_dedup_clusters" -> Graph.dedupClustersSql,
     "q46_pii_scrub" -> TextOps.piiScrubSql,
     "q47_doc_ranks" -> Analytics.docRanksSql,
-    "q48_tumbling_counts" -> Sessions.tumblingCountsSql
+    "q48_tumbling_counts" -> Sessions.tumblingCountsSql,
+    "q49_lang_source_cube" -> Analytics.langSourceCubeSql
   )
 }

@@ -71,6 +71,31 @@ object Analytics {
       |GROUP BY ROLLUP (lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  /** q49 — CUBE over (lang, source): all 2^2 grouping sets in ONE
+    * Expand+hash-agg pass (rollup q42 emits only the hierarchical 3).
+    * grouping_id() disambiguates a real NULL group value from a
+    * subtotal row — the standard way to make grouping-set output
+    * unambiguous for consumers.
+    */
+  def langSourceCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("lang"), col("source"), col("gid"), col("n_docs"),
+        col("total_chars"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first,
+        col("source").asc_nulls_first)
+
+  val langSourceCubeSql: String =
+    """SELECT lang, source,
+      |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY CUBE (lang, source)
+      |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   /** q43 — long→wide pivot: events per (store, event_type) as one row per
     * store with a column per type. Written as conditional sums (the
     * portable / explicit-column form; Spark's `.pivot(col, values)` plans

@@ -41,6 +41,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cube contains the rollup and its slices are mutually consistent") {
+    val cube = Analytics.langSourceCube(spark, dir).collect()
+      .map(r => ((Option(r.get(0)), Option(r.get(1)), r.getLong(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    val detail = cube.filter(_._1._3 == 0L)
+    // grand total (gid=3) == sum of all detail cells
+    val grand = cube(((None, None, 3L)))
+    assert(grand._1 == detail.values.map(_._1).sum)
+    assert(grand._2 == detail.values.map(_._2).sum)
+    // the source-marginal slice (gid=1) aggregates detail rows per lang
+    val perLang = detail.groupBy(_._1._1)
+      .map { case (l, m) => l -> ((m.values.map(_._1).sum, m.values.map(_._2).sum)) }
+    perLang.foreach { case (l, want) =>
+      assert(cube(((l, None, 1L))) == want, s"lang $l")
+    }
+  }
+
   test("pivot cells sum to the total event count") {
     val rows = Analytics.eventTypePivot(spark, dir).collect()
     val cells = rows.map(r => (1 to 5).map(r.getLong(_)).sum).sum
