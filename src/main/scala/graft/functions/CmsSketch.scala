@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Count-Min sketch as a typed `Aggregator` — the frequency twin of the
@@ -25,9 +25,11 @@ import org.apache.spark.sql.expressions.Aggregator
 class CmsSketch(d: Int, w: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   require(d >= 1 && d <= 8 && w >= 8, "CMS wants 1<=d<=8 rows, w>=8 columns")
 
-  private val P = 1000000007L
-  private val A = Array(7L, 13L, 31L, 43L, 59L, 73L, 97L, 113L)
-  private val B = Array(3L, 17L, 29L, 41L, 53L, 71L, 89L, 107L)
+  // literally the MinHash family (single source of truth — retuning the
+  // Dedup family keeps the documented "same multipliers" contract true)
+  private val P = graft.operators.Dedup.P
+  private val A = graft.operators.Dedup.A.take(8).toArray
+  private val B = graft.operators.Dedup.B.take(8).toArray
 
   private def cell(j: Int, x: Long): Int = {
     // keep the multiply in the positive range: x mod P first
@@ -59,6 +61,8 @@ class CmsSketch(d: Int, w: Int) extends Aggregator[Long, Array[Long], Array[Long
 
   /** Point-estimate of x's frequency from a finished sketch. */
   def estimate(sketch: Array[Long], x: Long): Long = {
+    require(sketch.length == d * w,
+      s"sketch geometry mismatch: ${sketch.length} cells, this instance wants ${d * w}")
     var best = Long.MaxValue
     var j = 0
     while (j < d) {

@@ -113,6 +113,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * ascii('ñ')=241, ascii('北')=21271, ascii('😀')=128512) and `substr`/
   * `length` step by code point — so the walk decodes each UTF-8 sequence
   * to its code point. The empty string hashes to 0 in both forms.
+  *
+  * Malformed UTF-8 (possible via binary→string casts — Spark never
+  * validates): parity is guaranteed for VALID input only; on invalid
+  * bytes the walk is best-effort — a continuation byte in lead position
+  * advances one byte, and a truncated trailing sequence is clamped to
+  * the array bound — it never reads out of bounds or crashes (the HOF
+  * form substitutes U+FFFD via String conversion, a semantics not worth
+  * replicating byte-for-byte).
   */
 case class PolyHash(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
@@ -129,15 +137,15 @@ case class PolyHash(child: Expression)
       val u = bytes(i) & 0xFF
       var cp = 0
       var len = 0
-      if (u < 0x80) { cp = u; len = 1 }
-      else if (u < 0xE0) { cp = ((u & 0x1F) << 6) | (bytes(i + 1) & 0x3F); len = 2 }
-      else if (u < 0xF0) {
-        cp = ((u & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) | (bytes(i + 2) & 0x3F)
-        len = 3
-      } else {
-        cp = ((u & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+      if (u < 0xC0) { cp = u; len = 1 } // ASCII, or invalid lead: 1 byte
+      else if (u < 0xE0) { len = 2 } else if (u < 0xF0) { len = 3 } else { len = 4 }
+      if (len > 1) {
+        if (i + len > bytes.length) { cp = u; len = bytes.length - i } // truncated
+        else if (len == 2) cp = ((u & 0x1F) << 6) | (bytes(i + 1) & 0x3F)
+        else if (len == 3) cp = ((u & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+          (bytes(i + 2) & 0x3F)
+        else cp = ((u & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
           ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F)
-        len = 4
       }
       acc = (acc * 31L + cp) % 1000000007L
       i += len
@@ -150,7 +158,6 @@ case class PolyHash(child: Expression)
       val bytes = ctx.freshName("bytes")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
-      val b = ctx.freshName("b")
       val u = ctx.freshName("u")
       val cp = ctx.freshName("cp")
       val len = ctx.freshName("len")
@@ -160,16 +167,19 @@ case class PolyHash(child: Expression)
         int $i = 0;
         while ($i < $bytes.length) {
           int $u = $bytes[$i] & 0xFF;
-          int $cp; int $len;
-          if ($u < 0x80) { $cp = $u; $len = 1; }
-          else if ($u < 0xE0) {
-            $cp = (($u & 0x1F) << 6) | ($bytes[$i + 1] & 0x3F); $len = 2;
-          } else if ($u < 0xF0) {
-            $cp = (($u & 0x0F) << 12) | (($bytes[$i + 1] & 0x3F) << 6) |
-              ($bytes[$i + 2] & 0x3F); $len = 3;
-          } else {
-            $cp = (($u & 0x07) << 18) | (($bytes[$i + 1] & 0x3F) << 12) |
-              (($bytes[$i + 2] & 0x3F) << 6) | ($bytes[$i + 3] & 0x3F); $len = 4;
+          int $cp = 0; int $len;
+          if ($u < 0xC0) { $cp = $u; $len = 1; }
+          else if ($u < 0xE0) { $len = 2; } else if ($u < 0xF0) { $len = 3; } else { $len = 4; }
+          if ($len > 1) {
+            if ($i + $len > $bytes.length) { $cp = $u; $len = $bytes.length - $i; }
+            else if ($len == 2) { $cp = (($u & 0x1F) << 6) | ($bytes[$i + 1] & 0x3F); }
+            else if ($len == 3) {
+              $cp = (($u & 0x0F) << 12) | (($bytes[$i + 1] & 0x3F) << 6) |
+                ($bytes[$i + 2] & 0x3F);
+            } else {
+              $cp = (($u & 0x07) << 18) | (($bytes[$i + 1] & 0x3F) << 12) |
+                (($bytes[$i + 2] & 0x3F) << 6) | ($bytes[$i + 3] & 0x3F);
+            }
           }
           $acc = ($acc * 31L + $cp) % 1000000007L;
           $i += $len;

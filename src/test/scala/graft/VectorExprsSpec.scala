@@ -52,6 +52,25 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("poly_hash never crashes on malformed UTF-8 and paths agree") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    VectorExprs.register(spark)
+    // 'a' + truncated 2-byte lead; continuation byte in lead position
+    for (bytes <- Seq(Array(0x61, 0xC3).map(_.toByte),
+                      Array(0x80, 0x62).map(_.toByte))) {
+      val interp = org.apache.spark.sql.graft.PolyHash(
+        Literal(UTF8String.fromBytes(bytes),
+          org.apache.spark.sql.types.StringType)).eval(null)
+      // codegen path: smuggle the raw bytes in via unbase64+cast
+      val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+      val codegen = spark.sql(
+        s"SELECT poly_hash(CAST(unbase64('$b64') AS STRING)) AS h")
+        .first().getLong(0)
+      assert(interp == codegen, s"paths diverge on ${bytes.toSeq}")
+    }
+  }
+
   test("cosine_sim registers as a SQL function") {
     VectorExprs.register(spark)
     val got = spark.sql(
@@ -77,6 +96,9 @@ class VectorExprsSpec extends SparkSpec {
         "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS s")
         .first().getDouble(0)
       assert(got == 1.0)
+      // the other injected function resolves too ('a' -> 97)
+      val ph = extended.sql("SELECT poly_hash('a') AS h").first().getLong(0)
+      assert(ph == 97L)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
@@ -88,8 +110,9 @@ class VectorExprsSpec extends SparkSpec {
     import sql.implicits._
     val hof = expr("""aggregate(sequence(1, length(s)), CAST(0 AS BIGINT),
       (acc, i) -> (acc * 31 + ascii(substr(s, i, 1))) % 1000000007)""")
-    // ascii + multibyte + empty + long strings; plus the fixture corpus
-    val cases = Seq("", "a", "hello world", "ñandú über 北京 emoji",
+    // ascii + 2/3/4-byte chars (😀 = supplementary plane — the case the
+    // code-point parity contract hinges on) + empty + long strings
+    val cases = Seq("", "a", "hello world", "ñandú über 北京 😀🎉",
       "x" * 5000).toDF("s")
     val diff = cases.select(VectorExprs.polyHash(col("s")).as("n"), hof.as("h"))
       .filter(col("n") =!= col("h") ||
