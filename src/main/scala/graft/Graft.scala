@@ -93,4 +93,7 @@ object Graft {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = Graph.dedupClusters(spark, dir)
   def piiScrub(spark: SparkSession, dir: String): DataFrame = TextOps.piiScrub(spark, dir)
   def docRanks(spark: SparkSession, dir: String): DataFrame = Analytics.docRanks(spark, dir)
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = Sessions.tumblingCounts(spark, dir)
+  def langSourceCube(spark: SparkSession, dir: String): DataFrame = Analytics.langSourceCube(spark, dir)
+  def interpolateDailyNet(spark: SparkSession, dir: String): DataFrame = Analytics.interpolateDailyNet(spark, dir)
 }

@@ -65,7 +65,8 @@ object SparkEntry {
     "q46_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q47_doc_ranks" -> ((s, d) => Analytics.docRanks(s, d)),
     "q48_tumbling_counts" -> ((s, d) => Sessions.tumblingCounts(s, d)),
-    "q49_lang_source_cube" -> ((s, d) => Analytics.langSourceCube(s, d))
+    "q49_lang_source_cube" -> ((s, d) => Analytics.langSourceCube(s, d)),
+    "q50_interp_daily_net" -> ((s, d) => Analytics.interpolateDailyNet(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -118,6 +119,7 @@ object SparkEntry {
     "q46_pii_scrub" -> TextOps.piiScrubSql,
     "q47_doc_ranks" -> Analytics.docRanksSql,
     "q48_tumbling_counts" -> Sessions.tumblingCountsSql,
-    "q49_lang_source_cube" -> Analytics.langSourceCubeSql
+    "q49_lang_source_cube" -> Analytics.langSourceCubeSql,
+    "q50_interp_daily_net" -> Analytics.interpolateDailyNetSql
   )
 }

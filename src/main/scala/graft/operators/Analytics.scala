@@ -96,6 +96,101 @@ object Analytics {
       |GROUP BY CUBE (lang, source)
       |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  /** q50 — linear interpolation over a sparse daily series: each store's
+    * observed daily net is gap-filled on the dense calendar by
+    * interpolating between the surrounding observations (edges extend
+    * flat). The continuous-value complement to the stock engine's
+    * step-function forward-fill (R5/R6): sensor/metric gap-fill where
+    * zero-order hold is wrong.
+    *
+    * Shape: TWO window passes over ONE (store) partitioning — a
+    * backward-looking `last(ignoreNulls)` for the previous observation
+    * and a forward-looking `first(ignoreNulls)` for the next — then a
+    * pure row-local formula; no joins, no explosion of the gap rows.
+    * The formula is written with IDENTICAL association in the oracle so
+    * the doubles are bit-equal.
+    */
+  def interpolateDailyNet(spark: SparkSession, dir: String): DataFrame =
+    interpolateFrom(
+      Tables.ledger(spark, dir)
+        .filter(!col("is_absolute"))
+        .groupBy(col("tienda_id"), to_date(col("fecha")).as("dia"))
+        .agg(sum(col("delta_cantidad")).as("net"))
+        .cache())
+
+  /** Parametric core over any sparse `(tienda_id, dia, net)` frame (the
+    * spec drives it with crafted gap patterns — the fixture's daily
+    * series happens to be dense).
+    */
+  def interpolateFrom(daily: DataFrame): DataFrame = {
+    val cal = daily.agg(min(col("dia")).as("d0"), max(col("dia")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("dia"))
+    val stores = daily.select(col("tienda_id")).distinct()
+    val grid = stores.crossJoin(broadcast(cal))
+      .join(daily, Seq("tienda_id", "dia"), "left")
+    val wb = Window.partitionBy(col("tienda_id")).orderBy(col("dia"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("tienda_id")).orderBy(col("dia"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .withColumn("pv", last(col("net"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(when(col("net").isNotNull, col("dia")), ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("net"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when(col("net").isNotNull, col("dia")), ignoreNulls = true).over(wf))
+      .withColumn("filled",
+        when(col("net").isNotNull, col("net").cast("double"))
+          .when(col("pv").isNull, col("nv").cast("double"))
+          .when(col("nv").isNull, col("pv").cast("double"))
+          .otherwise(col("pv").cast("double") +
+            (col("nv") - col("pv")).cast("double") *
+              (datediff(col("dia"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("double"))))
+      .withColumn("observed", col("net").isNotNull)
+      .select(col("tienda_id"), col("dia").cast("timestamp").as("dia"),
+        col("filled"), col("observed"))
+      .orderBy(col("tienda_id"), col("dia"))
+  }
+
+  val interpolateDailyNetSql: String =
+    s"""WITH ledger AS (${Tables.ledgerSql}),
+      |daily AS (
+      |  SELECT tienda_id, CAST(fecha AS DATE) AS dia,
+      |    CAST(sum(delta_cantidad) AS BIGINT) AS net
+      |  FROM ledger WHERE NOT is_absolute GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT CAST(unnest(generate_series(
+      |    (SELECT min(dia) FROM daily), (SELECT max(dia) FROM daily),
+      |    INTERVAL 1 DAY)) AS DATE) AS dia),
+      |grid AS (
+      |  SELECT s.tienda_id, c.dia, d.net
+      |  FROM (SELECT DISTINCT tienda_id FROM daily) s
+      |  CROSS JOIN cal c
+      |  LEFT JOIN daily d ON d.tienda_id = s.tienda_id AND d.dia = c.dia),
+      |w AS (
+      |  SELECT *,
+      |    last_value(net IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN net IS NOT NULL THEN dia END IGNORE NULLS)
+      |      OVER wb AS pd,
+      |    first_value(net IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN net IS NOT NULL THEN dia END IGNORE NULLS)
+      |      OVER wf AS nd
+      |  FROM grid
+      |  WINDOW wb AS (PARTITION BY tienda_id ORDER BY dia
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY tienda_id ORDER BY dia
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT tienda_id, CAST(dia AS TIMESTAMP) AS dia,
+      |  CASE WHEN net IS NOT NULL THEN CAST(net AS DOUBLE)
+      |       WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+      |       WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+      |       ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+      |         (CAST(datediff('day', pd, dia) AS DOUBLE) /
+      |           CAST(datediff('day', pd, nd) AS DOUBLE))
+      |  END AS filled,
+      |  net IS NOT NULL AS observed
+      |FROM w
+      |ORDER BY tienda_id, dia""".stripMargin
+
   /** q43 — long→wide pivot: events per (store, event_type) as one row per
     * store with a column per type. Written as conditional sums (the
     * portable / explicit-column form; Spark's `.pivot(col, values)` plans

@@ -65,6 +65,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(cells == total)
   }
 
+  test("linear interpolation: observed rows verbatim, gaps linear, edges flat") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // observations on days 3, 6, 7, 12 of a 1..15 calendar padded by a
+    // second store (fixes the calendar span and exercises edge extension)
+    def d(day: Int) = java.sql.Date.valueOf(f"2025-06-$day%02d")
+    val sparse = Seq(
+      (1, d(3), 30L), (1, d(6), 90L), (1, d(7), 10L), (1, d(12), 60L),
+      (2, d(1), 5L), (2, d(15), 5L)
+    ).toDF("tienda_id", "dia", "net")
+    val rows = Analytics.interpolateFrom(sparse)
+      .filter(col("tienda_id") === 1).orderBy(col("dia"))
+      .collect().map(r => (r.getTimestamp(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == 15)
+    assert(rows.exists(!_._3), "no gap days — spec would be vacuous")
+    val obs = rows.zipWithIndex.filter(_._1._3).map(_._2)
+    // before the first / after the last observation: flat extension
+    rows.take(obs.head).foreach { case (_, v, _) => assert(v == rows(obs.head)._2) }
+    rows.drop(obs.last + 1).foreach { case (_, v, _) => assert(v == rows(obs.last)._2) }
+    // inside each gap the values are linear between the bracketing points
+    obs.toSeq.sliding(2).filter(_.length == 2).foreach { case Seq(i, j) =>
+      val (vi, vj) = (rows(i)._2, rows(j)._2)
+      (i + 1 until j).foreach { k =>
+        val want = vi + (vj - vi) * ((k - i).toDouble / (j - i).toDouble)
+        assert(math.abs(rows(k)._2 - want) < 1e-9, s"gap row $k")
+      }
+    }
+  }
+
   test("rolling mean window is correct at series edges") {
     val rows = Analytics.rollingDailyNet(spark, dir)
       .filter(col("tienda_id") === 0).orderBy(col("dia"))
