@@ -96,4 +96,5 @@ object Graft {
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame = Sessions.tumblingCounts(spark, dir)
   def langSourceCube(spark: SparkSession, dir: String): DataFrame = Analytics.langSourceCube(spark, dir)
   def interpolateDailyNet(spark: SparkSession, dir: String): DataFrame = Analytics.interpolateDailyNet(spark, dir)
+  def fuzzyTitles(spark: SparkSession, dir: String): DataFrame = Dedup.fuzzyTitles(spark, dir)
 }

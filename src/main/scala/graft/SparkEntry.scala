@@ -66,7 +66,8 @@ object SparkEntry {
     "q47_doc_ranks" -> ((s, d) => Analytics.docRanks(s, d)),
     "q48_tumbling_counts" -> ((s, d) => Sessions.tumblingCounts(s, d)),
     "q49_lang_source_cube" -> ((s, d) => Analytics.langSourceCube(s, d)),
-    "q50_interp_daily_net" -> ((s, d) => Analytics.interpolateDailyNet(s, d))
+    "q50_interp_daily_net" -> ((s, d) => Analytics.interpolateDailyNet(s, d)),
+    "q51_fuzzy_titles" -> ((s, d) => Dedup.fuzzyTitles(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -120,6 +121,7 @@ object SparkEntry {
     "q47_doc_ranks" -> Analytics.docRanksSql,
     "q48_tumbling_counts" -> Sessions.tumblingCountsSql,
     "q49_lang_source_cube" -> Analytics.langSourceCubeSql,
-    "q50_interp_daily_net" -> Analytics.interpolateDailyNetSql
+    "q50_interp_daily_net" -> Analytics.interpolateDailyNetSql,
+    "q51_fuzzy_titles" -> Dedup.fuzzyTitlesSql
   )
 }

@@ -303,4 +303,45 @@ object Dedup {
       |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY da, db""".stripMargin
+
+  /** q51 — blocked edit-distance matching: document "titles" (normalized
+    * 24-char prefixes) within the same block are paired when their
+    * Levenshtein distance is ≤ 3. Blocking on (2-char prefix, length
+    * bucket) bounds the quadratic comparison to block-local pairs — the
+    * standard record-linkage shape: an O(n²·d²) metric is only ever
+    * evaluated inside blocks, never across the corpus, and the block key
+    * is a plain equi-join key (shuffle on it, AQE handles block skew).
+    * Both engines compute character-level Levenshtein.
+    */
+  def fuzzyTitles(spark: SparkSession, dir: String): DataFrame = {
+    val titled = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(lower(col("text")), 1, 24).as("title"))
+      .withColumn("blk_p", substring(col("title"), 1, 2))
+      .withColumn("blk_l", (length(col("title")) / 8).cast("int"))
+    val a = titled.select(col("doc_id").as("da"), col("title").as("ta"),
+      col("blk_p"), col("blk_l"))
+    val b = titled.select(col("doc_id").as("db"), col("title").as("tb"),
+      col("blk_p"), col("blk_l"))
+    a.join(b, Seq("blk_p", "blk_l"))
+      .filter(col("da") < col("db"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= 3)
+      .select(col("da"), col("db"), col("dist").cast("long").as("dist"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val fuzzyTitlesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substr(lower(text), 1, 24) AS title FROM documents),
+      |blk AS (
+      |  SELECT doc_id, title, substr(title, 1, 2) AS blk_p,
+      |    CAST(len(title) // 8 AS INTEGER) AS blk_l
+      |  FROM t)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+      |FROM blk a JOIN blk b
+      |  ON a.blk_p = b.blk_p AND a.blk_l = b.blk_l AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.title, b.title) <= 3
+      |ORDER BY da, db""".stripMargin
 }
