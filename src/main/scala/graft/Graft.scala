@@ -97,4 +97,6 @@ object Graft {
   def langSourceCube(spark: SparkSession, dir: String): DataFrame = Analytics.langSourceCube(spark, dir)
   def interpolateDailyNet(spark: SparkSession, dir: String): DataFrame = Analytics.interpolateDailyNet(spark, dir)
   def fuzzyTitles(spark: SparkSession, dir: String): DataFrame = Dedup.fuzzyTitles(spark, dir)
+  def setOpCohorts(spark: SparkSession, dir: String): DataFrame = Sessions.setOpCohorts(spark, dir)
+  def stockIntervals(spark: SparkSession, dir: String): DataFrame = Stock.stockIntervals(spark, dir)
 }

@@ -67,7 +67,10 @@ object SparkEntry {
     "q48_tumbling_counts" -> ((s, d) => Sessions.tumblingCounts(s, d)),
     "q49_lang_source_cube" -> ((s, d) => Analytics.langSourceCube(s, d)),
     "q50_interp_daily_net" -> ((s, d) => Analytics.interpolateDailyNet(s, d)),
-    "q51_fuzzy_titles" -> ((s, d) => Dedup.fuzzyTitles(s, d))
+    "q51_fuzzy_titles" -> ((s, d) => Dedup.fuzzyTitles(s, d)),
+    "q52_setop_cohorts" -> ((s, d) => Sessions.setOpCohorts(s, d)),
+    "q53_sql_exists" -> ((s, d) => Sessions.sqlExistsErrors(s, d)),
+    "q54_stock_intervals" -> ((s, d) => Stock.stockIntervals(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -122,6 +125,9 @@ object SparkEntry {
     "q48_tumbling_counts" -> Sessions.tumblingCountsSql,
     "q49_lang_source_cube" -> Analytics.langSourceCubeSql,
     "q50_interp_daily_net" -> Analytics.interpolateDailyNetSql,
-    "q51_fuzzy_titles" -> Dedup.fuzzyTitlesSql
+    "q51_fuzzy_titles" -> Dedup.fuzzyTitlesSql,
+    "q52_setop_cohorts" -> Sessions.setOpCohortsSql,
+    "q53_sql_exists" -> Sessions.sqlExistsErrorsSql,
+    "q54_stock_intervals" -> Stock.stockIntervalsSql
   )
 }

@@ -126,4 +126,58 @@ object Sessions {
       |FROM events
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, event_type""".stripMargin
+
+  /** q52 — set-operation cohorts: users who both clicked AND purchased
+    * (INTERSECT) vs users who clicked but never purchased (EXCEPT),
+    * tagged and unioned. Spark plans both as aggregated semi/anti joins
+    * under the hood (Left Semi/Anti after distinct) — the set-op surface
+    * the reference never needed (SURVEY §2.6) but a complete relational
+    * layer must offer.
+    */
+  def setOpCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val both = users("click").intersect(users("purchase"))
+      .withColumn("cohort", lit("click_and_purchase"))
+    val only = users("click").except(users("purchase"))
+      .withColumn("cohort", lit("click_only"))
+    both.unionByName(only)
+      .select(col("cohort"), col("user_id"))
+      .orderBy(col("cohort"), col("user_id"))
+  }
+
+  val setOpCohortsSql: String =
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |bothu AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM p),
+      |onlyu AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+      |SELECT 'click_and_purchase' AS cohort, user_id FROM bothu
+      |UNION ALL
+      |SELECT 'click_only' AS cohort, user_id FROM onlyu
+      |ORDER BY cohort, user_id""".stripMargin
+
+  /** q53 — the SQL-string front door: the same ANSI text runs on
+    * spark.sql and the oracle. A correlated EXISTS with an inequality
+    * (errors preceded by a click of the same user) exercises Catalyst's
+    * `RewritePredicateSubquery` — the subquery decorrelates to a left
+    * semi join, identical to the hand-written J6 shape in q09, with no
+    * DataFrame code. Demonstrates that pure-SQL users get the same
+    * plans (and the GraftExtensions functions) as the DataFrame API.
+    */
+  def sqlExistsErrors(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_v")
+    spark.sql(sqlExistsErrorsText("events_v"))
+  }
+
+  private def sqlExistsErrorsText(table: String): String =
+    s"""SELECT e.event_id, e.user_id, e.ts
+      |FROM $table e
+      |WHERE e.event_type = 'error' AND EXISTS (
+      |  SELECT 1 FROM $table c
+      |  WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      |    AND c.ts <= e.ts)
+      |ORDER BY e.event_id""".stripMargin
+
+  val sqlExistsErrorsSql: String = sqlExistsErrorsText("events")
 }

@@ -282,6 +282,44 @@ object Stock {
       .orderBy(col("store_id"), col("art_id"))
   }
 
+  /** q54 — SCD2 validity intervals from the change-point series: each
+    * stock point's value is valid over [point_date, next point_date), the
+    * latest point per key is open-ended (`valid_to` null, `is_current`).
+    * One `lead` over the same (store, SKU) partitioning the series
+    * already has — the standard warehouse "type-2 dimension" read shape,
+    * derived on demand instead of stored (storing both is redundant: the
+    * interval IS the next change point).
+    */
+  def stockIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("store_id"), col("art_id"))
+      .orderBy(col("point_date"))
+    stockPoints(spark, dir)
+      .withColumn("valid_to", lead(col("point_date"), 1).over(w))
+      .select(col("store_id"), col("art_id"),
+        col("point_date").as("valid_from"), col("valid_to"),
+        col("sod_stock"), col("valid_to").isNull.as("is_current"))
+      .orderBy(col("store_id"), col("art_id"), col("valid_from"))
+  }
+
+  val stockIntervalsSql: String =
+    s"""WITH $denseSodCte,
+      |cp AS (
+      |  SELECT *, lag(sod) OVER (
+      |    PARTITION BY tienda_id, art_id ORDER BY d) AS prev_sod
+      |  FROM sodt),
+      |points AS (
+      |  SELECT tienda_id AS store_id, art_id,
+      |    CAST(d AS TIMESTAMP) AS point_date, sod AS sod_stock
+      |  FROM cp WHERE sod != COALESCE(prev_sod, 0))
+      |SELECT store_id, art_id, point_date AS valid_from,
+      |  lead(point_date) OVER (PARTITION BY store_id, art_id
+      |                         ORDER BY point_date) AS valid_to,
+      |  sod_stock,
+      |  lead(point_date) OVER (PARTITION BY store_id, art_id
+      |                         ORDER BY point_date) IS NULL AS is_current
+      |FROM points
+      |ORDER BY store_id, art_id, valid_from""".stripMargin
+
   val asOfLookupSql: String =
     s"""WITH $denseSodCte,
       |cp AS (
