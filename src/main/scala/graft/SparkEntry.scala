@@ -70,7 +70,8 @@ object SparkEntry {
     "q51_fuzzy_titles" -> ((s, d) => Dedup.fuzzyTitles(s, d)),
     "q52_setop_cohorts" -> ((s, d) => Sessions.setOpCohorts(s, d)),
     "q53_sql_exists" -> ((s, d) => Sessions.sqlExistsErrors(s, d)),
-    "q54_stock_intervals" -> ((s, d) => Stock.stockIntervals(s, d))
+    "q54_stock_intervals" -> ((s, d) => Stock.stockIntervals(s, d)),
+    "q55_quantiles_cont" -> ((s, d) => Analytics.tokenQuantilesCont(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -128,6 +129,7 @@ object SparkEntry {
     "q51_fuzzy_titles" -> Dedup.fuzzyTitlesSql,
     "q52_setop_cohorts" -> Sessions.setOpCohortsSql,
     "q53_sql_exists" -> Sessions.sqlExistsErrorsSql,
-    "q54_stock_intervals" -> Stock.stockIntervalsSql
+    "q54_stock_intervals" -> Stock.stockIntervalsSql,
+    "q55_quantiles_cont" -> Analytics.tokenQuantilesContSql
   )
 }

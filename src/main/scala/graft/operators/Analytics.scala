@@ -53,6 +53,35 @@ object Analytics {
       |  CAST(max(n) AS BIGINT) AS n_docs
       |FROM ranked GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
 
+  /** q55 — INTERPOLATED grouped quantiles (percentile_cont semantics):
+    * the continuous complement of q41's rank-based discrete quantiles.
+    * Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    * ANSI linear-interpolation formula (v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1]−v[⌊h⌋])
+    * at h = (n−1)q) with identical double arithmetic — probed bit-equal
+    * on this data, so no rounding is needed. Buffers each group's values
+    * like any exact quantile; the sketch path (approx_percentile /
+    * t-digest) is the documented 100 TB fallback when groups outgrow
+    * executor memory.
+    */
+  def tokenQuantilesCont(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang").asc_nulls_first)
+
+  val tokenQuantilesContSql: String =
+    """SELECT lang,
+      |  quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.9) AS p90,
+      |  quantile_cont(n_chars, 0.99) AS p99,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY lang
+      |ORDER BY lang ASC NULLS FIRST""".stripMargin
+
   /** q42 — hierarchical ROLLUP over (lang, source): doc counts and total
     * chars at every aggregation level, subtotal rows marked by nulls.
     * Spark's `rollup` plans ONE Expand + hash-agg pass (not one scan per
