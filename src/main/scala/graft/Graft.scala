@@ -99,4 +99,6 @@ object Graft {
   def fuzzyTitles(spark: SparkSession, dir: String): DataFrame = Dedup.fuzzyTitles(spark, dir)
   def setOpCohorts(spark: SparkSession, dir: String): DataFrame = Sessions.setOpCohorts(spark, dir)
   def stockIntervals(spark: SparkSession, dir: String): DataFrame = Stock.stockIntervals(spark, dir)
+  def charHistogram(spark: SparkSession, dir: String): DataFrame = Analytics.charHistogram(spark, dir)
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = Sessions.intervalJoin(spark, dir)
 }

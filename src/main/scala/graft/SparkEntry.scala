@@ -71,7 +71,9 @@ object SparkEntry {
     "q52_setop_cohorts" -> ((s, d) => Sessions.setOpCohorts(s, d)),
     "q53_sql_exists" -> ((s, d) => Sessions.sqlExistsErrors(s, d)),
     "q54_stock_intervals" -> ((s, d) => Stock.stockIntervals(s, d)),
-    "q55_quantiles_cont" -> ((s, d) => Analytics.tokenQuantilesCont(s, d))
+    "q55_quantiles_cont" -> ((s, d) => Analytics.tokenQuantilesCont(s, d)),
+    "q56_char_histogram" -> ((s, d) => Analytics.charHistogram(s, d)),
+    "q57_interval_join" -> ((s, d) => Sessions.intervalJoin(s, d))
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables). */
@@ -130,6 +132,8 @@ object SparkEntry {
     "q52_setop_cohorts" -> Sessions.setOpCohortsSql,
     "q53_sql_exists" -> Sessions.sqlExistsErrorsSql,
     "q54_stock_intervals" -> Stock.stockIntervalsSql,
-    "q55_quantiles_cont" -> Analytics.tokenQuantilesContSql
+    "q55_quantiles_cont" -> Analytics.tokenQuantilesContSql,
+    "q56_char_histogram" -> Analytics.charHistogramSql,
+    "q57_interval_join" -> Sessions.intervalJoinSql
   )
 }

@@ -82,6 +82,43 @@ object Analytics {
       |FROM documents GROUP BY lang
       |ORDER BY lang ASC NULLS FIRST""".stripMargin
 
+  /** q56 — equal-width histogram of document length: explicit
+    * floor((x−lo)/width) binning written identically in both engines
+    * (width_bucket is not portable; the explicit formula is, and it is
+    * what width_bucket computes). Bin bounds come from a scalar
+    * pre-aggregation broadcast into the binning pass — two scans, no
+    * join; the 100 TB shape is the same two passes (or a fixed domain
+    * making it one).
+    */
+  def charHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(
+      min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    val nBins = 10
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(
+          floor((col("n_chars") - col("lo")).cast("double") /
+            ((col("hi") - col("lo") + 1).cast("double") / nBins)).cast("long"),
+          lit((nBins - 1).toLong)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("bin_min"), max(col("n_chars")).as("bin_max"))
+      .orderBy(col("bin"))
+  }
+
+  val charHistogramSql: String =
+    """WITH bounds AS (
+      |  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+      |binned AS (
+      |  SELECT n_chars,
+      |    least(CAST(floor(CAST(n_chars - lo AS DOUBLE) /
+      |      (CAST(hi - lo + 1 AS DOUBLE) / 10)) AS BIGINT), 9) AS bin
+      |  FROM documents CROSS JOIN bounds)
+      |SELECT bin, count(*) AS n_docs,
+      |  min(n_chars) AS bin_min, max(n_chars) AS bin_max
+      |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
   /** q42 — hierarchical ROLLUP over (lang, source): doc counts and total
     * chars at every aggregation level, subtotal rows marked by nulls.
     * Spark's `rollup` plans ONE Expand + hash-agg pass (not one scan per

@@ -48,8 +48,11 @@ object Sessions {
       .orderBy(col("user_id"), col("session_no"))
   }
 
-  val sessionizeSql: String =
-    s"""WITH lagged AS (
+  /** The sessionization CTE chain up to per-event `session_no` — shared
+    * with the q57 interval-join oracle.
+    */
+  val sessionizeCtes: String =
+    s"""lagged AS (
       |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |  FROM events),
       |flagged AS (
@@ -59,7 +62,10 @@ object Sessions {
       |numbered AS (
       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-      |  FROM flagged)
+      |  FROM flagged)""".stripMargin
+
+  val sessionizeSql: String =
+    s"""WITH $sessionizeCtes
       |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
       |  min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events,
@@ -180,4 +186,41 @@ object Sessions {
       |ORDER BY e.event_id""".stripMargin
 
   val sqlExistsErrorsSql: String = sqlExistsErrorsText("events")
+
+  /** q57 — interval-containment join, composed from the engine's own
+    * generic as-of operator: every `error` event is assigned the session
+    * whose [session_start, session_end] contains it. The scalable plan
+    * is NOT a range join (`ts BETWEEN start AND end` explodes to
+    * O(|events|·|sessions|) per user before filtering): backward as-of
+    * on session_start (one shuffle+sort, AsOf.joinBackward) picks the
+    * only candidate interval per event, then a row-local `ts <= end`
+    * filter keeps true containments. The oracle IS the naive BETWEEN
+    * join — proving plan and semantics coincide.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(spark, dir)
+      .select(col("user_id"), col("session_start").as("ts"),
+        col("session_no"), col("session_end"))
+    val errors = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOf.joinBackward(errors, sessions, Seq("user_id"), "ts",
+        Seq("session_no", "session_end"))
+      .filter(col("ts") <= col("session_end"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_no"))
+      .orderBy(col("event_id"))
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH $sessionizeCtes,
+      |sessions AS (
+      |  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |    min(ts) AS session_start, max(ts) AS session_end
+      |  FROM numbered GROUP BY user_id, session_no)
+      |SELECT e.event_id, e.user_id, e.ts, s.session_no
+      |FROM events e JOIN sessions s
+      |  ON e.user_id = s.user_id
+      |  AND e.ts BETWEEN s.session_start AND s.session_end
+      |WHERE e.event_type = 'error'
+      |ORDER BY e.event_id""".stripMargin
 }
