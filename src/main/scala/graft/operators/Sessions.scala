@@ -211,6 +211,32 @@ object Sessions {
       .orderBy(col("event_id"))
   }
 
+  /** q58 — boolean/conditional aggregate suite per user: `any`/`every`
+    * (ANSI bool_or/bool_and), count_if, and a conditional distinct count.
+    * Booleans aggregate exactly (no float drift), and every one of these
+    * is a plain hash-agg with map-side partials.
+    */
+  def userFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        expr("bool_or(event_type = 'purchase')").as("any_purchase"),
+        expr("bool_and(value IS NOT NULL)").as("every_valued"),
+        count(when(col("value") > 100.0, lit(1))).as("n_high_value"),
+        countDistinct(when(col("event_type") === "click", to_date(col("ts"))))
+          .as("n_click_days"))
+      .orderBy(col("user_id"))
+
+  val userFlagsSql: String =
+    """SELECT user_id,
+      |  bool_or(event_type = 'purchase') AS any_purchase,
+      |  bool_and(value IS NOT NULL) AS every_valued,
+      |  count(CASE WHEN value > 100.0 THEN 1 END) AS n_high_value,
+      |  count(DISTINCT CASE WHEN event_type = 'click'
+      |                      THEN CAST(ts AS DATE) END) AS n_click_days
+      |FROM events
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val intervalJoinSql: String =
     s"""WITH $sessionizeCtes,
       |sessions AS (
