@@ -101,4 +101,7 @@ object Graft {
   def stockIntervals(spark: SparkSession, dir: String): DataFrame = Stock.stockIntervals(spark, dir)
   def charHistogram(spark: SparkSession, dir: String): DataFrame = Analytics.charHistogram(spark, dir)
   def intervalJoin(spark: SparkSession, dir: String): DataFrame = Sessions.intervalJoin(spark, dir)
+  def quantilesCont(spark: SparkSession, dir: String): DataFrame = Analytics.tokenQuantilesCont(spark, dir)
+  def userFlags(spark: SparkSession, dir: String): DataFrame = Sessions.userFlags(spark, dir)
+  def sqlExists(spark: SparkSession, dir: String): DataFrame = Sessions.sqlExistsErrors(spark, dir)
 }

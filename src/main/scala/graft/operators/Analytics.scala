@@ -91,7 +91,10 @@ object Analytics {
     * making it one).
     */
   def charHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // null lengths are EXCLUDED explicitly: null-skipping least(NULL, 9)
+    // would otherwise silently drop them into the top bin in BOTH
+    // engines (agreeing on the wrong answer, invisible to the oracle)
+    val docs = Tables.documents(spark, dir).filter(col("n_chars").isNotNull)
     val bounds = docs.agg(
       min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
     val nBins = 10
@@ -108,13 +111,13 @@ object Analytics {
   }
 
   val charHistogramSql: String =
-    """WITH bounds AS (
-      |  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+    """WITH docs AS (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL),
+      |bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM docs),
       |binned AS (
       |  SELECT n_chars,
       |    least(CAST(floor(CAST(n_chars - lo AS DOUBLE) /
       |      (CAST(hi - lo + 1 AS DOUBLE) / 10)) AS BIGINT), 9) AS bin
-      |  FROM documents CROSS JOIN bounds)
+      |  FROM docs CROSS JOIN bounds)
       |SELECT bin, count(*) AS n_docs,
       |  min(n_chars) AS bin_min, max(n_chars) AS bin_max
       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin

@@ -311,12 +311,17 @@ object Dedup {
     * standard record-linkage shape: an O(n²·d²) metric is only ever
     * evaluated inside blocks, never across the corpus, and the block key
     * is a plain equi-join key (shuffle on it, AQE handles block skew).
-    * Both engines compute character-level Levenshtein.
+    *
+    * Portability: Spark's levenshtein counts CHARACTERS, DuckDB's counts
+    * BYTES (probed: levenshtein('é','e') = 1 vs 2), so the title is
+    * projected to printable ASCII first — after that, bytes ≡ chars and
+    * the engines agree by construction, not by fixture accident.
     */
   def fuzzyTitles(spark: SparkSession, dir: String): DataFrame = {
     val titled = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        substring(lower(col("text")), 1, 24).as("title"))
+        substring(regexp_replace(lower(col("text")), "[^ -~]", ""), 1, 24)
+          .as("title"))
       .withColumn("blk_p", substring(col("title"), 1, 2))
       .withColumn("blk_l", (length(col("title")) / 8).cast("int"))
     val a = titled.select(col("doc_id").as("da"), col("title").as("ta"),
@@ -333,7 +338,9 @@ object Dedup {
 
   val fuzzyTitlesSql: String =
     """WITH t AS (
-      |  SELECT doc_id, substr(lower(text), 1, 24) AS title FROM documents),
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(text), '[^ -~]', '', 'g'), 1, 24) AS title
+      |  FROM documents),
       |blk AS (
       |  SELECT doc_id, title, substr(title, 1, 2) AS blk_p,
       |    CAST(len(title) // 8 AS INTEGER) AS blk_l

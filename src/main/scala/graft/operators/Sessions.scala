@@ -142,11 +142,16 @@ object Sessions {
     */
   def setOpCohorts(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+    // cached: each set feeds BOTH the intersect and the except — Spark
+    // plans union/join children independently, so uncached each distinct
+    // lineage (scan + shuffle) would run twice
     def users(t: String) =
-      ev.filter(col("event_type") === t).select(col("user_id")).distinct()
-    val both = users("click").intersect(users("purchase"))
+      ev.filter(col("event_type") === t).select(col("user_id")).distinct().cache()
+    val clicks = users("click")
+    val purchases = users("purchase")
+    val both = clicks.intersect(purchases)
       .withColumn("cohort", lit("click_and_purchase"))
-    val only = users("click").except(users("purchase"))
+    val only = clicks.except(purchases)
       .withColumn("cohort", lit("click_only"))
     both.unionByName(only)
       .select(col("cohort"), col("user_id"))
