@@ -242,6 +242,38 @@ object Sessions {
       |FROM events
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q59 — RANGE-frame window: for every event, the count and exact
+    * integer sum over the user's trailing 24 hours — a VALUE-based frame
+    * (all rows within the interval), not a row-count frame like q44's
+    * moving average. Physically a different window mode: the frame
+    * boundary slides by ordering VALUE, handling duplicate timestamps
+    * correctly (peers enter/leave together). Ordering is epoch seconds
+    * in both engines so the numeric range bound is portable.
+    */
+  def trailing24h(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-86399L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_floor_24h",
+        sum(floor(col("value")).cast("long")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("n_24h"), col("sum_floor_24h"))
+      .orderBy(col("event_id"))
+  }
+
+  val trailing24hSql: String =
+    """WITH e AS (
+      |  SELECT *, CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+      |SELECT event_id, user_id, ts,
+      |  count(*) OVER w AS n_24h,
+      |  CAST(sum(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS sum_floor_24h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+      |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val intervalJoinSql: String =
     s"""WITH $sessionizeCtes,
       |sessions AS (
