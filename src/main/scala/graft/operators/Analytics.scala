@@ -122,6 +122,40 @@ object Analytics {
       |  min(n_chars) AS bin_min, max(n_chars) AS bin_max
       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** q60 — grouped top-k WITH ties: each store's top-3 SKUs by absolute
+    * movement volume, keeping every SKU tied at the boundary
+    * (dense_rank ≤ 3). Tie-preserving top-k is the deterministic form —
+    * a row_number cut would pick an arbitrary tied SKU and an engine
+    * comparison (or a re-run on re-partitioned data) could legitimately
+    * differ; dense_rank makes the result a well-defined SET. Plan: one
+    * hash-agg then one window over the (store) partitioning.
+    */
+  def topSkusWithTies(spark: SparkSession, dir: String): DataFrame = {
+    val vol = Tables.ledger(spark, dir)
+      .filter(!col("is_absolute"))
+      .groupBy(col("tienda_id"), col("art_id"))
+      .agg(sum(abs(col("delta_cantidad"))).as("volume"))
+    val w = Window.partitionBy(col("tienda_id")).orderBy(col("volume").desc)
+    vol.withColumn("rnk", dense_rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("tienda_id"), col("art_id"), col("volume"), col("rnk"))
+      .orderBy(col("tienda_id"), col("rnk"), col("art_id"))
+  }
+
+  val topSkusWithTiesSql: String =
+    s"""WITH ledger AS (${Tables.ledgerSql}),
+      |vol AS (
+      |  SELECT tienda_id, art_id,
+      |    CAST(sum(abs(delta_cantidad)) AS BIGINT) AS volume
+      |  FROM ledger WHERE NOT is_absolute GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, CAST(dense_rank() OVER (
+      |    PARTITION BY tienda_id ORDER BY volume DESC) AS BIGINT) AS rnk
+      |  FROM vol)
+      |SELECT tienda_id, art_id, volume, rnk
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY tienda_id, rnk, art_id""".stripMargin
+
   /** q42 — hierarchical ROLLUP over (lang, source): doc counts and total
     * chars at every aggregation level, subtotal rows marked by nulls.
     * Spark's `rollup` plans ONE Expand + hash-agg pass (not one scan per
