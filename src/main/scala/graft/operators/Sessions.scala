@@ -265,7 +265,12 @@ object Sessions {
 
   val trailing24hSql: String =
     """WITH e AS (
-      |  SELECT *, CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+      |  -- FLOOR before the cast: epoch(ts) is a DOUBLE with fractional
+      |  -- seconds and DuckDB CAST(double AS BIGINT) ROUNDS, while Spark's
+      |  -- unix_timestamp truncates — a half-second event would otherwise
+      |  -- land one second later and shift the frame boundary (bit us at
+      |  -- sf0.1 only)
+      |  SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
       |SELECT event_id, user_id, ts,
       |  count(*) OVER w AS n_24h,
       |  CAST(sum(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS sum_floor_24h
