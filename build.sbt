@@ -27,8 +27,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: 24g measured as the stable point at sf0.1 — 8g thrashes old-gen
+// GC once the cross-query cache web fills (multi-second pauses that
+// landed on arbitrary queries in BENCH_r02), while very large heaps
+// (100g probed) go the other way: rare young collections delay
+// reference-queue cleanup and evacuation pauses stretch. -Xms pinned to
+// -Xmx so heap growth never stalls a measured query.
+val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$heap", s"-Xms$heap",
 )

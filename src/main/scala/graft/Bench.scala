@@ -1,12 +1,47 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line with per-query seconds.
+  *
+  * Attribution contract (so per-query numbers are trustworthy):
+  *
+  *  - Shared cross-query caches (the shingle index feeding q19/q21/q22/
+  *    q35/q40, the union ledger feeding q08-q10, the simhash signatures
+  *    feeding q23/q24/q45, the legacy agg feeding q02-q04, the stock
+  *    points feeding q13/q14) are built BEFORE the timed loop and billed
+  *    to their own `cache_build` map — a query's number is the marginal
+  *    cost of that query, not whichever query alphabetically first
+  *    touched a shared intermediate. The cache-build total is still part
+  *    of the headline `value` (it is real work, just attributed honestly).
+  *
+  *  - Queries are materialized via `queryExecution.toRdd.count()`: a
+  *    DataFrame `count()` lets Catalyst prune the presentation sort and
+  *    final project that Verify actually hashes, undercounting them; the
+  *    executed-plan RDD runs the exact physical plan — sort, project and
+  *    all — without collecting rows to the driver.
+  *
+  *  - Hash tier: Bench times the production xxhash64 mode (the
+  *    TextFns.hashMode default); Verify pins md5 for DuckDB oracle
+  *    parity. The plans are identical apart from the hash expression —
+  *    the mode is recorded in the output line.
+  */
 object Bench {
+
+  /** Execute the full physical plan (incl. presentation sort) without
+    * driver-side collection.
+    */
+  private def materialize(df: DataFrame): Unit = {
+    df.queryExecution.toRdd.count(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,11 +56,27 @@ object Bench {
     // it through the loader that sets nanosAsLong (it feeds the ledger too)
     try Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
-    try graft.operators.Stock.dailyNet(spark, sfDir).count()
+    try materialize(graft.operators.Stock.dailyNet(spark, sfDir))
     catch { case _: Throwable => () }
+
+    // Shared-cache builds, timed individually (see attribution contract).
+    // count() on the to-be-cached frame materializes the whole
+    // InMemoryRelation (cache storage is plan-wide, not column-pruned).
+    val sharedCaches: Seq[(String, () => DataFrame)] = Seq(
+      "legacy_agg"    -> (() => operators.Sales.legacyAggDecimal(spark, sfDir)),
+      "union_ledger"  -> (() => operators.Ledger.unionLedger(spark, sfDir)),
+      "stock_points"  -> (() => operators.Stock.stockPoints(spark, sfDir)),
+      "shingle_index" -> (() => operators.Dedup.shingleIndex(spark, sfDir)),
+      "simhash_sig"   -> (() => operators.Dedup.simhashSig(spark, sfDir)))
+    val cacheTimes = sharedCaches.map { case (name, build) =>
+      val t0 = System.nanoTime()
+      try build().count() catch { case _: Throwable => () }
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { materialize(fn(spark, sfDir)); true }
                catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
@@ -33,8 +84,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val cb = cacheTimes.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cacheTotal = cacheTimes.map(_._2).sum
+    val total = results.map(_._2).sum + cacheTotal
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cb,"cache_build_total":$cacheTotal,"hash_mode":"${graft.functions.TextFns.hashMode}","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Oracle parity: the oracle SQL is written in md5-hash form, so the
+    // correctness dump must run the md5 hash tier. Production (and Bench)
+    // default to the xxhash64 tier — see TextFns.hashMode.
+    System.setProperty("graft.hashMode", "md5")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

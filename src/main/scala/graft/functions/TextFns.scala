@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * (embedded in the operators' oracle SQL), so results hash-match across
   * engines. The two non-obvious shared primitives:
   *
-  *   - [[hash60]]: a deterministic 60-bit string hash via md5 — md5 hex is
-  *     identical in Spark and DuckDB, and 15 hex chars (60 bits) fit a
-  *     signed 64-bit int in both (`conv(_,16,10)` here,
-  *     `CAST('0x'||… AS BIGINT)` there). Murmur/xxhash would be faster but
-  *     are engine-specific.
+  *   - [[hash60]]: a deterministic 60-bit string hash with two tiers
+  *     (see [[hashMode]]): xxhash64 for production (native, engine-
+  *     specific) and md5 for oracle parity — md5 hex is identical in
+  *     Spark and DuckDB, and 15 hex chars (60 bits) fit a signed 64-bit
+  *     int in both (`conv(_,16,10)` here, `CAST('0x'||… AS BIGINT)`
+  *     there).
   *   - double arithmetic is written with an explicit left-to-right fold
   *     order in BOTH engines, so sums are bit-identical and no fuzzy
   *     compare is needed.
@@ -33,11 +34,42 @@ object TextFns {
   def toks(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
-  /** 60-bit non-negative hash of a string: first 15 hex chars of md5.
-    * DuckDB twin: `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`.
+  /** Hash-tier mode. The shingle/token hash is the hottest expression of
+    * the whole corpus tier at 100 TB (one eval per shingle OCCURRENCE), so
+    * it is pluggable:
+    *
+    *   - `"xxhash64"` (production default): native codegen'd XXH64 —
+    *     no digest allocation, no hex/string round-trip; ~10× cheaper
+    *     than the md5 tier per eval.
+    *   - `"md5"` (oracle parity): bit-portable to DuckDB, pinned by
+    *     [[graft.Verify]] so driver-side hashes match the oracle SQL
+    *     (which is always written in md5 form).
+    *
+    * Everything STRUCTURAL about the operators — dedup groups, shingle
+    * equality, LSH banding, bucket joins, split assignment — is
+    * hash-agnostic (equality of hashes ≡ equality of inputs modulo
+    * collision, for either tier); only reported hash VALUES and the
+    * probabilistic recall of LSH candidate generation depend on the mode.
+    * Differential-tested in HashModeSpec.
     */
+  def hashMode: String = sys.props.getOrElse("graft.hashMode", "xxhash64")
+
+  /** 60-bit non-negative hash of a string in the current [[hashMode]]. */
   def hash60(s: Column): Column =
+    if (hashMode == "md5") hash60Md5(s) else hash60Xx(s)
+
+  /** md5 tier: first 15 hex chars of md5 — bit-identical in Spark and
+    * DuckDB. Twin: `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`.
+    */
+  def hash60Md5(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** xxhash64 tier: native codegen'd XXH64 folded to the same
+    * non-negative 60-bit range as the md5 tier (unsigned shift keeps the
+    * sign bit out, so `% P` reductions downstream stay non-negative).
+    */
+  def hash60Xx(s: Column): Column =
+    shiftrightunsigned(xxhash64(s), 4)
 
   /** Word 3-gram shingles over a token array (distinct). Docs with <3
     * tokens degrade to one whole-doc shingle. DuckDB twin uses

@@ -48,7 +48,7 @@ object Dedup {
     * at real corpus scale this would be a persisted intermediate table,
     * which is exactly what production minhash pipelines do.
     */
-  private[operators] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(spark, dir))
       // tokenize in its own projection BELOW the generator: Catalyst keeps
       // it there, so the regex split runs once per doc, not once per shingle
@@ -220,7 +220,7 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashSig(spark, dir).orderBy(col("doc_id"))
 
-  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashSig(spark: SparkSession, dir: String): DataFrame = {
     val votes = (0 until 32).map(b =>
       sum((shiftright(col("h"), b).bitwiseAND(lit(1L))) * 2 - 1).as(s"v$b"))
     Tables.spread(Tables.documents(spark, dir))

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * itself goes exponential long before any data does; checkpointing
   * truncates lineage to one round (a cluster deployment would use
   * `checkpoint` against reliable storage instead). The convergence count
-  * reads the checkpointed data (no recompute). The edge list shuffles
-  * once (distinct) and is reused every round.
+  * is folded into the checkpoint job via an accumulator — one job per
+  * round. The edge list shuffles once (distinct) and is reused every
+  * round.
   */
 object Graph {
 
@@ -47,13 +48,17 @@ object Graph {
       .select(col("ed.a").as("a"), col("ed.b").as("b"))
       .distinct()
       .cache()
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    val t00 = System.nanoTime()
     var labels = e.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
+    if (dbg) println(f"cc init ${(System.nanoTime() - t00) / 1e9}%.2f s")
     try {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIters) {
+        val tr = System.nanoTime()
         // candidate labels: own label ∪ every in-neighbor's label. The own
         // row is tagged so the SAME aggregation yields both the new label
         // and the previous one — the convergence count is then a narrow
@@ -78,16 +83,27 @@ object Graph {
         // join always hits; left+coalesce guards the invariant anyway.
         val lookup = minNbr
           .select(col("node").as("l_node"), col("component").as("l_comp"))
-        val next = minNbr
+        val newComp = coalesce(col("l_comp"), col("component"))
+        val jumped = minNbr
           .join(lookup, minNbr("component") === lookup("l_node"), "left")
-          .select(col("node"),
-            coalesce(col("l_comp"), col("component")).as("component"),
-            col("prev"))
-          .localCheckpoint()
+          .select(col("node"), newComp.as("component"),
+            // min-propagation is monotone: a change is a strict decrease
+            (newComp < col("prev")).as("chg"))
+        // Convergence count folded into the checkpoint job: tasks bump an
+        // accumulator while the round materializes, so each round is ONE
+        // job instead of checkpoint + a second count() pass (driver-side
+        // scheduler latency halves — the per-round cost at local scale).
+        // A retried task can only over-count a round that already changed;
+        // an exactly-zero (terminating) round has nothing to add, so the
+        // fixpoint test is exact.
+        val acc = edges.sparkSession.sparkContext.longAccumulator(s"cc_changed_$iter")
+        val next = jumped.mapPartitions { rows =>
+          rows.map { r => if (!r.isNullAt(2) && r.getBoolean(2)) acc.add(1L); r }
+        }(org.apache.spark.sql.Encoders.row(jumped.schema))
+          .localCheckpoint() // eager: runs the round's job, filling `acc`
         minNbr.unpersist()
-        // min-propagation is monotone: a change is always a strict decrease
-        changed = next.filter(col("component") < col("prev")).count()
-        if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"cc round $iter changed=$changed")
+        changed = acc.value
+        if (dbg) println(f"cc round $iter changed=$changed ${(System.nanoTime() - tr) / 1e9}%.2f s")
         labels = next.select(col("node"), col("component"))
         iter += 1
       }

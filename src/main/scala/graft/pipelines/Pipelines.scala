@@ -49,6 +49,38 @@ object SalesPipeline {
     incoming.unpersist()
     n
   }
+
+  /** Per-store scoped cold start — the reference's seed_new_store.py:19-34:
+    * ONE source (= one store's database) is extracted over its own window,
+    * merged into the shared clean table, and only THAT store's watermark
+    * row is advanced (`etl_progress ... WHERE store_name = :store`).
+    *
+    * `scope` role-plays the per-store source database (the harness
+    * fixture is a single source; production passes the store's
+    * [[graft.sources.Jdbc.Source]] scan — see Jdbc.readMultiDb for where
+    * the store literal is stamped at extract time). Rows of other stores
+    * are untouched: the merge is the keyed last-wins upsert, and store
+    * scopes are key-disjoint. Re-running is idempotent (watermark +
+    * last-wins upsert), and later incremental runs with the same
+    * (store, scope) resume from the store's own checkpoint.
+    */
+  def seedNewStore(wh: Warehouse, srcDir: String, store: String,
+                   scope: DataFrame => DataFrame,
+                   upToId: Option[Long] = None): Long = {
+    val cpName = s"sales_last_ven_id__$store"
+    val cp = wh.checkpoint(cpName).getOrElse(Long.MinValue)
+    val incoming = scope(source(wh.spark, srcDir, upToId))
+      .filter(col("ven_id") > cp)
+      .cache()
+    val n = incoming.count()
+    if (n > 0) {
+      wh.upsert("ventas_limpias", incoming, Seq("ven_id"), "ven_id", "ven_id")
+      val maxId = incoming.agg(max(col("ven_id"))).first().getLong(0)
+      wh.setCheckpoint(cpName, maxId)
+    }
+    incoming.unpersist()
+    n
+  }
 }
 
 object InventoryPipeline {

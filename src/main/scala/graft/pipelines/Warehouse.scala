@@ -18,7 +18,21 @@ import org.apache.spark.sql.functions._
   * Table rewrites go through [[Fs.replaceWith]] (write tmp → swap), so a
   * failed merge never destroys the previous table contents.
   */
-final class Warehouse(val spark: SparkSession, val root: String) {
+/** Sink seam for the S8/S9 keyed merges. The harness default is the
+  * parquet keyed-overwrite ([[Warehouse.upsert]]: read current + merge +
+  * tmp-swap); a lakehouse deployment drops in Delta/Iceberg
+  * `MERGE INTO ... WHEN MATCHED` by implementing this trait with the same
+  * call shape (SURVEY §7.1 documents that as the production path — a
+  * MERGE avoids rewriting untouched files and commits atomically).
+  * Pipelines depend only on the contract: last-wins per `keys` by
+  * (`versionCol`, `tiebreakCol`), atomic with respect to readers.
+  */
+trait UpsertSink {
+  def upsert(table: String, incoming: DataFrame, keys: Seq[String],
+             versionCol: String, tiebreakCol: String): Unit
+}
+
+final class Warehouse(val spark: SparkSession, val root: String) extends UpsertSink {
 
   private def path(table: String): String = s"$root/$table"
 

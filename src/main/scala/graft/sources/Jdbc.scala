@@ -63,4 +63,35 @@ object Jdbc {
   def read(spark: SparkSession, src: Source, table: String,
            timeCol: String, windows: Seq[(LocalDate, LocalDate)]): DataFrame =
     spark.read.jdbc(src.url, table, windowPredicates(timeCol, windows), src.properties)
+
+  /** S1: per-database legacy extraction — the Spark form of the
+    * reference's `USE <db>` cursor loop (etl_sales/extract.py:21-38),
+    * which runs the same query once per per-store schema and concatenates
+    * the frames. Here each database is one jdbc read with the table
+    * qualified as `` `db`.`table` `` (the USE-equivalent), so the
+    * databases extract as independent parallel scans instead of a serial
+    * loop; [[multiDbUnion]] stamps the provenance literals and aligns the
+    * branches.
+    */
+  def readMultiDb(spark: SparkSession, src: Source, databases: Seq[String],
+                  table: String, store: String): DataFrame =
+    multiDbUnion(databases.map { db =>
+      db -> spark.read.jdbc(src.url, s"`$db`.`$table`", src.properties)
+    }, store)
+
+  /** The pure union+enrichment step of S1 (unit-testable without a live
+    * DB): per branch, stamp `source_db` and the store literal `tienda`
+    * (S6 — reference extract.py:30-31), then union BY NAME — the
+    * reference's pandas concat relies on identical SELECT column order;
+    * name alignment is robust to per-schema column reordering and fails
+    * fast (instead of silently misaligning) when a branch is missing a
+    * column.
+    */
+  def multiDbUnion(branches: Seq[(String, DataFrame)], store: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(branches.nonEmpty, "multiDbUnion: no source databases")
+    branches.map { case (db, df) =>
+      df.withColumn("source_db", lit(db)).withColumn("tienda", lit(store))
+    }.reduce(_ unionByName _)
+  }
 }

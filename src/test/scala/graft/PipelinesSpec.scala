@@ -35,6 +35,32 @@ class PipelinesSpec extends SparkSpec {
     assert(rowsOf(wh.read("ventas_limpias")) == rowsOf(full))
   }
 
+  test("sales: seed_new_store scopes to one store, leaves others untouched") {
+    val wh = freshWh()
+    val full = Sales.waterfallClean(spark, dir)
+    def store(k: Int): DataFrame => DataFrame = _.filter(col("ven_id") % 3 === k)
+
+    // warehouse already holds store0's history
+    val n0 = SalesPipeline.seedNewStore(wh, dir, "store0", store(0))
+    assert(n0 > 0)
+    val store0Rows = rowsOf(wh.read("ventas_limpias"))
+
+    // a new store seeds in two batches (the reference's batch_dates) —
+    // resuming from ITS OWN per-store watermark
+    val midId = full.agg(expr("percentile_approx(ven_id, 0.5)")).first().getLong(0)
+    val n1a = SalesPipeline.seedNewStore(wh, dir, "store1", store(1), upToId = Some(midId))
+    val n1b = SalesPipeline.seedNewStore(wh, dir, "store1", store(1))
+    assert(n1a > 0 && n1b > 0)
+
+    val merged = rowsOf(wh.read("ventas_limpias"))
+    assert(merged == rowsOf(store(0)(full).unionByName(store(1)(full))))
+    assert(store0Rows.subsetOf(merged)) // store0 untouched by store1's seed
+
+    // idempotent re-run: nothing above store1's watermark
+    assert(SalesPipeline.seedNewStore(wh, dir, "store1", store(1)) == 0)
+    assert(rowsOf(wh.read("ventas_limpias")) == merged)
+  }
+
   test("ledger: watermark append is exactly-once-effective") {
     val wh = freshWh()
     val fullLedger = Tables.ledger(spark, dir)

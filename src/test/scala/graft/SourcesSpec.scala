@@ -34,6 +34,32 @@ class SourcesSpec extends SparkSpec {
       (LocalDate.parse("2024-02-02"), LocalDate.parse("2024-02-03"))))
   }
 
+  test("multi-db union aligns branches by name and stamps provenance") {
+    import spark.implicits._
+    // two "databases" with the SAME logical schema but reordered columns —
+    // the cursor-loop concat would misalign these; unionByName must not
+    val dbA = Seq((1L, "a1", 10.0), (2L, "a2", 20.0))
+      .toDF("venta", "usuario", "total")
+    val dbB = Seq(("b1", 30.0, 3L)).toDF("usuario", "total", "venta")
+    val out = Jdbc.multiDbUnion(
+      Seq("store1_2023" -> dbA, "store1_2024" -> dbB), "store1")
+    assert(out.columns.toSeq ==
+      Seq("venta", "usuario", "total", "source_db", "tienda"))
+    val rows = out.orderBy("venta")
+      .select("venta", "usuario", "total", "source_db", "tienda")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      (1L, "a1", 10.0, "store1_2023", "store1"),
+      (2L, "a2", 20.0, "store1_2023", "store1"),
+      (3L, "b1", 30.0, "store1_2024", "store1")))
+    // a branch missing a column must fail fast, not silently null-fill
+    val bad = Seq((4L, "x")).toDF("venta", "usuario")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Jdbc.multiDbUnion(Seq("db1" -> dbA, "db2" -> bad), "s").collect()
+    }
+  }
+
   test("window predicates are disjoint half-open ranges") {
     val ps = Jdbc.windowPredicates("fecha",
       Jdbc.dailyWindows(LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-02")))

@@ -126,7 +126,9 @@ class TrainingOpsSpec extends SparkSpec {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).as("n_chars_sql"),
         ascii(substring(col("text"), 1, 1)).as("head_sql"),
-        graft.functions.TextFns.hash60(col("text")).as("h60"))
+        // the stub decoder's checksum is md5-based by contract, so the
+        // cross-check uses the md5 tier explicitly (not the mode default)
+        graft.functions.TextFns.hash60Md5(col("text")).as("h60"))
     val j = feats.join(docs, Seq("doc_id"))
     assert(j.filter(col("n_bytes") =!= col("n_chars_sql")).isEmpty, "ascii corpus: bytes == chars")
     assert(j.filter(col("head_byte") =!= col("head_sql")).isEmpty)
