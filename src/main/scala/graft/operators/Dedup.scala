@@ -330,8 +330,15 @@ object Dedup {
       col("blk_p"), col("blk_l"))
     a.join(b, Seq("blk_p", "blk_l"))
       .filter(col("da") < col("db"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= 3)
+      // |len(a)-len(b)| > 3 ⇒ dist > 3: an O(1) guard that skips the
+      // metric for most cross-length pairs the 8-wide length bucket lets
+      // through (pure pruning — cannot change the output set)
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= 3)
+      // threshold form: banded O(n·k) DP with early exit (returns -1 when
+      // the distance exceeds 3) instead of the full O(n²) table — same
+      // dist values for every surviving pair, so the oracle is untouched
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), 3))
+      .filter(col("dist").between(0, 3))
       .select(col("da"), col("db"), col("dist").cast("long").as("dist"))
       .orderBy(col("da"), col("db"))
   }
