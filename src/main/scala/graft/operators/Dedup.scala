@@ -115,6 +115,50 @@ object Dedup {
       |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= $JaccardThreshold
       |ORDER BY da, db""".stripMargin
 
+  /** q61 — delta-vs-corpus dedup: the nightly-ingest shape of near-dup
+    * detection at corpus scale. A new batch ("incoming", role-played by
+    * `doc_id % 10 >= 8`) is checked against the EXISTING corpus
+    * (`doc_id % 10 < 8`) without ever re-pairing the corpus against
+    * itself: incoming shingle rows equi-join the corpus side of the
+    * persisted inverted index on shingle hash, shared counts aggregate
+    * per (incoming, corpus) pair, and exact Jaccard verifies — identical
+    * math to q21, one-sided probe. At 100 TB the corpus index is a
+    * bucketed at-rest table and the nightly cost is
+    * |delta shingles| × collision rate, independent of corpus pair count.
+    */
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inc = sh.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id").as("di"), col("sh_h"))
+    val corp = sh.filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id").as("dc"), col("sh_h"))
+    val shared = inc.join(corp, Seq("sh_h"))
+      .groupBy(col("di"), col("dc")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(n.withColumnRenamed("doc_id", "di").withColumnRenamed("n", "ni"), Seq("di"))
+      .join(n.withColumnRenamed("doc_id", "dc").withColumnRenamed("n", "nc"), Seq("dc"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("ni") + col("nc") - col("shared")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("di"), col("dc"), col("jaccard"))
+      .orderBy(col("di"), col("dc"))
+  }
+
+  val deltaDedupSql: String =
+    s"""WITH $shCte,
+      |n AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+      |shared AS (
+      |  SELECT i.doc_id AS di, c.doc_id AS dc, count(*) AS shared
+      |  FROM shx i JOIN shx c ON i.sh_h = c.sh_h
+      |  WHERE i.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+      |  GROUP BY 1, 2)
+      |SELECT di, dc,
+      |  CAST(shared AS DOUBLE) / (ni.n + nc.n - shared) AS jaccard
+      |FROM shared JOIN n ni ON ni.doc_id = di JOIN n nc ON nc.doc_id = dc
+      |WHERE CAST(shared AS DOUBLE) / (ni.n + nc.n - shared) >= $JaccardThreshold
+      |ORDER BY di, dc""".stripMargin
+
   /** MinHash signatures + LSH banding + candidate verification.
     * Pipeline: the shared cached distinct shingle index (one materialize
     * serves q21, the minhash aggregation AND the verify pass — min() per

@@ -137,6 +137,61 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /** q62 — canonical selection per near-dup cluster: the step that turns
+    * pair detection into an actual deduplicated corpus. Every clustered
+    * doc gets its component (q45's connected components over the simhash
+    * pair graph) and its quality score (q18); `keep` marks the cluster's
+    * best-quality member (score desc, doc_id tiebreak so double ties are
+    * deterministic). Plan: CC labels join the score frame, one window
+    * per component — the corpus-sized side is touched once; everything
+    * heavy (signatures, pair graph) is shared with q23/q24/q45 via the
+    * cached intermediates.
+    */
+  def canonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashPairsUnsorted(spark, dir).select(col("da"), col("db"))
+    val cc = connectedComponents(pairs, "da", "db")
+    val quality = TextOps.qualityScoreUnsorted(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("score").desc, col("doc_id"))
+    cc.select(col("node").as("doc_id"), col("component"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("score"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q45's recursive-CTE components joined to q18's score
+    * formula (the `toks` CTE is shared with the simhash derivation).
+    */
+  val canonicalPickSql: String = {
+    val stops = graft.functions.TextFns.enStops
+    s"""WITH RECURSIVE ${Dedup.simhashPairsCtes},
+      |pairs AS (
+      |  SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+      |e AS (SELECT da AS a, db AS b FROM pairs
+      |      UNION SELECT db, da FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, a AS lbl FROM e
+      |  UNION
+      |  SELECT e.b AS node, r.lbl FROM reach r JOIN e ON e.a = r.node),
+      |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+      |qs AS (SELECT doc_id, len(t) AS n_tokens,
+      |  ${graft.functions.TextFns.stopHitsSql(stops)} AS en_hits,
+      |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len
+      |  FROM toks),
+      |sc AS (SELECT doc_id,
+      |  least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4 +
+      |        (CAST(en_hits AS DOUBLE) / n_tokens) * 0.3 +
+      |        least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 10.0) * 0.3 AS score
+      |  FROM qs)
+      |SELECT comp.node AS doc_id, comp.component, sc.score,
+      |  (ROW_NUMBER() OVER (PARTITION BY comp.component
+      |    ORDER BY sc.score DESC, comp.node) = 1) AS keep
+      |FROM comp JOIN sc ON sc.doc_id = comp.node
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle: transitive closure by recursive CTE (min reachable id ==
     * min component member because the edge set is symmetric).
     */

@@ -98,7 +98,13 @@ object TextOps {
     * Term order is fixed left-to-right so double sums are bit-identical
     * across engines.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreUnsorted(spark, dir).orderBy(col("doc_id"))
+
+  /** The score frame without the presentation sort — q62's canonical
+    * pick consumes it straight into a join.
+    */
+  private[operators] def qualityScoreUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val d = docToks(spark, dir).select(
       col("doc_id"),
       length(col("text")).as("n_chars_m"),
@@ -117,7 +123,6 @@ object TextOps {
         when(col("score") >= 0.5, "high")
           .when(col("score") >= 0.3, "medium").otherwise("low"))
       .select("doc_id", "n_chars_m", "n_tokens", "score", "bucket")
-      .orderBy(col("doc_id"))
   }
 
   val qualityScoreSql: String =
@@ -303,6 +308,43 @@ object TextOps {
       |SELECT doc_id, lang, bucket, CAST(rate AS BIGINT) AS rate
       |FROM b WHERE bucket < rate
       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source cap (q63). */
+  val CapK = 20
+
+  /** q63 — per-source cap sampling: the corpus-curation "domain cap"
+    * operator — at most [[CapK]] docs per source, chosen by a stable
+    * pseudo-random order (salted 60-bit hash of the doc id, doc_id
+    * tiebreak) so the selection is identical across re-runs,
+    * partitionings and cluster sizes, and adding new docs to a source
+    * only ever displaces, never reshuffles, the kept set's ordering key.
+    * One shuffle (hash-partition by source) + a per-group top-k window;
+    * a skewed source costs only its own partition, and at 100 TB the
+    * window is a rank-k selection per group, never a global sort.
+    */
+  def sourceCaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        hash60(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CapK)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val sourceCapsSql: String =
+    s"""WITH h AS (
+      |  SELECT doc_id, source,
+      |    ${hash60Sql("'cap:' || CAST(doc_id AS VARCHAR)")} AS h
+      |  FROM documents),
+      |r AS (SELECT source, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      |  FROM h)
+      |SELECT source, CAST(rk AS INT) AS rk, doc_id
+      |FROM r WHERE rk <= $CapK
+      |ORDER BY source, rk""".stripMargin
 
   /** PII patterns — RE2-and-Java-regex-portable subset (no backrefs, no
     * lookaround) so the Spark and DuckDB evaluations agree byte-for-byte.

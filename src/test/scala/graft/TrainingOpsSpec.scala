@@ -141,6 +141,44 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.count() == Tables.documents(spark, dir).count())
   }
 
+  test("delta dedup == exact jaccard pairs restricted to the delta split") {
+    // the one-sided corpus probe must find exactly the q21 pairs that
+    // cross the incoming/corpus boundary — same math, different shape
+    val delta = Dedup.deltaDedup(spark, dir)
+      .select(col("di"), col("dc"), col("jaccard"))
+      .collect().map(_.mkString("|")).toSet
+    val exact = Dedup.ngramJaccard(spark, dir)
+      .filter((col("da") % 10 >= 8 && col("db") % 10 < 8) ||
+        (col("db") % 10 >= 8 && col("da") % 10 < 8))
+      .select(
+        when(col("da") % 10 >= 8, col("da")).otherwise(col("db")).as("di"),
+        when(col("da") % 10 >= 8, col("db")).otherwise(col("da")).as("dc"),
+        col("jaccard"))
+      .collect().map(_.mkString("|")).toSet
+    assert(delta == exact)
+  }
+
+  test("canonical pick: exactly one keep per cluster, and it has max score") {
+    val df = Graph.canonicalPick(spark, dir).cache()
+    assert(df.count() > 0)
+    val perCluster = df.groupBy(col("component"))
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keeps"),
+        max(col("score")).as("best"),
+        max(when(col("keep"), col("score"))).as("kept_score"))
+    assert(perCluster.filter(col("keeps") =!= 1).isEmpty)
+    assert(perCluster.filter(col("kept_score") =!= col("best")).isEmpty)
+  }
+
+  test("source caps: at most K per source, deterministic under repartition") {
+    val df = TextOps.sourceCaps(spark, dir).cache()
+    assert(df.groupBy(col("source")).count()
+      .filter(col("count") > TextOps.CapK).isEmpty)
+    assert(df.filter(col("rk") < 1 || col("rk") > TextOps.CapK).isEmpty)
+    val again = TextOps.sourceCaps(spark, dir).repartition(7)
+      .orderBy(col("source"), col("rk")).collect().toSeq
+    assert(df.orderBy(col("source"), col("rk")).collect().toSeq == again)
+  }
+
   // --- Dq ------------------------------------------------------------------
 
   test("dq exclusions: reasons partition the rule/manual flag space") {
