@@ -346,6 +346,230 @@ object TextOps {
       |FROM r WHERE rk <= $CapK
       |ORDER BY source, rk""".stripMargin
 
+  /** Chunking geometry (q64): context-window size and stride in tokens. */
+  val ChunkSize = 16
+  val ChunkStride = 12
+
+  /** q64 — sliding-window token chunking: split every document into
+    * fixed-size overlapping token windows (size [[ChunkSize]], stride
+    * [[ChunkStride]]) — the standard pre-training "chunk long docs into
+    * context windows" stage. Chunk count is the closed form
+    * `1 + ceil(max(n - size, 0) / stride)` so every token is covered and
+    * no spurious all-overlap tail chunk is emitted; the last chunk may be
+    * short. Plan: scan → narrow per-row sequence/explode/slice — no joins,
+    * no windows, the generator fans out inside the scan stage, so at
+    * 100 TB this runs at scan throughput and parallelism follows the
+    * input splits.
+    */
+  def chunkTokens(spark: SparkSession, dir: String): DataFrame = {
+    val nch = (floor(
+      (greatest(size(col("t")) - lit(ChunkSize), lit(0)) + lit(ChunkStride - 1))
+        / lit(ChunkStride)) + 1).cast("int")
+    docToks(spark, dir)
+      .select(col("doc_id"), col("t"), explode(sequence(lit(0), nch - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("t"), col("chunk_id") * ChunkStride + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_chunk_toks"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkTokensSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |c AS (SELECT doc_id, t,
+      |  CAST(1 + floor((greatest(len(t) - $ChunkSize, 0) + ${ChunkStride - 1}) / $ChunkStride) AS INT) AS nch
+      |  FROM toks),
+      |x AS (SELECT doc_id, t, CAST(u.i AS INT) AS chunk_id
+      |  FROM c, unnest(generate_series(0, nch - 1)) AS u(i)),
+      |s AS (SELECT doc_id, chunk_id,
+      |  list_slice(t, chunk_id * $ChunkStride + 1, chunk_id * $ChunkStride + $ChunkSize) AS chunk
+      |  FROM x)
+      |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_chunk_toks,
+      |  array_to_string(chunk, ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q67 — token-distribution diversity per document: the
+    * gibberish/repetition detector (low diversity = repeated tokens).
+    * Emits the Gini–Simpson index `1 − Σ p²` and the modal token
+    * frequency `max p` over the per-doc token distribution. Shannon
+    * entropy is the textbook choice but `ln` is NOT correctly rounded in
+    * either engine's libm (Java `Math.log` vs DuckDB `std::log` differ
+    * at the last ulp), so the oracle can never be bit-exact; Simpson's
+    * index ranks identically for this filter and uses only IEEE
+    * exact-rounded ops (`+ * /`), folded left-to-right over the SORTED
+    * distinct-token list so the double accumulation is bit-identical
+    * across engines and partitionings (same discipline as q16). Per-row
+    * O(uniq·n) array scan — entirely inside whole-stage codegen, no
+    * shuffle before the presentation sort: scan-rate at any scale.
+    */
+  def tokenDiversity(spark: SparkSession, dir: String): DataFrame =
+    docToks(spark, dir)
+      .select(col("doc_id"), col("t"), size(col("t")).as("n_tokens"),
+        array_sort(array_distinct(col("t"))).as("u"))
+      .select(col("doc_id"), col("n_tokens"), col("u"),
+        transform(col("u"), tok =>
+          size(filter(col("t"), y => y === tok)).cast("double") /
+            col("n_tokens")).as("ps"))
+      .select(col("doc_id"), col("n_tokens"), size(col("u")).as("n_uniq"),
+        array_max(col("ps")).as("max_p"),
+        (lit(1.0) - aggregate(col("ps"), lit(0.0), (acc, p) => acc + p * p))
+          .as("simpson"))
+      .orderBy(col("doc_id"))
+
+  val tokenDiversitySql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |s AS (SELECT doc_id, t, len(t) AS n_tokens,
+      |  list_sort(list_distinct(t)) AS u FROM toks),
+      |p AS (SELECT doc_id, n_tokens, u,
+      |  list_transform(u, x ->
+      |    CAST(len(list_filter(t, y -> y = x)) AS DOUBLE) / n_tokens) AS ps
+      |  FROM s)
+      |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      |  CAST(len(u) AS INT) AS n_uniq,
+      |  list_aggregate(ps, 'max') AS max_p,
+      |  1.0 - list_reduce(list_prepend(0.0, list_transform(ps, x -> x * x)),
+      |    (a, b) -> a + b) AS simpson
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Sequence-packing budget in tokens (q65). */
+  val PackBudget = 256
+
+  final case class DocTok(source: String, doc_id: Long, n_tokens: Int)
+  final case class PackedDoc(source: String, doc_id: Long, n_tokens: Int,
+                             bin: Int)
+
+  /** q65 — greedy sequence packing: assign documents (per source, in
+    * doc_id order) to consecutive training-batch bins of at most
+    * [[PackBudget]] tokens — the "pack short docs into context windows"
+    * stage. A doc that would overflow the open bin starts a new one; an
+    * oversized doc occupies a bin alone. The running fill level depends
+    * on its own history (a data-dependent reset to a computed value), so
+    * unlike R4's segment-decomposable resets this is NOT
+    * window-expressible; it runs as a typed `groupByKey.flatMapGroups`
+    * fold per source — the same justified-sequential shape as
+    * [[graft.operators.Stock.withBalanceTyped]]. One shuffle on
+    * `source`; each group sorts in executor heap. At 100 TB packing is
+    * keyed by (source, shard) so groups stay memory-bounded — the fold
+    * itself is O(group) with O(1) state.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("source"), col("doc_id").cast("long"),
+        size(toks(col("text"))).cast("int").as("n_tokens"))
+      .as[DocTok]
+      .groupByKey(_.source)
+      .flatMapGroups { (src: String, it: Iterator[DocTok]) =>
+        val docs = it.toArray.sortBy(_.doc_id)
+        var bin = 0
+        var acc = 0
+        docs.iterator.map { d =>
+          if (acc + d.n_tokens > PackBudget && acc > 0) { bin += 1; acc = 0 }
+          acc += d.n_tokens
+          PackedDoc(src, d.doc_id, d.n_tokens, bin)
+        }
+      }
+      .toDF()
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Oracle: the same greedy fold as a per-source recursive CTE stepping
+    * through the doc_id rank.
+    */
+  val packSequencesSql: String =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+      |d AS (SELECT source, doc_id, CAST(len(t) AS INT) AS n_tokens,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM toks),
+      |r AS (
+      |  SELECT source, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS acc
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+      |    CASE WHEN r.acc + d.n_tokens > $PackBudget AND r.acc > 0
+      |         THEN r.bin + 1 ELSE r.bin END,
+      |    CASE WHEN r.acc + d.n_tokens > $PackBudget AND r.acc > 0
+      |         THEN d.n_tokens ELSE r.acc + d.n_tokens END
+      |  FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+      |SELECT source, doc_id, n_tokens, CAST(bin AS INT) AS bin
+      |FROM r ORDER BY source, doc_id""".stripMargin
+
+  /** Boilerplate gram geometry (q66): gram size and the distinct-doc
+    * frequency at which a gram counts as boilerplate. The absolute
+    * threshold keeps the op non-vacuous on the synthetic corpus (its
+    * gram doc-frequency tops out near 10 regardless of SF); a production
+    * corpus would use a relative `df >= frac * total_docs` cut.
+    */
+  val BoilerN = 3
+  val BoilerDf = 4
+
+  /** q66 — boilerplate n-gram removal (C4-style, reframed at token
+    * level): any [[BoilerN]]-gram occurring in ≥ [[BoilerDf]] distinct
+    * documents is corpus boilerplate; every token position covered by a
+    * frequent gram is dropped and the surviving tokens are re-joined in
+    * order. Plan: gram explode → distinct-doc hash-agg → broadcast of
+    * the frequent-gram set (threshold-bounded, same contract as the LSH
+    * candidate set) back onto the gram stream → covered-position
+    * explode + distinct → anti-join against token positions → ordered
+    * re-assembly via sort_array(collect_list(struct(pos, tok))). The
+    * corpus is never self-joined; every stage is keyed by doc or gram,
+    * so at 100 TB the cost is occurrence-linear.
+    */
+  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = docToks(spark, dir).select(col("doc_id"), col("t"))
+    val grams = toksDf
+      .filter(size(col("t")) >= BoilerN)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (BoilerN - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("t"), col("i"), lit(BoilerN)), " ").as("gram"))
+    val frequent = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerDf)
+      .select("gram")
+    val covered = grams.join(broadcast(frequent), Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (BoilerN - 1))).as("j"))
+      .distinct()
+    val tokpos = toksDf
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("j"), col("tok"))
+    val kept = tokpos.join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"))
+    toksDf.select(col("doc_id"), size(col("t")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateRemovalSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |g AS (SELECT doc_id, CAST(u.i AS INT) AS i,
+      |  array_to_string(t[u.i : u.i + ${BoilerN - 1}], ' ') AS gram
+      |  FROM toks, unnest(generate_series(1, len(t) - ${BoilerN - 1})) AS u(i)),
+      |f AS (SELECT gram FROM g GROUP BY gram
+      |  HAVING count(DISTINCT doc_id) >= $BoilerDf),
+      |cov AS (SELECT DISTINCT g.doc_id, CAST(v.j AS INT) AS j
+      |  FROM g JOIN f USING (gram),
+      |       unnest(generate_series(g.i, g.i + ${BoilerN - 1})) AS v(j)),
+      |tp AS (SELECT doc_id, CAST(u.i AS INT) AS j, list_extract(t, u.i) AS tok
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |kept AS (SELECT tp.doc_id, count(*) AS n_kept,
+      |  string_agg(tp.tok, ' ' ORDER BY tp.j) AS clean_text
+      |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.j = tp.j
+      |  WHERE cov.doc_id IS NULL GROUP BY tp.doc_id)
+      |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+      |  CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
+      |  coalesce(k.clean_text, '') AS clean_text
+      |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** PII patterns — RE2-and-Java-regex-portable subset (no backrefs, no
     * lookaround) so the Spark and DuckDB evaluations agree byte-for-byte.
     */
