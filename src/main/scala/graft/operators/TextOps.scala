@@ -509,11 +509,14 @@ object TextOps {
     * frequent gram is dropped and the surviving tokens are re-joined in
     * order. Plan: gram explode → distinct-doc hash-agg → broadcast of
     * the frequent-gram set (threshold-bounded, same contract as the LSH
-    * candidate set) back onto the gram stream → covered-position
-    * explode + distinct → anti-join against token positions → ordered
-    * re-assembly via sort_array(collect_list(struct(pos, tok))). The
-    * corpus is never self-joined; every stage is keyed by doc or gram,
-    * so at 100 TB the cost is occurrence-linear.
+    * candidate set) back onto the gram stream → covered positions
+    * collected into a per-doc sorted set (hit docs only — far smaller
+    * than the corpus) → one join back to the token stream, where a
+    * row-local lambda filter drops covered positions in order. The
+    * corpus is never self-joined and the full token stream is never
+    * exploded or anti-joined; at 100 TB the cost is two scans plus an
+    * occurrence-linear gram shuffle, and the rewrite itself runs at
+    * scan speed.
     */
   def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
     val toksDf = docToks(spark, dir).select(col("doc_id"), col("t"))
@@ -530,21 +533,16 @@ object TextOps {
     val covered = grams.join(broadcast(frequent), Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (BoilerN - 1))).as("j"))
-      .distinct()
-    val tokpos = toksDf
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("j"), col("tok"))
-    val kept = tokpos.join(covered, Seq("doc_id", "j"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("j"), col("tok")))),
-            s => s.getField("tok")), " ").as("clean_text"))
-    toksDf.select(col("doc_id"), size(col("t")).as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
+      .agg(array_sort(collect_set(col("j"))).as("cov"))
+    toksDf.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        filter(col("t"), (tok, i) => not(array_contains(
+          coalesce(col("cov"), array().cast("array<int>")), i + 1)))
+          .as("kept"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("kept")).as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 

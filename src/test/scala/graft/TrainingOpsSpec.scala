@@ -179,6 +179,80 @@ class TrainingOpsSpec extends SparkSpec {
     assert(df.orderBy(col("source"), col("rk")).collect().toSeq == again)
   }
 
+  // --- Chunking / packing / boilerplate / diversity (q64-q67) --------------
+
+  test("chunking: contiguous ids, full coverage, fixed-size non-tail chunks") {
+    val chunks = TextOps.chunkTokens(spark, dir).cache()
+    assert(chunks.filter(col("n_chunk_toks") < 1 ||
+      col("n_chunk_toks") > TextOps.ChunkSize).isEmpty)
+    val perDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("nch"), max("chunk_id").as("maxid")).cache()
+    assert(perDoc.filter(col("nch") =!= col("maxid") + 1).isEmpty)
+    // last chunk ends exactly at the doc's token count — every token covered
+    val toksLen = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(graft.functions.TextFns.toks(col("text"))).as("n"))
+    val tail = chunks.join(perDoc, "doc_id")
+      .filter(col("chunk_id") === col("maxid"))
+      .select(col("doc_id"),
+        (col("chunk_id") * TextOps.ChunkStride + col("n_chunk_toks")).as("cover"))
+    assert(tail.join(toksLen, "doc_id").filter(col("cover") =!= col("n")).isEmpty)
+    // every non-tail chunk is exactly ChunkSize tokens
+    assert(chunks.join(perDoc, "doc_id")
+      .filter(col("chunk_id") < col("maxid") &&
+        col("n_chunk_toks") =!= TextOps.ChunkSize).isEmpty)
+  }
+
+  test("packing: matches the sequential greedy fold; bins tight and consecutive") {
+    val packed = TextOps.packSequences(spark, dir).cache()
+    val bins = packed.groupBy("source", "bin")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n")).cache()
+    // a bin over budget can only be a single oversized doc
+    assert(bins.filter(col("tot") > TextOps.PackBudget && col("n") > 1).isEmpty)
+    // bin ids per source are 0..max with no gaps
+    assert(bins.groupBy("source")
+      .agg(countDistinct("bin").as("nb"), max("bin").as("mb"))
+      .filter(col("nb") =!= col("mb") + 1).isEmpty)
+    // differential vs a driver-side reference fold over the same inputs
+    val rows = packed.select("source", "doc_id", "n_tokens", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val expected = rows.groupBy(_._1).iterator.flatMap { case (src, ds) =>
+      var bin = 0; var acc = 0
+      ds.sortBy(_._2).map { case (_, id, n, _) =>
+        if (acc + n > TextOps.PackBudget && acc > 0) { bin += 1; acc = 0 }
+        acc += n
+        (src, id) -> bin
+      }
+    }.toMap
+    assert(rows.forall { case (s, id, _, b) => expected((s, id)) == b })
+  }
+
+  test("boilerplate: kept counts consistent, untouched docs identical, non-vacuous") {
+    val df = TextOps.boilerplateRemoval(spark, dir).cache()
+    assert(df.filter(col("n_kept") > col("n_tokens")).isEmpty)
+    assert(df.filter(col("n_kept") =!=
+      when(col("clean_text") === "", 0)
+        .otherwise(size(split(col("clean_text"), " ")))).isEmpty)
+    val orig = Tables.documents(spark, dir).select(col("doc_id"),
+      array_join(graft.functions.TextFns.toks(col("text")), " ").as("orig"))
+    assert(df.join(orig, "doc_id")
+      .filter(col("n_kept") === col("n_tokens") &&
+        col("clean_text") =!= col("orig")).isEmpty)
+    assert(df.filter(col("n_kept") < col("n_tokens")).count() > 0)
+  }
+
+  test("token diversity: simpson and max_p within algebraic bounds") {
+    val df = TextOps.tokenDiversity(spark, dir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("simpson") < 0 || col("simpson") >= 1).isEmpty)
+    assert(df.filter(col("max_p") <= 0 || col("max_p") > 1).isEmpty)
+    assert(df.filter(col("n_uniq") > col("n_tokens") || col("n_uniq") < 1).isEmpty)
+    // modal frequency at least uniform; Simpson capped by the uniform case
+    assert(df.filter(col("max_p") * col("n_uniq") < 1.0 - 1e-9).isEmpty)
+    assert(df.filter(
+      col("simpson") > lit(1.0) - lit(1.0) / col("n_uniq") + lit(1e-9)).isEmpty)
+    assert(df.filter(col("n_uniq") === 1 && col("simpson") =!= 0.0).isEmpty)
+  }
+
   // --- Dq ------------------------------------------------------------------
 
   test("dq exclusions: reasons partition the rule/manual flag space") {
