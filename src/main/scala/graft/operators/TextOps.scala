@@ -568,6 +568,128 @@ object TextOps {
       |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Shard geometry (q68): target tokens per output shard, and the bucket
+    * fan-out for the distributed prefix sum.
+    */
+  val ShardBudget = 2048
+  val ShardBuckets = 8
+
+  /** q68 — balanced training-shard assignment: place every document into
+    * consecutive output shards of ~[[ShardBudget]] tokens, in a
+    * deterministic pseudo-random global order (salted 60-bit hash,
+    * doc_id tiebreak) — the "shuffle the corpus and write fixed-size
+    * training shards" stage. A naive global running sum is a
+    * single-task window at 100 TB, so the cumulative token count runs as
+    * a distributed two-phase prefix sum: hash-bucket the order key into
+    * [[ShardBuckets]] ranges (the global order is bucket-major by
+    * construction), cumsum within each bucket in parallel, then add
+    * per-bucket offsets computed from the tiny bucket-totals frame
+    * (|buckets| rows, broadcast). Integer arithmetic throughout, so the
+    * two-phase sum is bit-identical to the oracle's single global
+    * window. shard = floor(start_offset / budget): shards are contiguous
+    * in the global order and balanced to ±max_doc_tokens; a doc larger
+    * than the budget spans its start shard alone. At scale
+    * [[ShardBuckets]] rises with the cluster (it only has to exceed the
+    * executor count) — the per-bucket window is the only large sort and
+    * it parallelizes per bucket.
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docToks(spark, dir)
+      .select(col("doc_id"), size(col("t")).cast("int").as("n_tokens"),
+        hash60(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("b", col("h") % ShardBuckets)
+    val offs = base.groupBy(col("b")).agg(sum(col("n_tokens")).as("tot"))
+      // |buckets| rows: the single-partition window is driver-tiny
+      .withColumn("off", coalesce(
+        sum(col("tot")).over(
+          Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("b"), col("off"))
+    val wLocal = Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offs), Seq("b"))
+      .withColumn("cum_tokens", (col("off") + col("local_cum")).cast("long"))
+      .withColumn("shard",
+        floor((col("cum_tokens") - col("n_tokens")) / ShardBudget).cast("int"))
+    cum
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("b"), col("h"), col("doc_id"))))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("shard"), col("shard_pos"))
+      .orderBy(col("shard"), col("shard_pos"))
+  }
+
+  val shardAssignSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |t AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+      |  ${hash60Sql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h FROM toks),
+      |b AS (SELECT *, h % $ShardBuckets AS b FROM t),
+      |c AS (SELECT doc_id, n_tokens, b, h,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY b, h, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM b),
+      |s AS (SELECT *,
+      |  CAST(floor((cum_tokens - n_tokens) / $ShardBudget) AS INT) AS shard
+      |  FROM c)
+      |SELECT doc_id, n_tokens, cum_tokens, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY b, h, doc_id)
+      |    AS INT) AS shard_pos
+      |FROM s ORDER BY shard, shard_pos""".stripMargin
+
+  /** q69 — mixture resampling: re-weight the corpus toward target source
+    * proportions by deterministic per-doc replication — rate ≥ 1 means
+    * floor(rate) guaranteed copies plus a hash-Bernoulli extra, rate < 1
+    * means hash-Bernoulli survival (the "data mixing / temperature
+    * sampling" stage; rates here keyed on the source's numeric suffix so
+    * the op is non-vacuous at every SF). The Bernoulli draw is a 20-bit
+    * hash fraction compared against the rate's fractional part — all
+    * powers of two, so every double involved is exact and the oracle
+    * matches bit-for-bit, and the decision is content-keyed: stable
+    * across re-runs, partitionings and cluster sizes. Plan: scan →
+    * row-local rate lookup + hash → explode of a ≤⌈rate⌉-element
+    * sequence — scan-rate, no shuffle before the presentation sort.
+    */
+  def mixResample(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = substring(col("source"), 4, 10).cast("int") % 4
+    val rate = when(srcIdx === 0, 2.25)
+      .when(srcIdx === 1, 1.0)
+      .when(srcIdx === 2, 0.5)
+      .otherwise(0.125)
+    val frac = (hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+      % 1048576).cast("double") / 1048576.0
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), rate.as("rate"), frac.as("frac"))
+      .withColumn("n_copies",
+        (floor(col("rate")) +
+          when(col("frac") < col("rate") - floor(col("rate")), 1)
+            .otherwise(0)).cast("int"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
+  val mixResampleSql: String =
+    s"""WITH r AS (
+      |  SELECT doc_id, source,
+      |    CASE (CAST(substr(source, 4, 10) AS INT) % 4)
+      |      WHEN 0 THEN 2.25 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+      |      ELSE 0.125 END AS rate,
+      |    CAST(${hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1048576
+      |      AS DOUBLE) / 1048576.0 AS frac
+      |  FROM documents),
+      |n AS (SELECT doc_id, source,
+      |  CAST(floor(rate) + (CASE WHEN frac < rate - floor(rate)
+      |    THEN 1 ELSE 0 END) AS INT) AS n_copies
+      |  FROM r)
+      |SELECT doc_id, source, n_copies, CAST(u.i AS INT) AS copy_id
+      |FROM n, unnest(generate_series(1, n_copies)) AS u(i)
+      |WHERE n_copies >= 1
+      |ORDER BY doc_id, copy_id""".stripMargin
+
   /** PII patterns — RE2-and-Java-regex-portable subset (no backrefs, no
     * lookaround) so the Spark and DuckDB evaluations agree byte-for-byte.
     */

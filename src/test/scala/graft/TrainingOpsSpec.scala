@@ -253,6 +253,43 @@ class TrainingOpsSpec extends SparkSpec {
     assert(df.filter(col("n_uniq") === 1 && col("simpson") =!= 0.0).isEmpty)
   }
 
+  test("shard assign: exact prefix sum, consecutive balanced shards") {
+    val df = TextOps.shardAssign(spark, dir).cache()
+    val rows = df.orderBy("shard", "shard_pos")
+      .select("n_tokens", "cum_tokens", "shard")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    // the two-phase distributed cumsum equals a sequential running sum
+    var run = 0L
+    rows.foreach { case (n, cum, sh) =>
+      run += n
+      assert(cum == run)
+      assert(sh == (cum - n) / TextOps.ShardBudget)
+    }
+    // shards are 0..max with no gaps, and no shard exceeds budget + max doc
+    val shards = rows.map(_._3).distinct.sorted
+    assert(shards.head == 0 && shards.last == shards.length - 1)
+    val maxDoc = rows.map(_._1).max
+    val totals = rows.groupBy(_._3).values.map(_.map(_._1.toLong).sum)
+    assert(totals.forall(_ <= TextOps.ShardBudget + maxDoc))
+  }
+
+  test("mix resample: copy counts follow the per-source rate class") {
+    val df = TextOps.mixResample(spark, dir).cache()
+    assert(df.filter(col("copy_id") < 1 || col("copy_id") > col("n_copies")).isEmpty)
+    // per doc: exactly n_copies rows
+    assert(df.groupBy("doc_id", "n_copies").count()
+      .filter(col("count") =!= col("n_copies")).isEmpty)
+    val cls = substring(col("source"), 4, 10).cast("int") % 4
+    assert(df.filter(cls === 0 && (col("n_copies") < 2 || col("n_copies") > 3)).isEmpty)
+    assert(df.filter(cls === 1 && col("n_copies") =!= 1).isEmpty)
+    assert(df.filter((cls === 2 || cls === 3) && col("n_copies") =!= 1).isEmpty)
+    // downsampled classes actually dropped docs (rate < 1 is non-vacuous)
+    val docs = Tables.documents(spark, dir)
+    val kept2 = df.filter(cls === 2).select("doc_id").distinct().count()
+    val all2 = docs.filter(substring(col("source"), 4, 10).cast("int") % 4 === 2).count()
+    assert(kept2 < all2 && kept2 > 0)
+  }
+
   // --- Dq ------------------------------------------------------------------
 
   test("dq exclusions: reasons partition the rule/manual flag space") {
