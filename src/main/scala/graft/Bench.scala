@@ -90,7 +90,8 @@ object Bench {
       "union_ledger"  -> (() => operators.Ledger.unionLedger(spark, sfDir)),
       "stock_points"  -> (() => operators.Stock.stockPoints(spark, sfDir)),
       "shingle_index" -> (() => operators.Dedup.shingleIndex(spark, sfDir)),
-      "simhash_sig"   -> (() => operators.Dedup.simhashSig(spark, sfDir)))
+      "simhash_sig"   -> (() => operators.Dedup.simhashSig(spark, sfDir)),
+      "cc_components" -> (() => operators.Graph.simhashComponents(spark, sfDir)))
     val cacheTimes = sharedCaches.map { case (name, build) =>
       val t0 = System.nanoTime()
       try build().count() catch { case _: Throwable => () }
