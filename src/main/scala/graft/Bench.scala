@@ -90,8 +90,11 @@ object Bench {
       "union_ledger"  -> (() => operators.Ledger.unionLedger(spark, sfDir)),
       "stock_points"  -> (() => operators.Stock.stockPoints(spark, sfDir)),
       "shingle_index" -> (() => operators.Dedup.shingleIndex(spark, sfDir)),
-      "simhash_sig"   -> (() => operators.Dedup.simhashSig(spark, sfDir)),
-      "cc_components" -> (() => operators.Graph.simhashComponents(spark, sfDir)))
+      "simhash_sig"   -> (() => operators.Dedup.simhashSig(spark, sfDir)))
+    // NOT pre-warmed: Graph.simhashComponents — its iterative loop is
+    // scheduler/JIT-latency-bound and costs ~3x when built on the cold
+    // JVM the cache phase runs on. q45 builds it hot mid-loop (it IS
+    // q45's own computation); q62 reuses the memo.
     val cacheTimes = sharedCaches.map { case (name, build) =>
       val t0 = System.nanoTime()
       try build().count() catch { case _: Throwable => () }

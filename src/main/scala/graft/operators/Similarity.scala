@@ -231,4 +231,49 @@ object Similarity {
       |FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $NearDupThreshold
       |ORDER BY va, vb""".stripMargin
+
+  /** q70 — exact per-label embedding centroids, long format (label,
+    * dimension, mean): the class-prototype / cluster-seed computation.
+    * Emitted one row per (label, pos) so the oracle compares scalar
+    * doubles (no list-typed hash surface). The per-cell mean folds the
+    * values in vec_id order — `collect_list(struct(vec_id, val))` merges
+    * partial buffers in whatever order partial aggregation delivers,
+    * then `array_sort` + an explicit left-to-right `aggregate` fold make
+    * the double sum independent of partitioning AND bit-identical to the
+    * oracle's ordered `list_reduce` (float→double widening is exact, so
+    * both engines fold the same doubles in the same order).
+    *
+    * Scale note: the ordered fold materializes each (label, pos) group's
+    * value list — bounded by docs-per-label, the harness's oracle-parity
+    * shape. A production centroid job uses the plain commutative
+    * `avg(val)` (order-free, one partial-aggregated hash-agg, no
+    * collect) and accepts last-ulp nondeterminism; the plan is otherwise
+    * identical: posexplode → hash-agg keyed (label, pos) — dim×N rows
+    * shuffled once, no joins.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("p0", "valf")))
+      .select(col("vec_id"), col("label"), (col("p0") + 1).as("pos"),
+        col("valf").cast("double").as("val"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).cast("int").as("n_vecs"),
+        collect_list(struct(col("vec_id"), col("val"))).as("vs"))
+      .select(col("label"), col("pos").cast("int").as("pos"), col("n_vecs"),
+        (aggregate(transform(array_sort(col("vs")), s => s.getField("val")),
+          lit(0.0), (acc, x) => acc + x) / col("n_vecs")).as("mean"))
+      .orderBy(col("label"), col("pos"))
+
+  val labelCentroidsSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, label, CAST(u.i AS INT) AS pos,
+      |    CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS val
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+      |g AS (SELECT label, pos, CAST(count(*) AS INT) AS n_vecs,
+      |    list(val ORDER BY vec_id) AS vs
+      |  FROM e GROUP BY label, pos)
+      |SELECT label, pos, n_vecs,
+      |  list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_vecs AS mean
+      |FROM g ORDER BY label, pos""".stripMargin
 }

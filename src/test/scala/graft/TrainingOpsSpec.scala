@@ -290,6 +290,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(kept2 < all2 && kept2 > 0)
   }
 
+  test("label centroids: full grid, consistent counts, fold matches avg") {
+    val df = Similarity.labelCentroids(spark, dir).cache()
+    val labels = Tables.embeddings(spark, dir).select("label").distinct().count()
+    assert(df.count() == labels * 64)
+    // n_vecs is constant across dimensions of one label
+    assert(df.groupBy("label").agg(countDistinct("n_vecs").as("nd"))
+      .filter(col("nd") =!= 1).isEmpty)
+    // the ordered fold agrees with the commutative average to float noise
+    val direct = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "v")))
+      .groupBy(col("label"), (col("p0") + 1).as("pos"))
+      .agg(avg(col("v").cast("double")).as("m2"))
+    assert(df.join(direct, Seq("label", "pos"))
+      .filter(abs(col("mean") - col("m2")) > 1e-9).isEmpty)
+  }
+
   // --- Dq ------------------------------------------------------------------
 
   test("dq exclusions: reasons partition the rule/manual flag space") {
