@@ -132,18 +132,34 @@ object Graph {
     * q62. The iterative loop's result is RDD-backed (localCheckpoint), so
     * Spark's CacheManager cannot dedupe two invocations by logical plan
     * the way the declarative shared intermediates (shingle index, union
-    * ledger) are — an explicit per-(session, dir) memo is the only way
-    * two queries share one CC run. Keyed by the session instance so a
-    * restarted session never sees a stale frame.
+    * ledger) are — an explicit memo is the only way two queries share one
+    * CC run. Keyed by the session instance (a restarted session never
+    * sees a stale frame) AND the hash tier (the shingle hashes feed the
+    * simhash pair graph, so an md5-tier and an xxhash64-tier run are
+    * different frames — a differential test evaluating both tiers in one
+    * session must not reuse across modes). Entries live until
+    * [[clearMemo]] — long-lived interactive sessions should call it when
+    * done with the dedup tier, or the cached frame plus its
+    * localCheckpoint blocks stay pinned in the block manager.
     */
   private val ccMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private[graft] def simhashComponents(spark: SparkSession, dir: String): DataFrame =
-    ccMemo.getOrElseUpdate((spark, dir), {
+    ccMemo.getOrElseUpdate((spark, dir, graft.functions.TextFns.hashMode), {
       val pairs = Dedup.simhashPairsUnsorted(spark, dir).select(col("da"), col("db"))
       connectedComponents(pairs, "da", "db").cache()
     })
+
+  /** Evict this session's memoized CC frames: unpersists the cached
+    * result and drops the reference so the ContextCleaner can release the
+    * per-round localCheckpoint blocks. q45/q62 still share one run within
+    * a session between clears; the next call after a clear rebuilds.
+    */
+  def clearMemo(spark: SparkSession): Unit =
+    ccMemo.keys.filter(_._1 eq spark).foreach { k =>
+      ccMemo.remove(k).foreach(_.unpersist(blocking = false))
+    }
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val cc = simhashComponents(spark, dir)
