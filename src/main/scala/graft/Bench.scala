@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q35/q40, the union ledger feeding q08-q10, the simhash signatures
   *    feeding q23/q24/q45, the legacy agg feeding q02-q04, the stock
   *    points feeding q13/q14) are built BEFORE the timed loop and billed
-  *    to their own `cache_build` map — a query's number is the marginal
+  *    to their own `cache` map — a query's number is the marginal
   *    cost of that query, not whichever query alphabetically first
   *    touched a shared intermediate. The cache-build total is still part
   *    of the headline `value` (it is real work, just attributed honestly).
@@ -26,17 +26,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    parity. The plans are identical apart from the hash expression —
   *    the mode is recorded in the output line.
   *
-  *  - Noise: each query runs SPARK_GRAFT_REPEAT times (default 2) and
-  *    reports the MINIMUM — the box this runs on shows minutes-long
-  *    windows where effective CPU drops ~2× (host contention invisible
-  *    to guest steal accounting; probed with a fixed 32-way spin loop),
-  *    and min-of-N is the standard estimator for "the query's cost when
-  *    the machine is actually available". A single-threaded calibration
-  *    loop is timed before and after the run (`calib_sec`) so a
-  *    throttled window is visible in the output rather than silently
-  *    inflating queries. Caveat recorded: a query whose plan caches its
-  *    OWN intermediates (e.g. the LSH candidate set) reports its
-  *    warm-intermediate cost — the cold build is run 1, the min is run 2.
+  *  - Noise: the full sorted query list runs SPARK_GRAFT_REPEAT times
+  *    (default 2) as complete INTERLEAVED sweeps — sweep 1 end-to-end,
+  *    then sweep 2 — and each query reports its MINIMUM across sweeps.
+  *    The box this runs on shows minutes-long windows where effective
+  *    CPU drops ~2× (host contention invisible to guest steal
+  *    accounting; probed with a fixed 32-way spin loop). Back-to-back
+  *    repeats of the same query sample the SAME window twice, so one
+  *    throttled window used to poison a contiguous alphabetical block
+  *    of queries; sweeps separate a query's two samples by a whole
+  *    sweep (~20 s), so a window must span both sweeps to survive the
+  *    min. The single-threaded calibration loop is timed before, between
+  *    and after the sweeps (`calib_sec`) so throttling is visible in the
+  *    output rather than silently inflating queries.
+  *
+  *  - Output stays under the driver's ~2 KB line capture: per-query
+  *    seconds print with 3 decimals (ms resolution — below run-to-run
+  *    noise), diagnostics with 2, never full double precision. Field
+  *    order is defensive: the capture keeps the line's TAIL, so the
+  *    headline `value` and the full `queries` map go LAST and any
+  *    clipping eats only the metadata head (r3/r4 lost `total` and
+  *    q01–q18 to exactly this).
   */
 object Bench {
 
@@ -86,15 +96,20 @@ object Bench {
     // count() on the to-be-cached frame materializes the whole
     // InMemoryRelation (cache storage is plan-wide, not column-pruned).
     val sharedCaches: Seq[(String, () => DataFrame)] = Seq(
-      "legacy_agg"    -> (() => operators.Sales.legacyAggDecimal(spark, sfDir)),
-      "union_ledger"  -> (() => operators.Ledger.unionLedger(spark, sfDir)),
-      "stock_points"  -> (() => operators.Stock.stockPoints(spark, sfDir)),
-      "shingle_index" -> (() => operators.Dedup.shingleIndex(spark, sfDir)),
-      "simhash_sig"   -> (() => operators.Dedup.simhashSig(spark, sfDir)))
-    // NOT pre-warmed: Graph.simhashComponents — its iterative loop is
-    // scheduler/JIT-latency-bound and costs ~3x when built on the cold
-    // JVM the cache phase runs on. q45 builds it hot mid-loop (it IS
-    // q45's own computation); q62 reuses the memo.
+      "legacy"  -> (() => operators.Sales.legacyAggDecimal(spark, sfDir)),
+      "ledger"  -> (() => operators.Ledger.unionLedger(spark, sfDir)),
+      "stock"   -> (() => operators.Stock.stockPoints(spark, sfDir)),
+      "shingle" -> (() => operators.Dedup.shingleIndex(spark, sfDir)),
+      "simhash" -> (() => operators.Dedup.simhashSig(spark, sfDir)),
+      // cc_components LAST so the iterative CC loop (scheduler/JIT-
+      // latency-bound, ~3x cost on a cold JVM) builds on a JVM already
+      // warmed by the five declarative cache builds above. Billing it
+      // here keeps it out of q45's marginal number honestly: q45/q62
+      // then measure their own grouping/join over the memoized labels,
+      // and the build cost is visible in cache_build instead of
+      // vanishing into the memo (the pre-r5 bench billed q45 at its
+      // memo-hit cost and the build escaped the headline entirely).
+      "cc" -> (() => operators.Graph.simhashComponents(spark, sfDir)))
     val cacheTimes = sharedCaches.map { case (name, build) =>
       val t0 = System.nanoTime()
       try build().count() catch { case _: Throwable => () }
@@ -102,26 +117,37 @@ object Bench {
     }
 
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
-    val calib0 = calibrate()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to repeat).map { _ =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val calibs = scala.collection.mutable.ArrayBuffer(calibrate())
+    // interleaved sweeps: all queries once, then all again (see contract)
+    val sweeps = (1 to repeat).map { _ =>
+      val sweep = named.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
                  catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.map(_._1).min, runs.forall(_._2))
+      calibs += calibrate()
+      sweep
     }
-    val calib1 = calibrate()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val results = named.indices.map { i =>
+      val samples = sweeps.map(_(i))
+      (samples.head._1, samples.map(_._2).min, samples.forall(_._3))
+    }
+    def f3(v: Double): String = f"$v%.3f"
+    def f2(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val cb = cacheTimes.map { case (k, v) => s"\"" + k + "\":" + v }
+    val cb = cacheTimes.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val cacheTotal = cacheTimes.map(_._2).sum
     val total = results.map(_._2).sum + cacheTotal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cache_build":$cb,"cache_build_total":$cacheTotal,"hash_mode":"${graft.functions.TextFns.hashMode}","repeat":$repeat,"calib_sec":[$calib0,$calib1],"failed":$failed,"sf":"$sfDir"}""")
+    val calibStr = calibs.map(f2).mkString("[", ",", "]")
+    val sfName = new java.io.File(sfDir).getName
+    val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","hash":"${graft.functions.TextFns.hashMode}","repeat":$repeat,"calib":$calibStr,$failedPart"cache":$cb,"cache_total":${f2(cacheTotal)},"value":${f3(total)},"queries":$qs}""")
     spark.stop()
   }
 }

@@ -155,6 +155,12 @@ object Graph {
     * result and drops the reference so the ContextCleaner can release the
     * per-round localCheckpoint blocks. q45/q62 still share one run within
     * a session between clears; the next call after a clear rebuilds.
+    *
+    * Not atomic w.r.t. concurrent [[simhashComponents]] calls: an entry
+    * inserted after the key snapshot survives the clear (stays pinned),
+    * and an in-flight consumer of an evicted frame silently recomputes
+    * from lineage. Call it only when no q45/q62 query is active — the
+    * intended end-of-session / between-bench-phases use.
     */
   def clearMemo(spark: SparkSession): Unit =
     ccMemo.keys.filter(_._1 eq spark).foreach { k =>

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFns
-import graft.operators.{Contamination, Dedup, TextOps}
+import graft.operators.{Contamination, Dedup, Graph, TextOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,45 @@ class HashModeSpec extends SparkSpec {
     val md5 = withMode("md5")(rows(Contamination.contamination(spark, dir)))
     val xx = withMode("xxhash64")(rows(Contamination.contamination(spark, dir)))
     assert(md5 == xx && md5.nonEmpty)
+  }
+
+  test("CC memo is keyed by hash tier: md5 then xxhash64 in one session") {
+    Graph.clearMemo(spark) // start from a clean memo regardless of suite order
+    val md5Frame = withMode("md5")(Graph.simhashComponents(spark, dir))
+    val xxFrame = withMode("xxhash64")(Graph.simhashComponents(spark, dir))
+    // a tier-blind memo would hand the md5 frame back to the xxhash64 call
+    assert(!(md5Frame eq xxFrame), "second tier must not reuse the first tier's frame")
+    // and each frame must reflect its OWN tier's pair graph: the CC node
+    // set is exactly the distinct endpoints of that tier's simhash pairs
+    Seq("md5" -> md5Frame, "xxhash64" -> xxFrame).foreach { case (mode, frame) =>
+      val nodes = frame.select(col("node")).collect().map(_.getLong(0)).toSet
+      val endpoints = withMode(mode) {
+        Dedup.simhashPairs(spark, dir).select(col("da"), col("db"))
+          .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(nodes == endpoints, s"$mode components cover a different node set")
+    }
+    // same tier + same session → memo hit (the sharing q45/q62 rely on)
+    val again = withMode("md5")(Graph.simhashComponents(spark, dir))
+    assert(again eq md5Frame, "same-tier call must hit the memo")
+    Graph.clearMemo(spark)
+  }
+
+  test("clearMemo releases the cached frame and the next call rebuilds") {
+    withMode("md5") {
+      Graph.clearMemo(spark)
+      val f1 = Graph.simhashComponents(spark, dir)
+      f1.count()
+      assert(f1.storageLevel.useMemory, "memoized frame should be cached")
+      Graph.clearMemo(spark)
+      assert(f1.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "clear must unpersist the evicted frame so its blocks are released")
+      val f2 = Graph.simhashComponents(spark, dir)
+      assert(!(f1 eq f2), "post-clear call must rebuild, not resurrect")
+      assert(rows(f2.orderBy(col("node"))) == rows(f1.orderBy(col("node"))),
+        "rebuild must reproduce the same components")
+      Graph.clearMemo(spark)
+    }
   }
 
   test("xxhash64 LSH pairs all verify: subset of exact-Jaccard pairs") {
