@@ -399,11 +399,66 @@ object TextOps {
     * index ranks identically for this filter and uses only IEEE
     * exact-rounded ops (`+ * /`), folded left-to-right over the SORTED
     * distinct-token list so the double accumulation is bit-identical
-    * across engines and partitionings (same discipline as q16). Per-row
-    * O(uniq·n) array scan — entirely inside whole-stage codegen, no
-    * shuffle before the presentation sort: scan-rate at any scale.
+    * across engines and partitionings (same discipline as q16).
+    *
+    * Cost: one `array_sort` + one run-length fold per row — O(n log n)
+    * in document length. Each distinct token's count is the length of
+    * its run in the sorted token array, and runs appear in exactly the
+    * sorted-distinct order the oracle folds in, so flushing a run adds
+    * the same `p²` terms in the same order as the naive
+    * per-distinct-token rescan (kept as [[tokenDiversityQuadratic]],
+    * test-only, for the differential spec — that form is O(uniq·n) per
+    * row, which a 100k-token doc turns into ~10¹⁰ comparisons; this one
+    * stays sort-rate). All inside whole-stage codegen, no shuffle before
+    * the presentation sort.
     */
   def tokenDiversity(spark: SparkSession, dir: String): DataFrame =
+    docToks(spark, dir)
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        array_sort(col("t")).as("st"))
+      .select(col("doc_id"), col("n_tokens"),
+        aggregate(
+          col("st"),
+          struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+            lit(0.0).as("acc"), lit(0.0).as("maxp"), lit(0).as("uniq")),
+          (s, tok) => {
+            // run continues: just extend it. Run breaks (or first token,
+            // where `prev` is null and `same` evaluates null → false
+            // branch): flush the previous run — add p², bump the max and
+            // the distinct count — then open a run of 1. The first-token
+            // flush is a no-op by construction: run = 0 gives p = 0.
+            val same = tok === s("prev")
+            val p = s("run").cast("double") / col("n_tokens")
+            struct(
+              tok.as("prev"),
+              when(same, s("run") + 1).otherwise(lit(1)).as("run"),
+              when(same, s("acc")).otherwise(s("acc") + p * p).as("acc"),
+              when(same, s("maxp")).otherwise(greatest(s("maxp"), p)).as("maxp"),
+              when(same, s("uniq")).otherwise(s("uniq") + 1).as("uniq"))
+          },
+          s => {
+            // flush the final open run; an empty doc (run = 0) keeps
+            // acc = 0 → simpson = 1.0 and a null max_p, matching the
+            // array_max-of-empty semantics of the naive form
+            val p = s("run").cast("double") / col("n_tokens")
+            struct(
+              s("uniq").as("n_uniq"),
+              when(s("run") > 0, greatest(s("maxp"), p)).as("max_p"),
+              (lit(1.0) -
+                when(s("run") > 0, s("acc") + p * p).otherwise(s("acc")))
+                .as("simpson"))
+          }).as("d"))
+      .select(col("doc_id"), col("n_tokens"), col("d.n_uniq").as("n_uniq"),
+        col("d.max_p").as("max_p"), col("d.simpson").as("simpson"))
+      .orderBy(col("doc_id"))
+
+  /** The naive q67 form — per distinct token, rescan the full token
+    * array to count occurrences. O(uniq·n) per row; superseded by the
+    * run-length fold in [[tokenDiversity]] and kept ONLY as the
+    * reference implementation for the differential spec (the two must
+    * agree bit-for-bit, including the double fold order).
+    */
+  private[graft] def tokenDiversityQuadratic(spark: SparkSession, dir: String): DataFrame =
     docToks(spark, dir)
       .select(col("doc_id"), col("t"), size(col("t")).as("n_tokens"),
         array_sort(array_distinct(col("t"))).as("u"))
