@@ -61,6 +61,88 @@ object Multimodal {
     }
   }
 
+  /** Parsed container header: real metadata from real byte formats. A
+    * payload whose container isn't recognized gets `format = "unknown"`
+    * and null dims — the pipeline never drops rows at decode.
+    */
+  final case class MediaHeader(doc_id: Long, format: String,
+                               width: Option[Int], height: Option[Int],
+                               bit_depth: Option[Int])
+
+  /** Real container-header decode — pure JVM byte parsing, no codec
+    * libs. PNG: 8-byte signature, then the IHDR chunk (must be first per
+    * the PNG spec) carries width/height as big-endian u32 at data
+    * offsets 0/4 and bit depth at 8. JPEG: SOI marker then a marker
+    * walk; the first SOFn segment (C0–CF minus C4/C8/CC, which are
+    * DHT/JPG/DAC) carries sample precision (1 byte), then height and
+    * width as big-endian u16. This is the header-metadata tier of X12 —
+    * full pixel decode still needs a codec and stays behind
+    * [[MediaDecoder]] ([[MediaDecoder.Stub]] in this container).
+    */
+  object MediaHeaders {
+    private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (be16(b, i).toLong << 16) | be16(b, i + 2)
+
+    /** PNG dims: signature + IHDR. Needs the first 26 bytes. */
+    private def parsePng(b: Array[Byte]): Option[(Int, Int, Int)] =
+      if (b.length >= 26 && b.startsWith(PngMagic) &&
+          new String(b, 12, 4, "US-ASCII") == "IHDR") {
+        val w = be32(b, 16); val h = be32(b, 20)
+        // u32 dims above Int.MaxValue are out of PNG's own 2^31-1 bound
+        if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+          Some((w.toInt, h.toInt, u8(b, 24)))
+        else None
+      } else None
+
+    /** JPEG dims: walk the marker stream to the first SOFn frame header. */
+    private def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None // marker stream out of sync
+        var j = i + 1
+        while (j < b.length && u8(b, j) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return None
+        val marker = u8(b, j)
+        marker match {
+          case m if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            // SOFn: length(2) precision(1) height(2) width(2) ...
+            if (j + 8 > b.length) return None
+            val h = be16(b, j + 4); val w = be16(b, j + 6)
+            return if (w > 0 && h > 0) Some((w, h, u8(b, j + 3))) else None
+          case m if m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+            i = j + 1 // standalone marker, no length field
+          case 0xd9 => return None // EOI before any SOF
+          case _ =>
+            if (j + 3 > b.length) return None
+            i = j + 1 + be16(b, j + 1) // skip the segment (length incl. itself)
+        }
+      }
+      None
+    }
+
+    def parse(doc_id: Long, payload: Array[Byte]): MediaHeader =
+      parsePng(payload).map { case (w, h, d) =>
+        MediaHeader(doc_id, "png", Some(w), Some(h), Some(d))
+      }.orElse(parseJpeg(payload).map { case (w, h, d) =>
+        MediaHeader(doc_id, "jpeg", Some(w), Some(h), Some(d))
+      }).getOrElse(MediaHeader(doc_id, "unknown", None, None, None))
+  }
+
+  /** Batched header decode: same narrow per-partition shape as
+    * [[decodeFeatures]] — blobs never shuffle, only the small header
+    * rows flow downstream.
+    */
+  def decodeHeaders(media: Dataset[MediaRow]): Dataset[MediaHeader] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(r => MediaHeaders.parse(r.doc_id, r.payload)))
+  }
+
   /** `documents` as a media table: UTF-8 payload bytes + metadata. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._

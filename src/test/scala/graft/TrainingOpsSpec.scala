@@ -119,6 +119,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(df.filter(col("va") >= col("vb")).isEmpty)
   }
 
+  test("production centroids match the ordered-fold oracle shape to 1e-9") {
+    val oracle = Similarity.labelCentroids(spark, dir)
+      .select(col("label"), col("pos"), col("n_vecs"), col("mean"))
+    val prod = Similarity.labelCentroidsProd(spark, dir)
+      .select(col("label"), col("pos"),
+        col("n_vecs").as("n_prod"), col("mean").as("mean_prod"))
+    val j = oracle.join(prod, Seq("label", "pos"), "full").cache()
+    assert(j.filter(col("n_vecs").isNull || col("n_prod").isNull).isEmpty,
+      "both paths must emit the same (label, pos) cells")
+    assert(j.filter(col("n_vecs") =!= col("n_prod")).isEmpty)
+    // avg's merge order differs from the ordered fold → compare at 1e-9
+    // relative, far above double noise, far below any real divergence
+    assert(j.filter(abs(col("mean") - col("mean_prod")) >
+      lit(1e-9) * greatest(abs(col("mean")), lit(1e-300))).isEmpty)
+    assert(j.count() > 0)
+  }
+
   // --- Multimodal ----------------------------------------------------------
 
   test("media features: stub decode matches SQL-derivable facts") {
@@ -139,6 +156,70 @@ class TrainingOpsSpec extends SparkSpec {
     val media = Multimodal.mediaTable(spark, dir).repartition(4)
     val out = Multimodal.decodeFeatures(media, Multimodal.MediaDecoder.Stub)
     assert(out.count() == Tables.documents(spark, dir).count())
+  }
+
+  // crafted byte fixtures for the real header parsers ----------------------
+
+  private def pngBytes(w: Int, h: Int, depth: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    def be32(v: Int) = Array(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    // chunk: length=13, "IHDR", w, h, depth, colorType=6, 3 method bytes, fake crc
+    (sig ++ be32(13) ++ "IHDR".getBytes("US-ASCII").map(_ & 0xff) ++
+      be32(w) ++ be32(h) ++ Array(depth, 6, 0, 0, 0) ++ be32(0)).map(_.toByte)
+  }
+
+  private def jpegBytes(w: Int, h: Int, precision: Int): Array[Byte] = {
+    def be16(v: Int) = Array(v >>> 8, v & 0xff)
+    val app0 = Array(0xff, 0xe0) ++ be16(16) ++ "JFIF".getBytes("US-ASCII")
+      .map(_ & 0xff) ++ Array.fill(10)(0) // 16-byte segment incl. length
+    val sof0 = Array(0xff, 0xc0) ++ be16(11) ++ Array(precision) ++
+      be16(h) ++ be16(w) ++ Array(1, 0x11, 0, 0) // 1-component frame
+    (Array(0xff, 0xd8) ++ app0 ++ sof0 ++ Array(0xff, 0xd9)).map(_.toByte)
+  }
+
+  test("media headers: PNG IHDR and JPEG SOF0 parse real byte layouts") {
+    val png = Multimodal.MediaHeaders.parse(1L, pngBytes(640, 480, 8))
+    assert(png == Multimodal.MediaHeader(1L, "png", Some(640), Some(480), Some(8)))
+    val jpg = Multimodal.MediaHeaders.parse(2L, jpegBytes(1920, 1080, 8))
+    assert(jpg == Multimodal.MediaHeader(2L, "jpeg", Some(1920), Some(1080), Some(8)))
+    // dims straddling the u16/u32 ranges
+    val big = Multimodal.MediaHeaders.parse(3L, pngBytes(70000, 2, 16))
+    assert(big.width.contains(70000) && big.bit_depth.contains(16))
+    val jbig = Multimodal.MediaHeaders.parse(4L, jpegBytes(65535, 1, 12))
+    assert(jbig.width.contains(65535) && jbig.bit_depth.contains(12))
+  }
+
+  test("media headers: progressive JPEG (SOF2 after DQT) found by marker walk") {
+    def be16(v: Int) = Array(v >>> 8, v & 0xff)
+    val dqt = Array(0xff, 0xdb) ++ be16(67) ++ Array.fill(65)(1)
+    val sof2 = Array(0xff, 0xc2) ++ be16(11) ++ Array(8) ++ be16(600) ++
+      be16(800) ++ Array(1, 0x11, 0)
+    val b = (Array(0xff, 0xd8) ++ dqt ++ sof2).map(_.toByte)
+    val out = Multimodal.MediaHeaders.parse(5L, b)
+    assert(out == Multimodal.MediaHeader(5L, "jpeg", Some(800), Some(600), Some(8)))
+  }
+
+  test("media headers: garbage, truncation and text fall back to unknown") {
+    val cases = Seq(
+      Array.emptyByteArray,
+      "just some text bytes".getBytes("UTF-8"),
+      pngBytes(640, 480, 8).take(20),          // truncated before dims
+      jpegBytes(10, 10, 8).take(3),            // truncated after SOI
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte), // SOI then EOI, no SOF
+      Array(0xff, 0xd8, 0x00, 0x01).map(_.toByte)) // marker stream out of sync
+    cases.zipWithIndex.foreach { case (b, i) =>
+      val out = Multimodal.MediaHeaders.parse(i.toLong, b)
+      assert(out.format == "unknown" && out.width.isEmpty,
+        s"case $i should be unknown, got $out")
+    }
+  }
+
+  test("media headers run distributed over the media table") {
+    val media = Multimodal.mediaTable(spark, dir).repartition(3)
+    val out = Multimodal.decodeHeaders(media).cache()
+    // text payloads are not PNG/JPEG containers: all unknown, none dropped
+    assert(out.count() == Tables.documents(spark, dir).count())
+    assert(out.filter(col("format") =!= "unknown").isEmpty)
   }
 
   test("delta dedup == exact jaccard pairs restricted to the delta split") {
@@ -251,6 +332,15 @@ class TrainingOpsSpec extends SparkSpec {
     assert(df.filter(
       col("simpson") > lit(1.0) - lit(1.0) / col("n_uniq") + lit(1e-9)).isEmpty)
     assert(df.filter(col("n_uniq") === 1 && col("simpson") =!= 0.0).isEmpty)
+  }
+
+  test("token diversity: run-length fold is bit-identical to the naive rescan") {
+    // the O(n log n) production form must reproduce the O(uniq·n)
+    // reference EXACTLY — same double fold order, so === on doubles
+    val fast = TextOps.tokenDiversity(spark, dir).collect().map(_.toSeq)
+    val ref = TextOps.tokenDiversityQuadratic(spark, dir).collect().map(_.toSeq)
+    assert(fast.length == ref.length && fast.nonEmpty)
+    fast.zip(ref).foreach { case (a, b) => assert(a == b, s"mismatch: $a vs $b") }
   }
 
   test("shard assign: exact prefix sum, consecutive balanced shards") {
