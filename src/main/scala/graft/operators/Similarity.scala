@@ -245,10 +245,10 @@ object Similarity {
     *
     * Scale note: the ordered fold materializes each (label, pos) group's
     * value list — bounded by docs-per-label, the harness's oracle-parity
-    * shape. A production centroid job uses the plain commutative
-    * `avg(val)` (order-free, one partial-aggregated hash-agg, no
-    * collect) and accepts last-ulp nondeterminism; the plan is otherwise
-    * identical: posexplode → hash-agg keyed (label, pos) — dim×N rows
+    * shape. The production path is [[labelCentroidsProd]]: plain
+    * commutative `avg(val)` (order-free, partial-aggregated, no group
+    * arrays), last-ulp nondeterminism accepted; the plan is otherwise
+    * identical — posexplode → hash-agg keyed (label, pos), dim×N rows
     * shuffled once, no joins.
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
@@ -263,6 +263,25 @@ object Similarity {
       .select(col("label"), col("pos").cast("int").as("pos"), col("n_vecs"),
         (aggregate(transform(array_sort(col("vs")), s => s.getField("val")),
           lit(0.0), (acc, x) => acc + x) / col("n_vecs")).as("mean"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Production centroids: same posexplode → (label, pos) hash-agg plan
+    * as [[labelCentroids]] but with the commutative `avg(val)` — partial
+    * aggregation (map-side combine) does the heavy lifting, no per-group
+    * value arrays ever materialize, memory per group is O(1). The cost:
+    * the mean's last ulp depends on partial-merge order, so results are
+    * reproducible only to ~1e-15 relative — the right trade at 100 TB,
+    * where collecting a group's values (the oracle-parity shape) would
+    * O(docs-per-label) a single aggregation buffer. Spec'd against the
+    * ordered fold at 1e-9 relative tolerance.
+    */
+  def labelCentroidsProd(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "valf")))
+      .select(col("label"), (col("p0") + 1).cast("int").as("pos"),
+        col("valf").cast("double").as("val"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).cast("int").as("n_vecs"), avg(col("val")).as("mean"))
       .orderBy(col("label"), col("pos"))
 
   val labelCentroidsSql: String =
