@@ -31,11 +31,16 @@ val jdk17AddOpens = Seq(
 // GC once the cross-query cache web fills (multi-second pauses that
 // landed on arbitrary queries in BENCH_r02), while very large heaps
 // (100g probed) go the other way: rare young collections delay
-// reference-queue cleanup and evacuation pauses stretch. -Xms pinned to
-// -Xmx so heap growth never stalls a measured query.
-val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+// reference-queue cleanup and evacuation pauses stretch. When
+// SPARK_DRIVER_MEM is set (the bench host), -Xms is pinned to -Xmx so
+// heap growth never stalls a measured query; with no override the JVM
+// keeps its default initial heap so the suite still boots on hosts with
+// less than 24 GB free (the -Xmx cap alone reserves nothing upfront).
+val heapOpts = sys.env.get("SPARK_DRIVER_MEM") match {
+  case Some(h) => Seq(s"-Xmx$h", s"-Xms$h")
+  case None    => Seq("-Xmx24g")
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx$heap", s"-Xms$heap",
-)
+) ++ heapOpts

@@ -348,31 +348,70 @@ object Dedup {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY da, db""".stripMargin
 
-  /** q51 — blocked edit-distance matching: document "titles" (normalized
-    * 24-char prefixes) within the same block are paired when their
-    * Levenshtein distance is ≤ 3. Blocking on (2-char prefix, length
-    * bucket) bounds the quadratic comparison to block-local pairs — the
-    * standard record-linkage shape: an O(n²·d²) metric is only ever
-    * evaluated inside blocks, never across the corpus, and the block key
-    * is a plain equi-join key (shuffle on it, AQE handles block skew).
+  /** Mega-block ceiling for [[fuzzyTitlePairs]]: blocks above this size
+    * (~8M metric calls at 4096²/2) get their prefix key refined — the
+    * point where one Zipf-skewed block would dominate a single task.
+    */
+  val FuzzyMaxBlock = 4096
+
+  /** Title + blocking-key projection shared by the exact and guarded
+    * fuzzy-match paths.
     *
     * Portability: Spark's levenshtein counts CHARACTERS, DuckDB's counts
     * BYTES (probed: levenshtein('é','e') = 1 vs 2), so the title is
     * projected to printable ASCII first — after that, bytes ≡ chars and
     * the engines agree by construction, not by fixture accident.
     */
-  def fuzzyTitles(spark: SparkSession, dir: String): DataFrame = {
-    val titled = Tables.documents(spark, dir)
-      .select(col("doc_id"),
+  private[graft] def titleBlocks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         substring(regexp_replace(lower(col("text")), "[^ -~]", ""), 1, 24)
           .as("title"))
       .withColumn("blk_p", substring(col("title"), 1, 2))
       .withColumn("blk_l", (length(col("title")) / 8).cast("int"))
-    val a = titled.select(col("doc_id").as("da"), col("title").as("ta"),
-      col("blk_p"), col("blk_l"))
-    val b = titled.select(col("doc_id").as("db"), col("title").as("tb"),
-      col("blk_p"), col("blk_l"))
-    a.join(b, Seq("blk_p", "blk_l"))
+
+  /** Mega-block guard: blocks whose row count exceeds `maxBlock` get
+    * their join key refined from the 2-char prefix to a 6-char prefix
+    * (marked so refined keys can never collide with unrefined ones).
+    * The oversized-block set is found with one hash-agg and broadcast —
+    * it is bounded by the distinct block count, not the corpus.
+    *
+    * Recall trade-off (deliberate, documented): inside an oversized
+    * block, pairs that differ within their first 6 characters are no
+    * longer compared. Blocks at or under the ceiling are byte-identical
+    * to the unguarded path. The refined key can itself still be skewed
+    * by an adversary (≥ maxBlock titles sharing 6 chars AND a length
+    * bucket); that residue is the plain AQE skew-join case — the key is
+    * still an equi-join key, and cost is bounded by (refined block)².
+    */
+  private[graft] def withEffectiveBlock(titled: DataFrame, maxBlock: Int): DataFrame = {
+    val big = titled.groupBy(col("blk_p"), col("blk_l")).count()
+      .filter(col("count") > maxBlock)
+      .select(col("blk_p"), col("blk_l"), lit(true).as("__big"))
+    titled.join(broadcast(big), Seq("blk_p", "blk_l"), "left")
+      .withColumn("blk_eff",
+        when(col("__big"), concat(lit("B:"), substring(col("title"), 1, 6)))
+          .otherwise(col("blk_p")))
+      .drop("__big")
+  }
+
+  /** q51 — blocked edit-distance matching: document "titles" (normalized
+    * 24-char prefixes) within the same block are paired when their
+    * Levenshtein distance is ≤ 3. Blocking on (2-char prefix, length
+    * bucket) bounds the quadratic comparison to block-local pairs — the
+    * standard record-linkage shape: an O(n²·d²) metric is only ever
+    * evaluated inside blocks, never across the corpus, and the block key
+    * is a plain equi-join key (shuffle on it). Blocks above `maxBlock`
+    * rows are refined by [[withEffectiveBlock]] before pairing, so a
+    * Zipf-skewed prefix cannot produce an unbounded block² task at
+    * corpus scale.
+    */
+  def fuzzyTitlePairs(docs: DataFrame, maxBlock: Int = FuzzyMaxBlock): DataFrame = {
+    val eff = withEffectiveBlock(titleBlocks(docs), maxBlock)
+    val a = eff.select(col("doc_id").as("da"), col("title").as("ta"),
+      col("blk_eff"), col("blk_l"))
+    val b = eff.select(col("doc_id").as("db"), col("title").as("tb"),
+      col("blk_eff"), col("blk_l"))
+    a.join(b, Seq("blk_eff", "blk_l"))
       .filter(col("da") < col("db"))
       // |len(a)-len(b)| > 3 ⇒ dist > 3: an O(1) guard that skips the
       // metric for most cross-length pairs the 8-wide length bucket lets
@@ -386,6 +425,14 @@ object Dedup {
       .select(col("da"), col("db"), col("dist").cast("long").as("dist"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** q51 front door: guarded pairing at the default ceiling. No sf-scale
+    * block comes near [[FuzzyMaxBlock]], so the oracle sees exactly the
+    * unguarded output; at 100 TB the guard is live on the same code path
+    * (not a prose-only production variant).
+    */
+  def fuzzyTitles(spark: SparkSession, dir: String): DataFrame =
+    fuzzyTitlePairs(Tables.documents(spark, dir))
 
   val fuzzyTitlesSql: String =
     """WITH t AS (

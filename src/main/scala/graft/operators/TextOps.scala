@@ -636,8 +636,9 @@ object TextOps {
     * training shards" stage. A naive global running sum is a
     * single-task window at 100 TB, so the cumulative token count runs as
     * a distributed two-phase prefix sum: hash-bucket the order key into
-    * [[ShardBuckets]] ranges (the global order is bucket-major by
-    * construction), cumsum within each bucket in parallel, then add
+    * [[ShardBuckets]] modulo classes (`b = h % buckets`) and sort
+    * globally by (b, h, doc_id), so the order is bucket-major by
+    * construction; cumsum within each bucket in parallel, then add
     * per-bucket offsets computed from the tiny bucket-totals frame
     * (|buckets| rows, broadcast). Integer arithmetic throughout, so the
     * two-phase sum is bit-identical to the oracle's single global

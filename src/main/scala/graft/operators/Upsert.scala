@@ -18,15 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  def upsertByKey(existing: DataFrame, incoming: DataFrame,
-                  keys: Seq[String], versionCol: String,
-                  tiebreakCol: String): DataFrame = {
-    val unioned = existing.unionByName(incoming)
+  /** Last-wins winner per key group — one window shuffle. Shared by the
+    * parquet merge ([[upsertByKey]]) and the JDBC sink's within-batch
+    * pre-dedup ([[graft.sources.Jdbc.JdbcUpsertSink]], where MySQL's row
+    * order inside a statement batch would otherwise decide ties).
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], versionCol: String,
+                   tiebreakCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc, col(tiebreakCol).desc)
-    unioned
-      .withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  def upsertByKey(existing: DataFrame, incoming: DataFrame,
+                  keys: Seq[String], versionCol: String,
+                  tiebreakCol: String): DataFrame =
+    latestPerKey(existing.unionByName(incoming), keys, versionCol, tiebreakCol)
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
 /** JDBC extraction builders (reference S1–S5). The harness has no MySQL,
   * so these are the config-level API: the pure window/predicate logic is
@@ -93,5 +93,101 @@ object Jdbc {
     branches.map { case (db, df) =>
       df.withColumn("source_db", lit(db)).withColumn("tienda", lit(store))
     }.reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------------------------------- sinks
+
+  /** S7: plain JDBC append — the reference's `df.to_sql(..., if_exists=
+    * 'append')` landing path (etl_sales/db/db_helpers.py:25-40). One
+    * executor-parallel write; `batchsize` keeps statement batches
+    * bounded, and MySQL deployments should enable
+    * `rewriteBatchedStatements=true` on [[Source.url]] so the driver
+    * collapses each batch into one multi-row INSERT.
+    */
+  def append(df: DataFrame, src: Source, table: String,
+             batchSize: Int = 1000): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .jdbc(src.url, table, src.properties)
+
+  private def q(ident: String): String = {
+    require(!ident.contains('`'), s"illegal identifier: $ident")
+    s"`$ident`"
+  }
+
+  /** S8 statement: MySQL `INSERT ... ON DUPLICATE KEY UPDATE` over an
+    * explicit column list — the exact statement the reference prepares
+    * per row (etl_sales/db/db_helpers.py:25-40), built once per batch
+    * here. Non-key columns update from the incoming row via `VALUES()`;
+    * key columns are insert-only (updating them would re-key the row).
+    * The table must declare the keys as its PRIMARY/UNIQUE KEY — the
+    * upsert semantics live in that constraint, not in the statement.
+    */
+  def upsertSql(table: String, columns: Seq[String], keys: Seq[String]): String = {
+    require(columns.nonEmpty, "upsertSql: no columns")
+    require(keys.nonEmpty, "upsertSql: no key columns")
+    val missing = keys.filterNot(columns.contains)
+    require(missing.isEmpty, s"upsertSql: keys not in column list: ${missing.mkString(", ")}")
+    val nonKey = columns.filterNot(keys.contains)
+    require(nonKey.nonEmpty, "upsertSql: every column is a key — nothing to update")
+    s"INSERT INTO ${q(table)} (${columns.map(q).mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")}) " +
+      s"ON DUPLICATE KEY UPDATE ${nonKey.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")}"
+  }
+
+  /** Within-batch pre-dedup for the JDBC upsert: MySQL resolves duplicate
+    * keys row-by-row in statement order, so a batch carrying two versions
+    * of one key would make the outcome depend on row order inside a
+    * partition. Collapsing to the last-wins winner first makes the sink
+    * deterministic and matches the parquet merge semantics exactly.
+    */
+  def prepareUpsertBatch(incoming: DataFrame, keys: Seq[String],
+                         versionCol: String, tiebreakCol: String): DataFrame =
+    graft.operators.Upsert.latestPerKey(incoming, keys, versionCol, tiebreakCol)
+
+  /** S8 production sink: keyed JDBC upsert implementing the same
+    * [[graft.pipelines.UpsertSink]] contract as the parquet warehouse —
+    * pipelines swap landing targets without changing shape. Each
+    * partition opens one connection and streams prepared-statement
+    * batches inside a transaction (commit per partition, rollback on
+    * failure); with last-wins pre-dedup and key-constrained ON DUPLICATE
+    * KEY UPDATE, replays are idempotent, so a partial failure + Spark
+    * task retry converges to the same table state.
+    *
+    * No live database exists in this harness — the statement builder and
+    * pre-dedup are unit-tested ([[upsertSql]], [[prepareUpsertBatch]]);
+    * the connection loop is the thin untestable rim.
+    */
+  final class JdbcUpsertSink(src: Source, batchSize: Int = 1000)
+      extends graft.pipelines.UpsertSink with Serializable {
+    def upsert(table: String, incoming: DataFrame, keys: Seq[String],
+               versionCol: String, tiebreakCol: String): Unit = {
+      val batch = prepareUpsertBatch(incoming, keys, versionCol, tiebreakCol)
+      val sql = upsertSql(table, batch.columns.toSeq, keys)
+      val width = batch.columns.length
+      val (url, props, drv, bs) = (src.url, src.properties, src.driver, batchSize)
+      batch.foreachPartition { rows: Iterator[Row] =>
+        if (rows.hasNext) {
+          Class.forName(drv) // register the driver in the executor JVM
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(sql)
+            var n = 0
+            rows.foreach { row =>
+              var i = 0
+              while (i < width) { st.setObject(i + 1, row.get(i)); i += 1 }
+              st.addBatch()
+              n += 1
+              if (n % bs == 0) st.executeBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally conn.close()
+        }
+      }
+    }
   }
 }

@@ -152,4 +152,42 @@ class SourcesSpec extends SparkSpec {
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet ==
       docs.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  // --- JDBC write sink (S7/S8: statement + pre-dedup, no live DB) ---------
+
+  test("upsertSql builds MySQL INSERT ... ON DUPLICATE KEY UPDATE with keys insert-only") {
+    val sql = Jdbc.upsertSql("ventas_detalle",
+      Seq("art_id", "tienda_id", "fecha", "cantidad", "precio"),
+      keys = Seq("art_id", "tienda_id", "fecha"))
+    assert(sql ==
+      "INSERT INTO `ventas_detalle` (`art_id`, `tienda_id`, `fecha`, `cantidad`, `precio`) " +
+        "VALUES (?, ?, ?, ?, ?) " +
+        "ON DUPLICATE KEY UPDATE `cantidad` = VALUES(`cantidad`), `precio` = VALUES(`precio`)")
+  }
+
+  test("upsertSql rejects malformed shapes") {
+    intercept[IllegalArgumentException] {
+      Jdbc.upsertSql("t", Seq("a", "b"), Seq("missing"))
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.upsertSql("t", Seq("a", "b"), Seq("a", "b")) // nothing to update
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.upsertSql("t`; DROP TABLE x", Seq("a", "b"), Seq("a")) // backtick smuggling
+    }
+  }
+
+  test("prepareUpsertBatch collapses a batch to last-wins per key") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val incoming = Seq(
+      (1L, "2024-01-01", 10L, 100L), // stale version
+      (1L, "2024-01-03", 30L, 101L), // winner: newest version
+      (2L, "2024-01-02", 20L, 200L),
+      (2L, "2024-01-02", 25L, 201L)  // same version: tiebreak decides
+    ).toDF("art_id", "version", "qty", "id_origen")
+    val out = Jdbc.prepareUpsertBatch(incoming, Seq("art_id"), "version", "id_origen")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out == Set((1L, 30L), (2L, 25L)))
+  }
 }
