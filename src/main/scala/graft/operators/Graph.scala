@@ -38,7 +38,17 @@ object Graph {
     * nodes (no edges) are the caller's own singletons.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, src, dst, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds
+    * it ran (including the final no-change round that proves the
+    * fixpoint). Pointer jumping bounds this at O(log diameter) — the
+    * scale probe asserts that bound on an adversarial path graph, since
+    * at 100 TB the round count IS the job count.
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, src: String, dst: String,
+                                    maxIters: Int = 50): (DataFrame, Int) = {
     // symmetrize in ONE pass over `edges` (explode of both orientations):
     // a self-union would compute the caller's whole edge lineage twice —
     // Spark duplicates the subplan under each union branch, no reuse
@@ -107,7 +117,7 @@ object Graph {
         labels = next.select(col("node"), col("component"))
         iter += 1
       }
-      labels
+      (labels, iter)
     } finally e.unpersist()
   }
 

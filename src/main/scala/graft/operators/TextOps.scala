@@ -573,8 +573,13 @@ object TextOps {
     * occurrence-linear gram shuffle, and the rewrite itself runs at
     * scan speed.
     */
-  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
-    val toksDf = docToks(spark, dir).select(col("doc_id"), col("t"))
+  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame =
+    boilerplateFrom(docToks(spark, dir).select(col("doc_id"), col("t")))
+
+  /** Core of [[boilerplateRemoval]] over an explicit (doc_id, t) token
+    * frame — the seam the scale probe drives with synthetic blow-ups.
+    */
+  private[graft] def boilerplateFrom(toksDf: DataFrame): DataFrame = {
     val grams = toksDf
       .filter(size(col("t")) >= BoilerN)
       .select(col("doc_id"), col("t"),

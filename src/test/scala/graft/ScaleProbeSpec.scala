@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Graph, Stock, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale probes for the flagship plans: blow the sf0.001 inputs up 10×
+  * (explode-salt folded into the keys, so per-key group sizes stay
+  * constant while rows AND distinct keys scale — the shape of a bigger
+  * cluster input, not a hotter key) and assert the PLAN stays the plan
+  * we'd want at 100 TB: shuffle count invariant in data size, no
+  * cartesian products, broadcasts still broadcast, and the iterative CC
+  * operator inside its O(log diameter) round budget on an adversarial
+  * path graph. Runtime linearity is asserted only loosely (local timing
+  * is noisy); plan shape is the deterministic scale signal.
+  */
+class ScaleProbeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def blowUpLedger(ledger: DataFrame, factor: Int): DataFrame =
+    ledger.withColumn("__s", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("art_id", col("art_id") * factor + col("__s"))
+      .withColumn("id_origen", col("id_origen") * factor + col("__s"))
+      .drop("__s")
+
+  /** AQE re-plans at runtime (query stages hide the static shape); the
+    * probes read the static plan, so they pin AQE off for the session
+    * and restore it after.
+    */
+  private def withAqeOff[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def shuffleCount(plan: String): Int =
+    plan.linesIterator.count(l =>
+      (l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning")) &&
+        !l.trim.startsWith("ReusedExchange"))
+
+  test("R4 running balance stays a single-shuffle window plan at 10x") {
+    withAqeOff {
+      val ledger = Tables.ledger(spark, dir)
+      val p1 = planOf(Stock.withBalance(blowUpLedger(ledger, 1)))
+      val p10 = planOf(Stock.withBalance(blowUpLedger(ledger, 10)))
+      assert(shuffleCount(p1) == 1, s"1x plan:\n$p1")
+      assert(shuffleCount(p10) == 1, s"10x plan:\n$p10")
+      assert(!p10.contains("CartesianProduct"))
+    }
+  }
+
+  test("q13 dense stock-points plan shape is invariant in data size") {
+    withAqeOff {
+      val ledger = Tables.ledger(spark, dir)
+      val p1 = planOf(Stock.denseSodFrom(blowUpLedger(ledger, 1)))
+      val p10 = planOf(Stock.denseSodFrom(blowUpLedger(ledger, 10)))
+      assert(shuffleCount(p1) == shuffleCount(p10), s"1x=$p1\n10x=$p10")
+      assert(shuffleCount(p10) <= 6, s"plan grew a shuffle web:\n$p10")
+      // densify is keys × broadcast(calendar): nested-loop over a tiny
+      // broadcast side, never a shuffled cartesian
+      assert(!p10.contains("CartesianProduct"))
+      assert(p10.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("q66 boilerplate keeps the frequent-gram broadcast and its shuffle count at 10x") {
+    withAqeOff {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      def toks(factor: Int): DataFrame = docs
+        .withColumn("__s", explode(sequence(lit(0), lit(factor - 1))))
+        .select((col("doc_id") * factor + col("__s")).as("doc_id"),
+          split(lower(col("text")), "\\s+").as("t"))
+      val p1 = planOf(TextOps.boilerplateFrom(toks(1)))
+      val p10 = planOf(TextOps.boilerplateFrom(toks(10)))
+      // the frequent-gram set joins as a broadcast in BOTH plans — the
+      // hint must survive the optimizer regardless of input stats
+      assert(p1.contains("BroadcastHashJoin") && p10.contains("BroadcastHashJoin"))
+      assert(shuffleCount(p1) == shuffleCount(p10), s"1x=$p1\n10x=$p10")
+      assert(!p10.contains("CartesianProduct"))
+    }
+  }
+
+  test("connected components converges in O(log diameter) rounds on a 256-edge path") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // worst case for plain label propagation: one long path (diameter
+    // 256 would need ~256 one-hop rounds; pointer jumping doubles the
+    // label horizon per round, so ~log2(256)+2 including the fixpoint
+    // confirmation round)
+    val edges = (0 until 256).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val (labels, rounds) = Graph.connectedComponentsWithRounds(edges, "src", "dst")
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 257)
+    assert(out.forall(_._2 == 0L), "every node must label to the path minimum")
+    assert(rounds <= 12, s"pointer jumping degraded: $rounds rounds for diameter 256")
+  }
+
+  test("10x running balance stays within a loose linear-runtime envelope") {
+    val ledger = Tables.ledger(spark, dir).cache()
+    ledger.count()
+    def timeIt(df: DataFrame): Double = {
+      val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+    }
+    // warm both plans once (codegen + shuffle setup), then measure
+    timeIt(Stock.withBalance(blowUpLedger(ledger, 1)))
+    val t1 = timeIt(Stock.withBalance(blowUpLedger(ledger, 1)))
+    val t10 = timeIt(Stock.withBalance(blowUpLedger(ledger, 10)))
+    ledger.unpersist()
+    // generous: catches quadratic blow-ups, ignores local noise
+    assert(t10 <= 25 * t1 + 5.0, f"t1=$t1%.2fs t10=$t10%.2fs")
+  }
+}
