@@ -104,4 +104,5 @@ object Graft {
   def quantilesCont(spark: SparkSession, dir: String): DataFrame = Analytics.tokenQuantilesCont(spark, dir)
   def userFlags(spark: SparkSession, dir: String): DataFrame = Sessions.userFlags(spark, dir)
   def sqlExists(spark: SparkSession, dir: String): DataFrame = Sessions.sqlExistsErrors(spark, dir)
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = Similarity.kmeansAssign(spark, dir)
 }

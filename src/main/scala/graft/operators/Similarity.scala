@@ -295,4 +295,127 @@ object Similarity {
       |SELECT label, pos, n_vecs,
       |  list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n_vecs AS mean
       |FROM g ORDER BY label, pos""".stripMargin
+
+  // ------------------------------------------------------------- k-means
+
+  /** k-means geometry: cluster count and fixed Lloyd iterations (the
+    * deterministic-oracle shape; production runs to a movement epsilon).
+    */
+  val KmK = 8
+  val KmIters = 2
+
+  /** Portable squared L2: left-to-right fold of (a-b)², same discipline
+    * as [[dot]] — bit-identical across engines and partitionings.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> " +
+      s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
+      s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)])), (x, y) -> x + y)"
+
+  /** q71 — Lloyd k-means over the embedding corpus: the cluster-balance /
+    * topic-bucketing primitive behind IVF cells (q31) and mixture
+    * shaping. [[KmIters]] unrolled iterations from deterministic seeds
+    * (the [[KmK]] smallest vec_ids), emitting the final assignment.
+    *
+    * Per iteration: assign = corpus × broadcast(k centroid rows) with the
+    * squared-L2 fold, argmin per vector via `min(struct(d, cid))`
+    * (map-side partial agg — the n×k scored stream never shuffles raw;
+    * lexicographic struct order breaks distance ties toward the smaller
+    * cid, identically to the oracle's `ORDER BY d, cid`); update = the
+    * q70 centroid discipline (posexplode → (cluster, dim) hash-agg with
+    * the vec_id-ordered fold, so means are bit-identical to the oracle),
+    * empty clusters keep their previous centroid (left join + coalesce —
+    * both engines define the degenerate case the same way).
+    *
+    * Scale: centroids are k×dim (broadcast, never shuffled); each
+    * iteration shuffles the corpus once for the argmin agg and dim-rows
+    * once for the means. Integer-only output (vec_id, cluster), so the
+    * oracle compare is robust — doubles only decide comparisons, and the
+    * folds make those bit-identical. At 100 TB, swap the ordered-fold
+    * mean for plain `avg` exactly as [[labelCentroidsProd]] does.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeds = v.orderBy(col("vec_id")).limit(KmK)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .cast("int").as("cid"), col("v").as("cv"))
+
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("d", sqDist(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cluster"),
+          // v is functionally dependent on vec_id (constant per group)
+          first(col("v")).as("v"))
+
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val means = assigned
+        .select(col("cluster"), col("vec_id"),
+          posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          collect_list(struct(col("vec_id"), col("val"))).as("vs"))
+        .select(col("cluster"), col("pos"),
+          (aggregate(transform(array_sort(col("vs")), s => s.getField("val")),
+            lit(0.0), (acc, x) => acc + x) / col("n")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+      prev.join(means.withColumnRenamed("cluster", "cid"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+    }
+
+    val finalCents = (1 to KmIters).foldLeft(seeds) { (c, _) =>
+      update(assign(c), c)
+    }
+    assign(finalCents)
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  val kmeansAssignSql: String = {
+    def assignCte(scored: String, cents: String) =
+      s"""$scored AS (
+        |  SELECT e.vec_id, e.v, c.cid, ${sqDistSql("e.v", "c.cv")} AS d
+        |  FROM e CROSS JOIN $cents c)""".stripMargin
+    def argminCte(name: String, scored: String) =
+      s"""$name AS (
+        |  SELECT vec_id, v, cid AS cluster FROM (
+        |    SELECT vec_id, v, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM $scored) WHERE rn = 1)""".stripMargin
+    def updateCte(m: String, c: String, assigned: String, prev: String) =
+      s"""$m AS (
+        |  SELECT cluster AS cid, CAST(u.i AS INT) AS pos,
+        |    count(*) AS n, list(v[CAST(u.i AS INT)] ORDER BY vec_id) AS vs
+        |  FROM $assigned, unnest(generate_series(1, len(v))) AS u(i)
+        |  GROUP BY cluster, CAST(u.i AS INT)),
+        |${m}v AS (
+        |  SELECT cid, list(list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n
+        |    ORDER BY pos) AS mv
+        |  FROM $m GROUP BY cid),
+        |$c AS (
+        |  SELECT p.cid, coalesce(u.mv, p.cv) AS cv
+        |  FROM $prev p LEFT JOIN ${m}v u ON u.cid = p.cid)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmK)),
+      |${assignCte("s1", "c0")},
+      |${argminCte("a1", "s1")},
+      |${updateCte("u1", "c1", "a1", "c0")},
+      |${assignCte("s2", "c1")},
+      |${argminCte("a2", "s2")},
+      |${updateCte("u2", "c2", "a2", "c1")},
+      |${assignCte("s3", "c2")},
+      |${argminCte("a3", "s3")}
+      |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin
+  }
 }

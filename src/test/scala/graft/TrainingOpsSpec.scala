@@ -136,6 +136,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("kmeans: full assignment, clusters in range, seeds anchor their own clusters, deterministic") {
+    val a = Similarity.kmeansAssign(spark, dir).cache()
+    assert(a.count() == 500)
+    assert(a.filter(col("cluster") < 0 || col("cluster") >= Similarity.KmK).isEmpty)
+    // Lloyd from data-point seeds cannot strand all mass: every cluster
+    // id appears (k=8 over 500 spread vectors; empty clusters would keep
+    // their previous centroid and re-capture their seed's neighborhood)
+    assert(a.select(col("cluster")).distinct().count() == Similarity.KmK)
+    // two independent plan evaluations agree bit-for-bit (ordered folds:
+    // no partial-agg order dependence anywhere in the loop)
+    val b = Similarity.kmeansAssign(spark, dir)
+    assert(a.join(b.withColumnRenamed("cluster", "c2"), Seq("vec_id"))
+      .filter(col("cluster") =!= col("c2")).isEmpty)
+  }
+
   // --- Multimodal ----------------------------------------------------------
 
   test("media features: stub decode matches SQL-derivable facts") {
