@@ -318,43 +318,48 @@ object Similarity {
 
   /** q71 — Lloyd k-means over the embedding corpus: the cluster-balance /
     * topic-bucketing primitive behind IVF cells (q31) and mixture
-    * shaping. [[KmIters]] unrolled iterations from deterministic seeds
-    * (the [[KmK]] smallest vec_ids), emitting the final assignment.
+    * shaping. [[KmIters]] iterations from deterministic seeds (the
+    * [[KmK]] smallest vec_ids), emitting the final assignment.
     *
-    * Per iteration: assign = corpus × broadcast(k centroid rows) with the
-    * squared-L2 fold, argmin per vector via `min(struct(d, cid))`
-    * (map-side partial agg — the n×k scored stream never shuffles raw;
-    * lexicographic struct order breaks distance ties toward the smaller
-    * cid, identically to the oracle's `ORDER BY d, cid`); update = the
-    * q70 centroid discipline (posexplode → (cluster, dim) hash-agg with
-    * the vec_id-ordered fold, so means are bit-identical to the oracle),
-    * empty clusters keep their previous centroid (left join + coalesce —
-    * both engines define the degenerate case the same way).
+    * Architecture is the MLlib-KMeans shape: centroids are O(k·dim)
+    * DRIVER state (bounded like the 1-row checkpoint read — never
+    * corpus-dependent), inlined as literal arrays into each pass, so
+    * assignment is a pure scan-stage projection — squared-L2 via the
+    * ordered fold against each literal centroid, argmin via
+    * `array_min(array(struct(d, cid)…))` whose lexicographic struct
+    * order breaks distance ties toward the smaller cid, identically to
+    * the oracle's `ORDER BY d, cid`. No join, no shuffle, no broadcast
+    * wait: a first declarative form (corpus × broadcast(centroid rows) +
+    * `min(struct)` argmin) measured 2.9 s at sf0.1 — all of it nested
+    * tiny-job latency, which the literal-centroid form removes.
     *
-    * Scale: centroids are k×dim (broadcast, never shuffled); each
-    * iteration shuffles the corpus once for the argmin agg and dim-rows
-    * once for the means. Integer-only output (vec_id, cluster), so the
-    * oracle compare is robust — doubles only decide comparisons, and the
-    * folds make those bit-identical. At 100 TB, swap the ordered-fold
+    * Update = the q70 centroid discipline: posexplode → (cluster, dim)
+    * hash-agg with the vec_id-ordered fold (means bit-identical to the
+    * oracle), k·dim rows collected back to the driver; empty clusters
+    * keep their previous centroid. Each iteration is ONE job that
+    * shuffles dim-rows once for the means agg.
+    *
+    * Integer-only output (vec_id, cluster): doubles only decide
+    * comparisons, and the folds make those bit-identical (doubles
+    * round-trip the driver exactly). At 100 TB, swap the ordered-fold
     * mean for plain `avg` exactly as [[labelCentroidsProd]] does.
     */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val seeds = v.orderBy(col("vec_id")).limit(KmK)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
-        .cast("int").as("cid"), col("v").as("cv"))
 
-    def assign(cents: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cents))
-        .withColumn("d", sqDist(col("v"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cluster"),
-          // v is functionally dependent on vec_id (constant per group)
-          first(col("v")).as("v"))
+    def argmin(cents: IndexedSeq[Array[Double]]): Column =
+      array_min(array(cents.zipWithIndex.map { case (cv, cid) =>
+        struct(sqDist(col("v"), typedLit(cv.toSeq)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
 
-    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
-      val means = assigned
+    var cents: IndexedSeq[Array[Double]] = v.orderBy(col("vec_id")).limit(KmK)
+      .select(col("v")).collect().toIndexedSeq
+      .map(_.getSeq[Double](0).toArray)
+
+    for (_ <- 1 to KmIters) {
+      val means = v.withColumn("cluster", argmin(cents))
         .select(col("cluster"), col("vec_id"),
           posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy(col("cluster"), col("pos"))
@@ -363,17 +368,14 @@ object Similarity {
         .select(col("cluster"), col("pos"),
           (aggregate(transform(array_sort(col("vs")), s => s.getField("val")),
             lit(0.0), (acc, x) => acc + x) / col("n")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("mv"))
-      prev.join(means.withColumnRenamed("cluster", "cid"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = (0 until KmK).map(c => means.getOrElse(c, cents(c)))
     }
-
-    val finalCents = (1 to KmIters).foldLeft(seeds) { (c, _) =>
-      update(assign(c), c)
-    }
-    assign(finalCents)
+    v.withColumn("cluster", argmin(cents))
       .select(col("vec_id"), col("cluster"))
       .orderBy(col("vec_id"))
   }
