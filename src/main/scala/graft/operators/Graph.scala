@@ -60,9 +60,13 @@ object Graph {
       .cache()
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     val t00 = System.nanoTime()
+    // NOT checkpointed: round 0's own checkpoint truncates the lineage
+    // one round later anyway, and the declarative init plan (distinct
+    // over the cached symmetric edges) is exactly what round 0's join
+    // needs — materializing it separately was one extra job (~1-2 s of
+    // the build at local scale) for lineage depth the loop never sees.
     var labels = e.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint()
     if (dbg) println(f"cc init ${(System.nanoTime() - t00) / 1e9}%.2f s")
     try {
       var changed = 1L
