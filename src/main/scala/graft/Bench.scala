@@ -41,8 +41,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    output rather than silently inflating queries.
   *
   *  - Output stays under the driver's ~2 KB line capture: per-query
-  *    seconds print with 3 decimals (ms resolution — below run-to-run
-  *    noise), diagnostics with 2, never full double precision. Field
+  *    seconds print with 2 decimals (10 ms resolution — below
+  *    run-to-run noise), diagnostics with 2, never full double
+  *    precision. Field
   *    order is defensive: the capture keeps the line's TAIL, so the
   *    headline `value` and the full `queries` map go LAST and any
   *    clipping eats only the metadata head (r3/r4 lost `total` and
@@ -136,7 +137,9 @@ object Bench {
     }
     def f3(v: Double): String = f"$v%.3f"
     def f2(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+    // 2 decimals (10 ms — well under run-to-run noise): 72 queries at 3
+    // decimals broke back over the ~2 KB driver capture
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")

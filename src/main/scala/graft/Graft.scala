@@ -105,4 +105,5 @@ object Graft {
   def userFlags(spark: SparkSession, dir: String): DataFrame = Sessions.userFlags(spark, dir)
   def sqlExists(spark: SparkSession, dir: String): DataFrame = Sessions.sqlExistsErrors(spark, dir)
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = Similarity.kmeansAssign(spark, dir)
+  def fuzzyContamination(spark: SparkSession, dir: String): DataFrame = Contamination.fuzzyContamination(spark, dir)
 }

@@ -86,4 +86,106 @@ object Contamination {
       |       WHEN ${hash60Sql("text")} % 100 < ${TrainPct + ValPct} THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q72 — FUZZY benchmark contamination: q33 catches exact shingle
+    * overlap; paraphrased/lightly-edited benchmark leakage needs
+    * near-match detection. Same MinHash family and banding as q22 run
+    * CROSS-corpus: every doc gets a 16-hash signature from the shared
+    * shingle index, the benchmark side's band signatures (bounded by the
+    * benchmark, not the corpus — broadcastable by assumption, like q33's
+    * shingle set) are broadcast against the training side's bands, and
+    * only banding collisions are verified with exact Jaccard. Emits each
+    * contaminated training doc's BEST benchmark match (max Jaccard, ties
+    * to the smaller benchmark id). Cost at 100 TB: one signature pass
+    * over the corpus + collision-bounded verification — never
+    * |train| × |benchmark|.
+    */
+  def fuzzyContamination(spark: SparkSession, dir: String): DataFrame = {
+    import Dedup.{A, B, Bands, P, Rows}
+    val benchIds = Tables.documents(spark, dir)
+      .filter(col("source") === "src0").select(col("doc_id"))
+    val shx = Dedup.shingleIndex(spark, dir).withColumn("x", col("sh_h") % P)
+    val mins = A.indices.map(j =>
+      min((lit(A(j)) * col("x") + lit(B(j))) % P).as(s"v$j"))
+    val mh = shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandSigs = array((0 until Bands).map(bd =>
+      concat_ws("-", (0 until Rows).map(r => col(s"v${bd * Rows + r}")): _*)): _*)
+    val bands = mh.select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "sig")))
+    val benchBands = bands.join(broadcast(benchIds), Seq("doc_id"))
+      .select(col("doc_id").as("bench_id"), col("band"), col("sig"))
+    val trainBands = bands.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+    val cand = trainBands.join(broadcast(benchBands), Seq("band", "sig"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+      .cache() // consumed by the doc-restriction AND the verify join
+    val candDocs = cand
+      .select(explode(array(col("doc_id"), col("bench_id"))).as("doc_id"))
+      .distinct()
+    val docSets = Dedup.shingleIndex(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
+      .cache() // a few candidate rows, consumed from two join branches
+    cand
+      .join(broadcast(docSets.select(col("doc_id"), col("sh").as("sha"))),
+        Seq("doc_id"))
+      .join(broadcast(docSets.select(col("doc_id").as("bench_id"),
+        col("sh").as("shb"))), Seq("bench_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("bench_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fuzzyContaminationSql: String = {
+    import Dedup.{A, B, Bands, P, Rows}
+    val minCols = A.indices
+      .map(j => s"min((${A(j)} * x + ${B(j)}) % $P) AS v$j")
+      .mkString(",\n      |    ")
+    val bandSelects = (0 until Bands).map { bd =>
+      val vs = (0 until Rows).map(r => s"v${bd * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $bd AS band, concat_ws('-', $vs) AS sig FROM mh"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH ${Dedup.shCte},
+      |xh AS (SELECT doc_id, sh_h % $P AS x FROM shx),
+      |mh AS (
+      |  SELECT doc_id,
+      |    $minCols
+      |  FROM xh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |bench AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+      |bb AS (
+      |  SELECT b.doc_id AS bench_id, b.band, b.sig
+      |  FROM bands b JOIN bench ON bench.doc_id = b.doc_id),
+      |tb AS (
+      |  SELECT b.* FROM bands b
+      |  WHERE b.doc_id NOT IN (SELECT doc_id FROM bench)),
+      |cand AS (
+      |  SELECT DISTINCT t.doc_id, bb.bench_id
+      |  FROM tb t JOIN bb ON t.band = bb.band AND t.sig = bb.sig),
+      |ds AS (SELECT doc_id, $shingles3Sql AS sh FROM toks),
+      |v AS (
+      |  SELECT c.doc_id, c.bench_id,
+      |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+      |    len(sa.sh) AS na, len(sb.sh) AS nb
+      |  FROM cand c
+      |  JOIN ds sa ON sa.doc_id = c.doc_id
+      |  JOIN ds sb ON sb.doc_id = c.bench_id),
+      |j AS (
+      |  SELECT doc_id, bench_id,
+      |    CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |  FROM v
+      |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${Dedup.JaccardThreshold}),
+      |r AS (
+      |  SELECT doc_id, bench_id, jaccard,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, bench_id) AS rn
+      |  FROM j)
+      |SELECT doc_id, bench_id, jaccard FROM r WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -58,7 +58,7 @@ object Dedup {
       .distinct()
       .cache()
 
-  private val shCte =
+  private[graft] val shCte =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |sh AS (SELECT doc_id, unnest($shingles3AllSql) AS s FROM toks),
       |shx AS (SELECT DISTINCT doc_id, ${hash60Sql("s")} AS sh_h FROM sh)""".stripMargin

@@ -20,7 +20,8 @@ class DeterminismSweepSpec extends SparkSpec {
     "q12_running_balance", "q13_stock_points", "q16_token_stats",
     "q47_doc_ranks", "q55_quantiles_cont", "q59_trailing_24h",
     "q65_seq_packing", "q67_token_diversity", "q68_shard_assign",
-    "q70_label_centroids", "q71_kmeans", "q45_dedup_clusters")
+    "q70_label_centroids", "q71_kmeans", "q45_dedup_clusters",
+    "q72_fuzzy_contam")
 
   private def evalWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

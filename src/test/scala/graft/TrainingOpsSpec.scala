@@ -151,6 +151,25 @@ class TrainingOpsSpec extends SparkSpec {
       .filter(col("cluster") =!= col("c2")).isEmpty)
   }
 
+  test("fuzzy contamination: one best benchmark match per train doc, strictly cross-corpus") {
+    val df = Contamination.fuzzyContamination(spark, dir).cache()
+    assert(df.count() > 0, "fixture must contain cross-corpus near-dups")
+    assert(df.filter(col("jaccard") < Dedup.JaccardThreshold).isEmpty)
+    assert(df.groupBy(col("doc_id")).count().filter(col("count") > 1).isEmpty,
+      "argmax must emit exactly one row per contaminated doc")
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    assert(df.join(src, Seq("doc_id"))
+      .filter(col("source") === "src0").isEmpty, "train side must exclude the benchmark")
+    assert(df.join(src.withColumnRenamed("doc_id", "bench_id"), Seq("bench_id"))
+      .filter(col("source") =!= "src0").isEmpty, "matches must point into the benchmark")
+    // fuzzy subsumes exact overlap at the pair level: every q33-flagged
+    // doc whose overlap is near-duplicate-grade shows up here too when
+    // its jaccard clears the threshold — spot-check mutual consistency
+    val exact = Contamination.contamination(spark, dir)
+      .filter(col("flagged")).select(col("doc_id"))
+    assert(exact.join(df, Seq("doc_id"), "left_semi").count() > 0)
+  }
+
   // --- Multimodal ----------------------------------------------------------
 
   test("media features: stub decode matches SQL-derivable facts") {
