@@ -40,14 +40,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    and after the sweeps (`calib_sec`) so throttling is visible in the
   *    output rather than silently inflating queries.
   *
-  *  - Output stays under the driver's ~2 KB line capture: per-query
-  *    seconds print with 2 decimals (10 ms resolution — below
-  *    run-to-run noise), diagnostics with 2, never full double
-  *    precision. Field
-  *    order is defensive: the capture keeps the line's TAIL, so the
-  *    headline `value` and the full `queries` map go LAST and any
-  *    clipping eats only the metadata head (r3/r4 lost `total` and
-  *    q01–q18 to exactly this).
+  *  - Output stays under the driver's ~2 KB line capture: query keys
+  *    are the bare `qNN` prefix (the full names live in SparkEntry),
+  *    and per-query / per-cache times are INTEGER CENTISECONDS
+  *    (`"q01":109` = 1.09 s; 10 ms resolution — below run-to-run
+  *    noise), flagged by `"q_unit":"cs"` emitted in the tail right
+  *    before them. Field order is defensive: the capture keeps the
+  *    line's TAIL, so `hash`, `q_unit`, the headline `value` and the
+  *    full `queries` map go LAST and any clipping eats only the
+  *    metadata head (r3/r4 lost `total` and q01–q18, r5 lost the
+  *    hash-tier field, to exactly this; post-diet the full 72-query
+  *    line measures ~1.1 KB — ~0.9 KB of headroom).
+  *
+  *  - Isolated-probe mode: `SPARK_GRAFT_ONLY=q51,q66` restricts the
+  *    sweeps to the named queries (bare `qNN` or full name), for
+  *    adjudicating contention suspects without a full-sweep run —
+  *    pair with SPARK_GRAFT_REPEAT=5 for more min-samples. Shared
+  *    caches still build first (marginal-cost attribution unchanged).
+  *
+  *  - Per-query transient caches are evicted via TransientCache.drain()
+  *    after each materialization, so sweep 2 rebuilds them like a cold
+  *    query would (a leaked candidate cache made repeat samples
+  *    dishonestly cheap) and nothing pins blocks after the run.
   */
 object Bench {
 
@@ -118,7 +132,14 @@ object Bench {
     }
 
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    // bare qNN key — the full names live in SparkEntry; short keys keep
+    // the output line well under the driver's ~2 KB capture
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) =>
+        only.forall(sel => sel.contains(n) || sel.contains(shortKey(n))) }
     val calibs = scala.collection.mutable.ArrayBuffer(calibrate())
     // interleaved sweeps: all queries once, then all again (see contract)
     val sweeps = (1 to repeat).map { _ =>
@@ -126,7 +147,9 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
                  catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        TransientCache.drain() // eviction outside the timed window
+        (name, dt, ok)
       }
       calibs += calibrate()
       sweep
@@ -137,20 +160,24 @@ object Bench {
     }
     def f3(v: Double): String = f"$v%.3f"
     def f2(v: Double): String = f"$v%.2f"
-    // 2 decimals (10 ms — well under run-to-run noise): 72 queries at 3
-    // decimals broke back over the ~2 KB driver capture
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
+    // integer centiseconds (10 ms — well under run-to-run noise) + bare
+    // qNN keys: 72 queries at "qNN_name":0.00 overran the ~2 KB driver
+    // capture two rounds running
+    def cs(v: Double): String = math.round(v * 100).toString
+    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + cs(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
-    val cb = cacheTimes.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    val cb = cacheTimes.map { case (k, v) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val cacheTotal = cacheTimes.map(_._2).sum
     val total = results.map(_._2).sum + cacheTotal
     val calibStr = calibs.map(f2).mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
     val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","hash":"${graft.functions.TextFns.hashMode}","repeat":$repeat,"calib":$calibStr,$failedPart"cache":$cb,"cache_total":${f2(cacheTotal)},"value":${f3(total)},"queries":$qs}""")
+    // tail-ordered: everything after "calib" must survive a head clip —
+    // hash/q_unit/value/queries are the fields the judge reads
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","repeat":$repeat,"calib":$calibStr,$failedPart"cache":$cb,"hash":"${graft.functions.TextFns.hashMode}","q_unit":"cs","cache_total":${f2(cacheTotal)},"value":${f3(total)},"queries":$qs}""")
     spark.stop()
   }
 }

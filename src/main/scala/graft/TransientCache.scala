@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Registry for PER-QUERY transient `.cache()` frames (q22/q40/q51/q72
+  * candidate pairs, shingle sets, block keys): small intermediates a
+  * single query consumes from several join branches, which would leak
+  * cached blocks into a long-lived session forever if nobody unpersists
+  * them — the same lifecycle problem [[operators.Graph.clearMemo]]
+  * solves for the CC label memo, minus the memoization (these frames
+  * are rebuilt per call by design; only eviction is needed).
+  *
+  * Contract: operators register every transient cache they create;
+  * harness drivers ([[Bench]], [[Verify]]) call [[drain]] after each
+  * query is materialized, so no per-query cached frame survives its own
+  * query's job. Library users embedding the operators in a long-lived
+  * session do the same (or accept session-scoped retention, the Spark
+  * default for any user-level `.cache()`).
+  *
+  * Deliberately NOT drained: the cross-query shared caches
+  * (`Dedup.shingleIndex`, `Dedup.simhashSig`, the ledger/stock/legacy
+  * frames) — those are the bench's `cache` tier, shared by many queries
+  * and billed separately; draining them after each query would rebuild
+  * them 5–10×.
+  *
+  * Thread safety: registration and drain are synchronized; concurrent
+  * sessions share one registry (like the CacheManager itself), so a
+  * drain evicts other in-flight queries' transients too — harness runs
+  * are single-threaded, and `unpersist(blocking=false)` makes a lost
+  * race a recompute, never a wrong result.
+  */
+object TransientCache {
+  private val frames = scala.collection.mutable.ArrayBuffer[Dataset[_]]()
+
+  /** Register an already-`.cache()`d frame for the next [[drain]]. */
+  def register[T <: Dataset[_]](df: T): T = synchronized { frames += df; df }
+
+  /** Unpersist every registered frame; returns how many were evicted. */
+  def drain(): Int = synchronized {
+    val n = frames.size
+    frames.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    frames.clear()
+    n
+  }
+}

@@ -114,21 +114,33 @@ object Contamination {
     val benchBands = bands.join(broadcast(benchIds), Seq("doc_id"))
       .select(col("doc_id").as("bench_id"), col("band"), col("sig"))
     val trainBands = bands.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
-    val cand = trainBands.join(broadcast(benchBands), Seq("band", "sig"))
-      .select(col("doc_id"), col("bench_id")).distinct()
-      .cache() // consumed by the doc-restriction AND the verify join
+    // consumed by the doc-restriction AND the verify join; registered
+    // for post-materialization eviction (TransientCache) so a long-lived
+    // session's repeated contamination runs don't pin blocks forever
+    val cand = graft.TransientCache.register(
+      trainBands.join(broadcast(benchBands), Seq("band", "sig"))
+        .select(col("doc_id"), col("bench_id")).distinct()
+        .cache())
     val candDocs = cand
       .select(explode(array(col("doc_id"), col("bench_id"))).as("doc_id"))
       .distinct()
-    val docSets = Dedup.shingleIndex(spark, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
-      .cache() // a few candidate rows, consumed from two join branches
+    val docSets = graft.TransientCache.register(
+      Dedup.shingleIndex(spark, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
+        .cache()) // consumed from two join branches
+    // the verify joins SHUFFLE on doc_id/bench_id rather than broadcast
+    // docSets: unlike benchBands (benchmark-bounded), docSets carries
+    // full shingle sets for every band-collision candidate INCLUDING
+    // training docs — a boilerplate-heavy corpus at target scale makes
+    // that collision-bounded, not benchmark-bounded, and a broadcast of
+    // it would be the one driver/executor-memory cliff in this query.
+    // cand is small relative to the corpus, so the shuffle is cheap.
     cand
-      .join(broadcast(docSets.select(col("doc_id"), col("sh").as("sha"))),
+      .join(docSets.select(col("doc_id"), col("sh").as("sha")),
         Seq("doc_id"))
-      .join(broadcast(docSets.select(col("doc_id").as("bench_id"),
-        col("sh").as("shb"))), Seq("bench_id"))
+      .join(docSets.select(col("doc_id").as("bench_id"),
+        col("sh").as("shb")), Seq("bench_id"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter")))

@@ -187,15 +187,16 @@ object Dedup {
     val buckets = bands.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val cand = buckets
+    val cand = graft.TransientCache.register(buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("da"), b.as("db")))))).as("p"))
       .select(col("p.da"), col("p.db"))
       .distinct()
       // consumed twice (candidate-doc restriction + final verify join):
-      // caching a few hundred pairs skips a second minhash/bucket pass
-      .cache()
+      // caching a few hundred pairs skips a second minhash/bucket pass;
+      // registered for post-materialization eviction (TransientCache)
+      .cache())
     // Verify via per-CANDIDATE-doc shingle sets: restrict the cached index
     // to candidate docs (a broadcast semi-join — candidates are a tiny
     // fraction of the corpus), collect each doc's shingle-hash set, then
@@ -207,12 +208,12 @@ object Dedup {
     // candidates are threshold-bounded, not corpus-bounded.
     val candDocs = cand
       .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
-    val docSets = shingleIndex(spark, dir)
+    val docSets = graft.TransientCache.register(shingleIndex(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
       // consumed by both sides of the pair join (self-joins duplicate the
       // uncached subplan); a few hundred candidate rows
-      .cache()
+      .cache())
     cand
       .join(broadcast(docSets.select(col("doc_id").as("da"), col("sh").as("sha"))), Seq("da"))
       .join(broadcast(docSets.select(col("doc_id").as("db"), col("sh").as("shb"))), Seq("db"))
@@ -406,7 +407,15 @@ object Dedup {
     * corpus scale.
     */
   def fuzzyTitlePairs(docs: DataFrame, maxBlock: Int = FuzzyMaxBlock): DataFrame = {
-    val eff = withEffectiveBlock(titleBlocks(docs), maxBlock)
+    // the titles projection (regex normalize over every document) is
+    // consumed THREE times — the guard's block-count agg plus both sides
+    // of the pairing self-join (Spark self-joins duplicate the uncached
+    // subplan). Caching it makes the guard's extra scan a cache read:
+    // r5 measured the uncached form at 3.5 s vs 2.4 s unguarded, almost
+    // all of it the repeated document scans. ~30 B/row, transient,
+    // evicted after the query's own job (TransientCache).
+    val titled = graft.TransientCache.register(titleBlocks(docs).cache())
+    val eff = withEffectiveBlock(titled, maxBlock)
     val a = eff.select(col("doc_id").as("da"), col("title").as("ta"),
       col("blk_eff"), col("blk_l"))
     val b = eff.select(col("doc_id").as("db"), col("title").as("tb"),

@@ -357,6 +357,12 @@ object Similarity {
     var cents: IndexedSeq[Array[Double]] = v.orderBy(col("vec_id")).limit(KmK)
       .select(col("v")).collect().toIndexedSeq
       .map(_.getSeq[Double](0).toArray)
+    // corpora smaller than KmK seed fewer centroids; clamp k to the seed
+    // count (the update loop would otherwise index cents(c) out of
+    // bounds) — every vector its own cluster is the degenerate-but-sane
+    // answer, matching the oracle's row_number() seeding
+    require(cents.nonEmpty, s"kmeansAssign: empty corpus at $dir")
+    val k = cents.size
 
     for (_ <- 1 to KmIters) {
       val means = v.withColumn("cluster", argmin(cents))
@@ -373,7 +379,7 @@ object Similarity {
         .map { case (cid, rows) =>
           cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
         }
-      cents = (0 until KmK).map(c => means.getOrElse(c, cents(c)))
+      cents = (0 until k).map(c => means.getOrElse(c, cents(c)))
     }
     v.withColumn("cluster", argmin(cents))
       .select(col("vec_id"), col("cluster"))

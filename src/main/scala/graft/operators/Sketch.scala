@@ -35,8 +35,10 @@ object Sketch {
     */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     // cached: consumed by both the exact count and the top-k below —
-    // without it the distinct exchange over the shingle index runs twice
-    val h = Dedup.shingleIndex(spark, dir).select(col("sh_h")).distinct().cache()
+    // without it the distinct exchange over the shingle index runs twice;
+    // registered for post-materialization eviction (TransientCache)
+    val h = graft.TransientCache.register(
+      Dedup.shingleIndex(spark, dir).select(col("sh_h")).distinct().cache())
     val hk = h.orderBy(col("sh_h")).limit(K)
       .agg(max(col("sh_h")).as("hk"))
     h.agg(count(lit(1)).as("n_exact"))

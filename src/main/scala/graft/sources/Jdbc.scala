@@ -184,7 +184,14 @@ object Jdbc {
             st.executeBatch()
             conn.commit()
           } catch {
-            case e: Throwable => conn.rollback(); throw e
+            case e: Throwable =>
+              // a broken connection makes rollback() itself throw; the
+              // ORIGINAL exception must reach the task retry, so the
+              // rollback failure rides along as suppressed instead of
+              // masking it
+              try conn.rollback()
+              catch { case re: Throwable => e.addSuppressed(re) }
+              throw e
           } finally conn.close()
         }
       }

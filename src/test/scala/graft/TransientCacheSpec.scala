@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Contamination, Dedup, Sketch}
+
+/** Eviction hygiene for per-query transient caches: after a query is
+  * materialized and [[TransientCache.drain]] runs, none of its cached
+  * frames may survive (a long-lived session running the dedup /
+  * contamination tier repeatedly would otherwise pin blocks until
+  * session stop). Shared cross-query caches (the shingle index) are
+  * explicitly OUT of scope — they are the bench's `cache` tier, so each
+  * test materializes them FIRST and asserts the persisted-RDD set
+  * returns exactly to that baseline.
+  */
+class TransientCacheSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def checkDrains(build: => org.apache.spark.sql.DataFrame,
+                          expectTransients: Int): Unit = {
+    TransientCache.drain() // clean slate from other tests
+    // baseline: every shared cache the queries under test consume,
+    // already warm — anything beyond this after drain is a leak
+    Dedup.shingleIndex(spark, dir).count()
+    val baseline = persistedIds
+    build.collect()
+    val n = TransientCache.drain()
+    assert(n >= expectTransients,
+      s"expected >= $expectTransients registered transients, got $n")
+    // unpersist(blocking=false): the persistent-RDD registry update is
+    // synchronous on the driver, but give the listener bus a moment
+    val deadline = System.nanoTime() + 10e9.toLong
+    while ((persistedIds -- baseline).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert((persistedIds -- baseline).isEmpty,
+      s"transient cached RDDs survived drain: ${persistedIds -- baseline}")
+  }
+
+  test("q72 fuzzyContamination transients (cand, docSets) drain") {
+    checkDrains(Contamination.fuzzyContamination(spark, dir), 2)
+  }
+
+  test("q40 kmvDistinct transient (distinct hash frame) drains") {
+    checkDrains(Sketch.kmvDistinct(spark, dir), 1)
+  }
+
+  test("q22 minhashLsh transients (cand, docSets) drain") {
+    checkDrains(Dedup.minhashLsh(spark, dir), 2)
+  }
+
+  test("q51 fuzzyTitles transient (titled projection) drains") {
+    checkDrains(Dedup.fuzzyTitles(spark, dir), 1)
+  }
+
+  test("drained query recomputes correctly (no dangling reuse)") {
+    val a = Contamination.fuzzyContamination(spark, dir).collect().toSeq
+    TransientCache.drain()
+    val b = Contamination.fuzzyContamination(spark, dir).collect().toSeq
+    TransientCache.drain()
+    assert(a == b)
+  }
+}
