@@ -254,6 +254,95 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
   }
 
+  /** Per-doc LSH band signatures (doc_id, band, sig) from the shared
+    * shingle index — the q22 signature pipeline as a reusable frame:
+    * one hash-agg for all 16 minhashes, posexplode of [[Bands]] tiny
+    * strings. At rest this IS the persisted band index an incremental
+    * pipeline appends to.
+    */
+  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val shx = shingleIndex(spark, dir).withColumn("x", col("sh_h") % P)
+    val mins = A.indices.map(j =>
+      min((lit(A(j)) * col("x") + lit(B(j))) % P).as(s"v$j"))
+    val mh = shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandSigs = array((0 until Bands).map(bd =>
+      concat_ws("-", (0 until Rows).map(r => col(s"v${bd * Rows + r}")): _*)): _*)
+    mh.select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "sig")))
+  }
+
+  /** q74 — fuzzy delta-dedup: the INCREMENTAL twin of q22, and the
+    * near-dup analog of q61's exact delta check. A new batch (role-
+    * played by `doc_id % 10 >= 8`, q61's convention) is screened for
+    * near-duplicates of the SEEN corpus (`doc_id % 10 < 8`) by joining
+    * the batch's band signatures against the corpus' persisted band
+    * index on (band, sig) — banding collisions only, then exact-Jaccard
+    * verification of the candidates, threshold [[JaccardThreshold]].
+    *
+    * Scale contract (the reference's whole §2.9 story, fuzzified): the
+    * corpus band index is an append-only at-rest table — per night the
+    * corpus side is a bucketed scan, never re-signatured, never self-
+    * paired; signature work is batch-only and verify work is
+    * collision-only, so the nightly cost scales with the BATCH, not the
+    * corpus (machine-checked in TrainingOpsSpec: the delta pair set
+    * equals q22's full-corpus pairs restricted to batch×corpus, so the
+    * incremental path loses nothing against the batch recompute).
+    */
+  def deltaMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val inc = bands.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id").as("di"), col("band"), col("sig"))
+    val corp = bands.filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id").as("dc"), col("band"), col("sig"))
+    val cand = graft.TransientCache.register(
+      inc.join(corp, Seq("band", "sig"))
+        .select(col("di"), col("dc")).distinct()
+        .cache()) // consumed by the doc restriction AND the verify join
+    val candDocs = cand
+      .select(explode(array(col("di"), col("dc"))).as("doc_id")).distinct()
+    val docSets = graft.TransientCache.register(shingleIndex(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
+      .cache()) // consumed from two join branches
+    cand
+      .join(docSets.select(col("doc_id").as("di"), col("sh").as("sha")), Seq("di"))
+      .join(docSets.select(col("doc_id").as("dc"), col("sh").as("shb")), Seq("dc"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("di"), col("dc"), col("jaccard"))
+      .orderBy(col("di"), col("dc"))
+  }
+
+  val deltaMinhashSql: String = {
+    val minCols = A.indices
+      .map(j => s"min((${A(j)} * x + ${B(j)}) % $P) AS v$j").mkString(",\n      |    ")
+    val bandSelects = (0 until Bands).map { bd =>
+      val vs = (0 until Rows).map(r => s"v${bd * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $bd AS band, concat_ws('-', $vs) AS sig FROM mh"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH $shCte,
+      |xh AS (SELECT doc_id, sh_h % $P AS x FROM shx),
+      |mh AS (
+      |  SELECT doc_id,
+      |    $minCols
+      |  FROM xh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT i.doc_id AS di, c.doc_id AS dc
+      |  FROM bands i JOIN bands c ON i.band = c.band AND i.sig = c.sig
+      |  WHERE i.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
+      |ds AS (SELECT doc_id, $shingles3Sql AS sh FROM toks),
+      |v AS (
+      |  SELECT di, dc, len(list_intersect(sa.sh, sb.sh)) AS inter,
+      |    len(sa.sh) AS na, len(sb.sh) AS nb
+      |  FROM cand JOIN ds sa ON sa.doc_id = di JOIN ds sb ON sb.doc_id = dc)
+      |SELECT di, dc, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
+      |ORDER BY di, dc""".stripMargin
+  }
+
   /** 32-bit SimHash signature per document: frequency-weighted bit votes
     * over token hashes. The vote is linear in token frequency, so summing
     * ±1 per OCCURRENCE equals the cnt-weighted sum per distinct token —

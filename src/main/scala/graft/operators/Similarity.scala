@@ -344,15 +344,25 @@ object Similarity {
     * round-trip the driver exactly). At 100 TB, swap the ordered-fold
     * mean for plain `avg` exactly as [[labelCentroidsProd]] does.
     */
-  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** Scan-stage argmin over literal centroids: squared-L2 via the
+    * ordered fold against each centroid, `array_min(struct(d, cid))`
+    * breaking distance ties toward the smaller cid — identical to the
+    * oracle's `ORDER BY d, cid`. A pure projection: no join, no
+    * shuffle, no broadcast wait.
+    */
+  private def kmArgmin(v: Column, cents: IndexedSeq[Array[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (cv, cid) =>
+      struct(sqDist(v, typedLit(cv.toSeq)).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** The Lloyd fit: [[KmIters]] iterations from deterministic seeds (the
+    * [[KmK]] smallest vec_ids), returning the FINAL centroids as driver
+    * state — O(k·dim), bounded like the checkpoint read. Shared by the
+    * q71 assignment and the q73 SemDeDup block key.
+    */
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] = {
     val v = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-
-    def argmin(cents: IndexedSeq[Array[Double]]): Column =
-      array_min(array(cents.zipWithIndex.map { case (cv, cid) =>
-        struct(sqDist(col("v"), typedLit(cv.toSeq)).as("d"),
-          lit(cid).as("cid"))
-      }: _*)).getField("cid")
 
     var cents: IndexedSeq[Array[Double]] = v.orderBy(col("vec_id")).limit(KmK)
       .select(col("v")).collect().toIndexedSeq
@@ -361,11 +371,11 @@ object Similarity {
     // count (the update loop would otherwise index cents(c) out of
     // bounds) — every vector its own cluster is the degenerate-but-sane
     // answer, matching the oracle's row_number() seeding
-    require(cents.nonEmpty, s"kmeansAssign: empty corpus at $dir")
+    require(cents.nonEmpty, s"kmeansCentroids: empty corpus at $dir")
     val k = cents.size
 
     for (_ <- 1 to KmIters) {
-      val means = v.withColumn("cluster", argmin(cents))
+      val means = v.withColumn("cluster", kmArgmin(col("v"), cents))
         .select(col("cluster"), col("vec_id"),
           posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy(col("cluster"), col("pos"))
@@ -381,12 +391,23 @@ object Similarity {
         }
       cents = (0 until k).map(c => means.getOrElse(c, cents(c)))
     }
-    v.withColumn("cluster", argmin(cents))
+    cents
+  }
+
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cluster", kmArgmin(col("v"), cents))
       .select(col("vec_id"), col("cluster"))
       .orderBy(col("vec_id"))
   }
 
-  val kmeansAssignSql: String = {
+  /** The oracle's k-means CTE chain — three unrolled Lloyd steps ending
+    * at `a3(vec_id, v, cluster)`; shared by q71 and the q73 SemDeDup
+    * oracle exactly as [[kmeansCentroids]] is shared in Spark.
+    */
+  private val kmeansCtes: String = {
     def assignCte(scored: String, cents: String) =
       s"""$scored AS (
         |  SELECT e.vec_id, e.v, c.cid, ${sqDistSql("e.v", "c.cv")} AS d
@@ -410,7 +431,7 @@ object Similarity {
         |$c AS (
         |  SELECT p.cid, coalesce(u.mv, p.cv) AS cv
         |  FROM $prev p LEFT JOIN ${m}v u ON u.cid = p.cid)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |c0 AS (
@@ -423,7 +444,68 @@ object Similarity {
       |${argminCte("a2", "s2")},
       |${updateCte("u2", "c2", "a2", "c1")},
       |${assignCte("s3", "c2")},
-      |${argminCte("a3", "s3")}
-      |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin
+      |${argminCte("a3", "s3")}""".stripMargin
   }
+
+  val kmeansAssignSql: String =
+    s"""WITH $kmeansCtes
+      |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------ SemDeDup
+
+  /** Cosine threshold for q73's within-cluster pruning. */
+  val SemDedupThreshold = 0.35
+
+  /** q73 — SemDeDup-style semantic dedup (Abbas et al. 2023's shape):
+    * embedding-space near-duplicates are pruned WITHIN k-means clusters
+    * — the cluster id is the blocking key, so the pairwise cosine pass
+    * is cluster-local by construction and the corpus is never self-
+    * joined corpus². Composes q71 exactly as q62 composes q45: the
+    * shared Lloyd fit ([[kmeansCentroids]]) assigns every vector its
+    * cluster in the scan stage (literal centroids, no join), the
+    * within-cluster self-equi-join on `cluster` scores candidate pairs
+    * with the codegen'd native cosine, and a vector is pruned when a
+    * SMALLER vec_id in its cluster is ≥ [[SemDedupThreshold]] similar —
+    * the deterministic keep-lowest-id canonical rule (the paper keeps a
+    * random/centroid-farthest representative; lowest-id is the
+    * order-free, engine-portable choice).
+    *
+    * Scale: at 100 TB, k grows with the corpus so cluster size stays
+    * bounded (the SemDeDup operating point); the join is a plain
+    * equi-join on cluster — hash-partitioned, AQE-skew-splittable —
+    * and the only all-pairs work is inside a cluster, which is the
+    * algorithm's definition, not an implementation accident. Output is
+    * (vec_id, cluster, pruned) — integers and a boolean, no doubles to
+    * hash-match.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    val v = vecs(spark, dir)
+      .withColumn("cluster", kmArgmin(col("v"), cents))
+    val a = v.select(col("cluster"), col("vec_id").as("va"),
+      col("v").as("xa"), col("nrm").as("na"))
+    val b = v.select(col("cluster"), col("vec_id").as("vb"),
+      col("v").as("xb"), col("nrm").as("nb"))
+    val pruned = a.join(b, Seq("cluster"))
+      .filter(col("vb") < col("va"))
+      .withColumn("score", cosine(col("xa"), col("xb")))
+      .filter(col("score") >= SemDedupThreshold)
+      .select(col("va").as("vec_id")).distinct()
+      .withColumn("pruned", lit(true))
+    v.select(col("vec_id"), col("cluster"))
+      .join(pruned, Seq("vec_id"), "left")
+      .withColumn("pruned", coalesce(col("pruned"), lit(false)))
+      .orderBy(col("vec_id"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH $kmeansCtes,
+      |nr AS (SELECT vec_id, cluster, v, sqrt(${dotSql("v", "v")}) AS nrm FROM a3),
+      |pr AS (
+      |  SELECT DISTINCT a.vec_id
+      |  FROM nr a JOIN nr b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= $SemDedupThreshold)
+      |SELECT n.vec_id, n.cluster, (p.vec_id IS NOT NULL) AS pruned
+      |FROM nr n LEFT JOIN pr p ON p.vec_id = n.vec_id
+      |ORDER BY n.vec_id""".stripMargin
 }

@@ -346,6 +346,69 @@ object TextOps {
       |FROM r WHERE rk <= $CapK
       |ORDER BY source, rk""".stripMargin
 
+  /** Per-domain cap (q75) — smaller than [[CapK]]: ~7 synthetic domains
+    * over 500 fixture docs give ~71 docs/domain, so the cap must bind.
+    */
+  val DomainCapK = 40
+
+  /** Portable URL-domain extractor: first capture group, no `\s` class
+    * (identical semantics in Spark's Java regex and DuckDB's RE2 on
+    * space-separated text).
+    */
+  val DomainRe = "https?://([^/ ]+)"
+
+  /** q75 — domain-level corpus shaping: URL/domain extraction + a
+    * per-domain document cap, the most common real pretraining corpus
+    * filter (C4/RefinedWeb-style "no domain dominates"). Composes q46's
+    * discipline with q63's quota machinery:
+    *
+    *  - The fixture text contains no URLs (q46's finding), so a
+    *    deterministic doc_id-derived URL (`https://w{doc_id % 7}
+    *    .example.com/p/{doc_id}`) is appended in BOTH engines — the
+    *    extraction regex and every cap branch are actually exercised,
+    *    with ~7 domains × ~71 docs against a cap of [[DomainCapK]].
+    *  - Domain = first [[DomainRe]] capture (codegen'd regexp_extract
+    *    at scan speed — the real-corpus shape, where the URL lives in
+    *    the text/metadata and the domain is NOT a materialized column).
+    *  - Cap = q63's stable pseudo-random selection: salted 60-bit hash
+    *    order with doc_id tiebreak, `row_number() ≤ cap` per domain —
+    *    re-run/partitioning-invariant, one shuffle (hash-partition by
+    *    domain), per-group top-k, never a global sort. A mega-domain
+    *    costs only its own partition and is the plain AQE-skew case.
+    */
+  def domainCaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("aug", concat(col("text"),
+        lit(" https://w"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+      .select(col("doc_id"),
+        regexp_extract(col("aug"), DomainRe, 1).as("domain"),
+        hash60(concat(lit("dcap:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DomainCapK)
+      .select(col("domain"), col("rk"), col("doc_id"))
+      .orderBy(col("domain"), col("rk"))
+  }
+
+  val domainCapsSql: String =
+    s"""WITH a AS (
+      |  SELECT doc_id,
+      |    text || ' https://w' || CAST(doc_id % 7 AS VARCHAR)
+      |      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS aug
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, regexp_extract(aug, '$DomainRe', 1) AS domain,
+      |    ${hash60Sql("'dcap:' || CAST(doc_id AS VARCHAR)")} AS h
+      |  FROM a),
+      |r AS (SELECT domain, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
+      |  FROM d)
+      |SELECT domain, CAST(rk AS INT) AS rk, doc_id
+      |FROM r WHERE rk <= $DomainCapK
+      |ORDER BY domain, rk""".stripMargin
+
   /** Chunking geometry (q64): context-window size and stride in tokens. */
   val ChunkSize = 16
   val ChunkStride = 12

@@ -94,6 +94,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("approx quantile tier tracks the exact tier at tolerance") {
+    // labelCentroidsProd pattern: the production sketch path is not
+    // oracle-checkable, so it is differentially bounded by the exact
+    // tier. GK rank error at accuracy=10000 over ~170-doc groups is
+    // sub-rank: the approx value must land within the group's exact
+    // neighboring order statistics — enforced here as a 5% relative
+    // envelope around the interpolated exact quantile, far wider than
+    // the sketch's guarantee and far narrower than any group's spread.
+    val exact = Analytics.tokenQuantilesCont(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Analytics.tokenQuantilesApprox(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (e50, e90, e99) = exact(r.getString(0))
+      def ok(a: Double, e: Double) = math.abs(a - e) <= 0.05 * math.abs(e)
+      assert(ok(r.getLong(1).toDouble, e50), s"p50 ${r.getString(0)}")
+      assert(ok(r.getLong(2).toDouble, e90), s"p90 ${r.getString(0)}")
+      assert(ok(r.getLong(3).toDouble, e99), s"p99 ${r.getString(0)}")
+    }
+  }
+
   test("rolling mean window is correct at series edges") {
     val rows = Analytics.rollingDailyNet(spark, dir)
       .filter(col("tienda_id") === 0).orderBy(col("dia"))
