@@ -35,6 +35,20 @@ object Dedup {
   val Rows = 4
   val JaccardThreshold = 0.2
 
+  /** Distinct `(doc_id, sh_h)` shingle rows computed from an explicit
+    * documents frame — the generator behind [[shingleIndex]], reusable on
+    * a SUBSET of the corpus (the batch side of [[deltaMinhash]] shingles
+    * only the nightly batch through this, never the full corpus).
+    */
+  private def shingleRowsOf(docs: DataFrame): DataFrame =
+    Tables.spread(docs)
+      // tokenize in its own projection BELOW the generator: Catalyst keeps
+      // it there, so the regex split runs once per doc, not once per shingle
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingles3All(col("t"))).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("sh_h"))
+      .distinct()
+
   /** `(doc_id, sh_h)` — the distinct inverted-index rows, shingle as
     * 60-bit hash. Explodes the NON-distinct shingle array (cheap generator
     * — see TextFns.shingles3 perf note) and dedupes relationally after
@@ -49,14 +63,7 @@ object Dedup {
     * which is exactly what production minhash pipelines do.
     */
   private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(spark, dir))
-      // tokenize in its own projection BELOW the generator: Catalyst keeps
-      // it there, so the regex split runs once per doc, not once per shingle
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), explode(shingles3All(col("t"))).as("s"))
-      .select(col("doc_id"), hash60(col("s")).as("sh_h"))
-      .distinct()
-      .cache()
+    shingleRowsOf(Tables.documents(spark, dir)).cache()
 
   private[graft] val shCte =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -177,13 +184,7 @@ object Dedup {
     * heavy lineage, on (band, sig, ids) rows only.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val shx = shingleIndex(spark, dir).withColumn("x", col("sh_h") % P)
-    val mins = A.indices.map(j =>
-      min((lit(A(j)) * col("x") + lit(B(j))) % P).as(s"v$j"))
-    val mh = shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandSigs = array((0 until Bands).map(bd =>
-      concat_ws("-", (0 until Rows).map(r => col(s"v${bd * Rows + r}")): _*)): _*)
-    val bands = mh.select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "sig")))
+    val bands = bandsOf(shingleIndex(spark, dir))
     val buckets = bands.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -254,20 +255,68 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
   }
 
-  /** Per-doc LSH band signatures (doc_id, band, sig) from the shared
-    * shingle index — the q22 signature pipeline as a reusable frame:
-    * one hash-agg for all 16 minhashes, posexplode of [[Bands]] tiny
-    * strings. At rest this IS the persisted band index an incremental
-    * pipeline appends to.
+  /** Per-doc LSH band signatures `(doc_id, band, sig)` from a
+    * `(doc_id, sh_h)` shingle frame — the q22 signature pipeline as a
+    * reusable builder: one hash-agg for all 16 minhashes, posexplode of
+    * [[Bands]] tiny strings. Feeds q22's buckets, and [[corpusIndex]]
+    * persists its output as the at-rest band index q74 scans.
     */
-  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val shx = shingleIndex(spark, dir).withColumn("x", col("sh_h") % P)
+  private def bandsOf(sh: DataFrame): DataFrame = {
+    val shx = sh.withColumn("x", col("sh_h") % P)
     val mins = A.indices.map(j =>
       min((lit(A(j)) * col("x") + lit(B(j))) % P).as(s"v$j"))
     val mh = shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandSigs = array((0 until Bands).map(bd =>
       concat_ws("-", (0 until Rows).map(r => col(s"v${bd * Rows + r}")): _*)): _*)
     mh.select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "sig")))
+  }
+
+  /** The at-rest index of the SEEN corpus (q61/q74's `doc_id % 10 < 8`
+    * split): two parquet tables under a session-temp warehouse root —
+    * `corpus_band_index(doc_id, band, sig)` for candidate generation and
+    * `corpus_shingles(doc_id, sh_h)` for candidate verification. Both
+    * [[DataFrame]]s here are plain reads of the written files, so a
+    * consumer's corpus-side plan is an index SCAN — no tokenize, shingle
+    * or minhash stage touches the corpus after the one-time build (at
+    * 100 TB this is the bucketed warehouse table the nightly pipeline
+    * appends each verified batch to; here it is built once per session
+    * and memoized like [[Graph.simhashComponents]]).
+    */
+  private[graft] case class CorpusIndex(bands: DataFrame, shingles: DataFrame,
+                                        root: String)
+
+  private val corpusIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), CorpusIndex]
+
+  private[graft] def corpusIndex(spark: SparkSession, dir: String): CorpusIndex =
+    corpusIndexMemo.getOrElseUpdate((spark, dir, graft.functions.TextFns.hashMode), {
+      val root = java.nio.file.Files.createTempDirectory("graft_bandidx_").toString
+      val wh = new graft.pipelines.Warehouse(spark, root)
+      val corpusDocs = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
+      wh.write("corpus_shingles", shingleRowsOf(corpusDocs))
+      val shAtRest = wh.read("corpus_shingles")
+      // bands are derived FROM the at-rest shingles, so the build itself
+      // tokenizes the corpus exactly once
+      wh.write("corpus_band_index", bandsOf(shAtRest))
+      CorpusIndex(wh.read("corpus_band_index"), shAtRest, root)
+    })
+
+  /** Drop this session's memoized corpus indexes (the next [[deltaMinhash]]
+    * rebuilds). Nothing to unpersist — the index is at-rest parquet, not a
+    * cached RDD; the temp files are reclaimed with the tmpdir.
+    */
+  def clearCorpusIndex(spark: SparkSession): Unit =
+    corpusIndexMemo.keys.filter(_._1 eq spark).foreach(corpusIndexMemo.remove)
+
+  /** Test seam: install a replacement index for (spark, dir) under the
+    * CURRENT hash mode — the q74 contract spec injects a poisoned index
+    * to prove the operator reads the at-rest table rather than
+    * re-deriving the corpus side.
+    */
+  private[graft] def installCorpusIndex(spark: SparkSession, dir: String,
+                                        idx: CorpusIndex): Unit = {
+    corpusIndexMemo.put((spark, dir, graft.functions.TextFns.hashMode), idx)
+    ()
   }
 
   /** q74 — fuzzy delta-dedup: the INCREMENTAL twin of q22, and the
@@ -278,34 +327,50 @@ object Dedup {
     * index on (band, sig) — banding collisions only, then exact-Jaccard
     * verification of the candidates, threshold [[JaccardThreshold]].
     *
-    * Scale contract (the reference's whole §2.9 story, fuzzified): the
-    * corpus band index is an append-only at-rest table — per night the
-    * corpus side is a bucketed scan, never re-signatured, never self-
-    * paired; signature work is batch-only and verify work is
-    * collision-only, so the nightly cost scales with the BATCH, not the
-    * corpus (machine-checked in TrainingOpsSpec: the delta pair set
-    * equals q22's full-corpus pairs restricted to batch×corpus, so the
-    * incremental path loses nothing against the batch recompute).
+    * Scale contract (the reference's whole §2.9 story, fuzzified), as
+    * implemented: the corpus side of every stage is a scan of the
+    * at-rest [[corpusIndex]] tables — candidate generation reads the
+    * band index, verification reads the stored shingle rows restricted
+    * to candidates — while tokenize/shingle/minhash work runs over the
+    * BATCH documents only (the batch filter sits directly on the source
+    * scan). Nightly cost therefore scales with the batch plus banding
+    * collisions, not the corpus. Machine-checked in TrainingOpsSpec:
+    * (1) the delta pair set equals q22's full-corpus pairs restricted
+    * to batch×corpus, so the incremental path loses nothing against a
+    * full recompute; (2) injecting a poisoned index changes the output,
+    * so the corpus side provably comes from the at-rest table, whose
+    * own plan is asserted to be a bare file scan.
     */
   def deltaMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
-    val inc = bands.filter(col("doc_id") % 10 >= 8)
-      .select(col("doc_id").as("di"), col("band"), col("sig"))
-    val corp = bands.filter(col("doc_id") % 10 < 8)
-      .select(col("doc_id").as("dc"), col("band"), col("sig"))
+    val idx = corpusIndex(spark, dir)
+    // batch-only signature work, straight off the filtered source scan;
+    // consumed twice (band build + verify sets) — cached, drained after
+    val batchSh = graft.TransientCache.register(
+      shingleRowsOf(Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8))
+        .cache())
+    val inc = bandsOf(batchSh).select(col("doc_id").as("di"), col("band"), col("sig"))
+    val corp = idx.bands.select(col("doc_id").as("dc"), col("band"), col("sig"))
     val cand = graft.TransientCache.register(
       inc.join(corp, Seq("band", "sig"))
         .select(col("di"), col("dc")).distinct()
-        .cache()) // consumed by the doc restriction AND the verify join
-    val candDocs = cand
-      .select(explode(array(col("di"), col("dc"))).as("doc_id")).distinct()
-    val docSets = graft.TransientCache.register(shingleIndex(spark, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
-      .cache()) // consumed from two join branches
+        .cache()) // consumed 3x: both doc restrictions + the verify join
+    // per-side candidate shingle sets: batch from the transient batch
+    // shingles, corpus from the at-rest rows — each restricted by a
+    // broadcast semi-join (candidates are collision-bounded, not
+    // corpus-bounded) and consumed once, so neither needs a cache
+    val setsI = batchSh
+      .join(broadcast(cand.select(col("di").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sha"))
+      .select(col("doc_id").as("di"), col("sha"))
+    val setsC = idx.shingles
+      .join(broadcast(cand.select(col("dc").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("shb"))
+      .select(col("doc_id").as("dc"), col("shb"))
     cand
-      .join(docSets.select(col("doc_id").as("di"), col("sh").as("sha")), Seq("di"))
-      .join(docSets.select(col("doc_id").as("dc"), col("sh").as("shb")), Seq("dc"))
+      .join(setsI, Seq("di"))
+      .join(setsC, Seq("dc"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter")))

@@ -273,6 +273,53 @@ class TrainingOpsSpec extends SparkSpec {
     assert(delta == exact)
   }
 
+  test("q74 delta minhash == q22 LSH pairs restricted to batch x corpus") {
+    // the incremental path (persisted corpus index + batch-only
+    // signatures) must lose nothing against the full-corpus recompute:
+    // same pair set, same jaccard values, for exactly the pairs that
+    // cross the batch/corpus boundary
+    val delta = Dedup.deltaMinhash(spark, dir)
+      .collect().map(_.mkString("|")).toSet
+    val full = Dedup.minhashLsh(spark, dir)
+      .filter((col("da") % 10 >= 8 && col("db") % 10 < 8) ||
+        (col("db") % 10 >= 8 && col("da") % 10 < 8))
+      .select(
+        when(col("da") % 10 >= 8, col("da")).otherwise(col("db")).as("di"),
+        when(col("da") % 10 >= 8, col("db")).otherwise(col("da")).as("dc"),
+        col("jaccard"))
+      .collect().map(_.mkString("|")).toSet
+    assert(delta == full)
+    assert(delta.nonEmpty, "fixture must contain cross-boundary near-dups")
+  }
+
+  test("q74 corpus side is the at-rest index: bare scan, and injection drives output") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
+    Dedup.clearCorpusIndex(spark)
+    val real = Dedup.deltaMinhash(spark, dir).collect().toSeq
+    TransientCache.drain()
+    // 1. the index frames are plain file scans — no tokenize/shingle/
+    //    minhash stage can touch the corpus through them
+    val idx = Dedup.corpusIndex(spark, dir)
+    Seq(idx.bands, idx.shingles).foreach { t =>
+      val plan = t.queryExecution.optimizedPlan
+      assert(plan.collectLeaves().size == 1)
+      assert(plan.collect { case n @ (_: Aggregate | _: Generate | _: Join) => n }.isEmpty,
+        s"index frame must be a bare scan, got:\n$plan")
+      assert(t.queryExecution.executedPlan.toString.contains(idx.root),
+        "index frame must scan the at-rest warehouse files")
+    }
+    // 2. poisoned index ==> empty output: the operator demonstrably READS
+    //    the at-rest table instead of re-signaturing the corpus itself
+    Dedup.installCorpusIndex(spark, dir,
+      idx.copy(bands = idx.bands.limit(0), shingles = idx.shingles.limit(0)))
+    assert(Dedup.deltaMinhash(spark, dir).isEmpty)
+    TransientCache.drain()
+    // 3. a rebuild after clearing restores the real answer
+    Dedup.clearCorpusIndex(spark)
+    assert(Dedup.deltaMinhash(spark, dir).collect().toSeq == real)
+    TransientCache.drain()
+  }
+
   test("canonical pick: exactly one keep per cluster, and it has max score") {
     val df = Graph.canonicalPick(spark, dir).cache()
     assert(df.count() > 0)

@@ -53,6 +53,10 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(Dedup.fuzzyTitles(spark, dir), 1)
   }
 
+  test("q74 deltaMinhash transients (batch shingles, cand) drain") {
+    checkDrains(Dedup.deltaMinhash(spark, dir), 2)
+  }
+
   test("drained query recomputes correctly (no dangling reuse)") {
     val a = Contamination.fuzzyContamination(spark, dir).collect().toSeq
     TransientCache.drain()
