@@ -316,34 +316,6 @@ object Similarity {
       s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
       s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)])), (x, y) -> x + y)"
 
-  /** q71 — Lloyd k-means over the embedding corpus: the cluster-balance /
-    * topic-bucketing primitive behind IVF cells (q31) and mixture
-    * shaping. [[KmIters]] iterations from deterministic seeds (the
-    * [[KmK]] smallest vec_ids), emitting the final assignment.
-    *
-    * Architecture is the MLlib-KMeans shape: centroids are O(k·dim)
-    * DRIVER state (bounded like the 1-row checkpoint read — never
-    * corpus-dependent), inlined as literal arrays into each pass, so
-    * assignment is a pure scan-stage projection — squared-L2 via the
-    * ordered fold against each literal centroid, argmin via
-    * `array_min(array(struct(d, cid)…))` whose lexicographic struct
-    * order breaks distance ties toward the smaller cid, identically to
-    * the oracle's `ORDER BY d, cid`. No join, no shuffle, no broadcast
-    * wait: a first declarative form (corpus × broadcast(centroid rows) +
-    * `min(struct)` argmin) measured 2.9 s at sf0.1 — all of it nested
-    * tiny-job latency, which the literal-centroid form removes.
-    *
-    * Update = the q70 centroid discipline: posexplode → (cluster, dim)
-    * hash-agg with the vec_id-ordered fold (means bit-identical to the
-    * oracle), k·dim rows collected back to the driver; empty clusters
-    * keep their previous centroid. Each iteration is ONE job that
-    * shuffles dim-rows once for the means agg.
-    *
-    * Integer-only output (vec_id, cluster): doubles only decide
-    * comparisons, and the folds make those bit-identical (doubles
-    * round-trip the driver exactly). At 100 TB, swap the ordered-fold
-    * mean for plain `avg` exactly as [[labelCentroidsProd]] does.
-    */
   /** Scan-stage argmin over literal centroids: squared-L2 via the
     * ordered fold against each centroid, `array_min(struct(d, cid))`
     * breaking distance ties toward the smaller cid — identical to the
@@ -358,9 +330,31 @@ object Similarity {
   /** The Lloyd fit: [[KmIters]] iterations from deterministic seeds (the
     * [[KmK]] smallest vec_ids), returning the FINAL centroids as driver
     * state — O(k·dim), bounded like the checkpoint read. Shared by the
-    * q71 assignment and the q73 SemDeDup block key.
+    * q71 assignment and the q73 SemDeDup block key, and MEMOIZED per
+    * (session, dir) — the fit is 2·[[KmIters]] full corpus passes, the
+    * most expensive derivation in the similarity tier, and a session
+    * running q71 and q73 would otherwise pay it twice (the
+    * [[Graph.simhashComponents]] discipline; hash mode is irrelevant
+    * here — the fit reads only numeric embeddings). Entries are plain
+    * driver arrays (no cached RDDs), so [[clearKmeansMemo]] only drops
+    * references; eviction + rebuild equality is spec'd in
+    * TrainingOpsSpec via [[kmFitCount]].
     */
-  private[graft] def kmeansCentroids(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] = {
+  private val kmMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IndexedSeq[Array[Double]]]
+
+  /** Test observability: how many Lloyd fits actually ran (memo misses). */
+  private[graft] val kmFitCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] =
+    kmMemo.getOrElseUpdate((spark, dir), fitKmeans(spark, dir))
+
+  /** Evict this session's memoized fits; the next q71/q73 call refits. */
+  def clearKmeansMemo(spark: SparkSession): Unit =
+    kmMemo.keys.filter(_._1 eq spark).foreach(kmMemo.remove)
+
+  private def fitKmeans(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] = {
+    kmFitCount.incrementAndGet()
     val v = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -394,6 +388,34 @@ object Similarity {
     cents
   }
 
+  /** q71 — Lloyd k-means over the embedding corpus: the cluster-balance /
+    * topic-bucketing primitive behind IVF cells (q31) and mixture
+    * shaping. [[KmIters]] iterations from deterministic seeds (the
+    * [[KmK]] smallest vec_ids), emitting the final assignment.
+    *
+    * Architecture is the MLlib-KMeans shape: centroids are O(k·dim)
+    * DRIVER state (bounded like the 1-row checkpoint read — never
+    * corpus-dependent), inlined as literal arrays into each pass, so
+    * assignment is a pure scan-stage projection — squared-L2 via the
+    * ordered fold against each literal centroid, argmin via
+    * `array_min(array(struct(d, cid)…))` whose lexicographic struct
+    * order breaks distance ties toward the smaller cid, identically to
+    * the oracle's `ORDER BY d, cid`. No join, no shuffle, no broadcast
+    * wait: a first declarative form (corpus × broadcast(centroid rows) +
+    * `min(struct)` argmin) measured 2.9 s at sf0.1 — all of it nested
+    * tiny-job latency, which the literal-centroid form removes.
+    *
+    * Update = the q70 centroid discipline: posexplode → (cluster, dim)
+    * hash-agg with the vec_id-ordered fold (means bit-identical to the
+    * oracle), k·dim rows collected back to the driver; empty clusters
+    * keep their previous centroid. Each iteration is ONE job that
+    * shuffles dim-rows once for the means agg.
+    *
+    * Integer-only output (vec_id, cluster): doubles only decide
+    * comparisons, and the folds make those bit-identical (doubles
+    * round-trip the driver exactly). At 100 TB, swap the ordered-fold
+    * mean for plain `avg` exactly as [[labelCentroidsProd]] does.
+    */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
     Tables.spread(Tables.embeddings(spark, dir))

@@ -151,6 +151,61 @@ class TrainingOpsSpec extends SparkSpec {
       .filter(col("cluster") =!= col("c2")).isEmpty)
   }
 
+  test("kmeans fit is memoized across q71/q73 and rebuilds equal after clear") {
+    Similarity.clearKmeansMemo(spark)
+    val base = Similarity.kmFitCount.get()
+    val a1 = Similarity.kmeansAssign(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    Similarity.semDedup(spark, dir).collect()
+    assert(Similarity.kmFitCount.get() == base + 1,
+      "q71 and q73 must share ONE Lloyd fit per (session, dir)")
+    Similarity.clearKmeansMemo(spark)
+    val a2 = Similarity.kmeansAssign(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(Similarity.kmFitCount.get() == base + 2, "clear must force a refit")
+    assert(a1 == a2, "independent fits agree bit-for-bit (ordered folds)")
+  }
+
+  test("q73 SemDeDup pruning is cluster-local: witness in SAME cluster, no cross-cluster scoring") {
+    val out = Similarity.semDedup(spark, dir).cache() // (vec_id, cluster, pruned)
+    // no all-pairs path in the operator itself: the only joins are the
+    // cluster equi-join and the final pruned-flag lookup
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // reference semantics from an explicit corpus-wide pair scan (the
+    // spec, not the operator, pays all-pairs — fixture-sized)
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sims = v.select(col("vec_id").as("va"), col("v").as("xa"))
+      .crossJoin(v.select(col("vec_id").as("vb"), col("v").as("xb")))
+      .filter(col("vb") < col("va"))
+      .withColumn("score",
+        org.apache.spark.sql.graft.VectorExprs.cosineSim(col("xa"), col("xb")))
+      .filter(col("score") >= Similarity.SemDedupThreshold)
+      .select(col("va"), col("vb"))
+    val cl = out.select(col("vec_id"), col("cluster"))
+    val pairs = sims
+      .join(cl.select(col("vec_id").as("va"), col("cluster").as("ca")), Seq("va"))
+      .join(cl.select(col("vec_id").as("vb"), col("cluster").as("cb")), Seq("vb"))
+      .cache()
+    // pruned <=> a >=threshold witness with smaller id in the SAME cluster
+    val expectPruned = pairs.filter(col("ca") === col("cb"))
+      .select(col("va").as("vec_id")).distinct()
+      .withColumn("expect", lit(true))
+    val j = out.join(expectPruned, Seq("vec_id"), "left")
+      .withColumn("expect", coalesce(col("expect"), lit(false)))
+    assert(j.filter(col("pruned") =!= col("expect")).isEmpty,
+      "pruned set must be exactly the docs with a same-cluster witness")
+    // non-vacuous: cross-cluster near-dups exist and SURVIVE when they
+    // have no same-cluster witness — cluster-locality is observable
+    val crossOnly = pairs.groupBy(col("va"))
+      .agg(max(when(col("ca") === col("cb"), 1).otherwise(0)).as("has_same"))
+      .filter(col("has_same") === 0)
+    assert(crossOnly.count() > 0, "fixture must have cross-cluster-only near-dups")
+    assert(out.join(crossOnly.select(col("va").as("vec_id")), Seq("vec_id"))
+      .filter(col("pruned")).isEmpty,
+      "cross-cluster-only near-dups must survive (never scored)")
+  }
+
   test("fuzzy contamination: one best benchmark match per train doc, strictly cross-corpus") {
     val df = Contamination.fuzzyContamination(spark, dir).cache()
     assert(df.count() > 0, "fixture must contain cross-corpus near-dups")
