@@ -6,14 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Attribution contract (so per-query numbers are trustworthy):
   *
-  *  - Shared cross-query caches (the shingle index feeding q19/q21/q22/
-  *    q35/q40, the union ledger feeding q08-q10, the simhash signatures
-  *    feeding q23/q24/q45, the legacy agg feeding q02-q04, the stock
-  *    points feeding q13/q14) are built BEFORE the timed loop and billed
-  *    to their own `cache` map — a query's number is the marginal
-  *    cost of that query, not whichever query alphabetically first
-  *    touched a shared intermediate. The cache-build total is still part
-  *    of the headline `value` (it is real work, just attributed honestly).
+  *  - Shared cross-query caches (the shingle index, union ledger, simhash
+  *    signatures, legacy agg, stock points, q74's at-rest corpus index,
+  *    the q71/q73 Lloyd fit, and the CC label memo — each entry in the
+  *    code lists its consumer queries) are built BEFORE the timed loop
+  *    and billed to their own `cache` map — a query's number is the
+  *    marginal cost of that query, not whichever query alphabetically
+  *    first touched a shared intermediate. The cache-build total is still
+  *    part of the headline `value` (it is real work, just attributed
+  *    honestly).
   *
   *  - Queries are materialized via `queryExecution.toRdd.count()`: a
   *    DataFrame `count()` lets Catalyst prune the presentation sort and
@@ -55,8 +56,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - Isolated-probe mode: `SPARK_GRAFT_ONLY=q51,q66` restricts the
   *    sweeps to the named queries (bare `qNN` or full name), for
   *    adjudicating contention suspects without a full-sweep run —
-  *    pair with SPARK_GRAFT_REPEAT=5 for more min-samples. Shared
-  *    caches still build first (marginal-cost attribution unchanged).
+  *    pair with SPARK_GRAFT_REPEAT=5 for more min-samples. Only the
+  *    shared caches the selected queries consume are built (marginal-
+  *    cost attribution unchanged; a probe of a cache-free query like
+  *    q66 now starts timing immediately).
   *
   *  - Per-query transient caches are evicted via TransientCache.drain()
   *    after each materialization, so sweep 2 rebuilds them like a cold
@@ -107,30 +110,6 @@ object Bench {
     try materialize(graft.operators.Stock.dailyNet(spark, sfDir))
     catch { case _: Throwable => () }
 
-    // Shared-cache builds, timed individually (see attribution contract).
-    // count() on the to-be-cached frame materializes the whole
-    // InMemoryRelation (cache storage is plan-wide, not column-pruned).
-    val sharedCaches: Seq[(String, () => DataFrame)] = Seq(
-      "legacy"  -> (() => operators.Sales.legacyAggDecimal(spark, sfDir)),
-      "ledger"  -> (() => operators.Ledger.unionLedger(spark, sfDir)),
-      "stock"   -> (() => operators.Stock.stockPoints(spark, sfDir)),
-      "shingle" -> (() => operators.Dedup.shingleIndex(spark, sfDir)),
-      "simhash" -> (() => operators.Dedup.simhashSig(spark, sfDir)),
-      // cc_components LAST so the iterative CC loop (scheduler/JIT-
-      // latency-bound, ~3x cost on a cold JVM) builds on a JVM already
-      // warmed by the five declarative cache builds above. Billing it
-      // here keeps it out of q45's marginal number honestly: q45/q62
-      // then measure their own grouping/join over the memoized labels,
-      // and the build cost is visible in cache_build instead of
-      // vanishing into the memo (the pre-r5 bench billed q45 at its
-      // memo-hit cost and the build escaped the headline entirely).
-      "cc" -> (() => operators.Graph.simhashComponents(spark, sfDir)))
-    val cacheTimes = sharedCaches.map { case (name, build) =>
-      val t0 = System.nanoTime()
-      try build().count() catch { case _: Throwable => () }
-      (name, (System.nanoTime() - t0) / 1e9)
-    }
-
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     // bare qNN key — the full names live in SparkEntry; short keys keep
     // the output line well under the driver's ~2 KB capture
@@ -140,6 +119,50 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         only.forall(sel => sel.contains(n) || sel.contains(shortKey(n))) }
+    val selected = named.map(p => shortKey(p._1)).toSet
+
+    // Shared-cache builds, timed individually (see attribution contract).
+    // count() on the to-be-cached frame materializes the whole
+    // InMemoryRelation (cache storage is plan-wide, not column-pruned).
+    // Each entry carries its CONSUMER set, so an isolated probe
+    // (SPARK_GRAFT_ONLY) builds only the caches its queries actually
+    // read — a q66 probe used to pay ~30 s of builds for a ~3 s payload.
+    val sharedCaches: Seq[(String, Set[String], () => Unit)] = Seq(
+      ("legacy", Set("q02", "q03", "q04"),
+        () => operators.Sales.legacyAggDecimal(spark, sfDir).count(): Unit),
+      ("ledger", Set("q08", "q09"),
+        () => operators.Ledger.unionLedger(spark, sfDir).count(): Unit),
+      ("stock", Set("q13", "q14", "q54"),
+        () => operators.Stock.stockPoints(spark, sfDir).count(): Unit),
+      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72"),
+        () => operators.Dedup.shingleIndex(spark, sfDir).count(): Unit),
+      ("simhash", Set("q23", "q24", "q45", "q62"),
+        () => operators.Dedup.simhashSig(spark, sfDir).count(): Unit),
+      // at-rest corpus band+shingle index (q74's incremental corpus side):
+      // the build writes the parquet tables eagerly and memoizes the reads
+      ("bandidx", Set("q74"),
+        () => operators.Dedup.corpusIndex(spark, sfDir): Unit),
+      // the shared Lloyd fit (q71 assignment + q73 block key): driver-state
+      // memo, billed here so q71/q73 marginals are assignment-only
+      ("kmfit", Set("q71", "q73"),
+        () => operators.Similarity.kmeansCentroids(spark, sfDir): Unit),
+      // cc_components LAST so the iterative CC loop (scheduler/JIT-
+      // latency-bound, ~3x cost on a cold JVM) builds on a JVM already
+      // warmed by the declarative cache builds above. Billing it
+      // here keeps it out of q45's marginal number honestly: q45/q62
+      // then measure their own grouping/join over the memoized labels,
+      // and the build cost is visible in cache_build instead of
+      // vanishing into the memo (the pre-r5 bench billed q45 at its
+      // memo-hit cost and the build escaped the headline entirely).
+      ("cc", Set("q45", "q62"),
+        () => operators.Graph.simhashComponents(spark, sfDir).count(): Unit))
+    val cacheTimes = sharedCaches
+      .filter { case (_, consumers, _) => consumers.exists(selected) }
+      .map { case (name, _, build) =>
+        val t0 = System.nanoTime()
+        try build() catch { case _: Throwable => () }
+        (name, (System.nanoTime() - t0) / 1e9)
+      }
     val calibs = scala.collection.mutable.ArrayBuffer(calibrate())
     // interleaved sweeps: all queries once, then all again (see contract)
     val sweeps = (1 to repeat).map { _ =>
@@ -176,8 +199,13 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val failedPart = if (failed == "[]") "" else s""""failed":$failed,"""
     // tail-ordered: everything after "calib" must survive a head clip —
-    // hash/q_unit/value/queries are the fields the judge reads
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","repeat":$repeat,"calib":$calibStr,$failedPart"cache":$cb,"hash":"${graft.functions.TextFns.hashMode}","q_unit":"cs","cache_total":${f2(cacheTotal)},"value":${f3(total)},"queries":$qs}""")
+    // hash/q_unit/value/queries are the fields the judge reads.
+    // One unit per representation: every per-query / per-cache entry AND
+    // cache_total_cs are integer centiseconds (q_unit); only the headline
+    // "value" is float seconds, labelled by the top-level "unit" (the
+    // driver contract) — a consumer summing cache entries against the
+    // total now compares like with like.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","repeat":$repeat,"calib":$calibStr,$failedPart"cache":$cb,"hash":"${graft.functions.TextFns.hashMode}","q_unit":"cs","cache_total_cs":${cs(cacheTotal)},"value":${f3(total)},"queries":$qs}""")
     spark.stop()
   }
 }
