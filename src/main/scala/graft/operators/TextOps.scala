@@ -642,20 +642,47 @@ object TextOps {
   /** Core of [[boilerplateRemoval]] over an explicit (doc_id, t) token
     * frame — the seam the scale probe drives with synthetic blow-ups.
     */
-  private[graft] def boilerplateFrom(toksDf: DataFrame): DataFrame = {
+  private[graft] def boilerplateFrom(toksDf: DataFrame): DataFrame =
+    // the boilerplate gram set is threshold-bounded (df >= BoilerDf cuts
+    // the tail), so it broadcasts safely at any corpus size
+    coveredRemoval(toksDf, BoilerN, BoilerDf, broadcastFrequent = true)
+      .orderBy(col("doc_id"))
+
+  /** Shared covered-position removal: every token position covered by an
+    * `n`-gram occurring in >= `minDf` DISTINCT documents is dropped and
+    * the survivors re-joined in order. The q66/q76 engine — gram explode
+    * → distinct-doc hash-agg → flagged-gram join back onto the gram
+    * stream → per-doc sorted covered-position set (hit docs only) → one
+    * join back to the token stream, where a row-local lambda filter
+    * drops covered positions. The corpus is never self-joined and the
+    * full token stream is never exploded or anti-joined; cost is two
+    * scans plus an occurrence-linear gram shuffle, and the rewrite runs
+    * at scan speed.
+    *
+    * `broadcastFrequent` picks the flagged-gram join strategy: a HIGH
+    * df threshold (q66's boilerplate cut) makes the set threshold-
+    * bounded and broadcastable; a LOW threshold (q76's df >= 2 dup
+    * spans) can flag a corpus-bounded fraction of all grams — e.g. a
+    * heavily duplicated crawl — so that caller shuffle-joins instead
+    * (the q72 de-broadcast lesson: never broadcast a frame whose bound
+    * is the corpus).
+    */
+  private def coveredRemoval(toksDf: DataFrame, n: Int, minDf: Long,
+                             broadcastFrequent: Boolean): DataFrame = {
     val grams = toksDf
-      .filter(size(col("t")) >= BoilerN)
+      .filter(size(col("t")) >= n)
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), size(col("t")) - (BoilerN - 1))).as("i"))
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
       .select(col("doc_id"), col("i"),
-        array_join(slice(col("t"), col("i"), lit(BoilerN)), " ").as("gram"))
+        array_join(slice(col("t"), col("i"), lit(n)), " ").as("gram"))
     val frequent = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= BoilerDf)
+      .filter(col("df") >= minDf)
       .select("gram")
-    val covered = grams.join(broadcast(frequent), Seq("gram"))
+    val freq = if (broadcastFrequent) broadcast(frequent) else frequent
+    val covered = grams.join(freq, Seq("gram"))
       .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (BoilerN - 1))).as("j"))
+        explode(sequence(col("i"), col("i") + (n - 1))).as("j"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("j"))).as("cov"))
     toksDf.join(covered, Seq("doc_id"), "left")
@@ -666,7 +693,6 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).as("n_kept"),
         array_join(col("kept"), " ").as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   val boilerplateRemovalSql: String =
@@ -688,6 +714,64 @@ object TextOps {
       |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
       |  CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
       |  coalesce(k.clean_text, '') AS clean_text
+      |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Duplicated-span geometry (q76): span length in tokens, and the
+    * distinct-doc count at which a span counts as a cross-corpus
+    * duplicate. df >= 2 IS the definition (a span seen in two documents
+    * is duplicated); the long n keeps the cut semantic rather than
+    * collocational — 12-token spans don't repeat by chance.
+    */
+  val DupSpanN = 12
+  val DupSpanDf = 2
+
+  /** q76 — duplicated-span removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", reframed at token
+    * level): any [[DupSpanN]]-token span occurring in >= [[DupSpanDf]]
+    * DISTINCT documents is a cross-document duplicate; every token
+    * position covered by one is dropped from ALL its occurrences (the
+    * C4-style remove-everywhere variant — deterministic and order-free,
+    * where keep-first would depend on a document ordering) and the
+    * survivors are re-joined in order. The granularity between q20
+    * (whole-document) and q66 (short boilerplate grams): long spans,
+    * minimal df.
+    *
+    * Same occurrence-linear engine as q66 ([[coveredRemoval]]) — gram
+    * hash-agg, covered-position reassembly, corpus never self-joined —
+    * with one scale-relevant difference: the flagged-span set is
+    * df >= 2, corpus-bounded rather than threshold-bounded (a heavily
+    * duplicated crawl can flag most of its grams), so it shuffle-joins
+    * back onto the gram stream instead of broadcasting. Output carries
+    * md5(clean_text) instead of the text — the compare surface stays
+    * fixed-width however long documents get.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    coveredRemoval(docToks(spark, dir).select(col("doc_id"), col("t")),
+      DupSpanN, DupSpanDf, broadcastFrequent = false)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  val spanDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |g AS (SELECT doc_id, CAST(u.i AS INT) AS i,
+      |  array_to_string(t[u.i : u.i + ${DupSpanN - 1}], ' ') AS gram
+      |  FROM toks, unnest(generate_series(1, len(t) - ${DupSpanN - 1})) AS u(i)),
+      |f AS (SELECT gram FROM g GROUP BY gram
+      |  HAVING count(DISTINCT doc_id) >= $DupSpanDf),
+      |cov AS (SELECT DISTINCT g.doc_id, CAST(v.j AS INT) AS j
+      |  FROM g JOIN f USING (gram),
+      |       unnest(generate_series(g.i, g.i + ${DupSpanN - 1})) AS v(j)),
+      |tp AS (SELECT doc_id, CAST(u.i AS INT) AS j, list_extract(t, u.i) AS tok
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |kept AS (SELECT tp.doc_id, count(*) AS n_kept,
+      |  string_agg(tp.tok, ' ' ORDER BY tp.j) AS clean_text
+      |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.j = tp.j
+      |  WHERE cov.doc_id IS NULL GROUP BY tp.doc_id)
+      |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+      |  CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
+      |  md5(coalesce(k.clean_text, '')) AS clean_md5
       |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 

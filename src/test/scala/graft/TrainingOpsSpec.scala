@@ -457,6 +457,41 @@ class TrainingOpsSpec extends SparkSpec {
     assert(df.filter(col("n_kept") < col("n_tokens")).count() > 0)
   }
 
+  test("span dedup: counts consistent, removal symmetric across dup copies, non-vacuous") {
+    val df = TextOps.spanDedup(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).count())
+    assert(df.filter(col("n_kept") > col("n_tokens")).isEmpty)
+    assert(df.filter(length(col("clean_md5")) =!= 32).isEmpty)
+    // non-vacuous both ways: some docs lose spans, some stay whole
+    assert(df.filter(col("n_kept") < col("n_tokens")).count() > 0)
+    assert(df.filter(col("n_kept") === col("n_tokens")).count() > 0)
+    // untouched docs hash to their original normalized text
+    val orig = Tables.documents(spark, dir).select(col("doc_id"),
+      md5(array_join(graft.functions.TextFns.toks(col("text")), " ")).as("om"))
+    assert(df.join(orig, "doc_id")
+      .filter(col("n_kept") === col("n_tokens") &&
+        col("clean_md5") =!= col("om")).isEmpty)
+    // remove-everywhere semantics: a duplicated span disappears from ALL
+    // its carrier docs, so every carrier of some dup span loses tokens —
+    // cross-check against an independent dup-span carrier derivation
+    val toks = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.TextFns.toks(col("text")).as("t"))
+    val grams = toks.filter(size(col("t")) >= TextOps.DupSpanN)
+      .select(col("doc_id"), explode(
+        sequence(lit(1), size(col("t")) - (TextOps.DupSpanN - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"),
+        array_join(slice(col("t"), col("i"), lit(TextOps.DupSpanN)), " ").as("g"))
+    val carriers = grams.join(
+        grams.groupBy("g").agg(countDistinct("doc_id").as("ddf"))
+          .filter(col("ddf") >= TextOps.DupSpanDf).select("g"), Seq("g"))
+      .select("doc_id").distinct()
+    val shouldShrink = carriers.join(df, Seq("doc_id"))
+    assert(shouldShrink.count() > 0)
+    assert(shouldShrink.filter(col("n_kept") === col("n_tokens")).isEmpty,
+      "every dup-span carrier must lose the span")
+  }
+
   test("token diversity: simpson and max_p within algebraic bounds") {
     val df = TextOps.tokenDiversity(spark, dir).cache()
     assert(df.count() > 0)
