@@ -655,9 +655,12 @@ object TextOps {
     * stream → per-doc sorted covered-position set (hit docs only) → one
     * join back to the token stream, where a row-local lambda filter
     * drops covered positions. The corpus is never self-joined and the
-    * full token stream is never exploded or anti-joined; cost is two
-    * scans plus an occurrence-linear gram shuffle, and the rewrite runs
-    * at scan speed.
+    * full token stream is never exploded or anti-joined; the token and
+    * gram frames are transient caches (each has two consumers — see
+    * inline notes; evicted post-query via TransientCache, drain-spec'd),
+    * so the source is tokenized ONCE, cost is one scan plus an
+    * occurrence-linear gram shuffle, and the rewrite runs at scan speed
+    * (r7 probes: q66 2.48 s → 1.77 s, q76 1.86 s → 1.23 s at sf0.1).
     *
     * `broadcastFrequent` picks the flagged-gram join strategy: a HIGH
     * df threshold (q66's boilerplate cut) makes the set threshold-
@@ -667,14 +670,22 @@ object TextOps {
     * (the q72 de-broadcast lesson: never broadcast a frame whose bound
     * is the corpus).
     */
-  private def coveredRemoval(toksDf: DataFrame, n: Int, minDf: Long,
+  private def coveredRemoval(toksDf0: DataFrame, n: Int, minDf: Long,
                              broadcastFrequent: Boolean): DataFrame = {
-    val grams = toksDf
+    // the token frame feeds the gram build AND the final reassembly join;
+    // uncached, the source is re-tokenized per consumer
+    val toksDf = graft.TransientCache.register(toksDf0.cache())
+    // consumed twice (df agg + covered-position join) — uncached, the
+    // tokenize + gram explode lineage runs once per consumer (self-join
+    // rule); caching trades ~n tokens/row of transient storage for the
+    // second scan. Registered for post-query eviction (TransientCache).
+    val grams = graft.TransientCache.register(toksDf
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         array_join(slice(col("t"), col("i"), lit(n)), " ").as("gram"))
+      .cache())
     val frequent = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)

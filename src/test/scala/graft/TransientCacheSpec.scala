@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Contamination, Dedup, Sketch}
+import graft.operators.{Contamination, Dedup, Sketch, TextOps}
 
 /** Eviction hygiene for per-query transient caches: after a query is
   * materialized and [[TransientCache.drain]] runs, none of its cached
@@ -55,6 +55,14 @@ class TransientCacheSpec extends SparkSpec {
 
   test("q74 deltaMinhash transients (batch shingles, cand) drain") {
     checkDrains(Dedup.deltaMinhash(spark, dir), 2)
+  }
+
+  test("q66 boilerplate transients (token frame, gram stream) drain") {
+    checkDrains(TextOps.boilerplateRemoval(spark, dir), 2)
+  }
+
+  test("q76 spanDedup transients (token frame, gram stream) drain") {
+    checkDrains(TextOps.spanDedup(spark, dir), 2)
   }
 
   test("drained query recomputes correctly (no dangling reuse)") {
