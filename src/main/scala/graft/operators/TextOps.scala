@@ -909,6 +909,111 @@ object TextOps {
       |WHERE n_copies >= 1
       |ORDER BY doc_id, copy_id""".stripMargin
 
+  /** q77 — unigram-likelihood quality score: the engine-portable stand-in
+    * for the CCNet/Wikipedia-LM perplexity filter. A unigram model is fit
+    * on the corpus itself (p(tok) = occurrences / total occurrences) and
+    * every document is scored by its MEAN token probability — documents
+    * of rare/garbage vocabulary score low, stopword-heavy mainstream text
+    * scores high, ranking equivalently to unigram perplexity for a
+    * filter cut. Perplexity itself needs `exp`/`ln`, which are not
+    * correctly-rounded in either engine's libm (the q67 lesson), so the
+    * score stays in probability space: count/total division and the
+    * position-ordered sum fold are all IEEE exact-rounded ops, making
+    * the doubles bit-identical across engines and partitionings.
+    *
+    * Plan: one tokenize (transient-cached token stream, two consumers) →
+    * vocab hash-agg (transient-cached: the model table, probed by the
+    * scoring join AND summed for the total) → broadcast 1-row total →
+    * equi-join token stream to the model ON the token — at 100 TB the
+    * vocab is corpus-bounded so the join shuffles on the token key (no
+    * broadcast), partial aggs map-side — → per-doc ordered fold (q70's
+    * collect/sort/fold discipline; group size = doc length, the
+    * oracle-parity shape — production swaps in plain `sum`, last-ulp
+    * trade as [[Similarity.labelCentroidsProd]]).
+    */
+  def unigramLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.TransientCache.register(docToks(spark, dir)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .cache()) // consumed by the model fit AND the scoring join
+    val vocab = graft.TransientCache.register(
+      tok.groupBy(col("tok")).agg(count(lit(1)).as("c")).cache())
+    val total = vocab.agg(sum(col("c")).as("total"))
+    tok.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"),
+        (col("c").cast("double") / col("total")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        collect_list(struct(col("pos"), col("p"))).as("ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(transform(array_sort(col("ps")), s => s.getField("p")),
+          lit(0.0), (acc, x) => acc + x) / col("n_tokens")).as("mean_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLikelihoodSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT doc_id, CAST(u.i AS INT) AS pos, list_extract(t, u.i) AS tok
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |v AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM v),
+      |p AS (SELECT doc_id, pos, CAST(c AS DOUBLE) / total AS p
+      |  FROM tok JOIN v USING (tok) CROSS JOIN tt),
+      |d AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |  list(p ORDER BY pos) AS ps FROM p GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  list_reduce(list_prepend(0.0, ps), (a, b) -> a + b) / n_tokens AS mean_p
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** q78 — temperature-scaled mixture weights (the Gopher/PaLM "sample
+    * source s proportionally to p_s^alpha" calculation, alpha = 1/2):
+    * per-source corpus shares are raised to the temperature exponent and
+    * renormalized, up-weighting small sources; `expected_docs` is the
+    * weight applied back to the corpus size — the table q69's fixed
+    * rates would be DERIVED from in a production mix. alpha is pinned to
+    * 0.5 because `sqrt` is the one power IEEE requires correctly rounded
+    * — bit-identical in both engines where a general `pow` is not (the
+    * q67 `ln` lesson again).
+    *
+    * Plan: one hash-agg to per-source counts (transient-cached: three
+    * consumers — total, the weight projection, the norm fold), a 1-row
+    * broadcast total, and the normalizer as an ordered fold over the
+    * (source, w) list — sources are bounded (thousands at worst), so the
+    * single-row collect_list agg is never a scale concern, and the fold
+    * keeps the double sum partition-order-free.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.TransientCache.register(
+      Tables.documents(spark, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .cache())
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    val w = counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n_docs").cast("double") / col("total"))
+      .withColumn("w", sqrt(col("share")))
+    val norm = w.agg(collect_list(struct(col("source"), col("w"))).as("ws"))
+      .select(aggregate(transform(array_sort(col("ws")), s => s.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("norm"))
+    w.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("share"),
+        (col("w") / col("norm")).as("weight"),
+        (col("w") / col("norm") * col("total")).as("expected_docs"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+      |w AS (SELECT source, n_docs, total,
+      |    CAST(n_docs AS DOUBLE) / total AS share,
+      |    sqrt(CAST(n_docs AS DOUBLE) / total) AS w
+      |  FROM c CROSS JOIN tt),
+      |n AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+      |    (a, b) -> a + b) AS norm FROM w)
+      |SELECT source, n_docs, share, w / norm AS weight,
+      |  w / norm * total AS expected_docs
+      |FROM w CROSS JOIN n ORDER BY source""".stripMargin
+
   /** PII patterns — RE2-and-Java-regex-portable subset (no backrefs, no
     * lookaround) so the Spark and DuckDB evaluations agree byte-for-byte.
     */

@@ -492,6 +492,53 @@ class TrainingOpsSpec extends SparkSpec {
       "every dup-span carrier must lose the span")
   }
 
+  test("unigram likelihood: probabilities bounded, corpus-mass identity holds") {
+    val df = TextOps.unigramLikelihood(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).count())
+    assert(df.filter(col("mean_p") <= 0 || col("mean_p") > 1).isEmpty)
+    // sum over docs of n_tokens * mean_p = sum over positions of p(tok),
+    // which sums the whole model's mass c/total exactly once per
+    // occurrence ==> equals 1.0 * total occurrences / total == ... the
+    // full corpus sums to total * E[p]; check the exact identity:
+    // sum_docs(n * mean_p) == sum_toks(c^2)/total (each distinct token
+    // contributes c * (c/total))
+    val total = df.agg(sum(col("n_tokens"))).first().getLong(0)
+    val lhs = df.select((col("n_tokens") * col("mean_p")).as("m"))
+      .agg(sum(col("m"))).first().getDouble(0)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFns.toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val rhs = toks.select((col("c") * col("c")).cast("double").as("cc"))
+      .agg(sum(col("cc"))).first().getDouble(0) / total
+    assert(math.abs(lhs - rhs) < 1e-6 * rhs, s"$lhs vs $rhs")
+    // rare-vocab docs score below stopword-heavy docs on average: the
+    // score must not be constant
+    assert(df.select(col("mean_p")).distinct().count() > 1)
+  }
+
+  test("mixture weights: normalized, temperature up-weights small sources") {
+    val df = TextOps.mixtureWeights(spark, dir).cache()
+    val srcs = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(df.count() == srcs)
+    // weights form a distribution
+    val wsum = df.agg(sum(col("weight"))).first().getDouble(0)
+    assert(math.abs(wsum - 1.0) < 1e-12)
+    val ssum = df.agg(sum(col("share"))).first().getDouble(0)
+    assert(math.abs(ssum - 1.0) < 1e-12)
+    // alpha < 1 flattens: every weight sits between its share and the
+    // uniform 1/|sources| (strictly, unless the mix is already uniform)
+    assert(df.filter(col("share") < 1.0 / srcs)
+      .filter(col("weight") <= col("share") - lit(1e-15)).isEmpty,
+      "small sources must be up-weighted")
+    assert(df.filter(col("share") > 1.0 / srcs)
+      .filter(col("weight") >= col("share") + lit(1e-15)).isEmpty,
+      "large sources must be down-weighted")
+    // expected_docs preserves corpus size
+    val esum = df.agg(sum(col("expected_docs"))).first().getDouble(0)
+    val n = Tables.documents(spark, dir).count()
+    assert(math.abs(esum - n) < 1e-9 * n)
+  }
+
   test("token diversity: simpson and max_p within algebraic bounds") {
     val df = TextOps.tokenDiversity(spark, dir).cache()
     assert(df.count() > 0)

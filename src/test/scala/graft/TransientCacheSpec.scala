@@ -65,6 +65,14 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(TextOps.spanDedup(spark, dir), 2)
   }
 
+  test("q77 unigramLikelihood transients (token stream, vocab) drain") {
+    checkDrains(TextOps.unigramLikelihood(spark, dir), 2)
+  }
+
+  test("q78 mixtureWeights transient (source counts) drains") {
+    checkDrains(TextOps.mixtureWeights(spark, dir), 1)
+  }
+
   test("drained query recomputes correctly (no dangling reuse)") {
     val a = Contamination.fuzzyContamination(spark, dir).collect().toSeq
     TransientCache.drain()
