@@ -173,6 +173,95 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------- resize / frame-sample
+
+  /** A fixed-size thumbnail: `pixels` is `w*h` bytes (1 byte/pixel
+    * grayscale raster, row-major) — the bounded-width schema downstream
+    * embedding/featurization stages key on.
+    */
+  final case class ThumbRow(doc_id: Long, w: Int, h: Int, pixels: Array[Byte])
+
+  /** Pluggable pixel resampler — the codec-adjacent half of X12's resize
+    * stage. [[PixelResizer.NearestRaw]] is REAL nearest-neighbor
+    * resampling for raw grayscale buffers (interpreting the payload as a
+    * 1×n raster); an encoded-format resizer (decode → resample → raster)
+    * wraps a codec behind this same interface, init once per partition.
+    */
+  trait PixelResizer extends Serializable {
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  object PixelResizer {
+    /** Nearest-neighbor over the raw byte raster: output pixel (x, y)
+      * samples the source at the proportional offset. Deterministic,
+      * codec-free, and genuinely correct for raw grayscale input; an
+      * empty payload yields a zero raster (rows are never dropped).
+      */
+    object NearestRaw extends PixelResizer {
+      def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+        val out = new Array[Byte](w * h)
+        if (payload.nonEmpty) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = payload((i.toLong * payload.length / out.length).toInt)
+            i += 1
+          }
+        }
+        out
+      }
+    }
+  }
+
+  /** Batched resize: same narrow per-partition shape as
+    * [[decodeFeatures]] — wide payload rows never shuffle; only the
+    * bounded `w*h`-byte thumbnails flow downstream (at 100 TB the
+    * payload column is pruned away right after this stage).
+    */
+  def resizeThumbs(media: Dataset[MediaRow], w: Int, h: Int,
+                   resizer: PixelResizer = PixelResizer.NearestRaw): Dataset[ThumbRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition resizer/codec init would go here
+      rows.map(r => ThumbRow(r.doc_id, w, h, resizer.resize(r.payload, w, h)))
+    }
+  }
+
+  /** One sampled frame: byte window `[offset, offset + n_bytes)` of the
+    * payload plus the stub checksum — the schema a video frame-sampler
+    * emits (frame raster standing behind the same decoder seam).
+    */
+  final case class FrameRow(doc_id: Long, frame_id: Int, offset: Long,
+                            n_bytes: Int, checksum: Long)
+
+  /** Frame sampling over a byte-stream payload: emit every `stride`-th
+    * window of `frameBytes` bytes — the "sample 1 frame per N" stage of
+    * a video pipeline, expressed purely on the byte plumbing (a real
+    * container would walk packet boundaries behind [[MediaDecoder]];
+    * the batch shape, fan-out and schema are exactly this). Generator
+    * semantics mirror q64's chunking: short payloads still emit one
+    * (short) frame, so no row vanishes at ingest. Narrow mapPartitions +
+    * iterator flatMap — frames fan out INSIDE the scan stage and only
+    * fixed-width frame rows ever shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
+                   stride: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = math.max(1, (math.max(n - frameBytes, 0) + stride - 1) / stride + 1)
+        (0 until nFrames).iterator.map { f =>
+          val off = f.toLong * stride
+          val len = math.max(0, math.min(frameBytes.toLong, n - off)).toInt
+          val slice = java.util.Arrays.copyOfRange(r.payload, off.toInt, off.toInt + len)
+          val feat = MediaDecoder.Stub.decode(r.doc_id, slice)
+          FrameRow(r.doc_id, f, off, len, feat.checksum)
+        }
+      }
+    }
+  }
+
   val mediaFeaturesSql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -247,6 +247,48 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.count() == Tables.documents(spark, dir).count())
   }
 
+  test("thumbnails: fixed raster, nearest-neighbor endpoints, repartition-invariant") {
+    val media = Multimodal.mediaTable(spark, dir).repartition(3)
+    val thumbs = Multimodal.resizeThumbs(media, 8, 4).cache()
+    assert(thumbs.count() == Tables.documents(spark, dir).count())
+    assert(thumbs.filter(t => t.pixels.length != 8 * 4).count() == 0)
+    // nearest-neighbor anchors: output pixel 0 samples source byte 0
+    val firsts = thumbs.map(t => (t.doc_id, t.pixels(0) & 0xff))(
+      org.apache.spark.sql.Encoders.product[(Long, Int)])
+      .toDF("doc_id", "p0")
+    val heads = Multimodal.mediaFeatures(spark, dir).select(col("doc_id"), col("head_byte"))
+    assert(firsts.join(heads, Seq("doc_id"))
+      .filter(col("p0") =!= col("head_byte")).isEmpty)
+    // deterministic under a different partitioning
+    val again = Multimodal.resizeThumbs(Multimodal.mediaTable(spark, dir).repartition(7), 8, 4)
+      .map(t => (t.doc_id, t.pixels.toSeq))(
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Byte])])
+      .collect().toMap
+    thumbs.collect().foreach(t => assert(again(t.doc_id) == t.pixels.toSeq))
+  }
+
+  test("frame sampling: q64 window geometry on bytes, checksums match substring md5") {
+    val media = Multimodal.mediaTable(spark, dir).repartition(3)
+    val frames = Multimodal.sampleFrames(media, 64, 48).toDF().cache()
+    // geometry: offsets stride-aligned, frame count = chunking's closed form
+    assert(frames.filter(col("offset") =!= col("frame_id") * 48).isEmpty)
+    assert(frames.filter(col("n_bytes") < 0 || col("n_bytes") > 64).isEmpty)
+    val sizes = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n"))
+    val expected = sizes.select(col("doc_id"),
+      (floor((greatest(col("n") - 64, lit(0)) + 47) / 48) + 1).as("nf"))
+    val got = frames.groupBy("doc_id").agg(count(lit(1)).as("got"))
+    assert(got.join(expected, Seq("doc_id"))
+      .filter(col("got") =!= col("nf")).isEmpty)
+    // the stub checksum of every frame equals the md5-60 of the matching
+    // byte window — ASCII corpus, so byte offsets == char offsets
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val recomputed = frames.join(docs, Seq("doc_id"))
+      .withColumn("expect", graft.functions.TextFns.hash60Md5(
+        col("text").substr((col("offset") + 1).cast("int"), col("n_bytes"))))
+    assert(recomputed.filter(col("checksum") =!= col("expect")).isEmpty)
+  }
+
   // crafted byte fixtures for the real header parsers ----------------------
 
   private def pngBytes(w: Int, h: Int, depth: Int): Array[Byte] = {
