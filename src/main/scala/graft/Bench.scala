@@ -142,9 +142,10 @@ object Bench {
       // the build writes the parquet tables eagerly and memoizes the reads
       ("bandidx", Set("q74"),
         () => operators.Dedup.corpusIndex(spark, sfDir): Unit),
-      // the shared Lloyd fit (q71 assignment + q73 block key): driver-state
-      // memo, billed here so q71/q73 marginals are assignment-only
-      ("kmfit", Set("q71", "q73"),
+      // the shared Lloyd fit (q71 assignment, q73 block key, q79
+      // prototypes): driver-state memo, billed here so the consumers'
+      // marginals are assignment-only
+      ("kmfit", Set("q71", "q73", "q79"),
         () => operators.Similarity.kmeansCentroids(spark, sfDir): Unit),
       // cc_components LAST so the iterative CC loop (scheduler/JIT-
       // latency-bound, ~3x cost on a cold JVM) builds on a JVM already

@@ -316,16 +316,20 @@ object Similarity {
       s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
       s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)])), (x, y) -> x + y)"
 
-  /** Scan-stage argmin over literal centroids: squared-L2 via the
-    * ordered fold against each centroid, `array_min(struct(d, cid))`
-    * breaking distance ties toward the smaller cid — identical to the
-    * oracle's `ORDER BY d, cid`. A pure projection: no join, no
-    * shuffle, no broadcast wait.
+  /** Scan-stage best-centroid struct over literal centroids: squared-L2
+    * via the ordered fold against each centroid, `array_min(struct(d,
+    * cid))` breaking distance ties toward the smaller cid — identical to
+    * the oracle's `ORDER BY d, cid`. A pure projection: no join, no
+    * shuffle, no broadcast wait. q71/q73 take `.cid` (the argmin); q79
+    * also reads `.d` (the prototype distance it ranks on).
     */
-  private def kmArgmin(v: Column, cents: IndexedSeq[Array[Double]]): Column =
+  private def kmBest(v: Column, cents: IndexedSeq[Array[Double]]): Column =
     array_min(array(cents.zipWithIndex.map { case (cv, cid) =>
       struct(sqDist(v, typedLit(cv.toSeq)).as("d"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    }: _*))
+
+  private def kmArgmin(v: Column, cents: IndexedSeq[Array[Double]]): Column =
+    kmBest(v, cents).getField("cid")
 
   /** The Lloyd fit: [[KmIters]] iterations from deterministic seeds (the
     * [[KmK]] smallest vec_ids), returning the FINAL centroids as driver
@@ -530,4 +534,63 @@ object Similarity {
       |SELECT n.vec_id, n.cluster, (p.vec_id IS NOT NULL) AS pruned
       |FROM nr n LEFT JOIN pr p ON p.vec_id = n.vec_id
       |ORDER BY n.vec_id""".stripMargin
+
+  // -------------------------------------------------- prototype pruning
+
+  /** q79's keep fraction as an exact rational: keep the `KeepNum/KeepDen`
+    * closest-to-prototype vectors per cluster, i.e. rank ≤
+    * ceil(n·4/5) = floor((4n+4)/5) — integer-derived in both engines
+    * (0.8 itself is not binary-exact, so the bound is never computed as
+    * `0.8 * n`).
+    */
+  val KeepNum = 4
+  val KeepDen = 5
+
+  /** q79 — prototype-distance pruning (Sorscher et al. 2022's "easy
+    * example" pruning, the SemDeDup companion from the same data-pruning
+    * literature): within each k-means cluster, vectors are ranked by
+    * squared-L2 distance to their own prototype (the cluster centroid)
+    * and only the closest [[KeepNum]]/[[KeepDen]] fraction is kept —
+    * far-from-prototype points are outliers/noise at the corpus level.
+    * Composes the MEMOIZED Lloyd fit (the same [[kmeansCentroids]] q71
+    * and q73 read — a session running all three pays one fit).
+    *
+    * Plan: scan-stage `kmBest` projection gives every vector its
+    * (distance, cluster) against literal centroids — no join; one
+    * shuffle on `cluster` drives both windows (rank by (d, vec_id),
+    * cluster size by a full-frame count — integer, order-free). The
+    * distance is double but decides only comparisons: ordered folds make
+    * it bit-identical cross-engine, and the output carries integers and
+    * a boolean only.
+    */
+  def prototypePrune(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    val v = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("best", kmBest(col("v"), cents))
+      .select(col("vec_id"), col("best.cid").as("cluster"), col("best.d").as("d"))
+    val wRank = Window.partitionBy(col("cluster")).orderBy(col("d"), col("vec_id"))
+    val wAll = Window.partitionBy(col("cluster"))
+    v.withColumn("rank", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("vec_id"), col("cluster"), col("rank"),
+        (col("rank") <= floor((col("n") * KeepNum + KeepNum) / KeepDen)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val prototypePruneSql: String =
+    s"""WITH $kmeansCtes,
+      |a3d AS (
+      |  SELECT vec_id, cid AS cluster, d FROM (
+      |    SELECT vec_id, cid, d,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM s3) WHERE rn = 1),
+      |r AS (
+      |  SELECT vec_id, cluster,
+      |    row_number() OVER (PARTITION BY cluster ORDER BY d, vec_id) AS rank,
+      |    count(*) OVER (PARTITION BY cluster) AS n
+      |  FROM a3d)
+      |SELECT vec_id, cluster, CAST(rank AS INT) AS rank,
+      |  rank <= floor((n * $KeepNum + $KeepNum) / $KeepDen) AS kept
+      |FROM r ORDER BY vec_id""".stripMargin
 }

@@ -206,6 +206,30 @@ class TrainingOpsSpec extends SparkSpec {
       "cross-cluster-only near-dups must survive (never scored)")
   }
 
+  test("prototype prune: exact per-cluster keep fraction, kept are the closest, shares the fit") {
+    Similarity.clearKmeansMemo(spark)
+    Similarity.kmeansAssign(spark, dir).collect()
+    val fits = Similarity.kmFitCount.get()
+    val df = Similarity.prototypePrune(spark, dir).cache()
+    assert(Similarity.kmFitCount.get() == fits, "q79 must reuse the memoized fit")
+    assert(df.count() == 500)
+    // clusters agree with q71's assignment (same centroids, same argmin)
+    val a = Similarity.kmeansAssign(spark, dir)
+      .withColumnRenamed("cluster", "c71")
+    assert(df.join(a, Seq("vec_id")).filter(col("cluster") =!= col("c71")).isEmpty)
+    // keep bound: exactly floor((4n+4)/5) per cluster, and kept ranks are
+    // a prefix of the distance order (rank is the order: prefix <=> bound)
+    val per = df.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(when(col("kept"), 1).otherwise(0)).as("k"),
+        max(when(col("kept"), col("rank"))).as("max_kept"),
+        min(when(!col("kept"), col("rank"))).as("min_drop"))
+    assert(per.filter(col("k") =!= floor((col("n") * 4 + 4) / 5)).isEmpty)
+    assert(per.filter(col("min_drop").isNotNull &&
+      col("max_kept") >= col("min_drop")).isEmpty)
+    // non-vacuous: something is actually dropped at this fixture
+    assert(df.filter(!col("kept")).count() > 0)
+  }
+
   test("fuzzy contamination: one best benchmark match per train doc, strictly cross-corpus") {
     val df = Contamination.fuzzyContamination(spark, dir).cache()
     assert(df.count() > 0, "fixture must contain cross-corpus near-dups")
