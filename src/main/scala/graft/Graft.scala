@@ -106,4 +106,11 @@ object Graft {
   def sqlExists(spark: SparkSession, dir: String): DataFrame = Sessions.sqlExistsErrors(spark, dir)
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = Similarity.kmeansAssign(spark, dir)
   def fuzzyContamination(spark: SparkSession, dir: String): DataFrame = Contamination.fuzzyContamination(spark, dir)
+  def semDedup(spark: SparkSession, dir: String): DataFrame = Similarity.semDedup(spark, dir)
+  def deltaMinhash(spark: SparkSession, dir: String): DataFrame = Dedup.deltaMinhash(spark, dir)
+  def domainCaps(spark: SparkSession, dir: String): DataFrame = TextOps.domainCaps(spark, dir)
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = TextOps.spanDedup(spark, dir)
+  def unigramLikelihood(spark: SparkSession, dir: String): DataFrame = TextOps.unigramLikelihood(spark, dir)
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = TextOps.mixtureWeights(spark, dir)
+  def prototypePrune(spark: SparkSession, dir: String): DataFrame = Similarity.prototypePrune(spark, dir)
 }
