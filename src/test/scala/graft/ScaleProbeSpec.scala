@@ -86,6 +86,18 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("q76 dup-span set carries no broadcast hint (corpus-bounded side stays shuffleable)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hintCount(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    // q66 PINS its threshold-bounded gram set as a broadcast; q76's df>=2
+    // set is corpus-bounded, so the plan must leave the strategy to
+    // stats/AQE — a pinned broadcast there is the executor-memory cliff
+    // the q72 de-broadcast removed
+    assert(hintCount(TextOps.boilerplateRemoval(spark, dir)) >= 1)
+    assert(hintCount(TextOps.spanDedup(spark, dir)) == 0)
+  }
+
   test("connected components converges in O(log diameter) rounds on a 256-edge path") {
     val sql = spark.sqlContext
     import sql.implicits._
