@@ -134,7 +134,7 @@ object Bench {
         () => operators.Ledger.unionLedger(spark, sfDir).count(): Unit),
       ("stock", Set("q13", "q14", "q54"),
         () => operators.Stock.stockPoints(spark, sfDir).count(): Unit),
-      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72"),
+      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80"),
         () => operators.Dedup.shingleIndex(spark, sfDir).count(): Unit),
       ("simhash", Set("q23", "q24", "q45", "q62"),
         () => operators.Dedup.simhashSig(spark, sfDir).count(): Unit),

@@ -113,4 +113,5 @@ object Graft {
   def unigramLikelihood(spark: SparkSession, dir: String): DataFrame = TextOps.unigramLikelihood(spark, dir)
   def mixtureWeights(spark: SparkSession, dir: String): DataFrame = TextOps.mixtureWeights(spark, dir)
   def prototypePrune(spark: SparkSession, dir: String): DataFrame = Similarity.prototypePrune(spark, dir)
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = Dedup.minhashEstimate(spark, dir)
 }

@@ -261,11 +261,18 @@ object Dedup {
     * [[Bands]] tiny strings. Feeds q22's buckets, and [[corpusIndex]]
     * persists its output as the at-rest band index q74 scans.
     */
-  private def bandsOf(sh: DataFrame): DataFrame = {
+  /** Per-doc minhash signature columns `(doc_id, v0..v15)` from a
+    * `(doc_id, sh_h)` shingle frame — ONE hash-agg for all 16 hashes.
+    */
+  private def minhashesOf(sh: DataFrame): DataFrame = {
     val shx = sh.withColumn("x", col("sh_h") % P)
     val mins = A.indices.map(j =>
       min((lit(A(j)) * col("x") + lit(B(j))) % P).as(s"v$j"))
-    val mh = shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  private def bandsOf(sh: DataFrame): DataFrame = {
+    val mh = minhashesOf(sh)
     val bandSigs = array((0 until Bands).map(bd =>
       concat_ws("-", (0 until Rows).map(r => col(s"v${bd * Rows + r}")): _*)): _*)
     mh.select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "sig")))
@@ -406,6 +413,81 @@ object Dedup {
       |SELECT di, dc, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
       |FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
       |ORDER BY di, dc""".stripMargin
+  }
+
+  /** q80 — signature-space similarity estimate (Broder '97's estimator):
+    * for every LSH candidate pair, the fraction of MATCHING minhash
+    * components — an unbiased Jaccard estimate computed from the 16-long
+    * signatures alone, never touching shingle sets. This is the tier
+    * real pipelines insert between banding and exact verification at
+    * 100 TB: signatures are fixed-width (16 longs/doc), so the estimate
+    * join moves constant-size rows where q22's exact verify moves whole
+    * shingle sets; pairs failing a signature cut never reach the
+    * expensive verify. `est = n_match/16` is a BINARY fraction — every
+    * value is an exact double, so the output hash-matches with no
+    * ordered-fold machinery at all.
+    *
+    * Plan: the shared shingle index → one hash-agg for all signatures
+    * (transient-cached: consumed by banding AND both pair sides) →
+    * banding candidates exactly as q22 → join the signature arrays back
+    * to both pair sides, `zip_with` equality sum in the scan stage.
+    * Structural invariant (spec'd): banding guarantees every candidate
+    * shares ≥ one full band = [[Rows]] consecutive components, so
+    * n_match >= 4 always.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val mh = graft.TransientCache.register(
+      minhashesOf(shingleIndex(spark, dir))
+        .select(col("doc_id"), array(A.indices.map(j => col(s"v$j")): _*).as("sig"))
+        .cache()) // consumed by banding + both sides of the pair join
+    val bands = mh.select(col("doc_id"), posexplode(
+      array((0 until Bands).map(bd =>
+        concat_ws("-", (0 until Rows).map(r =>
+          col("sig").getItem(bd * Rows + r)): _*)): _*)).as(Seq("band", "bsig")))
+    val cand = bands.groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("da"), b.as("db")))))).as("p"))
+      .select(col("p.da"), col("p.db"))
+      .distinct()
+    cand
+      .join(mh.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
+      .join(mh.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
+      .withColumn("n_match", aggregate(
+        zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, m) => acc + m))
+      .select(col("da"), col("db"), col("n_match").cast("int").as("n_match"),
+        (col("n_match").cast("double") / A.size).as("est"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val minhashEstimateSql: String = {
+    val minCols = A.indices
+      .map(j => s"min((${A(j)} * x + ${B(j)}) % $P) AS v$j").mkString(",\n      |    ")
+    val bandSelects = (0 until Bands).map { bd =>
+      val vs = (0 until Rows).map(r => s"v${bd * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $bd AS band, concat_ws('-', $vs) AS sig FROM mh"
+    }.mkString("\n      |  UNION ALL ")
+    val matchSum = A.indices
+      .map(j => s"(CASE WHEN a.v$j = b.v$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $shCte,
+      |xh AS (SELECT doc_id, sh_h % $P AS x FROM shx),
+      |mh AS (
+      |  SELECT doc_id,
+      |    $minCols
+      |  FROM xh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT ba.doc_id AS da, bb.doc_id AS db
+      |  FROM bands ba JOIN bands bb
+      |    ON ba.band = bb.band AND ba.sig = bb.sig AND ba.doc_id < bb.doc_id)
+      |SELECT da, db, CAST(($matchSum) AS INT) AS n_match,
+      |  CAST(($matchSum) AS DOUBLE) / ${A.size} AS est
+      |FROM cand JOIN mh a ON a.doc_id = da JOIN mh b ON b.doc_id = db
+      |ORDER BY da, db""".stripMargin
   }
 
   /** 32-bit SimHash signature per document: frequency-weighted bit votes

@@ -67,6 +67,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(high.subsetOf(lsh), s"LSH missed near-identical pairs: ${high -- lsh}")
   }
 
+  test("minhash estimate: full-band floor, q22 pairs are a candidate subset, exact binary fractions") {
+    val df = Dedup.minhashEstimate(spark, dir).cache()
+    assert(df.count() > 0)
+    // banding guarantee: a candidate shares >= one full band of components
+    assert(df.filter(col("n_match") < Dedup.Rows).isEmpty)
+    assert(df.filter(col("est") < 0 || col("est") > 1).isEmpty)
+    assert(df.filter(col("est") * 16 =!= col("n_match")).isEmpty) // exact /16
+    // every q22-verified pair was a banding candidate, so it appears here
+    val verified = Dedup.minhashLsh(spark, dir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = df.select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cands), s"missing: ${verified -- cands}")
+  }
+
   test("simhash: 32-bit signatures; identical docs would collide") {
     val df = Dedup.simhash(spark, dir).cache()
     assert(df.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).isEmpty)

@@ -73,6 +73,10 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(TextOps.mixtureWeights(spark, dir), 1)
   }
 
+  test("q80 minhashEstimate transient (signature frame) drains") {
+    checkDrains(Dedup.minhashEstimate(spark, dir), 1)
+  }
+
   test("drained query recomputes correctly (no dangling reuse)") {
     val a = Contamination.fuzzyContamination(spark, dir).collect().toSeq
     TransientCache.drain()
