@@ -145,7 +145,7 @@ object Bench {
       // the shared Lloyd fit (q71 assignment, q73 block key, q79
       // prototypes): driver-state memo, billed here so the consumers'
       // marginals are assignment-only
-      ("kmfit", Set("q71", "q73", "q79"),
+      ("kmfit", Set("q71", "q73", "q79", "q81"),
         () => operators.Similarity.kmeansCentroids(spark, sfDir): Unit),
       // cc_components LAST so the iterative CC loop (scheduler/JIT-
       // latency-bound, ~3x cost on a cold JVM) builds on a JVM already

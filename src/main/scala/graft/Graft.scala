@@ -114,4 +114,5 @@ object Graft {
   def mixtureWeights(spark: SparkSession, dir: String): DataFrame = TextOps.mixtureWeights(spark, dir)
   def prototypePrune(spark: SparkSession, dir: String): DataFrame = Similarity.prototypePrune(spark, dir)
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = Dedup.minhashEstimate(spark, dir)
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = Similarity.ivfKmeans(spark, dir)
 }

@@ -593,4 +593,62 @@ object Similarity {
       |SELECT vec_id, cluster, CAST(rank AS INT) AS rank,
       |  rank <= floor((n * $KeepNum + $KeepNum) / $KeepDen) AS kept
       |FROM r ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------ IVF over k-means
+
+  /** q81 — IVF ANN over TRAINED cells: q31's plumbing (cell → equi-join →
+    * per-query top-k) with the coarse quantizer swapped from the sampled
+    * deterministic centroids to the Lloyd fit — the documented q31 swap,
+    * made real. Cells are squared-L2 argmin against the MEMOIZED q71/q73/
+    * q79 centroids (scan-stage literal-array projection, no join); each
+    * probe searches its [[NProbe]] nearest cells (per-row sort of the k
+    * literal distances — k is bounded driver state, so the sort is O(k
+    * log k) inside codegen); scoring inside a cell stays cosine, as in
+    * q31 (IVF's cell metric and its scoring metric are independent
+    * choices). At 100 TB: one scan assigns cells, the probe side is tiny
+    * and broadcast, and recall/cost tunes by k and nprobe with zero plan
+    * changes — and the fit is already paid for by the dedup/pruning tier.
+    */
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    val v = vecs(spark, dir)
+    val assigned = v.withColumn("cell", kmBest(col("v"), cents).getField("cid"))
+    val cellRanks = array_sort(array(cents.zipWithIndex.map { case (cv, cid) =>
+      struct(sqDist(col("v"), typedLit(cv.toSeq)).as("d"), lit(cid).as("cid"))
+    }: _*))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .withColumn("pc", explode(slice(cellRanks, 1, NProbe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("pc.cid").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val ivfKmeansSql: String =
+    s"""WITH $kmeansCtes,
+      |nr AS (SELECT vec_id, v, cluster, sqrt(${dotSql("v", "v")}) AS nrm FROM a3),
+      |pc AS (
+      |  SELECT vec_id, cid AS cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
+      |  FROM s3 WHERE vec_id % 100 = 0),
+      |probes AS (
+      |  SELECT p.vec_id AS q_id, n.v AS qv, n.nrm AS qn, p.cell
+      |  FROM pc p JOIN nr n ON n.vec_id = p.vec_id WHERE p.crn <= $NProbe),
+      |scored AS (
+      |  SELECT p.q_id, c.vec_id,
+      |    ${dotSql("p.qv", "c.v")} / (p.qn * c.nrm) AS score
+      |  FROM nr c JOIN probes p ON c.cluster = p.cell
+      |  WHERE c.vec_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, score
+      |FROM ranked WHERE rank <= $AnnK ORDER BY q_id, rank""".stripMargin
 }

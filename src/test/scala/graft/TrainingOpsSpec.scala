@@ -128,6 +128,29 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf over k-means cells: brute-force-consistent scores, q71 cells, shared fit") {
+    Similarity.clearKmeansMemo(spark)
+    Similarity.kmeansAssign(spark, dir).collect()
+    val fits = Similarity.kmFitCount.get()
+    val ivf = Similarity.ivfKmeans(spark, dir).cache()
+    assert(Similarity.kmFitCount.get() == fits, "q81 must reuse the memoized fit")
+    assert(ivf.count() > 0)
+    assert(ivf.filter(col("rank") > Similarity.AnnK).isEmpty)
+    // every hit scores identically to the brute-force pass
+    val bf = Similarity.cosineTopK(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("score"))
+    ivf.join(bf, Seq("q_id", "vec_id"), "inner").collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-9)
+    }
+    // every hit lives in one of its query's NProbe nearest cells ==
+    // a q71 cluster (cells ARE the kmeans assignment)
+    val cells = Similarity.kmeansAssign(spark, dir)
+    val hitCells = ivf.join(cells, Seq("vec_id")).select("q_id", "cluster").distinct()
+    assert(hitCells.groupBy("q_id").count()
+      .filter(col("count") > Similarity.NProbe).isEmpty,
+      "hits must come from at most NProbe cells per query")
+  }
+
   test("embed near-dup: pairs share label and meet threshold") {
     val df = Similarity.embedNearDup(spark, dir).cache()
     assert(df.filter(col("score") < Similarity.NearDupThreshold).isEmpty)
