@@ -183,17 +183,26 @@ object Dedup {
     * c²/2 pairs) is inherent to LSH; the pair explosion happens after the
     * heavy lineage, on (band, sig, ids) rows only.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandsOf(shingleIndex(spark, dir))
-    val buckets = bands.groupBy(col("band"), col("sig"))
+  /** Ordered candidate pairs `(da < db)` from a `(doc_id, band, sig)`
+    * band frame: group each (band, sig) bucket and emit the bucket's
+    * pairs in ONE pass over the subtree (a bands⋈bands self-join would
+    * compute the signature lineage twice — Spark self-joins duplicate
+    * the subplan, no exchange reuse). Shared by q22 and q80, so the
+    * slice-index-sensitive pair expansion exists exactly once.
+    */
+  private def candidatePairsOf(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val cand = graft.TransientCache.register(buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("da"), b.as("db")))))).as("p"))
       .select(col("p.da"), col("p.db"))
       .distinct()
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsOf(shingleIndex(spark, dir))
+    val cand = graft.TransientCache.register(candidatePairsOf(bands)
       // consumed twice (candidate-doc restriction + final verify join):
       // caching a few hundred pairs skips a second minhash/bucket pass;
       // registered for post-materialization eviction (TransientCache)
@@ -438,23 +447,16 @@ object Dedup {
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     val mh = graft.TransientCache.register(
       minhashesOf(shingleIndex(spark, dir))
-        .select(col("doc_id"), array(A.indices.map(j => col(s"v$j")): _*).as("sig"))
+        .select(col("doc_id"), array(A.indices.map(j => col(s"v$j")): _*).as("mhsig"))
         .cache()) // consumed by banding + both sides of the pair join
     val bands = mh.select(col("doc_id"), posexplode(
       array((0 until Bands).map(bd =>
         concat_ws("-", (0 until Rows).map(r =>
-          col("sig").getItem(bd * Rows + r)): _*)): _*)).as(Seq("band", "bsig")))
-    val cand = bands.groupBy(col("band"), col("bsig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("da"), b.as("db")))))).as("p"))
-      .select(col("p.da"), col("p.db"))
-      .distinct()
+          col("mhsig").getItem(bd * Rows + r)): _*)): _*)).as(Seq("band", "sig")))
+    val cand = candidatePairsOf(bands)
     cand
-      .join(mh.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
-      .join(mh.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
+      .join(mh.select(col("doc_id").as("da"), col("mhsig").as("sa")), Seq("da"))
+      .join(mh.select(col("doc_id").as("db"), col("mhsig").as("sb")), Seq("db"))
       .withColumn("n_match", aggregate(
         zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, m) => acc + m))

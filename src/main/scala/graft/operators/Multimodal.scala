@@ -219,6 +219,8 @@ object Multimodal {
     */
   def resizeThumbs(media: Dataset[MediaRow], w: Int, h: Int,
                    resizer: PixelResizer = PixelResizer.NearestRaw): Dataset[ThumbRow] = {
+    // fail on the driver, not as a NegativeArraySizeException inside a task
+    require(w > 0 && h > 0, "thumbnail dims must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition resizer/codec init would go here
@@ -250,7 +252,15 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val n = r.payload.length
-        val nFrames = math.max(1, (math.max(n - frameBytes, 0) + stride - 1) / stride + 1)
+        // q64's closed form, clamped so every offset lies INSIDE the
+        // payload: with stride > frameBytes (the "1 frame per N" sampling
+        // case) the unclamped form would emit offsets past the end —
+        // off >= n is both a phantom empty frame and an
+        // ArrayIndexOutOfBounds in copyOfRange. An empty payload still
+        // emits one empty frame (rows never vanish at ingest).
+        val covering = (math.max(n - frameBytes, 0) + stride - 1) / stride + 1
+        val inside = (n + stride - 1) / stride // offsets with off < n
+        val nFrames = math.max(1, math.min(covering, inside))
         (0 until nFrames).iterator.map { f =>
           val off = f.toLong * stride
           val len = math.max(0, math.min(frameBytes.toLong, n - off)).toInt

@@ -539,9 +539,10 @@ object Similarity {
 
   /** q79's keep fraction as an exact rational: keep the `KeepNum/KeepDen`
     * closest-to-prototype vectors per cluster, i.e. rank ≤
-    * ceil(n·4/5) = floor((4n+4)/5) — integer-derived in both engines
-    * (0.8 itself is not binary-exact, so the bound is never computed as
-    * `0.8 * n`).
+    * ceil(n·Num/Den) = floor((n·Num + Den−1)/Den) — integer-derived in
+    * both engines (0.8 itself is not binary-exact, so the bound is never
+    * computed as `0.8 * n`), with the general Den−1 rounding addend so
+    * retuning the fraction keeps the ceiling exact.
     */
   val KeepNum = 4
   val KeepDen = 5
@@ -574,7 +575,7 @@ object Similarity {
     v.withColumn("rank", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wAll))
       .select(col("vec_id"), col("cluster"), col("rank"),
-        (col("rank") <= floor((col("n") * KeepNum + KeepNum) / KeepDen)).as("kept"))
+        (col("rank") <= floor((col("n") * KeepNum + (KeepDen - 1)) / KeepDen)).as("kept"))
       .orderBy(col("vec_id"))
   }
 
@@ -591,7 +592,7 @@ object Similarity {
       |    count(*) OVER (PARTITION BY cluster) AS n
       |  FROM a3d)
       |SELECT vec_id, cluster, CAST(rank AS INT) AS rank,
-      |  rank <= floor((n * $KeepNum + $KeepNum) / $KeepDen) AS kept
+      |  rank <= floor((n * $KeepNum + ${KeepDen - 1}) / $KeepDen) AS kept
       |FROM r ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------ IVF over k-means

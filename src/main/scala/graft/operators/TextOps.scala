@@ -938,7 +938,7 @@ object TextOps {
     val vocab = graft.TransientCache.register(
       tok.groupBy(col("tok")).agg(count(lit(1)).as("c")).cache())
     val total = vocab.agg(sum(col("c")).as("total"))
-    tok.join(vocab, Seq("tok"))
+    val scored = tok.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("pos"),
         (col("c").cast("double") / col("total")).as("p"))
@@ -948,6 +948,14 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         (aggregate(transform(array_sort(col("ps")), s => s.getField("p")),
           lit(0.0), (acc, x) => acc + x) / col("n_tokens")).as("mean_p"))
+    // zero-token docs contribute no token rows, but a quality filter must
+    // still SEE them (q76's left-join discipline): emit n_tokens = 0 with
+    // a null score, identical in the oracle's LEFT JOIN
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).cast("int").as("n_tokens"),
+        col("mean_p"))
       .orderBy(col("doc_id"))
   }
 
@@ -961,9 +969,10 @@ object TextOps {
       |  FROM tok JOIN v USING (tok) CROSS JOIN tt),
       |d AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
       |  list(p ORDER BY pos) AS ps FROM p GROUP BY doc_id)
-      |SELECT doc_id, n_tokens,
-      |  list_reduce(list_prepend(0.0, ps), (a, b) -> a + b) / n_tokens AS mean_p
-      |FROM d ORDER BY doc_id""".stripMargin
+      |SELECT t.doc_id, CAST(coalesce(d.n_tokens, 0) AS INT) AS n_tokens,
+      |  list_reduce(list_prepend(0.0, d.ps), (a, b) -> a + b) / d.n_tokens AS mean_p
+      |FROM documents t LEFT JOIN d ON d.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   /** q78 — temperature-scaled mixture weights (the Gopher/PaLM "sample
     * source s proportionally to p_s^alpha" calculation, alpha = 1/2):

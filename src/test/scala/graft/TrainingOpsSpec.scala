@@ -261,7 +261,8 @@ class TrainingOpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(when(col("kept"), 1).otherwise(0)).as("k"),
         max(when(col("kept"), col("rank"))).as("max_kept"),
         min(when(!col("kept"), col("rank"))).as("min_drop"))
-    assert(per.filter(col("k") =!= floor((col("n") * 4 + 4) / 5)).isEmpty)
+    assert(per.filter(col("k") =!= floor(
+      (col("n") * Similarity.KeepNum + (Similarity.KeepDen - 1)) / Similarity.KeepDen)).isEmpty)
     assert(per.filter(col("min_drop").isNotNull &&
       col("max_kept") >= col("min_drop")).isEmpty)
     // non-vacuous: something is actually dropped at this fixture
@@ -337,11 +338,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(frames.filter(col("n_bytes") < 0 || col("n_bytes") > 64).isEmpty)
     val sizes = Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).as("n"))
-    val expected = sizes.select(col("doc_id"),
-      (floor((greatest(col("n") - 64, lit(0)) + 47) / 48) + 1).as("nf"))
+    val expected = sizes.select(col("doc_id"), greatest(lit(1), least(
+      floor((greatest(col("n") - 64, lit(0)) + 47) / 48) + 1,
+      floor((col("n") + 47) / 48))).as("nf"))
     val got = frames.groupBy("doc_id").agg(count(lit(1)).as("got"))
     assert(got.join(expected, Seq("doc_id"))
       .filter(col("got") =!= col("nf")).isEmpty)
+    // sampling mode (stride > frameBytes): offsets stay inside the
+    // payload — no phantom empty tail frame, no out-of-range slice
+    val sampled = Multimodal.sampleFrames(media, 16, 100).toDF().cache()
+    assert(sampled.join(sizes, Seq("doc_id"))
+      .filter(col("offset") >= col("n") && col("n") > 0).isEmpty)
+    assert(sampled.join(sizes, Seq("doc_id"))
+      .filter(col("n") > 0 && col("n_bytes") === 0).isEmpty)
+    assert(sampled.groupBy("doc_id").count().join(sizes, Seq("doc_id"))
+      .filter(col("count") =!= greatest(lit(1), floor((col("n") + 99) / 100))).isEmpty)
     // the stub checksum of every frame equals the md5-60 of the matching
     // byte window — ASCII corpus, so byte offsets == char offsets
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
