@@ -115,4 +115,5 @@ object Graft {
   def prototypePrune(spark: SparkSession, dir: String): DataFrame = Similarity.prototypePrune(spark, dir)
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = Dedup.minhashEstimate(spark, dir)
   def ivfKmeans(spark: SparkSession, dir: String): DataFrame = Similarity.ivfKmeans(spark, dir)
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = Sketch.cmsHeavyHitters(spark, dir)
 }

@@ -70,4 +70,82 @@ object Sketch {
       |    / CAST(n_exact AS DOUBLE) AS rel_err
       |FROM est""".stripMargin
   }
+
+  // --------------------------------------------------- CMS heavy hitters
+
+  /** q82's sketch geometry and the absolute hot-token cut (the fixture
+    * vocabulary is ~31 near-uniform tokens around 900–980 occurrences,
+    * so 950 separates a handful; production uses a relative εN cut).
+    */
+  val CmsD = 4
+  val CmsW = 256
+  val CmsHotT = 950L
+
+  /** q82 — sketch-candidate heavy hitters: the Count-Min matrix is built
+    * by the TYPED [[graft.functions.CmsSketch]] Aggregator (partial
+    * aggregation, element-wise-sum merge — the production path), the
+    * d×w counters come back as BOUNDED driver state (d·w longs, like the
+    * k-means centroids), and candidate hot tokens are read off a scan-
+    * stage projection: est(tok) = min over d rows of the literal
+    * matrix at cell_j(h) — never a full-universe groupBy when only the
+    * hot tail matters. Candidates are then exact-counted (the standard
+    * sketch-then-verify discipline; CMS never underestimates, so no hot
+    * token can be missed — machine-checked in CmsSketchSpec and by the
+    * est >= exact column pair here). The oracle rebuilds the SAME
+    * counters relationally (per-(row, cell) GROUP BY over the identical
+    * hash family), so the query is a cross-paradigm differential:
+    * typed-Aggregator matrix == relational matrix, integer-exact.
+    *
+    * At 100 TB this is the [[Skew]] feeder: one sketch pass finds the
+    * hot join keys that need salting, at d·w memory instead of a
+    * distinct-key aggregation.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns._
+    val th = graft.TransientCache.register(
+      graft.Tables.spread(graft.Tables.documents(spark, dir))
+        .select(explode(toks(col("text"))).as("token"))
+        .select(col("token"), hash60(col("token")).as("h"))
+        .cache()) // consumed by the sketch fit AND the exact counts
+    import spark.implicits._
+    val matrix: Array[Long] = th.select(col("h")).as[Long]
+      .select(graft.functions.CmsSketch.sketch(CmsD, CmsW)).head()
+    val P = Dedup.P
+    val est = (0 until CmsD).map { j =>
+      val cell = ((lit(Dedup.A(j)) * (col("h") % P) + lit(Dedup.B(j))) % P) % CmsW
+      element_at(typedLit(matrix.toSeq), (lit(j * CmsW + 1) + cell).cast("int"))
+    }.reduce(least(_, _))
+    th.groupBy(col("token"), col("h"))
+      .agg(count(lit(1)).as("exact"))
+      .withColumn("est", est)
+      .filter(col("est") >= CmsHotT)
+      .select(col("token"), col("est"), col("exact"))
+      .orderBy(col("token"))
+  }
+
+  val cmsHeavyHittersSql: String = {
+    import graft.functions.TextFns._
+    val P = Dedup.P
+    def cellSql(j: Int) = s"((${Dedup.A(j)} * (h % $P) + ${Dedup.B(j)}) % $P) % $CmsW"
+    val ctrSelects = (0 until CmsD).map { j =>
+      s"SELECT $j AS j, ${cellSql(j)} AS cell, count(*) AS c FROM th GROUP BY 2"
+    }.mkString("\n      |  UNION ALL ")
+    val tcSelects = (0 until CmsD).map { j =>
+      s"SELECT token, exact, $j AS j, ${cellSql(j)} AS cell FROM cnt"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT unnest(t) AS token FROM toks),
+      |th AS (SELECT token, ${hash60Sql("token")} AS h FROM tok),
+      |cnt AS (SELECT token, h, count(*) AS exact FROM th GROUP BY 1, 2),
+      |ctr AS (
+      |  $ctrSelects),
+      |tc AS (
+      |  $tcSelects),
+      |e AS (
+      |  SELECT token, exact, min(ctr.c) AS est
+      |  FROM tc JOIN ctr ON ctr.j = tc.j AND ctr.cell = tc.cell
+      |  GROUP BY 1, 2)
+      |SELECT token, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+      |FROM e WHERE est >= $CmsHotT ORDER BY token""".stripMargin
+  }
 }

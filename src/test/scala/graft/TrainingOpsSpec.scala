@@ -67,6 +67,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(high.subsetOf(lsh), s"LSH missed near-identical pairs: ${high -- lsh}")
   }
 
+  test("cms heavy hitters: est never underestimates, every truly-hot token surfaces") {
+    val df = Sketch.cmsHeavyHitters(spark, dir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("est") < col("exact")).isEmpty,
+      "CMS must never underestimate")
+    // completeness: every token whose EXACT count clears the cut appears
+    // (est >= exact >= T), so the sketch-candidate stage misses nothing
+    val exact = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFns.toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= Sketch.CmsHotT)
+    assert(exact.join(df, Seq("token"), "left_anti").isEmpty,
+      "a truly-hot token escaped the candidate set")
+  }
+
   test("minhash estimate: full-band floor, q22 pairs are a candidate subset, exact binary fractions") {
     val df = Dedup.minhashEstimate(spark, dir).cache()
     assert(df.count() > 0)

@@ -77,6 +77,10 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(Dedup.minhashEstimate(spark, dir), 1)
   }
 
+  test("q82 cmsHeavyHitters transient (hashed token stream) drains") {
+    checkDrains(Sketch.cmsHeavyHitters(spark, dir), 1)
+  }
+
   test("drained query recomputes correctly (no dangling reuse)") {
     val a = Contamination.fuzzyContamination(spark, dir).collect().toSeq
     TransientCache.drain()
