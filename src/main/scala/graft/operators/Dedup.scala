@@ -166,23 +166,6 @@ object Dedup {
       |WHERE CAST(shared AS DOUBLE) / (ni.n + nc.n - shared) >= $JaccardThreshold
       |ORDER BY di, dc""".stripMargin
 
-  /** MinHash signatures + LSH banding + candidate verification.
-    * Pipeline: the shared cached distinct shingle index (one materialize
-    * serves q21, the minhash aggregation AND the verify pass — min() per
-    * se wouldn't need the distinct, but reusing the cache beats a second
-    * scan+explode) → all 16 minhashes as aggregate columns
-    * of ONE hash-agg (no j-index explode: that would put 16× the rows
-    * through the shuffle and need a second groupBy for bands) → band
-    * signatures via posexplode of 4 tiny strings → candidates by GROUPING
-    * each (band, sig) bucket and emitting ordered pairs from the bucket's
-    * doc list — one pass over the subtree, where a bands⋈bands self-join
-    * would compute the whole shingle→minhash lineage twice (Spark
-    * self-joins duplicate the subplan; no exchange reuse — verified in the
-    * physical plan) — → verify candidates with exact Jaccard via
-    * array_intersect. Bucket skew (a bucket of c near-identical docs emits
-    * c²/2 pairs) is inherent to LSH; the pair explosion happens after the
-    * heavy lineage, on (band, sig, ids) rows only.
-    */
   /** Ordered candidate pairs `(da < db)` from a `(doc_id, band, sig)`
     * band frame: group each (band, sig) bucket and emit the bucket's
     * pairs in ONE pass over the subtree (a bands⋈bands self-join would
@@ -200,6 +183,19 @@ object Dedup {
       .select(col("p.da"), col("p.db"))
       .distinct()
 
+  /** MinHash signatures + LSH banding + candidate verification.
+    * Pipeline: the shared cached distinct shingle index (one materialize
+    * serves q21, the minhash aggregation AND the verify pass — min() per
+    * se wouldn't need the distinct, but reusing the cache beats a second
+    * scan+explode) → all 16 minhashes as aggregate columns
+    * of ONE hash-agg (no j-index explode: that would put 16× the rows
+    * through the shuffle and need a second groupBy for bands) → band
+    * signatures via posexplode of 4 tiny strings → candidates via
+    * [[candidatePairsOf]] → verify candidates with exact Jaccard via
+    * array_intersect. Bucket skew (a bucket of c near-identical docs emits
+    * c²/2 pairs) is inherent to LSH; the pair explosion happens after the
+    * heavy lineage, on (band, sig, ids) rows only.
+    */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val bands = bandsOf(shingleIndex(spark, dir))
     val cand = graft.TransientCache.register(candidatePairsOf(bands)

@@ -68,6 +68,25 @@ class TrainingOpsSpec extends SparkSpec {
   }
 
   test("cms heavy hitters: est never underestimates, every truly-hot token surfaces") {
+    // plan shape FIRST (before .cache() makes later identical plans
+    // resolve to an InMemoryRelation): the est >= T cut references only
+    // the grouping column h, so Catalyst must push it BELOW the
+    // per-token aggregate — the scan-stage candidate claim. If a future
+    // edit breaks the pushdown the rows stay identical (oracle stays
+    // green) while the plan silently degrades; pin it here.
+    locally {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+      val plan = Sketch.cmsHeavyHitters(spark, dir).queryExecution.optimizedPlan
+      val pushed = plan.collect { case a: Aggregate =>
+        a.find {
+          case f: Filter => f.condition.toString.contains(Sketch.CmsHotT.toString)
+          case _ => false
+        }.isDefined
+      }
+      assert(pushed.contains(true),
+        s"est >= ${Sketch.CmsHotT} filter must sit below the aggregate:\n$plan")
+      TransientCache.drain()
+    }
     val df = Sketch.cmsHeavyHitters(spark, dir).cache()
     assert(df.count() > 0)
     assert(df.filter(col("est") < col("exact")).isEmpty,
