@@ -110,7 +110,11 @@ object Bench {
     try materialize(graft.operators.Stock.dailyNet(spark, sfDir))
     catch { case _: Throwable => () }
 
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    // default 3 sweeps: with 2, one throttled window spanning both sweeps
+    // can poison a query's min (r7's q37/q38/q40 artifacts); a third
+    // sample makes the min robust to any single bad window for ~60 s of
+    // extra driver bench time
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
     // bare qNN key — the full names live in SparkEntry; short keys keep
     // the output line well under the driver's ~2 KB capture
     def shortKey(name: String): String = name.takeWhile(_ != '_')
@@ -205,7 +209,9 @@ object Bench {
     // cache_total_cs are integer centiseconds (q_unit); only the headline
     // "value" is float seconds, labelled by the top-level "unit" (the
     // driver contract) — a consumer summing cache entries against the
-    // total now compares like with like.
+    // total now compares like with like. RENAME NOTE (r7): the float-secs
+    // "cache_total" key of BENCH_r06 and earlier became "cache_total_cs"
+    // (integer cs); artifacts before BENCH_r07.json carry the old key.
     println(s"""{"metric":"total","unit":"sec","sf":"$sfName","repeat":$repeat,"calib":$calibStr,$failedPart"cache":$cb,"hash":"${graft.functions.TextFns.hashMode}","q_unit":"cs","cache_total_cs":${cs(cacheTotal)},"value":${f3(total)},"queries":$qs}""")
     spark.stop()
   }

@@ -260,12 +260,6 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
   }
 
-  /** Per-doc LSH band signatures `(doc_id, band, sig)` from a
-    * `(doc_id, sh_h)` shingle frame — the q22 signature pipeline as a
-    * reusable builder: one hash-agg for all 16 minhashes, posexplode of
-    * [[Bands]] tiny strings. Feeds q22's buckets, and [[corpusIndex]]
-    * persists its output as the at-rest band index q74 scans.
-    */
   /** Per-doc minhash signature columns `(doc_id, v0..v15)` from a
     * `(doc_id, sh_h)` shingle frame — ONE hash-agg for all 16 hashes.
     */
@@ -276,6 +270,12 @@ object Dedup {
     shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Per-doc LSH band signatures `(doc_id, band, sig)` from a
+    * `(doc_id, sh_h)` shingle frame — the q22 signature pipeline as a
+    * reusable builder: one hash-agg for all 16 minhashes, posexplode of
+    * [[Bands]] tiny strings. Feeds q22's buckets, and [[corpusIndex]]
+    * persists its output as the at-rest band index q74 scans.
+    */
   private def bandsOf(sh: DataFrame): DataFrame = {
     val mh = minhashesOf(sh)
     val bandSigs = array((0 until Bands).map(bd =>
@@ -300,8 +300,23 @@ object Dedup {
   private val corpusIndexMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), CorpusIndex]
 
-  private[graft] def corpusIndex(spark: SparkSession, dir: String): CorpusIndex =
-    corpusIndexMemo.getOrElseUpdate((spark, dir, graft.functions.TextFns.hashMode), {
+  /** Temp roots THIS module created (vs. roots of test-injected indexes,
+    * which we must never delete). Guarded by its own monitor.
+    */
+  private val createdRoots = scala.collection.mutable.Set.empty[String]
+
+  private def deleteRootDir(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private[graft] def corpusIndex(spark: SparkSession, dir: String): CorpusIndex = {
+    val key = (spark, dir, graft.functions.TextFns.hashMode)
+    corpusIndexMemo.get(key).getOrElse {
       val root = java.nio.file.Files.createTempDirectory("graft_bandidx_").toString
       val wh = new graft.pipelines.Warehouse(spark, root)
       val corpusDocs = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
@@ -310,15 +325,28 @@ object Dedup {
       // bands are derived FROM the at-rest shingles, so the build itself
       // tokenizes the corpus exactly once
       wh.write("corpus_band_index", bandsOf(shAtRest))
-      CorpusIndex(wh.read("corpus_band_index"), shAtRest, root)
-    })
+      val built = CorpusIndex(wh.read("corpus_band_index"), shAtRest, root)
+      // putIfAbsent, not getOrElseUpdate: a concurrent builder must not
+      // orphan its loser's tmpdir
+      corpusIndexMemo.putIfAbsent(key, built) match {
+        case Some(winner) => deleteRootDir(root); winner
+        case None => createdRoots.synchronized { createdRoots += root }; built
+      }
+    }
+  }
 
   /** Drop this session's memoized corpus indexes (the next [[deltaMinhash]]
-    * rebuilds). Nothing to unpersist — the index is at-rest parquet, not a
-    * cached RDD; the temp files are reclaimed with the tmpdir.
+    * rebuilds). Roots we created are deleted from disk — a long-lived JVM
+    * toggling hash modes must not accumulate `graft_bandidx_*` dirs;
+    * test-injected roots ([[installCorpusIndex]]) are left alone.
     */
   def clearCorpusIndex(spark: SparkSession): Unit =
-    corpusIndexMemo.keys.filter(_._1 eq spark).foreach(corpusIndexMemo.remove)
+    corpusIndexMemo.keys.filter(_._1 eq spark).foreach { k =>
+      corpusIndexMemo.remove(k).foreach { ci =>
+        val owned = createdRoots.synchronized { createdRoots.remove(ci.root) }
+        if (owned) deleteRootDir(ci.root)
+      }
+    }
 
   /** Test seam: install a replacement index for (spark, dir) under the
     * CURRENT hash mode — the q74 contract spec injects a poisoned index
@@ -327,8 +355,12 @@ object Dedup {
     */
   private[graft] def installCorpusIndex(spark: SparkSession, dir: String,
                                         idx: CorpusIndex): Unit = {
-    corpusIndexMemo.put((spark, dir, graft.functions.TextFns.hashMode), idx)
-    ()
+    val prev = corpusIndexMemo.put((spark, dir, graft.functions.TextFns.hashMode), idx)
+    // reclaim a built root the injection just shadowed (unless shared)
+    prev.filter(_.root != idx.root).foreach { ci =>
+      val owned = createdRoots.synchronized { createdRoots.remove(ci.root) }
+      if (owned) deleteRootDir(ci.root)
+    }
   }
 
   /** q74 — fuzzy delta-dedup: the INCREMENTAL twin of q22, and the

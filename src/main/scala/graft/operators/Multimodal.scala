@@ -220,7 +220,9 @@ object Multimodal {
   def resizeThumbs(media: Dataset[MediaRow], w: Int, h: Int,
                    resizer: PixelResizer = PixelResizer.NearestRaw): Dataset[ThumbRow] = {
     // fail on the driver, not as a NegativeArraySizeException inside a task
-    require(w > 0 && h > 0, "thumbnail dims must be positive")
+    // (w*h can overflow Int for absurd dims, so bound the product too)
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      "thumbnail dims must be positive with w*h within Int range")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition resizer/codec init would go here
