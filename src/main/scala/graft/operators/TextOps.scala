@@ -928,8 +928,10 @@ object TextOps {
     * vocab is corpus-bounded so the join shuffles on the token key (no
     * broadcast), partial aggs map-side — → per-doc ordered fold (q70's
     * collect/sort/fold discipline; group size = doc length, the
-    * oracle-parity shape — production swaps in plain `sum`, last-ulp
-    * trade as [[Similarity.labelCentroidsProd]]).
+    * oracle-parity shape — production swaps in plain `sum`:
+    * [[unigramLikelihoodProd]], last-ulp trade as
+    * [[Similarity.labelCentroidsProd]], spec'd against this path at
+    * 1e-9 relative).
     */
   def unigramLikelihood(spark: SparkSession, dir: String): DataFrame = {
     val tok = graft.TransientCache.register(docToks(spark, dir)
@@ -973,6 +975,38 @@ object TextOps {
       |  list_reduce(list_prepend(0.0, d.ps), (a, b) -> a + b) / d.n_tokens AS mean_p
       |FROM documents t LEFT JOIN d ON d.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** Production unigram scoring: same plan as [[unigramLikelihood]] up to
+    * the per-doc reduction, but the mean is the commutative
+    * `sum(p) / count` — partial aggregation does the work, no per-doc
+    * `(pos, p)` arrays materialize, aggregation memory per doc is O(1).
+    * The cost is the last ulp: the sum's value depends on partial-merge
+    * order, so scores reproduce only to ~1e-15 relative — the
+    * [[Similarity.labelCentroidsProd]] trade, right at 100 TB where the
+    * ordered fold's buffer is doc-length-bounded but still a per-group
+    * array. Spec'd against the ordered-fold path at 1e-9 relative.
+    */
+  def unigramLikelihoodProd(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.TransientCache.register(docToks(spark, dir)
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .cache()) // consumed by the model fit AND the scoring join
+    val vocab = graft.TransientCache.register(
+      tok.groupBy(col("tok")).agg(count(lit(1)).as("c")).cache())
+    val total = vocab.agg(sum(col("c")).as("total"))
+    val scored = tok.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (col("c").cast("double") / col("total")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        (sum(col("p")) / count(lit(1))).as("mean_p"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).cast("int").as("n_tokens"),
+        col("mean_p"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q78 — temperature-scaled mixture weights (the Gopher/PaLM "sample
     * source s proportionally to p_s^alpha" calculation, alpha = 1/2):

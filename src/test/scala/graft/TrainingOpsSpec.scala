@@ -665,6 +665,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(df.select(col("mean_p")).distinct().count() > 1)
   }
 
+  test("production unigram scoring matches the ordered-fold path to 1e-9") {
+    val oracle = TextOps.unigramLikelihood(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("mean_p"))
+    val prod = TextOps.unigramLikelihoodProd(spark, dir)
+      .select(col("doc_id"),
+        col("n_tokens").as("n_prod"), col("mean_p").as("p_prod"))
+    val j = oracle.join(prod, Seq("doc_id"), "full").cache()
+    assert(j.filter(col("n_tokens").isNull || col("n_prod").isNull).isEmpty,
+      "both paths must emit every doc")
+    assert(j.filter(col("n_tokens") =!= col("n_prod")).isEmpty)
+    // zero-token docs are null in BOTH paths, scored docs agree to 1e-9
+    // relative — far above double noise, far below real divergence
+    assert(j.filter(col("mean_p").isNull =!= col("p_prod").isNull).isEmpty)
+    assert(j.filter(abs(col("mean_p") - col("p_prod")) >
+      lit(1e-9) * greatest(abs(col("mean_p")), lit(1e-300))).isEmpty)
+    assert(j.count() > 0)
+    graft.TransientCache.drain()
+  }
+
   test("mixture weights: normalized, temperature up-weights small sources") {
     val df = TextOps.mixtureWeights(spark, dir).cache()
     val srcs = Tables.documents(spark, dir).select("source").distinct().count()

@@ -69,6 +69,10 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(TextOps.unigramLikelihood(spark, dir), 2)
   }
 
+  test("unigramLikelihoodProd transients (token stream, vocab) drain") {
+    checkDrains(TextOps.unigramLikelihoodProd(spark, dir), 2)
+  }
+
   test("q78 mixtureWeights transient (source counts) drains") {
     checkDrains(TextOps.mixtureWeights(spark, dir), 1)
   }
