@@ -385,13 +385,25 @@ object Dedup {
     * so the corpus side provably comes from the at-rest table, whose
     * own plan is asserted to be a bare file scan.
     */
-  def deltaMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def deltaMinhash(spark: SparkSession, dir: String): DataFrame =
+    screenAgainstIndex(spark, dir,
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8))
+
+  /** The q74 screen with the batch as an argument — the form the nightly
+    * loop calls: each night's verified batch is screened against the
+    * CURRENT at-rest index, then [[appendToCorpusIndex]] advances the
+    * index (the reference's §2.9 screen-then-advance cycle,
+    * update_raw_stock_movements.py:100-110, fuzzified). `batchDocs` is
+    * documents-shaped (`doc_id`, `text`); all tokenize/shingle/minhash
+    * work runs over it alone.
+    */
+  private[graft] def screenAgainstIndex(spark: SparkSession, dir: String,
+                                        batchDocs: DataFrame): DataFrame = {
     val idx = corpusIndex(spark, dir)
     // batch-only signature work, straight off the filtered source scan;
     // consumed twice (band build + verify sets) — cached, drained after
     val batchSh = graft.TransientCache.register(
-      shingleRowsOf(Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8))
-        .cache())
+      shingleRowsOf(batchDocs).cache())
     val inc = bandsOf(batchSh).select(col("doc_id").as("di"), col("band"), col("sig"))
     val corp = idx.bands.select(col("doc_id").as("dc"), col("band"), col("sig"))
     val cand = graft.TransientCache.register(
@@ -421,6 +433,53 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("di"), col("dc"), col("jaccard"))
       .orderBy(col("di"), col("dc"))
+  }
+
+  /** Advance the at-rest corpus index with a verified batch — the
+    * checkpoint-advance half of the reference's §2.9 nightly cycle
+    * (update_raw_stock_movements.py:100-110: screen, then append + move
+    * the watermark), for the fuzzy tier. The batch's shingle and band
+    * rows are APPENDED to `corpus_shingles` / `corpus_band_index`
+    * through the same Warehouse path the build uses (S7), guarded by a
+    * per-table `doc_id` anti-join against a FRESH read of that table —
+    * the S13 dedup-append discipline. Consequences:
+    *
+    *  - Idempotent: re-appending the same batch is a no-op (every
+    *    batch doc_id is already present), so at-least-once delivery of
+    *    a night's batch has exactly-once effect on the index.
+    *  - Crash-repairable: the two appends are separate jobs; a crash
+    *    between them leaves shingles present and bands absent for the
+    *    batch, and the replay's per-table guards append exactly the
+    *    missing side.
+    *  - Batch-only work: shingles are computed once from `batchDocs`
+    *    (cached for the two consumers, unpersisted before return) and
+    *    bands derive from those batch shingles — the corpus side is
+    *    only ever the guard scans.
+    *
+    * The guard joins deliberately carry no broadcast hint: their right
+    * side is the corpus-bounded doc_id set, so at 100 TB they must
+    * shuffle (AQE may still broadcast small instances from stats).
+    * Returns the refreshed index (fresh file listings — the memoized
+    * frames' listings predate the append) and re-memoizes it, so the
+    * next [[screenAgainstIndex]] sees the widened corpus.
+    */
+  def appendToCorpusIndex(spark: SparkSession, dir: String,
+                          batchDocs: DataFrame): CorpusIndex = {
+    val idx = corpusIndex(spark, dir) // ensure the tables exist
+    val wh = new graft.pipelines.Warehouse(spark, idx.root)
+    val batchSh = shingleRowsOf(batchDocs).cache()
+    try {
+      val seenSh = wh.read("corpus_shingles").select(col("doc_id")).distinct()
+      wh.append("corpus_shingles",
+        batchSh.join(seenSh, Seq("doc_id"), "left_anti"))
+      val seenBands = wh.read("corpus_band_index").select(col("doc_id")).distinct()
+      wh.append("corpus_band_index",
+        bandsOf(batchSh).join(seenBands, Seq("doc_id"), "left_anti"))
+    } finally batchSh.unpersist(false)
+    val fresh = CorpusIndex(wh.read("corpus_band_index"),
+      wh.read("corpus_shingles"), idx.root)
+    installCorpusIndex(spark, dir, fresh)
+    fresh
   }
 
   val deltaMinhashSql: String = {

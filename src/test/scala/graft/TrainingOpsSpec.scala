@@ -496,6 +496,52 @@ class TrainingOpsSpec extends SparkSpec {
     assert(delta.nonEmpty, "fixture must contain cross-boundary near-dups")
   }
 
+  test("nightly loop: screen -> append -> screen == rebuild at each step; append idempotent") {
+    Dedup.clearCorpusIndex(spark) // start from the base corpus (% 10 < 8)
+    val docs = Tables.documents(spark, dir)
+    val night1 = docs.filter(col("doc_id") % 10 === 8)
+    val night2 = docs.filter(col("doc_id") % 10 === 9)
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    // from-scratch reference: q22 over the WHOLE corpus, restricted per
+    // night to batch x corpus-so-far (night2's corpus includes night1)
+    val all = Dedup.minhashLsh(spark, dir).cache()
+    TransientCache.drain()
+    def expected(batchMod: Int, corpusMax: Int): Set[String] = asSet(
+      all.filter((col("da") % 10 === batchMod && col("db") % 10 < corpusMax) ||
+          (col("db") % 10 === batchMod && col("da") % 10 < corpusMax))
+        .select(
+          when(col("da") % 10 === batchMod, col("da")).otherwise(col("db")).as("di"),
+          when(col("da") % 10 === batchMod, col("db")).otherwise(col("da")).as("dc"),
+          col("jaccard")))
+    // night 1: screen against the base index, then advance it
+    val s1 = asSet(Dedup.screenAgainstIndex(spark, dir, night1))
+    TransientCache.drain()
+    assert(s1 == expected(8, 8))
+    Dedup.appendToCorpusIndex(spark, dir, night1)
+    // night 2 sees the widened corpus: base + night1
+    val s2 = asSet(Dedup.screenAgainstIndex(spark, dir, night2))
+    TransientCache.drain()
+    assert(s2 == expected(9, 9))
+    // q74's differential already guarantees cross-boundary near-dups
+    // exist; they all land in one of the two nights
+    assert((s1 ++ s2).nonEmpty, "fixture must contain nightly near-dups")
+    // idempotence: re-appending night1 changes NOTHING — not the index
+    // row multisets, not the next screen (at-least-once => exactly-once)
+    val idx = Dedup.corpusIndex(spark, dir)
+    val (bands0, sh0) = (asSet(idx.bands), asSet(idx.shingles))
+    assert(idx.bands.count() == bands0.size &&
+      idx.shingles.count() == sh0.size, "index rows must be key-unique")
+    val again = Dedup.appendToCorpusIndex(spark, dir, night1)
+    assert(asSet(again.bands) == bands0 && asSet(again.shingles) == sh0)
+    assert(again.bands.count() == bands0.size &&
+      again.shingles.count() == sh0.size)
+    assert(asSet(Dedup.screenAgainstIndex(spark, dir, night2)) == s2)
+    TransientCache.drain()
+    all.unpersist(false)
+    Dedup.clearCorpusIndex(spark) // leave the default index for other tests
+  }
+
   test("q74 corpus side is the at-rest index: bare scan, and injection drives output") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
     Dedup.clearCorpusIndex(spark)
