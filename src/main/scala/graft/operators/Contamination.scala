@@ -30,8 +30,18 @@ object Contamination {
   val ValPct = 10 // test = remainder
 
   /** q33: per-training-doc contamination against the benchmark slice. */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(spark, dir))
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationOf(Tables.spread(Tables.documents(spark, dir)))
+
+  /** The q33 ratio over an explicit frame (`doc_id`, `source`, `text`)
+    * holding BOTH slices — the benchmark rows are `source == "src0"`,
+    * everything else is scored against them.
+    * [[graft.pipelines.CorpusPipeline]] feeds it its refined train
+    * table unioned with the PRISTINE raw benchmark slice (the bench
+    * side must not itself be quality-cut or span-rewritten).
+    */
+  private[graft] def contaminationOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("source"), explode(shingles3All(col("t"))).as("s"))
       .select(col("doc_id"), col("source"), hash60(col("s")).as("sh_h"))

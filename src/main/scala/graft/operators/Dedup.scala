@@ -75,12 +75,19 @@ object Dedup {
     * regardless of document size.
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    exactDedupOf(Tables.documents(spark, dir))
+      .orderBy(col("canonical_id"))
+
+  /** The q20 canonical groups over an explicit documents frame
+    * (`doc_id`, `text`) — [[graft.pipelines.CorpusPipeline]]'s exact
+    * stage semi-joins its at-rest table against the `canonical_id`s.
+    */
+  private[graft] def exactDedupOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), md5(array_join(toks(col("text")), " ")).as("k"))
       .groupBy(col("k"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
       .select(col("canonical_id"), col("n_docs"), col("k"))
-      .orderBy(col("canonical_id"))
 
   val exactDedupSql: String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

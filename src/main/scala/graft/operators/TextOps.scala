@@ -104,14 +104,23 @@ object TextOps {
   /** The score frame without the presentation sort — q62's canonical
     * pick consumes it straight into a join.
     */
-  private[operators] def qualityScoreUnsorted(spark: SparkSession, dir: String): DataFrame = {
-    val d = docToks(spark, dir).select(
-      col("doc_id"),
-      length(col("text")).as("n_chars_m"),
-      size(col("t")).as("n_tokens"),
-      stopHits(col("t"), enStops).as("en_hits"),
-      aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x)
-        .as("sum_len"))
+  private[operators] def qualityScoreUnsorted(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.spread(Tables.documents(spark, dir)))
+
+  /** The q18 score over an explicit documents frame (`doc_id`, `text`) —
+    * the seam [[graft.pipelines.CorpusPipeline]]'s quality stage drives
+    * against its at-rest stage table.
+    */
+  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(col("t")).as("n_tokens"),
+        stopHits(col("t"), enStops).as("en_hits"),
+        aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x)
+          .as("sum_len"))
     // no round(): Spark and DuckDB round() differ by 1 ulp at decimal
     // boundaries; the unrounded doubles are bit-identical (same fold order)
     val score =
@@ -758,11 +767,22 @@ object TextOps {
     * fixed-width however long documents get.
     */
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
-    coveredRemoval(docToks(spark, dir).select(col("doc_id"), col("t")),
-      DupSpanN, DupSpanDf, broadcastFrequent = false)
+    spanCleanOf(docToks(spark, dir))
       .select(col("doc_id"), col("n_tokens"), col("n_kept"),
         md5(col("clean_text")).as("clean_md5"))
       .orderBy(col("doc_id"))
+
+  /** The q76 rewrite over an explicit documents frame (`doc_id`,
+    * `text`), keeping the cleaned TEXT — what
+    * [[graft.pipelines.CorpusPipeline]]'s span stage carries forward
+    * into its at-rest table (q76's oracle surface hashes it instead).
+    * Registers the [[coveredRemoval]] transients; callers drain after
+    * materializing.
+    */
+  private[graft] def spanCleanOf(docs: DataFrame): DataFrame =
+    coveredRemoval(
+      docs.select(col("doc_id"), toks(col("text")).as("t")),
+      DupSpanN, DupSpanDf, broadcastFrequent = false)
 
   val spanDedupSql: String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -889,6 +909,29 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("n_copies"),
         explode(sequence(lit(1), col("n_copies"))).as("copy_id"))
       .orderBy(col("doc_id"), col("copy_id"))
+  }
+
+  /** q69's deterministic replication with the rates supplied as a
+    * `(source, rate)` frame instead of literals — the form
+    * [[graft.pipelines.CorpusPipeline]] uses with q78-DERIVED rates
+    * (rate_s = expected_docs_s / n_docs_s). Same hash-Bernoulli draw:
+    * content-keyed, exact-double fraction, stable across partitionings.
+    * The rates side is source-bounded (one row per source), so the
+    * broadcast is safe at any corpus size. All `docs` columns ride
+    * through, so the output is a corpus table, not just an assignment.
+    */
+  private[graft] def resampleAtRates(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val frac = (hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+      % 1048576).cast("double") / 1048576.0
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("frac", frac)
+      .withColumn("n_copies",
+        (floor(col("rate")) +
+          when(col("frac") < col("rate") - floor(col("rate")), 1)
+            .otherwise(0)).cast("int"))
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy_id", explode(sequence(lit(1), col("n_copies"))))
+      .drop("rate", "frac")
   }
 
   val mixResampleSql: String =
@@ -1025,9 +1068,17 @@ object TextOps {
     * single-row collect_list agg is never a scale concern, and the fold
     * keeps the double sum partition-order-free.
     */
-  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeightsOf(Tables.documents(spark, dir))
+
+  /** The q78 weights over an explicit documents frame (`doc_id`,
+    * `source`) — [[graft.pipelines.CorpusPipeline]] derives its
+    * replication rates from this on the REFINED corpus, not the raw
+    * fixture. Registers one transient; callers drain after use.
+    */
+  private[graft] def mixtureWeightsOf(docs: DataFrame): DataFrame = {
     val counts = graft.TransientCache.register(
-      Tables.documents(spark, dir)
+      docs
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .cache())
     val total = counts.agg(sum(col("n_docs")).as("total"))

@@ -1,0 +1,114 @@
+package graft.pipelines
+
+import graft.Tables
+import graft.operators.{Contamination, Dedup, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-refinement pipeline: the LLM-tier composition of
+  * the proven operators, shaped like the reference's chained entry
+  * scripts (run_etl.sh:34-36 — extract → transform → load, each stage a
+  * durable table) but over the training-data tier instead of retail:
+  *
+  *   corpus_raw          ingest (at-rest copy of the source scan)
+  *   corpus_quality      q18 score cut — drop the "low" bucket
+  *   corpus_exact        q20 exact dedup — canonical docs only
+  *   corpus_span         q76 duplicated-span removal — text REWRITTEN
+  *   corpus_clean        q33 decontamination vs the pristine benchmark
+  *   corpus_mixed        q69 replication at q78-DERIVED temperature rates
+  *
+  * Every stage reads the PREVIOUS stage's at-rest parquet table and
+  * writes its own through [[Warehouse.write]]'s tmp-and-swap, so the
+  * chain is restartable at any boundary, a failed stage never destroys
+  * the previous run's table, and a re-run is idempotent (every stage is
+  * a deterministic function of its input table — content-keyed hashes,
+  * no RNG, no timestamps). Per-stage counts land in `corpus_stage_log`,
+  * the pipeline's row-count metric table (A10).
+  *
+  * Scale shape: the stages are the operators' own plans (occurrence-
+  * linear span engine, 32-byte-key dedup shuffle, broadcast benchmark
+  * shingle set, scan-rate resample) plus one parquet write each — at
+  * 100 TB the inter-stage tables are the same durable handoff the
+  * reference's MySQL staging tables provide, and each is naturally
+  * partitionable by `source`.
+  */
+object CorpusPipeline {
+
+  /** q18's low/medium boundary: the cut below which docs are dropped. */
+  val QualityCut = 0.3
+
+  /** The benchmark slice (q33's convention): never training data. */
+  val BenchSource = "src0"
+
+  final case class StageCount(stage: String, rows_in: Long, rows_out: Long)
+
+  /** Run the full refinement chain from the fixture documents table into
+    * `wh`. Returns the per-stage counts (also persisted as
+    * `corpus_stage_log`).
+    */
+  def refine(wh: Warehouse, srcDir: String): Seq[StageCount] = {
+    val spark = wh.spark
+    import spark.implicits._
+    val log = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+
+    def stage(name: String, in: DataFrame, out: DataFrame): DataFrame = {
+      val nIn = in.count()
+      wh.write(name, out)
+      graft.TransientCache.drain() // stage transients die with their stage
+      val atRest = wh.read(name)
+      log += StageCount(name, nIn, atRest.count())
+      atRest
+    }
+
+    // 0 — ingest: the at-rest copy of the source scan (S7 discipline:
+    // everything downstream reads warehouse tables, not the live source)
+    val src = Tables.spread(Tables.documents(spark, srcDir))
+      .select(col("doc_id"), col("source"), col("text"))
+    val raw = stage("corpus_raw", src, src)
+
+    // 1 — quality cut (q18): drop the "low" bucket; benchmark rows leave
+    // the training stream here too (they re-enter only as the
+    // decontamination reference)
+    val train = raw.filter(col("source") =!= BenchSource)
+    val keepQ = TextOps.qualityScoreOf(train)
+      .filter(col("score") >= QualityCut).select(col("doc_id"))
+    val quality = stage("corpus_quality", raw,
+      train.join(keepQ, Seq("doc_id"), "left_semi"))
+
+    // 2 — exact dedup (q20): canonical doc per normalized-content hash
+    val canon = Dedup.exactDedupOf(quality)
+      .select(col("canonical_id").as("doc_id"))
+    val exact = stage("corpus_exact", quality,
+      quality.join(canon, Seq("doc_id"), "left_semi"))
+
+    // 3 — duplicated-span removal (q76): text is REWRITTEN; docs whose
+    // every token sat in a cross-document span vanish entirely
+    val cleaned = TextOps.spanCleanOf(exact)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val span = stage("corpus_span", exact,
+      exact.select(col("doc_id"), col("source"))
+        .join(cleaned, Seq("doc_id")))
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // 4 — decontamination (q33): score the span-cleaned train docs
+    // against the PRISTINE raw benchmark slice and drop flagged docs
+    val bench = raw.filter(col("source") === BenchSource)
+      .select(col("doc_id"), col("source"), col("text"))
+    val flagged = Contamination.contaminationOf(span.unionByName(bench))
+      .filter(col("flagged")).select(col("doc_id"))
+    val clean = stage("corpus_clean", span,
+      span.join(flagged, Seq("doc_id"), "left_anti"))
+
+    // 5 — temperature mix (q78 -> q69): rates DERIVED from the refined
+    // corpus's own source distribution, applied as deterministic
+    // replication; rate_s = expected_docs_s / n_docs_s
+    val rates = TextOps.mixtureWeightsOf(clean)
+      .select(col("source"),
+        (col("expected_docs") / col("n_docs")).as("rate"))
+    stage("corpus_mixed", clean, TextOps.resampleAtRates(clean, rates))
+
+    wh.write("corpus_stage_log", log.toSeq.toDF())
+    log.toSeq
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Contamination, Dedup, TextOps}
+import graft.pipelines.{CorpusPipeline, Warehouse}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus refinement: the stage chain must enforce its
+  * invariants (monotone counts through the dropping stages, no
+  * contaminated or benchmark doc in the final corpus, the mix matching
+  * the q78-derived rates), agree with the standalone operators it
+  * composes, and re-run to identical tables (idempotence — the §2.9
+  * discipline, training-data tier).
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("corpus refinement: stage invariants, operator agreement, idempotent re-run") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh").toString)
+    val log = CorpusPipeline.refine(wh, dir)
+    assert(log.map(_.stage) == Seq("corpus_raw", "corpus_quality",
+      "corpus_exact", "corpus_span", "corpus_clean", "corpus_mixed"))
+    val counts = log.map(c => c.stage -> c.rows_out).toMap
+
+    // monotone through the dropping stages; ingest is lossless
+    assert(counts("corpus_raw") ==
+      Tables.documents(spark, dir).count())
+    assert(counts("corpus_raw") >= counts("corpus_quality"))
+    assert(counts("corpus_quality") >= counts("corpus_exact"))
+    assert(counts("corpus_exact") >= counts("corpus_span"))
+    assert(counts("corpus_span") >= counts("corpus_clean"))
+    // the chain must DO something on the fixture, not pass it through
+    assert(counts("corpus_clean") < counts("corpus_raw"))
+    // the persisted stage log is the returned log
+    assert(wh.read("corpus_stage_log").count() == log.size)
+
+    // stage 1 agrees with standalone q18: survivors are exactly the
+    // non-benchmark docs scoring >= the cut
+    val quality = wh.read("corpus_quality").cache()
+    val expectQ = rowsOf(TextOps.qualityScore(spark, dir)
+      .filter(col("score") >= CorpusPipeline.QualityCut).select(col("doc_id"))
+      .join(Tables.documents(spark, dir)
+          .filter(col("source") =!= CorpusPipeline.BenchSource)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
+    assert(rowsOf(quality.select(col("doc_id"))) == expectQ)
+
+    // stage 2: no two surviving docs share a normalized-content key
+    val exact = wh.read("corpus_exact")
+    val dupKeys = Dedup.exactDedupOf(exact).filter(col("n_docs") > 1)
+    assert(dupKeys.isEmpty, "exact stage must leave canonical docs only")
+
+    // stage 3: span stage agrees with standalone q76 on the surviving
+    // docs (md5 of the rewritten text matches q76's clean_md5 for every
+    // doc that reached the span stage)
+    val span = wh.read("corpus_span").cache()
+    val q76 = TextOps.spanCleanOf(exact)
+      .select(col("doc_id"), md5(col("clean_text")).as("m"))
+    val mism = span.select(col("doc_id"), md5(col("text")).as("m2"))
+      .join(q76, Seq("doc_id"))
+      .filter(col("m") =!= col("m2"))
+    assert(mism.isEmpty)
+    TransientCache.drain()
+
+    // stage 4: no contaminated doc survives — rescoring the survivors
+    // against the pristine benchmark flags nothing, and no benchmark doc
+    // leaked into any training stage
+    val clean = wh.read("corpus_clean").cache()
+    val bench = Tables.documents(spark, dir)
+      .filter(col("source") === CorpusPipeline.BenchSource)
+      .select(col("doc_id"), col("source"), col("text"))
+    val rescore = Contamination.contaminationOf(clean.unionByName(bench))
+    assert(rescore.filter(col("flagged")).isEmpty)
+    assert(clean.filter(col("source") === CorpusPipeline.BenchSource).isEmpty)
+    assert(quality.filter(col("source") === CorpusPipeline.BenchSource).isEmpty)
+
+    // stage 5: the final mix matches the q78-derived rates — per-source
+    // copy counts equal the deterministic replication recomputed from
+    // the clean table (exact), and land near expected_docs (the
+    // hash-Bernoulli concentration check)
+    val mixed = wh.read("corpus_mixed").cache()
+    val weights = TextOps.mixtureWeightsOf(clean).cache()
+    val rates = weights.select(col("source"),
+      (col("expected_docs") / col("n_docs")).as("rate"))
+    val expectMix = TextOps.resampleAtRates(clean, rates)
+    assert(rowsOf(mixed.select(col("doc_id"), col("source"), col("copy_id"))) ==
+      rowsOf(expectMix.select(col("doc_id"), col("source"), col("copy_id"))))
+    val bySource = mixed.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("actual"))
+      .join(weights.select(col("source"), col("expected_docs")), Seq("source"))
+    assert(bySource.filter(
+      abs(col("actual") - col("expected_docs")) >
+        lit(0.2) * col("expected_docs") + lit(3.0)).isEmpty,
+      "per-source mix must track the q78-derived expectation")
+    TransientCache.drain()
+
+    // idempotent re-run: every table byte-identical in content
+    val before = Seq("corpus_raw", "corpus_quality", "corpus_exact",
+      "corpus_span", "corpus_clean", "corpus_mixed")
+      .map(t => t -> rowsOf(wh.read(t))).toMap
+    val log2 = CorpusPipeline.refine(wh, dir)
+    assert(log2 == log)
+    before.foreach { case (t, rows) => assert(rowsOf(wh.read(t)) == rows, t) }
+
+    Seq(quality, span, clean, mixed, weights).foreach(_.unpersist(false))
+  }
+}
