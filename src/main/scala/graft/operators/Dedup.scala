@@ -304,8 +304,16 @@ object Dedup {
   private[graft] case class CorpusIndex(bands: DataFrame, shingles: DataFrame,
                                         root: String)
 
+  /** Keyed by SparkContext, NOT SparkSession: Structured Streaming's
+    * `foreachBatch` hands the batch a CLONED session, and a session-keyed
+    * memo would rebuild (and re-own) the index once per micro-batch —
+    * the streaming twin found this. The index is per-(warehouse, data
+    * dir) state; the context is the sharing scope that matches (it is
+    * also the CacheManager's).
+    */
   private val corpusIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), CorpusIndex]
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String, String), CorpusIndex]
 
   /** Temp roots THIS module created (vs. roots of test-injected indexes,
     * which we must never delete). Guarded by its own monitor.
@@ -322,7 +330,7 @@ object Dedup {
   }
 
   private[graft] def corpusIndex(spark: SparkSession, dir: String): CorpusIndex = {
-    val key = (spark, dir, graft.functions.TextFns.hashMode)
+    val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
     corpusIndexMemo.get(key).getOrElse {
       val root = java.nio.file.Files.createTempDirectory("graft_bandidx_").toString
       val wh = new graft.pipelines.Warehouse(spark, root)
@@ -342,13 +350,14 @@ object Dedup {
     }
   }
 
-  /** Drop this session's memoized corpus indexes (the next [[deltaMinhash]]
-    * rebuilds). Roots we created are deleted from disk — a long-lived JVM
-    * toggling hash modes must not accumulate `graft_bandidx_*` dirs;
-    * test-injected roots ([[installCorpusIndex]]) are left alone.
+  /** Drop this context's memoized corpus indexes (the next
+    * [[deltaMinhash]] rebuilds). Roots we created are deleted from
+    * disk — a long-lived JVM toggling hash modes must not accumulate
+    * `graft_bandidx_*` dirs; test-injected roots
+    * ([[installCorpusIndex]]) are left alone.
     */
   def clearCorpusIndex(spark: SparkSession): Unit =
-    corpusIndexMemo.keys.filter(_._1 eq spark).foreach { k =>
+    corpusIndexMemo.keys.filter(_._1 eq spark.sparkContext).foreach { k =>
       corpusIndexMemo.remove(k).foreach { ci =>
         val owned = createdRoots.synchronized { createdRoots.remove(ci.root) }
         if (owned) deleteRootDir(ci.root)
@@ -362,7 +371,8 @@ object Dedup {
     */
   private[graft] def installCorpusIndex(spark: SparkSession, dir: String,
                                         idx: CorpusIndex): Unit = {
-    val prev = corpusIndexMemo.put((spark, dir, graft.functions.TextFns.hashMode), idx)
+    val prev = corpusIndexMemo.put(
+      (spark.sparkContext, dir, graft.functions.TextFns.hashMode), idx)
     // reclaim a built root the injection just shadowed (unless shared)
     prev.filter(_.root != idx.root).foreach { ci =>
       val owned = createdRoots.synchronized { createdRoots.remove(ci.root) }
@@ -474,7 +484,16 @@ object Dedup {
                           batchDocs: DataFrame): CorpusIndex = {
     val idx = corpusIndex(spark, dir) // ensure the tables exist
     val wh = new graft.pipelines.Warehouse(spark, idx.root)
-    val batchSh = shingleRowsOf(batchDocs).cache()
+    // localCheckpoint, NOT cache: the first append below writes the very
+    // path a pre-filtered batch (the streaming loop\'s seen-ledger
+    // anti-join) READS in its lineage, and that write would trigger a
+    // lazy recache of a cached frame — re-executed outside the
+    // micro-batch, a foreachBatch source replays EMPTY and the second
+    // append would silently write nothing (the streaming twin\'s spec
+    // caught exactly this). Checkpointing materializes the batch
+    // shingles ONCE and cuts the plan below them, so neither write can
+    // invalidate them. Batch-bounded state, the Graph.CC discipline.
+    val batchSh = shingleRowsOf(batchDocs).localCheckpoint(true)
     try {
       val seenSh = wh.read("corpus_shingles").select(col("doc_id")).distinct()
       wh.append("corpus_shingles",
@@ -482,7 +501,9 @@ object Dedup {
       val seenBands = wh.read("corpus_band_index").select(col("doc_id")).distinct()
       wh.append("corpus_band_index",
         bandsOf(batchSh).join(seenBands, Seq("doc_id"), "left_anti"))
-    } finally batchSh.unpersist(false)
+    } finally batchSh.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
     val fresh = CorpusIndex(wh.read("corpus_band_index"),
       wh.read("corpus_shingles"), idx.root)
     installCorpusIndex(spark, dir, fresh)

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import graft.pipelines.Warehouse
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Structured-Streaming twin of the fuzzy nightly loop (q74 +
+  * [[Dedup.appendToCorpusIndex]]): a documents stream is screened
+  * micro-batch by micro-batch against the at-rest corpus band/shingle
+  * index, confirmed near-dup pairs land in a durable `dedup_pairs`
+  * table, and the index advances with each batch — so later batches
+  * also dedup against earlier ones, exactly like consecutive nights.
+  *
+  * At-least-once → exactly-once, structurally (no transactional sink
+  * needed):
+  *
+  *  1. the batch is pre-filtered against the index's doc_id set (the
+  *     at-rest tables ARE the seen-ledger — the S13 discipline), so a
+  *     replayed document never screens against itself;
+  *  2. the pair append is keyed on (di, dc) — a replay that crashed
+  *     between the pair append and the index append re-screens, finds
+  *     the same pairs, and the anti-join drops them;
+  *  3. the index append is [[Dedup.appendToCorpusIndex]]'s idempotent
+  *     keyed append.
+  *
+  * Any replay therefore converges to the state one clean run produces.
+  * Scale shape is q74's: batch-only signature work, corpus side only
+  * index scans, per-batch cost ∝ batch + banding collisions.
+  */
+object StreamingDedup {
+
+  /** One micro-batch of the loop — also the replay unit the spec drives
+    * directly. `batch` is documents-shaped (`doc_id`, `text`).
+    */
+  def processBatch(dir: String, wh: Warehouse, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val idx = Dedup.corpusIndex(spark, dir)
+    // seen-ledger filter: docs already in the index are replays
+    val fresh = batch.join(idx.shingles.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val pairs = Dedup.screenAgainstIndex(spark, dir, fresh)
+    val novel =
+      if (!wh.exists("dedup_pairs")) pairs
+      else pairs.join(wh.read("dedup_pairs").select(col("di"), col("dc")),
+        Seq("di", "dc"), "left_anti")
+    wh.append("dedup_pairs", novel)
+    Dedup.appendToCorpusIndex(spark, dir, fresh)
+    graft.TransientCache.drain() // the screen's transients die with the batch
+  }
+
+  /** Wire a documents stream into the loop. Each micro-batch runs
+    * [[processBatch]]; the streaming checkpoint gives at-least-once
+    * delivery and the batch body upgrades it to exactly-once effect.
+    */
+  def screenSink(docsStream: DataFrame, dir: String, wh: Warehouse,
+                 checkpointDir: String): DataStreamWriter[Row] =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(dir, wh, batch)
+      }
+}

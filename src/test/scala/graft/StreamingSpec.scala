@@ -3,9 +3,13 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.streaming.StreamingIngest
+import graft.operators.Dedup
+import graft.pipelines.Warehouse
+import graft.streaming.{StreamingDedup, StreamingIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+
+case class DocRow(doc_id: Long, text: String)
 
 case class LedgerEvent(fecha: Timestamp, tienda_id: Int, art_id: Long,
                        delta_cantidad: Option[Long])
@@ -206,6 +210,63 @@ class StreamingSpec extends SparkSpec {
     val want = agg(rows.toDF()).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(got == want && got.size == 3)
+  }
+
+  test("streaming dedup twin: two micro-batch nights == the batch loop; replay is a no-op") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    Dedup.clearCorpusIndex(spark) // start from the base corpus (% 10 < 8)
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    def night(m: Int): Seq[DocRow] = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === m)
+      .select(col("doc_id"), col("text")).as[DocRow].collect().toSeq
+
+    // night 1 and night 2 arrive as separate micro-batches of one stream
+    val stream = MemoryStream[DocRow](spark)
+    stream.addData(night(8): _*)
+    StreamingDedup.screenSink(stream.toDF(), dir, wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    stream.addData(night(9): _*)
+    StreamingDedup.screenSink(stream.toDF(), dir, wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+
+    val got = wh.read("dedup_pairs")
+      .collect().map(_.mkString("|")).toSet
+    // the batch reference: full-corpus q22 pairs restricted to each
+    // night x its corpus-so-far (night 2's corpus includes night 1) —
+    // exactly the nightly-loop differential, now reached via the stream
+    val all = Dedup.minhashLsh(spark, dir).cache()
+    TransientCache.drain()
+    def expected(batchMod: Int, corpusMax: Int): Set[String] =
+      all.filter((col("da") % 10 === batchMod && col("db") % 10 < corpusMax) ||
+          (col("db") % 10 === batchMod && col("da") % 10 < corpusMax))
+        .select(
+          when(col("da") % 10 === batchMod, col("da")).otherwise(col("db")).as("di"),
+          when(col("da") % 10 === batchMod, col("db")).otherwise(col("da")).as("dc"),
+          col("jaccard"))
+        .collect().map(_.mkString("|")).toSet
+    assert(got == (expected(8, 8) ++ expected(9, 9)))
+    assert(got.nonEmpty, "fixture must contain streaming near-dups")
+
+    // replay of an already-processed batch (at-least-once delivery):
+    // the seen-ledger filter + keyed appends make it a no-op on both
+    // the pair table and the index
+    val idx = Dedup.corpusIndex(spark, dir)
+    // the stream ADVANCED the shared index: every doc of both nights is
+    // in it now (foreachBatch clones the session — the memo must share
+    // across clones or each micro-batch rebuilds its own index)
+    assert(idx.bands.select(col("doc_id")).distinct().count() ==
+      Tables.documents(spark, dir)
+        .filter(size(graft.functions.TextFns.toks(col("text"))) >= 3).count())
+    val (nb, ns) = (idx.bands.count(), idx.shingles.count())
+    StreamingDedup.processBatch(dir, wh, night(8).toDF())
+    assert(wh.read("dedup_pairs").collect().map(_.mkString("|")).toSet == got)
+    val idx2 = Dedup.corpusIndex(spark, dir)
+    assert(idx2.bands.count() == nb && idx2.shingles.count() == ns)
+    all.unpersist(false)
+    Dedup.clearCorpusIndex(spark) // leave the default index for other tests
   }
 
   test("the streaming aggregation plan also runs in plain batch mode") {

@@ -518,7 +518,16 @@ class TrainingOpsSpec extends SparkSpec {
     val s1 = asSet(Dedup.screenAgainstIndex(spark, dir, night1))
     TransientCache.drain()
     assert(s1 == expected(8, 8))
-    Dedup.appendToCorpusIndex(spark, dir, night1)
+    val widened = Dedup.appendToCorpusIndex(spark, dir, night1)
+    // the append must land in BOTH tables — the fixture has no
+    // night2 x night1 near-dups, so the screen equality below cannot
+    // catch a silently-empty append on its own
+    val n1docs = night1
+      .filter(size(graft.functions.TextFns.toks(col("text"))) >= 3).count()
+    assert(widened.bands.filter(col("doc_id") % 10 === 8)
+      .select(col("doc_id")).distinct().count() == n1docs)
+    assert(widened.shingles.filter(col("doc_id") % 10 === 8)
+      .select(col("doc_id")).distinct().count() == n1docs)
     // night 2 sees the widened corpus: base + night1
     val s2 = asSet(Dedup.screenAgainstIndex(spark, dir, night2))
     TransientCache.drain()
