@@ -21,7 +21,26 @@ class DeterminismSweepSpec extends SparkSpec {
     "q47_doc_ranks", "q55_quantiles_cont", "q59_trailing_24h",
     "q65_seq_packing", "q67_token_diversity", "q68_shard_assign",
     "q70_label_centroids", "q71_kmeans", "q45_dedup_clusters",
-    "q72_fuzzy_contam")
+    "q72_fuzzy_contam",
+    // the r7 newcomers that emit doubles or order-sensitive shapes:
+    // span reassembly order (q76), per-doc ordered probability fold
+    // (q77), sqrt-weight normalizer fold (q78), per-cluster rank
+    // windows (q79), signature match fractions (q80), per-row distance
+    // sort + memoized fit (q81), sketch-then-exact recount (q82), and
+    // the index-screened delta pairs (q74)
+    "q74_delta_minhash", "q76_span_dedup", "q77_unigram_likelihood",
+    "q78_mixture_weights", "q79_prototype_prune", "q80_minhash_estimate",
+    "q81_ivf_kmeans", "q82_cms_heavy_hitters")
+
+  // every memoized fit/index rebuilds per partition config — a memo hit
+  // would hide partition sensitivity in the memoized stage itself
+  private def clearMemos(): Unit = {
+    graft.operators.Graph.clearMemo(spark)
+    graft.operators.Similarity.clearKmeansMemo(spark)
+    graft.operators.Dedup.clearCorpusIndex(spark)
+    TransientCache.drain()
+    ()
+  }
 
   private def evalWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -31,15 +50,15 @@ class DeterminismSweepSpec extends SparkSpec {
   }
 
   test("risky queries are byte-identical under 2 vs 5 shuffle partitions") {
-    graft.operators.Graph.clearMemo(spark) // CC must rebuild per config
+    clearMemos()
     risky.foreach { name =>
       val a = evalWith(2, name)
-      graft.operators.Graph.clearMemo(spark)
+      clearMemos()
       val b = evalWith(5, name)
       assert(a.nonEmpty, s"$name returned no rows")
       assert(a == b, s"$name differs across partition counts " +
         s"(first diff: ${a.zip(b).indexWhere { case (x, y) => x != y }})")
-      graft.operators.Graph.clearMemo(spark)
+      clearMemos()
     }
   }
 }
