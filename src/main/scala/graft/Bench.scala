@@ -149,8 +149,12 @@ object Bench {
       // the shared Lloyd fit (q71 assignment, q73 block key, q79
       // prototypes): driver-state memo, billed here so the consumers'
       // marginals are assignment-only
-      ("kmfit", Set("q71", "q73", "q79", "q81"),
+      ("kmfit", Set("q71", "q73", "q79", "q81", "q83"),
         () => operators.Similarity.kmeansCentroids(spark, sfDir): Unit),
+      // the PQ codebooks build ON the coarse fit (listed after it so the
+      // memo hit is guaranteed and this tier bills only the PQ pass)
+      ("pqfit", Set("q83"),
+        () => operators.Similarity.pqCodebooks(spark, sfDir): Unit),
       // cc_components LAST so the iterative CC loop (scheduler/JIT-
       // latency-bound, ~3x cost on a cold JVM) builds on a JVM already
       // warmed by the declarative cache builds above. Billing it

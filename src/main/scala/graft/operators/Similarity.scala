@@ -353,9 +353,15 @@ object Similarity {
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] =
     kmMemo.getOrElseUpdate((spark, dir), fitKmeans(spark, dir))
 
-  /** Evict this session's memoized fits; the next q71/q73 call refits. */
-  def clearKmeansMemo(spark: SparkSession): Unit =
+  /** Evict this session's memoized fits — the Lloyd centroids AND the
+    * PQ codebooks trained on their residuals (stale codebooks against a
+    * fresh coarse fit would quantize the wrong residual space); the
+    * next q71/q73/q83 call refits.
+    */
+  def clearKmeansMemo(spark: SparkSession): Unit = {
     kmMemo.keys.filter(_._1 eq spark).foreach(kmMemo.remove)
+    pqMemo.keys.filter(_._1 eq spark).foreach(pqMemo.remove)
+  }
 
   private def fitKmeans(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] = {
     kmFitCount.incrementAndGet()
@@ -652,4 +658,257 @@ object Similarity {
       |  FROM scored)
       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, score
       |FROM ranked WHERE rank <= $AnnK ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSub]] dims each (the fixture
+    * embedding dim is 64, pinned like [[planes]]), [[PqKs]] codes per
+    * subspace, [[PqIters]] fixed update iterations (the deterministic-
+    * oracle shape, as [[KmIters]]), and [[PqCandK]] ADC candidates kept
+    * per query for exact re-ranking.
+    */
+  val PqM = 4
+  val PqSub = 16
+  val PqKs = 8
+  val PqIters = 2
+  val PqCandK = 64
+
+  /** Best PQ code for a subvector against a literal codebook: squared-L2
+    * ordered fold per entry, ties toward the smaller code — the [[kmBest]]
+    * discipline one level down.
+    */
+  private def pqBest(sub: Column, cb: IndexedSeq[Array[Double]]): Column =
+    array_min(array(cb.zipWithIndex.map { case (cv, c) =>
+      struct(sqDist(sub, typedLit(cv.toSeq)).as("d"), lit(c).as("code"))
+    }: _*))
+
+  /** Corpus residuals against the memoized coarse fit: each vector minus
+    * its own cell's centroid — the space PQ quantizes. The centroid
+    * lookup is `element_at` into one literal k×dim array: scan-stage,
+    * no join.
+    */
+  private def residualFrame(spark: SparkSession, dir: String,
+                            cents: IndexedSeq[Array[Double]]): DataFrame = {
+    val centArr = typedLit(cents.map(_.toSeq))
+    vecs(spark, dir)
+      .withColumn("cell", kmBest(col("v"), cents).getField("cid"))
+      .withColumn("r", zip_with(col("v"),
+        element_at(centArr, col("cell") + 1), (x, c) => x - c))
+  }
+
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IndexedSeq[IndexedSeq[Array[Double]]]]
+
+  /** Test observability: how many PQ trainings actually ran. */
+  private[graft] val pqFitCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The M per-subspace codebooks, memoized per (session, dir) like the
+    * coarse fit they build on ([[kmeansCentroids]] is consulted, never
+    * refit — spec'd via both fit counters). Evicted together with the
+    * coarse fit by [[clearKmeansMemo]].
+    */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
+    pqMemo.getOrElseUpdate((spark, dir), fitPq(spark, dir))
+
+  /** Deterministic PQ training (the per-subspace k-means of Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search"): seeds are
+    * the residual subvectors of the [[PqKs]] smallest vec_ids, then
+    * [[PqIters]] Lloyd updates. ALL M subspaces train in ONE corpus pass
+    * per iteration: the scan emits (m, code, subvector) structs for every
+    * subspace (literal-codebook argmin per m — no join), and a single
+    * (m, code, pos) hash-agg with the vec_id-ordered fold produces every
+    * codebook's means together — M× fewer passes than a per-subspace
+    * loop, the same one-shuffle shape as the coarse update. Codebook
+    * state is M·Ks·dsub doubles on the driver — bounded like the
+    * centroids. Empty codes keep their previous entry.
+    */
+  private def fitPq(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    pqFitCount.incrementAndGet()
+    val cents = kmeansCentroids(spark, dir)
+    val res = residualFrame(spark, dir, cents)
+    val seedRows = res.orderBy(col("vec_id")).limit(PqKs)
+      .select(col("r")).collect().toIndexedSeq
+      .map(_.getSeq[Double](0).toArray)
+    require(seedRows.nonEmpty, s"pqCodebooks: empty corpus at $dir")
+    var cbs: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until PqM).map(m =>
+      seedRows.map(rv => rv.slice(m * PqSub, (m + 1) * PqSub)))
+    for (_ <- 1 to PqIters) {
+      val subStructs = array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          pqBest(slice(col("r"), m * PqSub + 1, PqSub), cbs(m))
+            .getField("code").as("code"),
+          slice(col("r"), m * PqSub + 1, PqSub).as("sub"))): _*)
+      val means = res
+        .select(col("vec_id"), explode(subStructs).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.code").as("code"),
+          posexplode(col("s.sub")).as(Seq("pos", "val")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          collect_list(struct(col("vec_id"), col("val"))).as("vs"))
+        .select(col("m"), col("code"), col("pos"),
+          (aggregate(transform(array_sort(col("vs")), s => s.getField("val")),
+            lit(0.0), (acc, x) => acc + x) / col("n")).as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      cbs = (0 until PqM).map(m =>
+        cbs(m).indices.map(c => means.getOrElse((m, c), cbs(m)(c))))
+    }
+    cbs
+  }
+
+  /** q83 — IVF-PQ ANN (Jégou et al. 2011): q81's trained coarse cells
+    * plus product-quantized residual codes, the memory architecture real
+    * 100 TB vector search runs on. The at-rest index row is `cell` + M
+    * single-byte codes (4 B here vs 512 B of raw doubles — the reason PQ
+    * exists); searching is sketch-then-verify, the q82 discipline:
+    *
+    *  1. probes rank cells by the literal-centroid distances and take
+    *     [[NProbe]] (exactly q81's per-row sort);
+    *  2. per (probe, cell), the classic ADC lookup TABLES are computed
+    *     once — M arrays of [[PqKs]] distances from the query residual's
+    *     subvectors to each codebook entry (a `transform` over the
+    *     literal codebook, scan-stage);
+    *  3. the candidate scan joins CODES to broadcast probes on cell and
+    *     sums M `element_at` table lookups — fixed-width work per row,
+    *     never touching the raw vectors;
+    *  4. the [[PqCandK]] best by (adc, vec_id) per query are re-ranked
+    *     EXACTLY (true-vector cosine, the candidate set is query-bounded
+    *     so the join back to vectors is tiny) and [[AnnK]] emitted.
+    *
+    * Every double is portable: residual subtraction, the sqDist ordered
+    * folds, the left-to-right ADC sum over m, and the native cosine —
+    * the oracle rebuilds coarse fit, codebooks, codes and ADC
+    * relationally (the q82 cross-paradigm differential, here over
+    * doubles instead of counters) and hash-matches bit-for-bit.
+    */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    val cbs = pqCodebooks(spark, dir)
+    val centArr = typedLit(cents.map(_.toSeq))
+    val res = residualFrame(spark, dir, cents)
+    // the PQ index: fixed-width rows, cell + M small codes
+    val codes = res.select(Seq(col("vec_id"), col("cell")) ++
+      (0 until PqM).map(m =>
+        pqBest(slice(col("r"), m * PqSub + 1, PqSub), cbs(m))
+          .getField("code").as(s"c$m")): _*)
+    val v = vecs(spark, dir)
+    val cellRanks = array_sort(array(cents.zipWithIndex.map { case (cv, cid) =>
+      struct(sqDist(col("v"), typedLit(cv.toSeq)).as("d"), lit(cid).as("cid"))
+    }: _*))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .withColumn("pc", explode(slice(cellRanks, 1, NProbe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("pc.cid").as("cell"))
+      .withColumn("qr", zip_with(col("qv"),
+        element_at(centArr, col("cell") + 1), (x, c) => x - c))
+      .select(Seq(col("q_id"), col("qv"), col("qn"), col("cell")) ++
+        (0 until PqM).map(m =>
+          transform(typedLit(cbs(m).map(_.toSeq)),
+            sv => sqDist(slice(col("qr"), m * PqSub + 1, PqSub), sv))
+            .as(s"t$m")): _*)
+    val adc = (0 until PqM)
+      .map(m => element_at(col(s"t$m"), col(s"c$m") + 1))
+      .reduce(_ + _) // left-assoc: same fold order as the oracle's list
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val cand = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("arn", row_number().over(wc))
+      .filter(col("arn") <= PqCandK)
+      .select(col("q_id"), col("qv"), col("qn"), col("vec_id"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    cand.join(v.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= AnnK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val ivfPqSql: String = {
+    def sub(l: String, m: String) =
+      s"list_slice($l, $m * $PqSub + 1, $m * $PqSub + $PqSub)"
+    s"""WITH $kmeansCtes,
+      |nr AS (SELECT vec_id, v, cluster, sqrt(${dotSql("v", "v")}) AS nrm FROM a3),
+      |res AS (
+      |  SELECT a.vec_id, a.cluster AS cell,
+      |    list_transform(range(1, len(a.v) + 1),
+      |      i -> a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS r
+      |  FROM a3 a JOIN c2 c ON c.cid = a.cluster),
+      |pseed AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, r
+      |  FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT $PqKs)),
+      |ms AS (SELECT CAST(u.m AS INT) AS m
+      |  FROM unnest(generate_series(0, ${PqM - 1})) AS u(m)),
+      |pcb0 AS (SELECT ms.m, p.code, ${sub("p.r", "ms.m")} AS sv
+      |  FROM pseed p CROSS JOIN ms),
+      |subv AS (SELECT res.vec_id, res.cell, ms.m, ${sub("res.r", "ms.m")} AS sub
+      |  FROM res CROSS JOIN ms),
+      |${(1 to PqIters).map(i => s"""asg$i AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT s.vec_id, s.m, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY ${sqDistSql("s.sub", "c.sv")}, c.code) AS rn
+      |    FROM subv s JOIN pcb${i - 1} c ON c.m = s.m) WHERE rn = 1),
+      |updp$i AS (
+      |  SELECT a.m, a.code, CAST(u.i AS INT) AS pos, count(*) AS n,
+      |    list(s.sub[CAST(u.i AS INT)] ORDER BY s.vec_id) AS vs
+      |  FROM asg$i a JOIN subv s ON s.vec_id = a.vec_id AND s.m = a.m,
+      |       unnest(generate_series(1, $PqSub)) AS u(i)
+      |  GROUP BY a.m, a.code, CAST(u.i AS INT)),
+      |updv$i AS (
+      |  SELECT m, code,
+      |    list(list_reduce(list_prepend(0.0, vs), (a, b) -> a + b) / n
+      |      ORDER BY pos) AS sv
+      |  FROM updp$i GROUP BY m, code),
+      |pcb$i AS (
+      |  SELECT p.m, p.code, coalesce(u.sv, p.sv) AS sv
+      |  FROM pcb${i - 1} p LEFT JOIN updv$i u ON u.m = p.m AND u.code = p.code)""").mkString(",\n")},
+      |codes AS (
+      |  SELECT vec_id, cell, m, code FROM (
+      |    SELECT s.vec_id, s.cell, s.m, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY ${sqDistSql("s.sub", "c.sv")}, c.code) AS rn
+      |    FROM subv s JOIN pcb$PqIters c ON c.m = s.m) WHERE rn = 1),
+      |pc AS (
+      |  SELECT vec_id, cid AS cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
+      |  FROM s3 WHERE vec_id % 100 = 0),
+      |qres AS (
+      |  SELECT p.vec_id AS q_id, p.cell,
+      |    list_transform(range(1, len(n.v) + 1),
+      |      i -> n.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS qr
+      |  FROM pc p JOIN nr n ON n.vec_id = p.vec_id
+      |       JOIN c2 c ON c.cid = p.cell
+      |  WHERE p.crn <= $NProbe),
+      |adcm AS (
+      |  SELECT q.q_id, x.vec_id, x.m,
+      |    ${sqDistSql(sub("q.qr", "x.m"), "b.sv")} AS d
+      |  FROM qres q
+      |       JOIN codes x ON x.cell = q.cell AND x.vec_id <> q.q_id
+      |       JOIN pcb$PqIters b ON b.m = x.m AND b.code = x.code),
+      |adcv AS (
+      |  SELECT q_id, vec_id,
+      |    list_reduce(list_prepend(0.0, list(d ORDER BY m)), (a, b) -> a + b) AS adc
+      |  FROM adcm GROUP BY q_id, vec_id),
+      |candq AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
+      |    FROM adcv) WHERE arn <= $PqCandK),
+      |rer AS (
+      |  SELECT c.q_id, c.vec_id,
+      |    ${dotSql("nq.v", "nx.v")} / (nq.nrm * nx.nrm) AS score
+      |  FROM candq c JOIN nr nq ON nq.vec_id = c.q_id
+      |       JOIN nr nx ON nx.vec_id = c.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM rer)
+      |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, score
+      |FROM ranked WHERE rank <= $AnnK ORDER BY q_id, rank""".stripMargin
+  }
 }

@@ -185,6 +185,55 @@ class TrainingOpsSpec extends SparkSpec {
       "hits must come from at most NProbe cells per query")
   }
 
+  test("ivf-pq: exact re-rank scores, probed-cell confinement, recall floor, one PQ training") {
+    Similarity.clearKmeansMemo(spark)
+    Similarity.kmeansAssign(spark, dir).collect() // pay the coarse fit once
+    val fits = Similarity.kmFitCount.get()
+    val pqFits = Similarity.pqFitCount.get()
+    val pq = Similarity.ivfPq(spark, dir).cache()
+    assert(pq.count() > 0)
+    assert(Similarity.kmFitCount.get() == fits,
+      "PQ training must reuse the memoized coarse fit, never refit")
+    assert(Similarity.pqFitCount.get() == pqFits + 1)
+    Similarity.ivfPq(spark, dir).collect()
+    assert(Similarity.pqFitCount.get() == pqFits + 1,
+      "codebooks must be memoized across calls")
+    assert(pq.filter(col("rank") > Similarity.AnnK).isEmpty)
+    // the re-rank is true-vector cosine, so any hit shared with the
+    // global brute force carries the IDENTICAL score (ADC only selects
+    // candidates; it never contributes to an emitted number)
+    val bf = Similarity.cosineTopK(spark, dir)
+      .filter(col("rank") <= Similarity.AnnK)
+      .select(col("q_id"), col("vec_id"), col("score").as("bscore")).cache()
+    val shared = pq.join(bf, Seq("q_id", "vec_id")).cache()
+    shared.collect().foreach { r =>
+      assert(r.getDouble(r.fieldIndex("score")) ==
+        r.getDouble(r.fieldIndex("bscore")), "re-rank must be exact")
+    }
+    // recall@K vs the global brute force: bounded by the coarse probe
+    // (q81 measures 0.6 on this fixture); deterministic — a drop means
+    // the coarse layer, the codebooks or the candidate cut regressed
+    val recall = shared.count().toDouble / bf.count()
+    assert(recall >= 0.5, s"recall@${Similarity.AnnK} fell to $recall")
+    // the ADC cut must lose no TRUE neighbor the coarse layer admits:
+    // q83's brute-force hits equal q81's (the full-cell exact scan).
+    // q83 may swap non-neighbor tail ranks — that IS the PQ trade; the
+    // true top-k surviving the cut is what "sketch-then-verify changed
+    // selection cost, not quality" means
+    val q81hits = Similarity.ivfKmeans(spark, dir)
+      .join(bf, Seq("q_id", "vec_id"))
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(_.mkString("|")).toSet
+    assert(shared.select(col("q_id"), col("vec_id"))
+      .collect().map(_.mkString("|")).toSet == q81hits,
+      "ADC candidate cut lost a true neighbor the coarse layer admitted")
+    // hits confined to at most NProbe cells per query (cells ARE q71)
+    val cells = Similarity.kmeansAssign(spark, dir)
+    val hitCells = pq.join(cells, Seq("vec_id")).select("q_id", "cluster").distinct()
+    assert(hitCells.groupBy("q_id").count()
+      .filter(col("count") > Similarity.NProbe).isEmpty)
+  }
+
   test("embed near-dup: pairs share label and meet threshold") {
     val df = Similarity.embedNearDup(spark, dir).cache()
     assert(df.filter(col("score") < Similarity.NearDupThreshold).isEmpty)
