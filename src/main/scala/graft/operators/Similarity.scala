@@ -510,21 +510,58 @@ object Similarity {
     * (vec_id, cluster, pruned) — integers and a boolean, no doubles to
     * hash-match.
     */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupCapped(spark, dir, SemMaxCluster)
+
+  /** Mega-cluster ceiling for [[semDedup]]: clusters above this row
+    * count get the pair-join key refined (~2·10¹² metric calls at
+    * (2²⁰)²/2 — far past where one cluster-local block should become a
+    * single task's quadratic work). SemDeDup's operating point assumes
+    * k grows with the corpus; this is the guard for when it lags. No
+    * fixture-scale cluster comes near it, so the oracle sees exactly
+    * the uncapped output while the production path runs the guard live
+    * — the q51 [[graft.operators.TextOps.FuzzyMaxBlock]] discipline.
+    */
+  val SemMaxCluster = 1 << 20
+
+  /** q73's pairing with the cluster key refined for oversized clusters:
+    * rows of a cluster above `maxCluster` get a secondary deterministic
+    * sub-block key — `pmod(hash(vec_id), ceil(n/maxCluster))`, the split
+    * factor derived in integer arithmetic — and the pairwise pass joins
+    * on (cluster, sub-block), bounding every task at ~maxCluster² work.
+    * The oversized set is one hash-agg, bounded by k (never the corpus),
+    * and broadcast. Recall trade (deliberate, documented): inside a
+    * capped cluster, near-dup pairs falling in different sub-blocks are
+    * no longer pruned; clusters at or under the ceiling are
+    * byte-identical to the uncapped path (spec'd, including the
+    * refined-key plan on a synthetic mega-cluster).
+    */
+  private[graft] def semDedupCapped(spark: SparkSession, dir: String,
+                                    maxCluster: Int): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
-    val v = vecs(spark, dir)
+    val v0 = vecs(spark, dir)
       .withColumn("cluster", kmArgmin(col("v"), cents))
-    val a = v.select(col("cluster"), col("vec_id").as("va"),
+    val big = v0.groupBy(col("cluster")).count()
+      .filter(col("count") > maxCluster)
+      .select(col("cluster"),
+        expr(s"CAST((count + ${maxCluster - 1}) div $maxCluster AS INT)")
+          .as("__split"))
+    val v = v0.join(broadcast(big), Seq("cluster"), "left")
+      .withColumn("blk",
+        when(col("__split").isNotNull, pmod(hash(col("vec_id")), col("__split")))
+          .otherwise(lit(0)))
+      .drop("__split")
+    val a = v.select(col("cluster"), col("blk"), col("vec_id").as("va"),
       col("v").as("xa"), col("nrm").as("na"))
-    val b = v.select(col("cluster"), col("vec_id").as("vb"),
+    val b = v.select(col("cluster"), col("blk"), col("vec_id").as("vb"),
       col("v").as("xb"), col("nrm").as("nb"))
-    val pruned = a.join(b, Seq("cluster"))
+    val pruned = a.join(b, Seq("cluster", "blk"))
       .filter(col("vb") < col("va"))
       .withColumn("score", cosine(col("xa"), col("xb")))
       .filter(col("score") >= SemDedupThreshold)
       .select(col("va").as("vec_id")).distinct()
       .withColumn("pruned", lit(true))
-    v.select(col("vec_id"), col("cluster"))
+    v0.select(col("vec_id"), col("cluster"))
       .join(pruned, Seq("vec_id"), "left")
       .withColumn("pruned", coalesce(col("pruned"), lit(false)))
       .orderBy(col("vec_id"))

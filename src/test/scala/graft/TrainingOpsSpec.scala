@@ -327,6 +327,38 @@ class TrainingOpsSpec extends SparkSpec {
       "cross-cluster-only near-dups must survive (never scored)")
   }
 
+  test("q73 mega-cluster cap: default output unchanged, forced cap refines the join key") {
+    // 1. at the default ceiling the guard is dormant: byte-identical to
+    //    an explicitly uncapped run (the oracle's view)
+    val dflt = Similarity.semDedup(spark, dir)
+      .collect().map(_.mkString("|")).toSeq
+    val uncapped = Similarity.semDedupCapped(spark, dir, Int.MaxValue)
+      .collect().map(_.mkString("|")).toSeq
+    assert(dflt == uncapped)
+    // 2. force the guard (every fixture cluster is a "mega" cluster):
+    //    the join key must be refined — the pair join carries the
+    //    sub-block key next to the cluster key in its equi-condition
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val capped = Similarity.semDedupCapped(spark, dir, 10)
+    val joins = capped.queryExecution.optimizedPlan.collect {
+      case jn: Join => jn.condition.map(_.toString).getOrElse("")
+    }
+    assert(joins.exists(c => c.contains("cluster") && c.contains("blk")),
+      s"forced cap must join on (cluster, blk); join conditions were:\n${joins.mkString("\n")}")
+    assert(!capped.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // 3. capping only ever LOSES pruning witnesses (sub-blocks split
+    //    pairs apart): the capped pruned set is a subset of the uncapped
+    //    one, and vec_id/cluster columns are untouched
+    val c = capped.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val u = Similarity.semDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(c.map(t => (t._1, t._2)).toSeq == u.map(t => (t._1, t._2)).toSeq)
+    val cPruned = c.filter(_._3).map(_._1).toSet
+    val uPruned = u.filter(_._3).map(_._1).toSet
+    assert(cPruned.subsetOf(uPruned),
+      "a capped run must never prune a vector the uncapped run keeps")
+  }
+
   test("prototype prune: exact per-cluster keep fraction, kept are the closest, shares the fit") {
     Similarity.clearKmeansMemo(spark)
     Similarity.kmeansAssign(spark, dir).collect()
