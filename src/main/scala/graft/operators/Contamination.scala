@@ -34,21 +34,25 @@ object Contamination {
     contaminationOf(Tables.spread(Tables.documents(spark, dir)))
 
   /** The q33 ratio over an explicit frame (`doc_id`, `source`, `text`)
-    * holding BOTH slices — the benchmark rows are `source == "src0"`,
-    * everything else is scored against them.
+    * holding BOTH slices — the benchmark rows are `source ==
+    * benchSource`, everything else is scored against them.
     * [[graft.pipelines.CorpusPipeline]] feeds it its refined train
     * table unioned with the PRISTINE raw benchmark slice (the bench
-    * side must not itself be quality-cut or span-rewritten).
+    * side must not itself be quality-cut or span-rewritten) and passes
+    * ITS bench-source constant — one definition, no drift between the
+    * pipeline's union and this partition (a silently-empty bench set
+    * would make decontamination a no-op).
     */
-  private[graft] def contaminationOf(docsIn: DataFrame): DataFrame = {
+  private[graft] def contaminationOf(docsIn: DataFrame,
+                                     benchSource: String = "src0"): DataFrame = {
     val docs = docsIn
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("source"), explode(shingles3All(col("t"))).as("s"))
       .select(col("doc_id"), col("source"), hash60(col("s")).as("sh_h"))
       .distinct()
-    val bench = docs.filter(col("source") === "src0")
+    val bench = docs.filter(col("source") === benchSource)
       .select(col("sh_h")).distinct()
-    val train = docs.filter(col("source") =!= "src0")
+    val train = docs.filter(col("source") =!= benchSource)
     val n = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = train.join(broadcast(bench), Seq("sh_h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))

@@ -40,7 +40,7 @@ object Dedup {
     * a SUBSET of the corpus (the batch side of [[deltaMinhash]] shingles
     * only the nightly batch through this, never the full corpus).
     */
-  private def shingleRowsOf(docs: DataFrame): DataFrame =
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame =
     Tables.spread(docs)
       // tokenize in its own projection BELOW the generator: Catalyst keeps
       // it there, so the regex split runs once per doc, not once per shingle

@@ -539,8 +539,13 @@ object Similarity {
   private[graft] def semDedupCapped(spark: SparkSession, dir: String,
                                     maxCluster: Int): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
-    val v0 = vecs(spark, dir)
+    // the assignment projection (k ordered squared-L2 folds per row) has
+    // FOUR consumers — the guard's size agg, both pair sides, and the
+    // final flag lookup; uncached, each re-evaluates the argmin over the
+    // corpus (self-join rule). Transient, drained post-query.
+    val v0 = graft.TransientCache.register(vecs(spark, dir)
       .withColumn("cluster", kmArgmin(col("v"), cents))
+      .cache())
     val big = v0.groupBy(col("cluster")).count()
       .filter(col("count") > maxCluster)
       .select(col("cluster"),

@@ -976,33 +976,47 @@ object TextOps {
     * [[Similarity.labelCentroidsProd]], spec'd against this path at
     * 1e-9 relative).
     */
-  def unigramLikelihood(spark: SparkSession, dir: String): DataFrame = {
+  def unigramLikelihood(spark: SparkSession, dir: String): DataFrame =
+    withAllDocs(spark, dir,
+      tokenProbs(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          collect_list(struct(col("pos"), col("p"))).as("ps"))
+        .select(col("doc_id"), col("n_tokens"),
+          (aggregate(transform(array_sort(col("ps")), s => s.getField("p")),
+            lit(0.0), (acc, x) => acc + x) / col("n_tokens")).as("mean_p")))
+
+  /** The q77 model fit, shared verbatim by both tiers (so the 1e-9
+    * differential spec always compares the SAME model): one tokenize
+    * (transient-cached — model fit + scoring join), vocab hash-agg
+    * (transient-cached — probe join + total), 1-row broadcast total,
+    * position-tagged per-token probabilities.
+    */
+  private def tokenProbs(spark: SparkSession, dir: String): DataFrame = {
     val tok = graft.TransientCache.register(docToks(spark, dir)
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
-      .cache()) // consumed by the model fit AND the scoring join
+      .cache())
     val vocab = graft.TransientCache.register(
       tok.groupBy(col("tok")).agg(count(lit(1)).as("c")).cache())
     val total = vocab.agg(sum(col("c")).as("total"))
-    val scored = tok.join(vocab, Seq("tok"))
+    tok.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("pos"),
         (col("c").cast("double") / col("total")).as("p"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_tokens"),
-        collect_list(struct(col("pos"), col("p"))).as("ps"))
-      .select(col("doc_id"), col("n_tokens"),
-        (aggregate(transform(array_sort(col("ps")), s => s.getField("p")),
-          lit(0.0), (acc, x) => acc + x) / col("n_tokens")).as("mean_p"))
-    // zero-token docs contribute no token rows, but a quality filter must
-    // still SEE them (q76's left-join discipline): emit n_tokens = 0 with
-    // a null score, identical in the oracle's LEFT JOIN
+  }
+
+  /** Zero-token docs contribute no token rows, but a quality filter must
+    * still SEE them (q76's left-join discipline): emit n_tokens = 0 with
+    * a null score, identical in the oracle's LEFT JOIN.
+    */
+  private def withAllDocs(spark: SparkSession, dir: String,
+                          scored: DataFrame): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0)).cast("int").as("n_tokens"),
         col("mean_p"))
       .orderBy(col("doc_id"))
-  }
 
   val unigramLikelihoodSql: String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -1029,27 +1043,12 @@ object TextOps {
     * ordered fold's buffer is doc-length-bounded but still a per-group
     * array. Spec'd against the ordered-fold path at 1e-9 relative.
     */
-  def unigramLikelihoodProd(spark: SparkSession, dir: String): DataFrame = {
-    val tok = graft.TransientCache.register(docToks(spark, dir)
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .cache()) // consumed by the model fit AND the scoring join
-    val vocab = graft.TransientCache.register(
-      tok.groupBy(col("tok")).agg(count(lit(1)).as("c")).cache())
-    val total = vocab.agg(sum(col("c")).as("total"))
-    val scored = tok.join(vocab, Seq("tok"))
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        (col("c").cast("double") / col("total")).as("p"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_tokens"),
-        (sum(col("p")) / count(lit(1))).as("mean_p"))
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0)).cast("int").as("n_tokens"),
-        col("mean_p"))
-      .orderBy(col("doc_id"))
-  }
+  def unigramLikelihoodProd(spark: SparkSession, dir: String): DataFrame =
+    withAllDocs(spark, dir,
+      tokenProbs(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          (sum(col("p")) / count(lit(1))).as("mean_p")))
 
   /** q78 — temperature-scaled mixture weights (the Gopher/PaLM "sample
     * source s proportionally to p_s^alpha" calculation, alpha = 1/2):

@@ -95,7 +95,7 @@ object CorpusPipeline {
     // against the PRISTINE raw benchmark slice and drop flagged docs
     val bench = raw.filter(col("source") === BenchSource)
       .select(col("doc_id"), col("source"), col("text"))
-    val flagged = Contamination.contaminationOf(span.unionByName(bench))
+    val flagged = Contamination.contaminationOf(span.unionByName(bench), BenchSource)
       .filter(col("flagged")).select(col("doc_id"))
     val clean = stage("corpus_clean", span,
       span.join(flagged, Seq("doc_id"), "left_anti"))

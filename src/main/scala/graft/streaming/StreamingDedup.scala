@@ -37,7 +37,8 @@ object StreamingDedup {
   def processBatch(dir: String, wh: Warehouse, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val idx = Dedup.corpusIndex(spark, dir)
-    // seen-ledger filter: docs already in the index are replays
+    // seen-ledger filter FOR THE SCREEN ONLY: docs already in the index
+    // are replays and must not screen against themselves
     val fresh = batch.join(idx.shingles.select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
     val pairs = Dedup.screenAgainstIndex(spark, dir, fresh)
@@ -46,7 +47,13 @@ object StreamingDedup {
       else pairs.join(wh.read("dedup_pairs").select(col("di"), col("dc")),
         Seq("di", "dc"), "left_anti")
     wh.append("dedup_pairs", novel)
-    Dedup.appendToCorpusIndex(spark, dir, fresh)
+    // the index advance gets the UNFILTERED batch: appendToCorpusIndex's
+    // per-table doc_id guards already make it idempotent, and a replay
+    // after a crash BETWEEN its two appends must still reach the band
+    // guard — pre-filtering on corpus_shingles (the first-appended
+    // table) would hide the replayed batch and leave the band side
+    // missing forever (the review-pass finding; crash-repair is spec'd)
+    Dedup.appendToCorpusIndex(spark, dir, batch)
     graft.TransientCache.drain() // the screen's transients die with the batch
   }
 

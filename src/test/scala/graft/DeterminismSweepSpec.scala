@@ -30,7 +30,7 @@ class DeterminismSweepSpec extends SparkSpec {
     // the index-screened delta pairs (q74)
     "q74_delta_minhash", "q76_span_dedup", "q77_unigram_likelihood",
     "q78_mixture_weights", "q79_prototype_prune", "q80_minhash_estimate",
-    "q81_ivf_kmeans", "q82_cms_heavy_hitters")
+    "q81_ivf_kmeans", "q82_cms_heavy_hitters", "q83_ivf_pq")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -269,6 +269,49 @@ class StreamingSpec extends SparkSpec {
     Dedup.clearCorpusIndex(spark) // leave the default index for other tests
   }
 
+  test("streaming dedup: replay repairs a crash between the two index appends") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    Dedup.clearCorpusIndex(spark)
+    val tmp = Files.createTempDirectory("graft-crash").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    def night(m: Int) = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === m)
+      .select(col("doc_id"), col("text"))
+    // reference: the uncrashed path over the same two batches
+    StreamingDedup.processBatch(dir, wh, night(8).as[DocRow].collect().toSeq.toDF())
+    val wantPairs = wh.read("dedup_pairs").collect().map(_.mkString("|")).toSet
+    val wantIdx = Dedup.corpusIndex(spark, dir)
+    val (wantB, wantS) = (wantIdx.bands.count(), wantIdx.shingles.count())
+    Dedup.clearCorpusIndex(spark)
+
+    // crash simulation: night 8's pairs were appended and the FIRST index
+    // append (corpus_shingles) committed, then the process died before
+    // the corpus_band_index append — the exact window the per-table
+    // guards exist for
+    val wh2 = new Warehouse(spark, s"$tmp/wh2")
+    val idx0 = Dedup.corpusIndex(spark, dir)
+    val iwh = new Warehouse(spark, idx0.root)
+    val p0 = Dedup.screenAgainstIndex(spark, dir, night(8))
+    iwh.append("corpus_shingles", Dedup.shingleRowsOf(night(8)))
+    wh2.append("dedup_pairs", p0)
+    TransientCache.drain()
+    // "restart": the process re-reads the at-rest tables as they are
+    Dedup.installCorpusIndex(spark, dir,
+      idx0.copy(bands = iwh.read("corpus_band_index"),
+        shingles = iwh.read("corpus_shingles")))
+    assert(Dedup.corpusIndex(spark, dir).bands
+      .filter(col("doc_id") % 10 === 8).isEmpty, "crash state: bands missing")
+    // redelivery of the same micro-batch must append exactly the missing
+    // band side and no duplicate of anything else
+    StreamingDedup.processBatch(dir, wh2, night(8).as[DocRow].collect().toSeq.toDF())
+    val idx1 = Dedup.corpusIndex(spark, dir)
+    assert(idx1.bands.count() == wantB && idx1.shingles.count() == wantS)
+    assert(wh2.read("dedup_pairs").collect().map(_.mkString("|")).toSet == wantPairs)
+    Dedup.clearCorpusIndex(spark)
+  }
+
   test("the streaming aggregation plan also runs in plain batch mode") {
     val sql = spark.sqlContext
     import sql.implicits._

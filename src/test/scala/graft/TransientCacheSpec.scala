@@ -69,6 +69,10 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(TextOps.unigramLikelihood(spark, dir), 2)
   }
 
+  test("q73 semDedup transient (cluster assignment) drains") {
+    checkDrains(graft.operators.Similarity.semDedup(spark, dir), 1)
+  }
+
   test("unigramLikelihoodProd transients (token stream, vocab) drain") {
     checkDrains(TextOps.unigramLikelihoodProd(spark, dir), 2)
   }
