@@ -138,7 +138,7 @@ object Bench {
         () => operators.Ledger.unionLedger(spark, sfDir).count(): Unit),
       ("stock", Set("q13", "q14", "q54"),
         () => operators.Stock.stockPoints(spark, sfDir).count(): Unit),
-      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80"),
+      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80", "q84"),
         () => operators.Dedup.shingleIndex(spark, sfDir).count(): Unit),
       ("simhash", Set("q23", "q24", "q45", "q62"),
         () => operators.Dedup.simhashSig(spark, sfDir).count(): Unit),
@@ -155,6 +155,10 @@ object Bench {
       // memo hit is guaranteed and this tier bills only the PQ pass)
       ("pqfit", Set("q83"),
         () => operators.Similarity.pqCodebooks(spark, sfDir): Unit),
+      // the corpus seen-set bitset (256 KB driver state via the typed
+      // Bloom Aggregator; consumes the shingle cache, listed after it)
+      ("bloom", Set("q84"),
+        () => operators.Dedup.corpusBloom(spark, sfDir): Unit),
       // cc_components LAST so the iterative CC loop (scheduler/JIT-
       // latency-bound, ~3x cost on a cold JVM) builds on a JVM already
       // warmed by the declarative cache builds above. Billing it

@@ -142,9 +142,18 @@ object Dedup {
     */
   def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
+    deltaDedupCore(sh,
+      sh.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id").as("di"), col("sh_h")))
+  }
+
+  /** The q61 join/verify engine with the batch shingle stream as an
+    * argument — [[deltaDedupBloomed]] feeds it the Bloom-thinned stream.
+    * Per-doc sizes always come from the FULL shingle frame, so thinning
+    * the probe side cannot change any jaccard value.
+    */
+  private def deltaDedupCore(sh: DataFrame, inc: DataFrame): DataFrame = {
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inc = sh.filter(col("doc_id") % 10 >= 8)
-      .select(col("doc_id").as("di"), col("sh_h"))
     val corp = sh.filter(col("doc_id") % 10 < 8)
       .select(col("doc_id").as("dc"), col("sh_h"))
     val shared = inc.join(corp, Seq("sh_h"))
@@ -157,6 +166,79 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("di"), col("dc"), col("jaccard"))
       .orderBy(col("di"), col("dc"))
+  }
+
+  /** Bloom geometry for the corpus seen-set: 2²¹ bits (256 KB of driver/
+    * broadcast state at any corpus size — the point) and 4 hash probes;
+    * at sf0.1's ~2·10⁵ distinct corpus shingles the fill is ~0.3 →
+    * fp ≈ 1%.
+    */
+  val BloomMBits = 1 << 21
+  val BloomK = 4
+
+  private val bloomMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String, String), Array[Long]]
+
+  /** The corpus shingle seen-set as a Bloom bitset, built THROUGH the
+    * typed [[graft.functions.BloomSketch]] Aggregator (partial
+    * aggregation merges per-partition bitsets by OR — the
+    * SketchAlgebraSpec-proven algebra), memoized per (context, dir,
+    * hash mode) like [[corpusIndex]]. ⌈m/64⌉ longs of driver state.
+    */
+  private[graft] def corpusBloom(spark: SparkSession, dir: String): Array[Long] = {
+    val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
+    bloomMemo.getOrElseUpdate(key, {
+      import spark.implicits._
+      shingleIndex(spark, dir).filter(col("doc_id") % 10 < 8)
+        .select(col("sh_h")).as[Long]
+        .select(graft.functions.BloomSketch.filter(BloomMBits, BloomK))
+        .head()
+    })
+  }
+
+  /** Evict this context's memoized corpus Blooms. */
+  def clearCorpusBloom(spark: SparkSession): Unit =
+    bloomMemo.keys.filter(_._1 eq spark.sparkContext).foreach(bloomMemo.remove)
+
+  /** Scan-stage membership probe against a literal bitset — the Column
+    * twin of [[graft.functions.BloomSketch.contains]], bit-for-bit the
+    * same hash family (same A/B/P constants, same word/bit layout), so
+    * "definitely absent" can never disagree with the Aggregator that
+    * built the filter.
+    */
+  private[graft] def bloomContains(x: Column, bits: Array[Long]): Column = {
+    val m = bits.length * 64L
+    val words = typedLit(bits.toSeq)
+    val xm = pmod(x % P, lit(P))
+    (0 until BloomK).map { j =>
+      val bit = (lit(A(j)) * xm + lit(B(j))) % P % m
+      call_function("bit_get",
+        element_at(words,
+          call_function("shiftright", bit, lit(6)).cast("int") + 1),
+        bit.bitwiseAND(lit(63L)).cast("int")) === 1
+    }.reduce(_ && _)
+  }
+
+  /** q84 — q61 with the X23c Bloom tier made real: the batch shingle
+    * stream is pre-filtered by the corpus seen-set bitset BEFORE the
+    * join, so only possible-duplicate shingles reach the shuffle.
+    * False negatives cannot happen (Bloom's guarantee), and a false
+    * positive merely lets a non-matching shingle through to the exact
+    * join — so the output is IDENTICAL to q61's, which is exactly how
+    * it is oracle-checked: q84 shares q61's oracle SQL, and the hash
+    * compare passes iff the no-false-negative law holds on real data.
+    * At 100 TB this is the reference's seen-set discipline with 256 KB
+    * of broadcast state replacing a corpus-wide membership join for
+    * the (dominant) fraction of never-seen shingles; the per-doc size
+    * frame is untouched, so jaccard values cannot shift.
+    */
+  def deltaDedupBloomed(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val bits = corpusBloom(spark, dir)
+    deltaDedupCore(sh,
+      sh.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id").as("di"), col("sh_h"))
+        .filter(bloomContains(col("sh_h"), bits)))
   }
 
   val deltaDedupSql: String =

@@ -30,7 +30,8 @@ class DeterminismSweepSpec extends SparkSpec {
     // the index-screened delta pairs (q74)
     "q74_delta_minhash", "q76_span_dedup", "q77_unigram_likelihood",
     "q78_mixture_weights", "q79_prototype_prune", "q80_minhash_estimate",
-    "q81_ivf_kmeans", "q82_cms_heavy_hitters", "q83_ivf_pq")
+    "q81_ivf_kmeans", "q82_cms_heavy_hitters", "q83_ivf_pq",
+    "q84_delta_bloom")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself
@@ -38,6 +39,7 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Graph.clearMemo(spark)
     graft.operators.Similarity.clearKmeansMemo(spark)
     graft.operators.Dedup.clearCorpusIndex(spark)
+    graft.operators.Dedup.clearCorpusBloom(spark)
     TransientCache.drain()
     ()
   }

@@ -558,6 +558,34 @@ class TrainingOpsSpec extends SparkSpec {
     assert(delta == exact)
   }
 
+  test("q84 bloom tier: output identical to q61, filter provably thins the probe stream") {
+    Dedup.clearCorpusBloom(spark)
+    // no false negatives ==> byte-identical output (the oracle pairing's
+    // premise, asserted here Spark-vs-Spark as well)
+    val plain = Dedup.deltaDedup(spark, dir)
+      .collect().map(_.mkString("|")).toSeq
+    val bloomed = Dedup.deltaDedupBloomed(spark, dir)
+      .collect().map(_.mkString("|")).toSeq
+    assert(bloomed == plain)
+    // the filter does real work: some batch shingles are definitely
+    // absent from the corpus and never reach the join shuffle
+    val bits = Dedup.corpusBloom(spark, dir)
+    assert(bits.length == Dedup.BloomMBits / 64, "bounded driver state")
+    val inc = Dedup.shingleRowsOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8))
+    val nAll = inc.count()
+    val nKept = inc.filter(Dedup.bloomContains(col("sh_h"), bits)).count()
+    assert(nKept < nAll, "the bloom filter must drop some absent shingles")
+    // the Column probe and the Aggregator's own contains() agree on
+    // every batch shingle (same hash family, same word layout)
+    val colKept = inc.filter(Dedup.bloomContains(col("sh_h"), bits))
+      .select(col("sh_h")).collect().map(_.getLong(0)).toSet
+    val refKept = inc.select(col("sh_h")).collect().map(_.getLong(0))
+      .filter(graft.functions.BloomSketch.contains(bits, _, Dedup.BloomK)).toSet
+    assert(colKept == refKept)
+    graft.TransientCache.drain()
+  }
+
   test("q74 delta minhash == q22 LSH pairs restricted to batch x corpus") {
     // the incremental path (persisted corpus index + batch-only
     // signatures) must lose nothing against the full-corpus recompute:
