@@ -192,11 +192,71 @@ case class PolyHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Native Bloom membership probe against a FIXED bitset — the q84 hot
+  * path. The declarative form (`bit_get(element_at(typedLit(32k longs),
+  * …))` × k probes) drags a 32 768-element array literal through the
+  * generated code and evaluates four element_at/bit_get chains per row —
+  * measured at ~1.2 s of pure filter cost at sf0.1. Here the bitset is a
+  * plan REFERENCE OBJECT (`ctx.addReferenceObj` — one `long[]` shared by
+  * every row, never re-materialized), and the probe is k direct
+  * array-index/mask tests, bit-for-bit the same hash family and word
+  * layout as [[graft.functions.BloomSketch]] (delegates to its
+  * `contains` in interpreted eval; agreement is spec'd in the q84 spec
+  * and VectorExprsSpec).
+  *
+  * `bits`/`k` are construction-time constants, not children: membership
+  * against a trained filter is inherently a literal-closure expression
+  * (the same shape as the literal-centroid argmin, just behind a native
+  * doGenCode because the bitset is too big to inline as a literal).
+  */
+case class BloomContains(child: Expression, bits: Array[Long], k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.BloomSketch.contains(bits, input.asInstanceOf[Long], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    val aRef = ctx.addReferenceObj("bloomA",
+      graft.operators.Dedup.A.take(k).toArray, "long[]")
+    val bRef = ctx.addReferenceObj("bloomB",
+      graft.operators.Dedup.B.take(k).toArray, "long[]")
+    val p = graft.operators.Dedup.P
+    nullSafeCodeGen(ctx, ev, x => {
+      val xm = ctx.freshName("xm")
+      val j = ctx.freshName("j")
+      val bit = ctx.freshName("bit")
+      s"""
+        long $xm = (($x % ${p}L) + ${p}L) % ${p}L;
+        ${ev.value} = true;
+        for (int $j = 0; $j < $k; $j++) {
+          long $bit = (($aRef[$j] * $xm + $bRef[$j]) % ${p}L) % ${bits.length * 64L}L;
+          if (($bitsRef[(int) ($bit >>> 6)] & (1L << (int) ($bit & 63L))) == 0L) {
+            ${ev.value} = false;
+            break;
+          }
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column API for the native cosine. Inputs must be array<double>. */
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for the native Bloom probe. Input must be long. */
+  def bloomContains(x: Column, bits: Array[Long], k: Int): Column =
+    ExpressionUtils.column(BloomContains(ExpressionUtils.expression(x), bits, k))
 
   /** Column API for the native rolling hash. Input must be string. */
   def polyHash(s: Column): Column =

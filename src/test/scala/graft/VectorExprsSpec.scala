@@ -150,4 +150,29 @@ class VectorExprsSpec extends SparkSpec {
       .withColumn("hof", hofCosine)
     assert(df.filter(col("native") =!= col("hof")).isEmpty)
   }
+
+  test("bloom_contains: codegen path == interpreted eval == the Aggregator's contains") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val k = 4
+    // a small trained filter plus adversarial probe values: inserted
+    // keys, absent keys, negatives (the ((x%P)+P)%P wrap), extremes
+    val inserted = Seq(7L, -13L, 0L, Long.MaxValue, 1L << 40)
+    val sketch = new graft.functions.BloomSketch(1 << 10, k)
+    val bits = inserted.foldLeft(sketch.zero)(sketch.reduce)
+    val probes = inserted ++ Seq(8L, -14L, Long.MinValue, 999983L, -1L)
+    val df = probes.toDF("x")
+      .withColumn("c", VectorExprs.bloomContains(col("x"), bits, k))
+    val got = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    probes.foreach { x =>
+      val want = graft.functions.BloomSketch.contains(bits, x, k)
+      assert(got(x) == want, s"probe $x: column=${got(x)} scala=$want")
+      // interpreted eval path (no codegen) must agree too
+      val expr = org.apache.spark.sql.graft.BloomContains(
+        org.apache.spark.sql.catalyst.expressions.Literal(x), bits, k)
+      assert(expr.eval(null) == want)
+    }
+    // every inserted key MUST be found (the no-false-negative law)
+    inserted.foreach(x => assert(got(x)))
+  }
 }
