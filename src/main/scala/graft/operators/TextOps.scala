@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFns._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -832,11 +832,28 @@ object TextOps {
     * executor count) — the per-bucket window is the only large sort and
     * it parallelizes per bucket.
     */
-  def shardAssign(spark: SparkSession, dir: String): DataFrame = {
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    shardAssignOf(
+      docToks(spark, dir)
+        .select(col("doc_id"), size(col("t")).cast("int").as("n_tokens")),
+      concat(lit("shard:"), col("doc_id").cast("string")),
+      Seq(col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("shard"), col("shard_pos"))
+      .orderBy(col("shard"), col("shard_pos"))
+
+  /** The q68 two-phase packing over an explicit frame carrying
+    * `n_tokens`: `key` seeds the deterministic hash order, `tie` breaks
+    * hash collisions (q68 uses the doc_id; the pipeline's publish stage
+    * keys by (doc_id, copy_id) since the temperature mix emits
+    * replicas). All input columns ride through, plus
+    * `cum_tokens`/`shard`/`shard_pos`.
+    */
+  private[graft] def shardAssignOf(docs: DataFrame, key: Column,
+                                   tie: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docToks(spark, dir)
-      .select(col("doc_id"), size(col("t")).cast("int").as("n_tokens"),
-        hash60(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+    val base = docs
+      .withColumn("h", hash60(key))
       .withColumn("b", col("h") % ShardBuckets)
     val offs = base.groupBy(col("b")).agg(sum(col("n_tokens")).as("tot"))
       // |buckets| rows: the single-partition window is driver-tiny
@@ -845,7 +862,8 @@ object TextOps {
           Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("b"), col("off"))
-    val wLocal = Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
+    val order = col("h") +: tie
+    val wLocal = Window.partitionBy(col("b")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = base
       .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
@@ -856,10 +874,8 @@ object TextOps {
     cum
       .withColumn("shard_pos", row_number().over(
         Window.partitionBy(col("shard"))
-          .orderBy(col("b"), col("h"), col("doc_id"))))
-      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
-        col("shard"), col("shard_pos"))
-      .orderBy(col("shard"), col("shard_pos"))
+          .orderBy((col("b") +: order): _*)))
+      .drop("h", "b", "off", "local_cum")
   }
 
   val shardAssignSql: String =

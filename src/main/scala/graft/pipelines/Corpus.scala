@@ -111,4 +111,25 @@ object CorpusPipeline {
     wh.write("corpus_stage_log", log.toSeq.toDF())
     log.toSeq
   }
+
+  /** The "load" half: pack the mixed corpus into fixed-token-budget
+    * training shards (q68's two-phase prefix sum, keyed by
+    * (doc_id, copy_id) — the mix emits replicas) and write them
+    * PARTITIONED BY shard — one directory per shard is the at-rest
+    * layout a training job consumes (each shard is one reader's input;
+    * partition pruning gives a reader its shard's files and nothing
+    * else). Returns the shard count.
+    */
+  def publish(wh: Warehouse): Long = {
+    val mixed = wh.read("corpus_mixed")
+    val sharded = TextOps.shardAssignOf(
+      mixed.select(col("doc_id"), col("copy_id"), col("source"), col("text"))
+        .withColumn("n_tokens",
+          size(graft.functions.TextFns.toks(col("text"))).cast("int")),
+      concat(lit("shard:"), col("doc_id").cast("string"),
+        lit(":"), col("copy_id").cast("string")),
+      Seq(col("doc_id"), col("copy_id")))
+    wh.writePartitioned("corpus_shards", sharded, Seq("shard"))
+    wh.read("corpus_shards").select(col("shard")).distinct().count()
+  }
 }

@@ -99,6 +99,24 @@ class CorpusPipelineSpec extends SparkSpec {
       "per-source mix must track the q78-derived expectation")
     TransientCache.drain()
 
+    // publish: every mixed row lands in exactly one shard, shards honor
+    // the token budget up to one document's overhang (a doc larger than
+    // the budget spans its start shard alone), and the at-rest layout is
+    // partitioned by shard (one directory per shard — partition pruning
+    // is the reader contract)
+    val nShards = CorpusPipeline.publish(wh)
+    assert(nShards > 1, "fixture must fill more than one shard")
+    val shards = wh.read("corpus_shards").cache()
+    assert(shards.count() == mixed.count())
+    assert(rowsOf(shards.select(col("doc_id"), col("copy_id"))) ==
+      rowsOf(mixed.select(col("doc_id"), col("copy_id"))))
+    val maxDoc = shards.agg(max(col("n_tokens"))).first().getInt(0)
+    assert(shards.groupBy(col("shard")).agg(sum(col("n_tokens")).as("t"))
+      .filter(col("t") > TextOps.ShardBudget + maxDoc).isEmpty)
+    assert(new java.io.File(s"${wh.root}/corpus_shards/shard=0").isDirectory,
+      "shard output must be a partitioned directory layout")
+    shards.unpersist(false)
+
     // idempotent re-run: every table byte-identical in content
     val before = Seq("corpus_raw", "corpus_quality", "corpus_exact",
       "corpus_span", "corpus_clean", "corpus_mixed")
