@@ -121,15 +121,30 @@ object CorpusPipeline {
     * else). Returns the shard count.
     */
   def publish(wh: Warehouse): Long = {
+    val spark = wh.spark
+    import spark.implicits._
     val mixed = wh.read("corpus_mixed")
+    // the packing windows see only fixed-width rows (ids + token count)
+    // — document text must not ride through two corpus-wide sorts; it
+    // joins back by key just before the partitioned write
     val sharded = TextOps.shardAssignOf(
-      mixed.select(col("doc_id"), col("copy_id"), col("source"), col("text"))
-        .withColumn("n_tokens",
-          size(graft.functions.TextFns.toks(col("text"))).cast("int")),
+      mixed.select(col("doc_id"), col("copy_id"),
+        size(graft.functions.TextFns.toks(col("text"))).cast("int")
+          .as("n_tokens")),
       concat(lit("shard:"), col("doc_id").cast("string"),
         lit(":"), col("copy_id").cast("string")),
       Seq(col("doc_id"), col("copy_id")))
-    wh.writePartitioned("corpus_shards", sharded, Seq("shard"))
-    wh.read("corpus_shards").select(col("shard")).distinct().count()
+    wh.writePartitioned("corpus_shards",
+      sharded.join(mixed.select(col("doc_id"), col("copy_id"),
+          col("source"), col("text")),
+        Seq("doc_id", "copy_id")),
+      Seq("shard"))
+    val atRest = wh.read("corpus_shards")
+    // the load half reports to the same metric table as the stages
+    // (keyed replace, so a re-publish stays idempotent)
+    val entry = Seq(StageCount("corpus_shards", mixed.count(), atRest.count())).toDF()
+    val log0 = wh.read("corpus_stage_log").filter(col("stage") =!= "corpus_shards")
+    wh.write("corpus_stage_log", log0.unionByName(entry))
+    atRest.select(col("shard")).distinct().count()
   }
 }

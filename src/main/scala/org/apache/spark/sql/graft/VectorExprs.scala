@@ -211,6 +211,9 @@ case class PolyHash(child: Expression)
   */
 case class BloomContains(child: Expression, bits: Array[Long], k: Int)
   extends UnaryExpression with ExpectsInputTypes {
+  // mirror BloomSketch's bound: beyond k=8 the A/B hash family diverges
+  // from the Aggregator's take(8) and the two eval paths would disagree
+  require(k >= 1 && k <= 8, "bloom_contains wants 1 <= k <= 8 hash functions")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType

@@ -115,6 +115,13 @@ class CorpusPipelineSpec extends SparkSpec {
       .filter(col("t") > TextOps.ShardBudget + maxDoc).isEmpty)
     assert(new java.io.File(s"${wh.root}/corpus_shards/shard=0").isDirectory,
       "shard output must be a partitioned directory layout")
+    // the load half reports to the metric table, keyed: re-publishing
+    // replaces its row instead of duplicating it
+    def shardLog() = wh.read("corpus_stage_log")
+      .filter(col("stage") === "corpus_shards")
+    assert(shardLog().count() == 1)
+    assert(CorpusPipeline.publish(wh) == nShards)
+    assert(shardLog().count() == 1)
     shards.unpersist(false)
 
     // idempotent re-run: every table byte-identical in content
