@@ -138,8 +138,11 @@ object Bench {
         () => operators.Ledger.unionLedger(spark, sfDir).count(): Unit),
       ("stock", Set("q13", "q14", "q54"),
         () => operators.Stock.stockPoints(spark, sfDir).count(): Unit),
-      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80", "q84"),
+      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80", "q84", "q87"),
         () => operators.Dedup.shingleIndex(spark, sfDir).count(): Unit),
+      // the winnowed-fingerprint index (q85's artifact, q86's join input)
+      ("winnow", Set("q85", "q86"),
+        () => operators.Dedup.winnowIndex(spark, sfDir).count(): Unit),
       ("simhash", Set("q23", "q24", "q45", "q62"),
         () => operators.Dedup.simhashSig(spark, sfDir).count(): Unit),
       // at-rest corpus band+shingle index (q74's incremental corpus side):

@@ -214,4 +214,134 @@ object Contamination {
       |SELECT doc_id, bench_id, jaccard FROM r WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
   }
+
+  /** q87 — split-leakage audit: near-duplicate pairs that STRADDLE the
+    * q34 train/val/test boundary. Content-hash splitting (X17) already
+    * guarantees exact duplicates land in one split; this catches the
+    * NEAR-duplicates it cannot — an eval doc that is a light edit of a
+    * training doc silently inflates every benchmark run on the split.
+    * Composition of X17 (split assignment) + X7 (MinHash banding) + the
+    * q22 verify: band signatures from the shared shingle index, split
+    * labels joined on doc_id, eval-side bands equi-joined against
+    * train-side bands on (band, sig), collisions verified with exact
+    * Jaccard, best train match per leaked eval doc (max jaccard, ties to
+    * the smaller train id).
+    *
+    * Scale: unlike q72's benchmark-bounded broadcast, BOTH sides here
+    * are corpus-scale (train ≈ 80%, eval ≈ 20% of the corpus), so the
+    * candidate join SHUFFLES on (band, sig) — broadcasting either side
+    * would be the executor-memory cliff. Verify joins shuffle on doc id
+    * for the same reason (the q72 note). Everything downstream is
+    * collision-bounded.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import Dedup.{A, B, Bands, P, Rows}
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(hash60(col("text")) % 100 < TrainPct, "train")
+          .when(hash60(col("text")) % 100 < TrainPct + ValPct, "val")
+          .otherwise("test").as("split"))
+    val shx = Dedup.shingleIndex(spark, dir).withColumn("x", col("sh_h") % P)
+    val mins = A.indices.map(j =>
+      min((lit(A(j)) * col("x") + lit(B(j))) % P).as(s"v$j"))
+    val mh = shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandSigs = array((0 until Bands).map(bd =>
+      concat_ws("-", (0 until Rows).map(r => col(s"v${bd * Rows + r}")): _*)): _*)
+    // consumed by BOTH the eval and train side of the candidate join —
+    // an uncached self-join would run the 16-minhash aggregation twice
+    // (the q22 lesson); one transient materialization of the small
+    // (doc, band, sig, split) frame serves both
+    val bands = graft.TransientCache.register(
+      mh.select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "sig")))
+        .join(splits, Seq("doc_id"))
+        .cache())
+    val evalBands = bands.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_id"), col("split"), col("band"), col("sig"))
+    val trainBands = bands.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("band"), col("sig"))
+    // consumed by the doc restriction AND the verify join (TransientCache
+    // eviction discipline, as q72)
+    val cand = graft.TransientCache.register(
+      evalBands.join(trainBands, Seq("band", "sig"))
+        .select(col("eval_id"), col("split"), col("train_id")).distinct()
+        .cache())
+    val candDocs = cand
+      .select(explode(array(col("eval_id"), col("train_id"))).as("doc_id"))
+      .distinct()
+    val docSets = graft.TransientCache.register(
+      Dedup.shingleIndex(spark, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
+        .cache()) // consumed from two join branches
+    cand
+      .join(docSets.select(col("doc_id").as("eval_id"), col("sh").as("sha")),
+        Seq("eval_id"))
+      .join(docSets.select(col("doc_id").as("train_id"), col("sh").as("shb")),
+        Seq("train_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("eval_id"))
+          .orderBy(col("jaccard").desc, col("train_id"))))
+      .filter(col("rn") === 1)
+      .select(col("eval_id"), col("split"), col("train_id"), col("jaccard"))
+      .orderBy(col("eval_id"))
+  }
+
+  val splitLeakageSql: String = {
+    import Dedup.{A, B, Bands, P, Rows}
+    val minCols = A.indices
+      .map(j => s"min((${A(j)} * x + ${B(j)}) % $P) AS v$j")
+      .mkString(",\n      |    ")
+    val bandSelects = (0 until Bands).map { bd =>
+      val vs = (0 until Rows).map(r => s"v${bd * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $bd AS band, concat_ws('-', $vs) AS sig FROM mh"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH ${Dedup.shCte},
+      |split AS (SELECT doc_id,
+      |  CASE WHEN ${hash60Sql("text")} % 100 < $TrainPct THEN 'train'
+      |       WHEN ${hash60Sql("text")} % 100 < ${TrainPct + ValPct} THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents),
+      |xh AS (SELECT doc_id, sh_h % $P AS x FROM shx),
+      |mh AS (
+      |  SELECT doc_id,
+      |    $minCols
+      |  FROM xh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |eb AS (
+      |  SELECT b.doc_id AS eval_id, s.split, b.band, b.sig
+      |  FROM bands b JOIN split s ON s.doc_id = b.doc_id
+      |  WHERE s.split <> 'train'),
+      |tb AS (
+      |  SELECT b.doc_id AS train_id, b.band, b.sig
+      |  FROM bands b JOIN split s ON s.doc_id = b.doc_id
+      |  WHERE s.split = 'train'),
+      |cand AS (
+      |  SELECT DISTINCT e.eval_id, e.split, t.train_id
+      |  FROM eb e JOIN tb t ON e.band = t.band AND e.sig = t.sig),
+      |ds AS (SELECT doc_id, $shingles3Sql AS sh FROM toks),
+      |v AS (
+      |  SELECT c.eval_id, c.split, c.train_id,
+      |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+      |    len(sa.sh) AS na, len(sb.sh) AS nb
+      |  FROM cand c
+      |  JOIN ds sa ON sa.doc_id = c.eval_id
+      |  JOIN ds sb ON sb.doc_id = c.train_id),
+      |j AS (
+      |  SELECT eval_id, split, train_id,
+      |    CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |  FROM v
+      |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= ${Dedup.JaccardThreshold}),
+      |r AS (
+      |  SELECT eval_id, split, train_id, jaccard,
+      |    row_number() OVER (PARTITION BY eval_id
+      |      ORDER BY jaccard DESC, train_id) AS rn
+      |  FROM j)
+      |SELECT eval_id, split, train_id, jaccard FROM r WHERE rn = 1
+      |ORDER BY eval_id""".stripMargin
+  }
 }

@@ -887,4 +887,146 @@ object Dedup {
       |  ON a.blk_p = b.blk_p AND a.blk_l = b.blk_l AND a.doc_id < b.doc_id
       |WHERE levenshtein(a.title, b.title) <= 3
       |ORDER BY da, db""".stripMargin
+
+  // ————————————————— Winnowing (Schleimer et al. 2003) —————————————————
+
+  /** Winnowing window width, in grams. With [[WinnowK]]-gram shingles the
+    * detection guarantee is: any shared token run of length ≥ w + k − 1
+    * (= 10 tokens) yields at least one full gram window common to both
+    * docs, whose minimum hash is therefore selected by both — a shared
+    * fingerprint is certain, not probabilistic (unlike MinHash banding).
+    * Expected fingerprint density is 2/(w+1) of the grams.
+    */
+  val WinnowW = 8
+  val WinnowK = 3 // gram length — reuses the shared 3-gram generator
+
+  /** Mega-bucket guard for the pair join: fingerprints present in more
+    * than this many docs are boilerplate (a globally small hash value
+    * gets selected by every doc containing its gram) and are dropped
+    * before pair expansion — MOSS's "ignore overly common fingerprints"
+    * rule, and this suite's q51/q73 bounded-block discipline. Dormant at
+    * fixture scale (max observed df 23 at sf0.1); the oracle applies the
+    * same rule, so the guard is exercised structurally, not silently.
+    */
+  val WinnowMaxDf = 1000
+
+  /** Pair-report floor: ≥ 2 shared fingerprints. */
+  val WinnowMinShared = 2
+
+  /** Per-doc winnowed fingerprint set over an explicit documents frame:
+    * positional 3-gram hashes, per-window minima (window = [[WinnowW]]
+    * consecutive grams), distinct selected values. Docs with fewer than
+    * w grams get one global-min fingerprint (the pos ≤ max(m−w+1, 1)
+    * clamp keeps exactly the first — frame-clipped — window for them).
+    *
+    * Scale: the window partitions by doc_id with a bounded ROWS frame —
+    * each partition is ONE document's grams, never corpus-wide, so the
+    * sort is doc-length-bounded and the shuffle carries fixed-width
+    * (doc_id, pos, hash) rows. Everything else is scan-stage expressions
+    * plus one relational distinct on fixed-width keys.
+    */
+  private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WinnowW - 1)
+    Tables.spread(docs)
+      // tokenize and build the gram array in projections BELOW the
+      // generator (the shingleRowsOf discipline — the generator child
+      // must be a plain column reference)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), shingles3All(col("t")).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("m"),
+        posexplode(col("gs")).as(Seq("pos0", "s")))
+      .select(col("doc_id"), col("m"), (col("pos0") + 1).as("pos"),
+        hash60(col("s")).as("h"))
+      .withColumn("fp_h", min(col("h")).over(w))
+      .filter(col("pos") <= greatest(col("m") - WinnowW + 1, lit(1)))
+      .select(col("doc_id"), col("fp_h"))
+      .distinct()
+  }
+
+  /** The shared winnowed-fingerprint index — the cached intermediate of
+    * q85 (the at-rest artifact) and q86 (the pair detector), same
+    * role/lifecycle as [[shingleIndex]]. ~16 B/row, ~2/(w+1) the gram
+    * count; at real corpus scale this is a persisted table.
+    */
+  private[graft] def winnowIndex(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOf(Tables.documents(spark, dir)).cache()
+
+  /** q85 — winnowed document fingerprints (the MOSS selection): the
+    * deterministic-guarantee counterpart of minhash sketching. q19's
+    * fingerprints identify DOCUMENTS (whole-text hashes); these identify
+    * CONTENT RUNS — any ≥ w+k−1-token overlap between two docs is
+    * certain to surface as a shared row here.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowIndex(spark, dir).orderBy(col("doc_id"), col("fp_h"))
+
+  private val winnowCte: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |g AS (SELECT doc_id, $shingles3AllSql AS gs FROM toks),
+      |p AS (SELECT doc_id, len(gs) AS m,
+      |  CAST(unnest(range(1, len(gs)+1)) AS INT) AS pos, gs FROM g),
+      |grams AS (SELECT doc_id, m, pos, ${hash60Sql("gs[pos]")} AS h FROM p),
+      |wmin AS (SELECT doc_id, m, pos,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp_h
+      |  FROM grams),
+      |fp AS (SELECT DISTINCT doc_id, fp_h FROM wmin
+      |  WHERE pos <= greatest(m - $WinnowW + 1, 1))""".stripMargin
+
+  val winnowFingerprintsSql: String =
+    s"""WITH $winnowCte
+      |SELECT doc_id, fp_h FROM fp ORDER BY doc_id, fp_h""".stripMargin
+
+  /** q86 — overlap pairs from the winnowed fingerprints: inverted-index
+    * self-equi-join on fp_h (the q21 discipline — cost ∝ fingerprint
+    * collisions, never corpus²), df ≤ [[WinnowMaxDf]] boilerplate guard
+    * before expansion, pairs with ≥ [[WinnowMinShared]] shared
+    * fingerprints, similarity = shared / min(|fpa|, |fpb|) (the MOSS
+    * report metric; an exact integer ratio, so the double division is
+    * bit-identical cross-engine). Because winnowing's guarantee is
+    * deterministic, a pair sharing any ≥ w+k−1-token run with two
+    * distinct window minima CANNOT be missed — machine-checked in
+    * WinnowSpec by injected-span detection.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowIndex(spark, dir)
+    // consumed 3× (nf + both sides of the pair self-join) — self-joins
+    // duplicate the uncached subplan (the q22 lesson), so the df-guarded
+    // projection is materialized once (fixed-width rows, transient)
+    val keep = graft.TransientCache.register(fp.join(
+      fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf),
+      Seq("fp_h"))
+      .select(col("doc_id"), col("fp_h"))
+      .cache())
+    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val shared = keep.select(col("doc_id").as("da"), col("fp_h"))
+      .join(keep.select(col("doc_id").as("db"), col("fp_h")), Seq("fp_h"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+    shared
+      .join(nf.withColumnRenamed("doc_id", "da").withColumnRenamed("nf", "nfa"), Seq("da"))
+      .join(nf.withColumnRenamed("doc_id", "db").withColumnRenamed("nf", "nfb"), Seq("db"))
+      .withColumn("sim", col("shared").cast("double") / least(col("nfa"), col("nfb")))
+      .select(col("da"), col("db"), col("shared"), col("sim"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH $winnowCte,
+      |df AS (SELECT fp_h, count(*) AS df FROM fp GROUP BY 1),
+      |keep AS (SELECT doc_id, f.fp_h FROM fp f JOIN df USING (fp_h)
+      |  WHERE df <= $WinnowMaxDf),
+      |nf AS (SELECT doc_id, count(*) AS nf FROM keep GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |  FROM keep a JOIN keep b ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+      |SELECT da, db, shared,
+      |  CAST(shared AS DOUBLE) / least(na.nf, nb.nf) AS sim
+      |FROM shared JOIN nf na ON na.doc_id = da JOIN nf nb ON nb.doc_id = db
+      |ORDER BY da, db""".stripMargin
 }

@@ -31,7 +31,10 @@ class DeterminismSweepSpec extends SparkSpec {
     "q74_delta_minhash", "q76_span_dedup", "q77_unigram_likelihood",
     "q78_mixture_weights", "q79_prototype_prune", "q80_minhash_estimate",
     "q81_ivf_kmeans", "q82_cms_heavy_hitters", "q83_ivf_pq",
-    "q84_delta_bloom")
+    "q84_delta_bloom",
+    // r8 newcomers: per-doc window minima + distinct (q85), fingerprint
+    // pair ratios (q86), banding-recalled best-match windows (q87)
+    "q85_winnow_fingerprints", "q86_winnow_pairs", "q87_split_leakage")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself
@@ -40,6 +43,12 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Similarity.clearKmeansMemo(spark)
     graft.operators.Dedup.clearCorpusIndex(spark)
     graft.operators.Dedup.clearCorpusBloom(spark)
+    // CacheManager matches by logical plan, so a cached winnow index
+    // built under one partition count would serve the other verbatim —
+    // evict it so q85/q86 genuinely recompute (unpersist resolves the
+    // rebuilt plan against the cache registry)
+    graft.operators.Dedup.winnowFingerprintsOf(Tables.documents(spark, dir))
+      .unpersist()
     TransientCache.drain()
     ()
   }

@@ -41,6 +41,17 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(Contamination.fuzzyContamination(spark, dir), 2)
   }
 
+  test("q87 splitLeakage transients (bands, cand, docSets) drain") {
+    checkDrains(Contamination.splitLeakage(spark, dir), 3)
+  }
+
+  test("q86 winnowPairs transient (df-guarded keep projection) drains") {
+    // q86's shared winnow index is a bench cache tier (out of scope, like
+    // the shingle index) — warm it into the baseline first
+    Dedup.winnowIndex(spark, dir).count()
+    checkDrains(Dedup.winnowPairs(spark, dir), 1)
+  }
+
   test("q40 kmvDistinct transient (distinct hash frame) drains") {
     checkDrains(Sketch.kmvDistinct(spark, dir), 1)
   }
