@@ -2,22 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: print the optimized + physical plan of one named SparkEntry
-  * query (the `.explain("formatted")` loop the scale review runs on every
-  * operator). Usage: DevExplain <queryName> [sfDir] [mode]
+/** Dev-only: print the formatted physical plan of a named frame (cache
+  * tiers or SparkEntry queries) without executing it.
+  *
+  * Usage: DevExplain <cache:tier|queryName> [sfDir]
   */
 object DevExplain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val mode = if (args.length > 2) args(2) else "formatted"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries(name)(spark, sfDir).explain(mode)
+    val df = name match {
+      case "cache:winnow" => operators.Dedup.winnowFingerprintsOf(Tables.documents(spark, sfDir))
+      case "cache:shingle" => operators.Dedup.shingleRowsOf(Tables.documents(spark, sfDir))
+      case q => SparkEntry.queries(q)(spark, sfDir)
+    }
+    df.explain("formatted")
+    // the plan AQE actually ran (materialize first)
+    df.count()
+    println("== FINAL ADAPTIVE PLAN ==")
+    println(df.queryExecution.executedPlan.toString.take(8000))
     spark.stop()
   }
 }

@@ -10,6 +10,10 @@ import scala.collection.mutable
   * pruning drops expensive projections, so stage timing is the tool.
   *
   * Usage: DevProfile <queryName> [sfDir] [cpus]
+  *
+  * `cache:<tier>` profiles a shared-cache BUILD instead (cold caches,
+  * documents read warmed) — e.g. `cache:winnow` times
+  * `Dedup.winnowIndex(...).count()` with the same stage listener.
   */
 object DevProfile {
   def main(args: Array[String]): Unit = {
@@ -23,12 +27,20 @@ object DevProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val cacheBuilds: Map[String, () => Long] = Map(
+      "winnow" -> (() => operators.Dedup.winnowIndex(spark, sfDir).count()),
+      "shingle" -> (() => operators.Dedup.shingleIndex(spark, sfDir).count()))
+
     // same warmup + preceding-query state as Bench (caches built by earlier
     // queries change what the profiled query actually executes)
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
-    SparkEntry.queries.toSeq.sortBy(_._1).takeWhile(_._1 != name).foreach {
-      case (_, fn) => try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    if (!name.startsWith("cache:"))
+      SparkEntry.queries.toSeq.sortBy(_._1).takeWhile(_._1 != name).foreach {
+        case (_, fn) => try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    else // cache profile: warm the documents scan only
+      try spark.read.parquet(s"$sfDir/documents.parquet").count()
+      catch { case _: Throwable => () }
 
     val stages = mutable.ArrayBuffer.empty[(Int, String, Long, Long, Int)]
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -41,7 +53,9 @@ object DevProfile {
       }
     })
     val t0 = System.nanoTime()
-    val nRows = SparkEntry.queries(name)(spark, sfDir).count()
+    val nRows =
+      if (name.startsWith("cache:")) cacheBuilds(name.stripPrefix("cache:"))()
+      else SparkEntry.queries(name)(spark, sfDir).count()
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500) // let listener drain
     println(f"== $name: $nRows rows in $sec%.2f s ==")

@@ -918,27 +918,49 @@ object Dedup {
     * consecutive grams), distinct selected values. Docs with fewer than
     * w grams get one global-min fingerprint (the pos ≤ max(m−w+1, 1)
     * clamp keeps exactly the first — frame-clipped — window for them).
+    * Null-text docs are dropped up front (parquet-pushed predicate; the
+    * oracle CTE carries the same WHERE, so the semantics are pinned).
     *
     * Scale: the window partitions by doc_id with a bounded ROWS frame —
     * each partition is ONE document's grams, never corpus-wide, so the
     * sort is doc-length-bounded and the shuffle carries fixed-width
     * (doc_id, pos, hash) rows. Everything else is scan-stage expressions
     * plus one relational distinct on fixed-width keys.
+    *
+    * Two plan-shape rules keep the heavy work parallel and long-typed
+    * (together they took the sf0.1 tier build from ~20 s to shingle-tier
+    * cost):
+    *
+    *   - grams are hashed INSIDE the array (`transform(gs, hash60)`)
+    *     before the generator, so the explode and the window-sort
+    *     shuffle carry fixed-width longs, never gram strings;
+    *   - the generator is `posexplode_outer`, NOT `posexplode`: for the
+    *     non-outer form over a plain attribute, InferFiltersFromGenerate
+    *     synthesizes `size(hs) > 0 AND isnotnull(hs)`, and predicate
+    *     pushdown rewrites that through the projections and the spread
+    *     exchange into the SCAN stage — re-running the entire
+    *     tokenize+gram build serially in the (single-file ⇒ single-task)
+    *     scan. Measured at sf0.1: 11.5 s of the tier's ~20 s sat in that
+    *     one-task stage. `hs` is provably non-null and non-empty given
+    *     text IS NOT NULL (shingles3All's ELSE branch emits one
+    *     whole-doc gram), so outer ≡ inner here and the rule (which
+    *     skips outer generates) never fires.
     */
   private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WinnowW - 1)
-    Tables.spread(docs)
+    Tables.spread(docs.filter(col("text").isNotNull))
       // tokenize and build the gram array in projections BELOW the
       // generator (the shingleRowsOf discipline — the generator child
       // must be a plain column reference)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), shingles3All(col("t")).as("gs"))
       .select(col("doc_id"), size(col("gs")).as("m"),
-        posexplode(col("gs")).as(Seq("pos0", "s")))
-      .select(col("doc_id"), col("m"), (col("pos0") + 1).as("pos"),
-        hash60(col("s")).as("h"))
+        transform(col("gs"), g => hash60(g)).as("hs"))
+      .select(col("doc_id"), col("m"),
+        posexplode_outer(col("hs")).as(Seq("pos0", "h")))
+      .select(col("doc_id"), col("m"), (col("pos0") + 1).as("pos"), col("h"))
       .withColumn("fp_h", min(col("h")).over(w))
       .filter(col("pos") <= greatest(col("m") - WinnowW + 1, lit(1)))
       .select(col("doc_id"), col("fp_h"))
@@ -963,7 +985,8 @@ object Dedup {
     winnowIndex(spark, dir).orderBy(col("doc_id"), col("fp_h"))
 
   private val winnowCte: String =
-    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents
+      |  WHERE text IS NOT NULL),
       |g AS (SELECT doc_id, $shingles3AllSql AS gs FROM toks),
       |p AS (SELECT doc_id, len(gs) AS m,
       |  CAST(unnest(range(1, len(gs)+1)) AS INT) AS pos, gs FROM g),
