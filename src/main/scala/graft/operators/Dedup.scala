@@ -456,6 +456,36 @@ object Dedup {
     }
   }
 
+  /** Open (or build) the corpus index at a DURABLE, caller-supplied
+    * Warehouse root, and install it as this context's index for `dir`.
+    * Unlike the default temp-root build, the tables survive a process
+    * restart: when both index tables already exist under `root` they are
+    * re-opened as-is, so a nightly/streaming loop resumes exactly where
+    * the last process left off — this is what upgrades the loop's
+    * replay-convergence guarantee from per-JVM to durable (the temp-root
+    * memo is empty after a real restart, and a rebuild would silently
+    * forget every previously appended batch). A partial FIRST build
+    * (shingles committed, bands not — the same crash window
+    * [[appendToCorpusIndex]]'s guards cover) is repaired by deriving the
+    * band side from the at-rest shingles. The root is caller-owned:
+    * [[clearCorpusIndex]] drops the memo entry but never deletes the
+    * directory. Idempotent and cheap when the memo already points at
+    * `root` (the per-micro-batch call pattern).
+    */
+  def openCorpusIndex(spark: SparkSession, dir: String, root: String): Unit = {
+    val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
+    if (corpusIndexMemo.get(key).exists(_.root == root)) return
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    if (!wh.exists("corpus_shingles")) {
+      val corpusDocs = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
+      wh.write("corpus_shingles", shingleRowsOf(corpusDocs))
+    }
+    if (!wh.exists("corpus_band_index"))
+      wh.write("corpus_band_index", bandsOf(wh.read("corpus_shingles")))
+    installCorpusIndex(spark, dir,
+      CorpusIndex(wh.read("corpus_band_index"), wh.read("corpus_shingles"), root))
+  }
+
   /** q74 — fuzzy delta-dedup: the INCREMENTAL twin of q22, and the
     * near-dup analog of q61's exact delta check. A new batch (role-
     * played by `doc_id % 10 >= 8`, q61's convention) is screened for

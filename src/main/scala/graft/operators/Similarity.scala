@@ -339,28 +339,32 @@ object Similarity {
     * most expensive derivation in the similarity tier, and a session
     * running q71 and q73 would otherwise pay it twice (the
     * [[Graph.simhashComponents]] discipline; hash mode is irrelevant
-    * here — the fit reads only numeric embeddings). Entries are plain
+    * here — the fit reads only numeric embeddings). Keys use the
+    * SparkContext, not the session: Structured Streaming's foreachBatch
+    * hands each micro-batch a CLONED session (the corpusIndexMemo /
+    * bloomMemo lesson), and a session-keyed memo would silently refit
+    * once per micro-batch for any streaming consumer. Entries are plain
     * driver arrays (no cached RDDs), so [[clearKmeansMemo]] only drops
     * references; eviction + rebuild equality is spec'd in
     * TrainingOpsSpec via [[kmFitCount]].
     */
-  private val kmMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IndexedSeq[Array[Double]]]
+  private val kmMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), IndexedSeq[Array[Double]]]
 
   /** Test observability: how many Lloyd fits actually ran (memo misses). */
   private[graft] val kmFitCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] =
-    kmMemo.getOrElseUpdate((spark, dir), fitKmeans(spark, dir))
+    kmMemo.getOrElseUpdate((spark.sparkContext, dir), fitKmeans(spark, dir))
 
-  /** Evict this session's memoized fits — the Lloyd centroids AND the
+  /** Evict this context's memoized fits — the Lloyd centroids AND the
     * PQ codebooks trained on their residuals (stale codebooks against a
     * fresh coarse fit would quantize the wrong residual space); the
     * next q71/q73/q83 call refits.
     */
   def clearKmeansMemo(spark: SparkSession): Unit = {
-    kmMemo.keys.filter(_._1 eq spark).foreach(kmMemo.remove)
-    pqMemo.keys.filter(_._1 eq spark).foreach(pqMemo.remove)
+    kmMemo.keys.filter(_._1 eq spark.sparkContext).foreach(kmMemo.remove)
+    pqMemo.keys.filter(_._1 eq spark.sparkContext).foreach(pqMemo.remove)
   }
 
   private def fitKmeans(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] = {
@@ -739,18 +743,18 @@ object Similarity {
   }
 
   private val pqMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), IndexedSeq[IndexedSeq[Array[Double]]]]
+    .empty[(org.apache.spark.SparkContext, String), IndexedSeq[IndexedSeq[Array[Double]]]]
 
   /** Test observability: how many PQ trainings actually ran. */
   private[graft] val pqFitCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** The M per-subspace codebooks, memoized per (session, dir) like the
+  /** The M per-subspace codebooks, memoized per (context, dir) like the
     * coarse fit they build on ([[kmeansCentroids]] is consulted, never
     * refit — spec'd via both fit counters). Evicted together with the
     * coarse fit by [[clearKmeansMemo]].
     */
   private[graft] def pqCodebooks(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
-    pqMemo.getOrElseUpdate((spark, dir), fitPq(spark, dir))
+    pqMemo.getOrElseUpdate((spark.sparkContext, dir), fitPq(spark, dir))
 
   /** Deterministic PQ training (the per-subspace k-means of Jégou et al.
     * 2011, "Product Quantization for Nearest Neighbor Search"): seeds are

@@ -25,7 +25,15 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   *  3. the index append is [[Dedup.appendToCorpusIndex]]'s idempotent
   *     keyed append.
   *
-  * Any replay therefore converges to the state one clean run produces.
+  * Any replay therefore converges to the state one clean run produces —
+  * ACROSS process restarts when `indexRoot` names a durable
+  * caller-owned path ([[Dedup.openCorpusIndex]] re-opens the at-rest
+  * tables there, so the index remembers every previously streamed
+  * batch). Without `indexRoot` the index lives in a process-local temp
+  * dir keyed by an in-memory memo, and the guarantee is scoped to ONE
+  * JVM lifetime: after a real restart the rebuilt index holds only the
+  * base corpus and earlier streamed batches are no longer screened
+  * against (dedup_pairs and the checkpoint survive either way).
   * Scale shape is q74's: batch-only signature work, corpus side only
   * index scans, per-batch cost ∝ batch + banding collisions.
   */
@@ -34,8 +42,10 @@ object StreamingDedup {
   /** One micro-batch of the loop — also the replay unit the spec drives
     * directly. `batch` is documents-shaped (`doc_id`, `text`).
     */
-  def processBatch(dir: String, wh: Warehouse, batch: DataFrame): Unit = {
+  def processBatch(dir: String, wh: Warehouse, batch: DataFrame,
+                   indexRoot: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    indexRoot.foreach(Dedup.openCorpusIndex(spark, dir, _))
     val idx = Dedup.corpusIndex(spark, dir)
     // seen-ledger filter FOR THE SCREEN ONLY: docs already in the index
     // are replays and must not screen against themselves
@@ -59,15 +69,18 @@ object StreamingDedup {
 
   /** Wire a documents stream into the loop. Each micro-batch runs
     * [[processBatch]]; the streaming checkpoint gives at-least-once
-    * delivery and the batch body upgrades it to exactly-once effect.
+    * delivery and the batch body upgrades it to exactly-once effect
+    * (durable across restarts iff `indexRoot` is supplied — see the
+    * object doc).
     */
   def screenSink(docsStream: DataFrame, dir: String, wh: Warehouse,
-                 checkpointDir: String): DataStreamWriter[Row] =
+                 checkpointDir: String,
+                 indexRoot: Option[String] = None): DataStreamWriter[Row] =
     docsStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(dir, wh, batch)
+        processBatch(dir, wh, batch, indexRoot)
       }
 }

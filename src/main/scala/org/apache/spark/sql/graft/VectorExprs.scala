@@ -208,22 +208,31 @@ case class PolyHash(child: Expression)
   * against a trained filter is inherently a literal-closure expression
   * (the same shape as the literal-centroid argmin, just behind a native
   * doGenCode because the bitset is too big to inline as a literal).
+  *
+  * The bitset is held as an `IndexedSeq[Long]` (element-wise
+  * `equals`/`hashCode`), NOT a raw `long[]` (reference equality): two
+  * probes built from equal-but-distinct bitsets must compare equal so
+  * canonicalized-plan matching, subexpression elimination, and
+  * CacheManager lookup can unify them. The `long[]` exists only as the
+  * transient eval/codegen-time view.
   */
-case class BloomContains(child: Expression, bits: Array[Long], k: Int)
+case class BloomContains(child: Expression, bits: IndexedSeq[Long], k: Int)
   extends UnaryExpression with ExpectsInputTypes {
   // mirror BloomSketch's bound: beyond k=8 the A/B hash family diverges
   // from the Aggregator's take(8) and the two eval paths would disagree
   require(k >= 1 && k <= 8, "bloom_contains wants 1 <= k <= 8 hash functions")
+
+  @transient private lazy val bitsArr: Array[Long] = bits.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "bloom_contains"
 
   override def nullSafeEval(input: Any): Any =
-    graft.functions.BloomSketch.contains(bits, input.asInstanceOf[Long], k)
+    graft.functions.BloomSketch.contains(bitsArr, input.asInstanceOf[Long], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    val bitsRef = ctx.addReferenceObj("bloomBits", bitsArr, "long[]")
     val aRef = ctx.addReferenceObj("bloomA",
       graft.operators.Dedup.A.take(k).toArray, "long[]")
     val bRef = ctx.addReferenceObj("bloomB",
@@ -257,9 +266,13 @@ object VectorExprs {
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Column API for the native Bloom probe. Input must be long. */
+  /** Column API for the native Bloom probe. Input must be long. The
+    * array is wrapped (not copied) into a value-equal IndexedSeq; the
+    * caller must not mutate it after this point.
+    */
   def bloomContains(x: Column, bits: Array[Long], k: Int): Column =
-    ExpressionUtils.column(BloomContains(ExpressionUtils.expression(x), bits, k))
+    ExpressionUtils.column(BloomContains(ExpressionUtils.expression(x),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bits), k))
 
   /** Column API for the native rolling hash. Input must be string. */
   def polyHash(s: Column): Column =

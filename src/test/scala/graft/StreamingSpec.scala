@@ -312,6 +312,41 @@ class StreamingSpec extends SparkSpec {
     Dedup.clearCorpusIndex(spark)
   }
 
+  test("streaming dedup: a durable index root survives a process restart") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def night(m: Int) = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === m)
+      .select(col("doc_id"), col("text"))
+
+    // reference: both nights in ONE process lifetime (temp-root index)
+    Dedup.clearCorpusIndex(spark)
+    val tmpRef = Files.createTempDirectory("graft-durable-ref").toString
+    val whRef = new Warehouse(spark, s"$tmpRef/wh")
+    StreamingDedup.processBatch(dir, whRef, night(8).as[DocRow].collect().toSeq.toDF())
+    StreamingDedup.processBatch(dir, whRef, night(9).as[DocRow].collect().toSeq.toDF())
+    val want = whRef.read("dedup_pairs").collect().map(_.mkString("|")).toSet
+    assert(want.nonEmpty)
+
+    // durable run: night 8, then a SIMULATED RESTART (memo wiped — the
+    // exact state the temp-root path cannot recover from), then night 9
+    val tmp = Files.createTempDirectory("graft-durable").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val root = s"$tmp/idx"
+    Dedup.clearCorpusIndex(spark)
+    StreamingDedup.processBatch(dir, wh,
+      night(8).as[DocRow].collect().toSeq.toDF(), Some(root))
+    Dedup.clearCorpusIndex(spark) // "restart": in-memory memo gone
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root)),
+      "caller-owned root must survive clearCorpusIndex")
+    StreamingDedup.processBatch(dir, wh,
+      night(9).as[DocRow].collect().toSeq.toDF(), Some(root))
+    // night 9 still deduped against streamed night 8 ⇒ restart lost nothing
+    assert(wh.read("dedup_pairs").collect().map(_.mkString("|")).toSet == want)
+    Dedup.clearCorpusIndex(spark)
+  }
+
   test("the streaming aggregation plan also runs in plain batch mode") {
     val sql = spark.sqlContext
     import sql.implicits._

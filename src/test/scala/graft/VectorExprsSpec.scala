@@ -169,10 +169,19 @@ class VectorExprsSpec extends SparkSpec {
       assert(got(x) == want, s"probe $x: column=${got(x)} scala=$want")
       // interpreted eval path (no codegen) must agree too
       val expr = org.apache.spark.sql.graft.BloomContains(
-        org.apache.spark.sql.catalyst.expressions.Literal(x), bits, k)
+        org.apache.spark.sql.catalyst.expressions.Literal(x),
+        bits.toIndexedSeq, k)
       assert(expr.eval(null) == want)
     }
     // every inserted key MUST be found (the no-false-negative law)
     inserted.foreach(x => assert(got(x)))
+
+    // two probes built from equal-but-DISTINCT bitsets must compare
+    // equal (value semantics), or plan canonicalization / subexpression
+    // elimination / CacheManager lookup would never unify them
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal(7L)
+    val e1 = org.apache.spark.sql.graft.BloomContains(lit, bits.toIndexedSeq, k)
+    val e2 = org.apache.spark.sql.graft.BloomContains(lit, bits.clone().toIndexedSeq, k)
+    assert(e1 == e2 && e1.hashCode == e2.hashCode && e1.semanticEquals(e2))
   }
 }

@@ -73,8 +73,16 @@ class WinnowSpec extends SparkSpec {
   }
 
   test("q86 pair sim is exactly shared/min(|fpa|,|fpb|) against the index") {
+    // nf is defined over the df <= WinnowMaxDf KEEP set (the operator's
+    // documented semantics), not the raw index — the two only coincide
+    // while the boilerplate guard stays dormant at fixture scale, and
+    // this spec must encode the guarded definition either way
     val fp = Dedup.winnowIndex(spark, dir)
-    val nf = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val keep = fp.join(
+      fp.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= Dedup.WinnowMaxDf),
+      Seq("fp_h"))
+    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     Dedup.winnowPairs(spark, dir).collect().foreach { r =>
       val expect = r.getLong(2).toDouble / math.min(nf(r.getLong(0)), nf(r.getLong(1)))
