@@ -143,6 +143,10 @@ object Bench {
       // the winnowed-fingerprint index (q85's artifact, q86's join input)
       ("winnow", Set("q85", "q86"),
         () => operators.Dedup.winnowIndex(spark, sfDir).count(): Unit),
+      // at-rest corpus winnow index (q88's incremental corpus side) —
+      // the winnow twin of bandidx
+      ("winidx", Set("q88"),
+        () => operators.Dedup.winnowIndexAtRest(spark, sfDir): Unit),
       ("simhash", Set("q23", "q24", "q45", "q62"),
         () => operators.Dedup.simhashSig(spark, sfDir).count(): Unit),
       // at-rest corpus band+shingle index (q74's incremental corpus side):

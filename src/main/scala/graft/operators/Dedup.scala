@@ -367,9 +367,14 @@ object Dedup {
   }
 
   /** The at-rest index of the SEEN corpus (q61/q74's `doc_id % 10 < 8`
-    * split): two parquet tables under a session-temp warehouse root —
-    * `corpus_band_index(doc_id, band, sig)` for candidate generation and
-    * `corpus_shingles(doc_id, sh_h)` for candidate verification. Both
+    * split): three parquet tables under a session-temp warehouse root —
+    * `corpus_band_index(doc_id, band, sig)` for candidate generation,
+    * `corpus_shingles(doc_id, sh_h)` for candidate verification, and the
+    * `corpus_docs(doc_id)` seen-doc manifest (written last on every
+    * build/append, so membership means "fully present in every data
+    * table" — the O(|docs|) answer to "which docs exist" that the
+    * nightly/streaming guards read instead of distinct-scanning the
+    * data tables). All
     * [[DataFrame]]s here are plain reads of the written files, so a
     * consumer's corpus-side plan is an index SCAN — no tokenize, shingle
     * or minhash stage touches the corpus after the one-time build (at
@@ -378,7 +383,7 @@ object Dedup {
     * and memoized like [[Graph.simhashComponents]]).
     */
   private[graft] case class CorpusIndex(bands: DataFrame, shingles: DataFrame,
-                                        root: String)
+                                        docs: DataFrame, root: String)
 
   /** Keyed by SparkContext, NOT SparkSession: Structured Streaming's
     * `foreachBatch` hands the batch a CLONED session, and a session-keyed
@@ -416,7 +421,13 @@ object Dedup {
       // bands are derived FROM the at-rest shingles, so the build itself
       // tokenizes the corpus exactly once
       wh.write("corpus_band_index", bandsOf(shAtRest))
-      val built = CorpusIndex(wh.read("corpus_band_index"), shAtRest, root)
+      // the seen-doc manifest, written LAST: membership means "fully
+      // present in every data table", so the nightly/streaming guards
+      // can answer "which docs exist" from O(|docs|) manifest rows
+      // instead of distinct-scanning the O(|shingle rows|) tables
+      wh.write("corpus_docs", shAtRest.select(col("doc_id")).distinct())
+      val built = CorpusIndex(wh.read("corpus_band_index"), shAtRest,
+        wh.read("corpus_docs"), root)
       // putIfAbsent, not getOrElseUpdate: a concurrent builder must not
       // orphan its loser's tmpdir
       corpusIndexMemo.putIfAbsent(key, built) match {
@@ -482,8 +493,16 @@ object Dedup {
     }
     if (!wh.exists("corpus_band_index"))
       wh.write("corpus_band_index", bandsOf(wh.read("corpus_shingles")))
+    if (!wh.exists("corpus_docs"))
+      // repair from the BAND side: bands are appended after shingles, so
+      // a doc with band rows is fully present in both data tables; a doc
+      // caught mid-append (shingles only) stays out of the manifest and
+      // the next append's residual guard completes it
+      wh.write("corpus_docs",
+        wh.read("corpus_band_index").select(col("doc_id")).distinct())
     installCorpusIndex(spark, dir,
-      CorpusIndex(wh.read("corpus_band_index"), wh.read("corpus_shingles"), root))
+      CorpusIndex(wh.read("corpus_band_index"), wh.read("corpus_shingles"),
+        wh.read("corpus_docs"), root))
   }
 
   /** q74 — fuzzy delta-dedup: the INCREMENTAL twin of q22, and the
@@ -563,28 +582,38 @@ object Dedup {
     * (update_raw_stock_movements.py:100-110: screen, then append + move
     * the watermark), for the fuzzy tier. The batch's shingle and band
     * rows are APPENDED to `corpus_shingles` / `corpus_band_index`
-    * through the same Warehouse path the build uses (S7), guarded by a
-    * per-table `doc_id` anti-join against a FRESH read of that table —
-    * the S13 dedup-append discipline. Consequences:
+    * through the same Warehouse path the build uses (S7), then the
+    * `corpus_docs` manifest advances LAST — the S13 dedup-append
+    * discipline with a two-tier guard:
     *
-    *  - Idempotent: re-appending the same batch is a no-op (every
-    *    batch doc_id is already present), so at-least-once delivery of
-    *    a night's batch has exactly-once effect on the index.
-    *  - Crash-repairable: the two appends are separate jobs; a crash
-    *    between them leaves shingles present and bands absent for the
-    *    batch, and the replay's per-table guards append exactly the
-    *    missing side.
-    *  - Batch-only work: shingles are computed once from `batchDocs`
-    *    (cached for the two consumers, unpersisted before return) and
-    *    bands derive from those batch shingles — the corpus side is
-    *    only ever the guard scans.
+    *  - MANIFEST guard (the fast path): docs already in `corpus_docs`
+    *    are fully committed (the manifest is appended last), so a
+    *    replayed batch is recognized by one anti-join against the
+    *    O(|docs|) manifest — never a distinct over the O(|shingle
+    *    rows|) data tables (the r8 seen-set finding). A fully-seen
+    *    batch appends nothing and returns without a data-table scan.
+    *  - RESIDUAL guard (the crash path): docs past the manifest can
+    *    still have rows in a data table if a prior run crashed between
+    *    appends; each data append anti-joins against ITS OWN table's
+    *    presence, restricted by a broadcast of the batch-bounded
+    *    residual doc set — a collision-restricted probe, not a
+    *    corpus-wide distinct.
     *
-    * The guard joins deliberately carry no broadcast hint: their right
-    * side is the corpus-bounded doc_id set, so at 100 TB they must
-    * shuffle (AQE may still broadcast small instances from stats).
-    * Returns the refreshed index (fresh file listings — the memoized
-    * frames' listings predate the append) and re-memoizes it, so the
-    * next [[screenAgainstIndex]] sees the widened corpus.
+    * Consequences: idempotent (at-least-once delivery of a night's
+    * batch has exactly-once effect on the index) and crash-repairable
+    * (a crash between any two of the three appends leaves the manifest
+    * BEHIND the data, and the replay's residual guards append exactly
+    * the missing side — never a duplicate). All signature work is
+    * batch-only: shingles are computed once from `batchDocs` and bands
+    * derive from them.
+    *
+    * The manifest guard carries no broadcast hint (its right side is
+    * the corpus-bounded doc set — at 100 TB it must shuffle; AQE may
+    * still broadcast small instances from stats); the residual guards
+    * broadcast their batch-bounded side explicitly. Returns the
+    * refreshed index (fresh file listings — the memoized frames'
+    * listings predate the append) and re-memoizes it, so the next
+    * [[screenAgainstIndex]] sees the widened corpus.
     */
   def appendToCorpusIndex(spark: SparkSession, dir: String,
                           batchDocs: DataFrame): CorpusIndex = {
@@ -597,21 +626,31 @@ object Dedup {
     // micro-batch, a foreachBatch source replays EMPTY and the second
     // append would silently write nothing (the streaming twin\'s spec
     // caught exactly this). Checkpointing materializes the batch
-    // shingles ONCE and cuts the plan below them, so neither write can
+    // shingles ONCE and cuts the plan below them, so no write can
     // invalidate them. Batch-bounded state, the Graph.CC discipline.
     val batchSh = shingleRowsOf(batchDocs).localCheckpoint(true)
     try {
-      val seenSh = wh.read("corpus_shingles").select(col("doc_id")).distinct()
-      wh.append("corpus_shingles",
-        batchSh.join(seenSh, Seq("doc_id"), "left_anti"))
-      val seenBands = wh.read("corpus_band_index").select(col("doc_id")).distinct()
-      wh.append("corpus_band_index",
-        bandsOf(batchSh).join(seenBands, Seq("doc_id"), "left_anti"))
+      val manifest = wh.read("corpus_docs")
+      val newSh = batchSh.join(manifest, Seq("doc_id"), "left_anti")
+      val newDocs = newSh.select(col("doc_id")).distinct()
+      if (!newDocs.isEmpty) {
+        // residual presence per data table, probed only for the new docs
+        def present(table: String): DataFrame = wh.read(table)
+          .join(broadcast(newDocs), Seq("doc_id"), "left_semi")
+          .select(col("doc_id")).distinct()
+        wh.append("corpus_shingles",
+          newSh.join(broadcast(present("corpus_shingles")),
+            Seq("doc_id"), "left_anti"))
+        wh.append("corpus_band_index",
+          bandsOf(newSh).join(broadcast(present("corpus_band_index")),
+            Seq("doc_id"), "left_anti"))
+        wh.append("corpus_docs", newDocs)
+      }
     } finally batchSh.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
     val fresh = CorpusIndex(wh.read("corpus_band_index"),
-      wh.read("corpus_shingles"), idx.root)
+      wh.read("corpus_shingles"), wh.read("corpus_docs"), idx.root)
     installCorpusIndex(spark, dir, fresh)
     fresh
   }
@@ -1043,8 +1082,14 @@ object Dedup {
     * distinct window minima CANNOT be missed — machine-checked in
     * WinnowSpec by injected-span detection.
     */
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = winnowIndex(spark, dir)
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(winnowIndex(spark, dir))
+
+  /** The q86 pair detector over an explicit fingerprint frame — shared
+    * by [[winnowPairs]] and the incremental-vs-rebuild differential
+    * specs (which run it over night-restricted universes).
+    */
+  private[graft] def winnowPairsOf(fp: DataFrame): DataFrame = {
     // consumed 3× (nf + both sides of the pair self-join) — self-joins
     // duplicate the uncached subplan (the q22 lesson), so the df-guarded
     // projection is materialized once (fixed-width rows, transient)
@@ -1082,4 +1127,225 @@ object Dedup {
       |  CAST(shared AS DOUBLE) / least(na.nf, nb.nf) AS sim
       |FROM shared JOIN nf na ON na.doc_id = da JOIN nf nb ON nb.doc_id = db
       |ORDER BY da, db""".stripMargin
+
+  // ——————————— At-rest winnow index + nightly append (q88) ———————————
+
+  /** The winnow tier's at-rest twin of [[CorpusIndex]] — what the q85
+    * scaladoc promised ("at real corpus scale this is a persisted
+    * table"), now the same §2.9 closed loop the fuzzy tier has:
+    * `corpus_winnow(doc_id, fp_h)` holds the SEEN corpus' winnowed
+    * fingerprints, `corpus_winnow_docs(doc_id)` is the seen-doc
+    * manifest (written LAST on every build/append, so membership means
+    * "fingerprints fully at rest"). Both frames are plain reads of the
+    * written files — a consumer's corpus-side plan is an index scan;
+    * no tokenize/gram/window stage touches the corpus after the
+    * one-time build.
+    */
+  private[graft] case class WinnowIndex(fingerprints: DataFrame,
+                                        docs: DataFrame, root: String)
+
+  /** Keyed by SparkContext like [[corpusIndexMemo]] (foreachBatch hands
+    * micro-batches a cloned session).
+    */
+  private val winnowIndexMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String, String), WinnowIndex]
+
+  private[graft] def winnowIndexAtRest(spark: SparkSession, dir: String): WinnowIndex = {
+    val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
+    winnowIndexMemo.get(key).getOrElse {
+      val root = java.nio.file.Files.createTempDirectory("graft_winidx_").toString
+      val wh = new graft.pipelines.Warehouse(spark, root)
+      val corpusDocs = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
+      wh.write("corpus_winnow", winnowFingerprintsOf(corpusDocs))
+      // manifest from the at-rest rows, written LAST (the CorpusIndex
+      // discipline): a doc in the manifest has all its fingerprints
+      // durably in the data table
+      wh.write("corpus_winnow_docs",
+        wh.read("corpus_winnow").select(col("doc_id")).distinct())
+      val built = WinnowIndex(wh.read("corpus_winnow"),
+        wh.read("corpus_winnow_docs"), root)
+      winnowIndexMemo.putIfAbsent(key, built) match {
+        case Some(winner) => deleteRootDir(root); winner
+        case None => createdRoots.synchronized { createdRoots += root }; built
+      }
+    }
+  }
+
+  /** Drop this context's memoized winnow indexes; roots we created are
+    * deleted, injected/opened roots are left alone ([[clearCorpusIndex]]
+    * semantics).
+    */
+  def clearWinnowIndexAtRest(spark: SparkSession): Unit =
+    winnowIndexMemo.keys.filter(_._1 eq spark.sparkContext).foreach { k =>
+      winnowIndexMemo.remove(k).foreach { wi =>
+        val owned = createdRoots.synchronized { createdRoots.remove(wi.root) }
+        if (owned) deleteRootDir(wi.root)
+      }
+    }
+
+  /** Test seam — the q74/q88 contract spec injects a poisoned index to
+    * prove the screen reads the at-rest table.
+    */
+  private[graft] def installWinnowIndex(spark: SparkSession, dir: String,
+                                        idx: WinnowIndex): Unit = {
+    val prev = winnowIndexMemo.put(
+      (spark.sparkContext, dir, graft.functions.TextFns.hashMode), idx)
+    prev.filter(_.root != idx.root).foreach { wi =>
+      val owned = createdRoots.synchronized { createdRoots.remove(wi.root) }
+      if (owned) deleteRootDir(wi.root)
+    }
+  }
+
+  /** Open (or build) the winnow index at a DURABLE caller-owned root —
+    * [[openCorpusIndex]]'s twin. Existing tables are re-opened as-is
+    * (the nightly loop resumes where the last process stopped); a
+    * missing manifest is repaired from the data table's distinct docs
+    * (appends are per-job atomic, so every doc with rows at rest has
+    * ALL its rows at rest). Caller owns the root — never deleted here.
+    */
+  def openWinnowIndex(spark: SparkSession, dir: String, root: String): Unit = {
+    val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
+    if (winnowIndexMemo.get(key).exists(_.root == root)) return
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    if (!wh.exists("corpus_winnow")) {
+      val corpusDocs = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
+      wh.write("corpus_winnow", winnowFingerprintsOf(corpusDocs))
+    }
+    if (!wh.exists("corpus_winnow_docs"))
+      wh.write("corpus_winnow_docs",
+        wh.read("corpus_winnow").select(col("doc_id")).distinct())
+    installWinnowIndex(spark, dir,
+      WinnowIndex(wh.read("corpus_winnow"), wh.read("corpus_winnow_docs"), root))
+  }
+
+  /** Advance the at-rest winnow index with a verified batch —
+    * [[appendToCorpusIndex]]'s twin, same two-tier guard: the manifest
+    * anti-join recognizes a fully-committed replay in O(|docs|), and
+    * the residual guard (batch-bounded broadcast probe into the data
+    * table) repairs a crash between the data append and the manifest
+    * append without ever duplicating a row. Fingerprint work is
+    * batch-only; `localCheckpoint` for the same append-path-lineage
+    * reason as the corpus append.
+    */
+  def appendToWinnowIndex(spark: SparkSession, dir: String,
+                          batchDocs: DataFrame): WinnowIndex = {
+    val idx = winnowIndexAtRest(spark, dir)
+    val wh = new graft.pipelines.Warehouse(spark, idx.root)
+    val batchFp = winnowFingerprintsOf(batchDocs).localCheckpoint(true)
+    try {
+      val manifest = wh.read("corpus_winnow_docs")
+      val newFp = batchFp.join(manifest, Seq("doc_id"), "left_anti")
+      val newDocs = newFp.select(col("doc_id")).distinct()
+      if (!newDocs.isEmpty) {
+        val present = wh.read("corpus_winnow")
+          .join(broadcast(newDocs), Seq("doc_id"), "left_semi")
+          .select(col("doc_id")).distinct()
+        wh.append("corpus_winnow",
+          newFp.join(broadcast(present), Seq("doc_id"), "left_anti"))
+        wh.append("corpus_winnow_docs", newDocs)
+      }
+    } finally batchFp.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+    val fresh = WinnowIndex(wh.read("corpus_winnow"),
+      wh.read("corpus_winnow_docs"), idx.root)
+    installWinnowIndex(spark, dir, fresh)
+    fresh
+  }
+
+  /** q88 — winnow delta-screen: the INCREMENTAL twin of q86, and the
+    * deterministic-guarantee analog of q74. The batch (q61's
+    * `doc_id % 10 >= 8` convention) is screened for content-run overlap
+    * with the SEEN corpus by joining its winnowed fingerprints against
+    * the persisted [[winnowIndexAtRest]] — fingerprint collisions only,
+    * then the q86 report (df ≤ [[WinnowMaxDf]] boilerplate guard,
+    * shared ≥ [[WinnowMinShared]], sim = shared/min(nf)).
+    */
+  def deltaWinnow(spark: SparkSession, dir: String): DataFrame =
+    screenWinnowAgainstIndex(spark, dir,
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8))
+
+  /** The q88 screen with the batch as an argument — the nightly-loop
+    * form (screen, then [[appendToWinnowIndex]] advances the index).
+    *
+    * Scale contract, mirroring [[screenAgainstIndex]]: all tokenize/
+    * gram/window work runs over the BATCH alone; the corpus side is
+    * only ever scans of the at-rest fingerprint table. The q86 df
+    * guard needs GLOBAL df (corpus ∪ batch occurrences per
+    * fingerprint — the delta output must equal the full-rebuild pairs
+    * restricted to batch × corpus, spec'd in WinnowSpec), but it is
+    * never computed corpus-wide: both df aggregations are restricted
+    * by a broadcast of the fingerprint hashes that can actually matter
+    * (the batch's own, then the collision-bounded candidate docs'), so
+    * the index scan feeds a collision-bounded shuffle, not an
+    * index-sized one. Per-night cost ∝ batch + fingerprint collisions.
+    */
+  private[graft] def screenWinnowAgainstIndex(spark: SparkSession, dir: String,
+                                              batchDocs: DataFrame): DataFrame = {
+    val idx = winnowIndexAtRest(spark, dir)
+    // batch-only fingerprint work; consumed 2x (df probe + keep join)
+    val batchFp = graft.TransientCache.register(
+      winnowFingerprintsOf(batchDocs).cache())
+    // the df universe: every fingerprint occurrence, corpus ∪ batch —
+    // scan-only on the corpus side
+    val unionFp = idx.fingerprints.select(col("fp_h"))
+      .unionByName(batchFp.select(col("fp_h")))
+    // global df for the BATCH's fingerprints (restricted aggregation)
+    val dfB = unionFp
+      .join(broadcast(batchFp.select(col("fp_h")).distinct()), Seq("fp_h"), "left_semi")
+      .groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf)
+      .select(col("fp_h"))
+    // df-guarded batch fingerprints; consumed 2x (collision join + nfi)
+    val keepB = graft.TransientCache.register(
+      batchFp.join(dfB, Seq("fp_h")).cache())
+    // fingerprint collisions against the at-rest corpus index — the
+    // corpus side of every pair; guarded fp_h only, so mega-buckets
+    // never expand
+    val shared = graft.TransientCache.register(
+      idx.fingerprints.select(col("doc_id").as("dc"), col("fp_h"))
+        .join(keepB.select(col("doc_id").as("di"), col("fp_h")), Seq("fp_h"))
+        .groupBy(col("di"), col("dc")).agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= WinnowMinShared)
+        .cache()) // consumed 2x: candidate docs + the final report
+    val candDocs = shared.select(col("dc").as("doc_id")).distinct()
+    // candidate corpus docs' full fingerprint rows (broadcast semi —
+    // collision-bounded, the q74 setsC pattern); consumed 2x
+    val candFp = graft.TransientCache.register(
+      idx.fingerprints.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .cache())
+    // global df for the candidate docs' fingerprints (nfc needs the df
+    // guard applied to ALL their fingerprints, shared or not)
+    val dfC = unionFp
+      .join(broadcast(candFp.select(col("fp_h")).distinct()), Seq("fp_h"), "left_semi")
+      .groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf)
+      .select(col("fp_h"))
+    val nfi = keepB.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val nfc = candFp.join(dfC, Seq("fp_h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    shared
+      .join(nfi.select(col("doc_id").as("di"), col("nf").as("nfi")), Seq("di"))
+      .join(nfc.select(col("doc_id").as("dc"), col("nf").as("nfc")), Seq("dc"))
+      .withColumn("sim", col("shared").cast("double") / least(col("nfi"), col("nfc")))
+      .select(col("di"), col("dc"), col("shared"), col("sim"))
+      .orderBy(col("di"), col("dc"))
+  }
+
+  val deltaWinnowSql: String =
+    s"""WITH $winnowCte,
+      |df AS (SELECT fp_h, count(*) AS df FROM fp GROUP BY 1),
+      |keep AS (SELECT doc_id, f.fp_h FROM fp f JOIN df USING (fp_h)
+      |  WHERE df <= $WinnowMaxDf),
+      |nf AS (SELECT doc_id, count(*) AS nf FROM keep GROUP BY 1),
+      |shared AS (
+      |  SELECT i.doc_id AS di, c.doc_id AS dc, count(*) AS shared
+      |  FROM keep i JOIN keep c ON i.fp_h = c.fp_h
+      |  WHERE i.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+      |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+      |SELECT di, dc, shared,
+      |  CAST(shared AS DOUBLE) / least(ni.nf, nc.nf) AS sim
+      |FROM shared JOIN nf ni ON ni.doc_id = di JOIN nf nc ON nc.doc_id = dc
+      |ORDER BY di, dc""".stripMargin
 }

@@ -16,8 +16,8 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * At-least-once → exactly-once, structurally (no transactional sink
   * needed):
   *
-  *  1. the batch is pre-filtered against the index's doc_id set (the
-  *     at-rest tables ARE the seen-ledger — the S13 discipline), so a
+  *  1. the batch is pre-filtered against the index's `corpus_docs`
+  *     manifest (the at-rest seen-ledger — the S13 discipline), so a
   *     replayed document never screens against itself;
   *  2. the pair append is keyed on (di, dc) — a replay that crashed
   *     between the pair append and the index append re-screens, finds
@@ -47,10 +47,13 @@ object StreamingDedup {
     val spark = batch.sparkSession
     indexRoot.foreach(Dedup.openCorpusIndex(spark, dir, _))
     val idx = Dedup.corpusIndex(spark, dir)
-    // seen-ledger filter FOR THE SCREEN ONLY: docs already in the index
-    // are replays and must not screen against themselves
-    val fresh = batch.join(idx.shingles.select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
+    // seen-ledger filter FOR THE SCREEN ONLY: docs already fully in the
+    // index are replays and must not screen against themselves. The
+    // ledger is the corpus_docs MANIFEST — an O(|docs|) bare scan, not
+    // a distinct over the shingle table (the r8 seen-set finding); a
+    // doc caught mid-append (data rows without a manifest row) simply
+    // re-screens, and the pair anti-join below absorbs the repeats
+    val fresh = batch.join(idx.docs, Seq("doc_id"), "left_anti")
     val pairs = Dedup.screenAgainstIndex(spark, dir, fresh)
     val novel =
       if (!wh.exists("dedup_pairs")) pairs

@@ -34,7 +34,9 @@ class DeterminismSweepSpec extends SparkSpec {
     "q84_delta_bloom",
     // r8 newcomers: per-doc window minima + distinct (q85), fingerprint
     // pair ratios (q86), banding-recalled best-match windows (q87)
-    "q85_winnow_fingerprints", "q86_winnow_pairs", "q87_split_leakage")
+    "q85_winnow_fingerprints", "q86_winnow_pairs", "q87_split_leakage",
+    // r9: index-screened winnow delta pairs (q88)
+    "q88_delta_winnow")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself
@@ -42,6 +44,7 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Graph.clearMemo(spark)
     graft.operators.Similarity.clearKmeansMemo(spark)
     graft.operators.Dedup.clearCorpusIndex(spark)
+    graft.operators.Dedup.clearWinnowIndexAtRest(spark)
     graft.operators.Dedup.clearCorpusBloom(spark)
     // CacheManager matches by logical plan, so a cached winnow index
     // built under one partition count would serve the other verbatim —

@@ -637,6 +637,9 @@ class TrainingOpsSpec extends SparkSpec {
       .select(col("doc_id")).distinct().count() == n1docs)
     assert(widened.shingles.filter(col("doc_id") % 10 === 8)
       .select(col("doc_id")).distinct().count() == n1docs)
+    // ... and the manifest advanced with them (appended LAST, so its
+    // rows certify fully-committed docs)
+    assert(widened.docs.filter(col("doc_id") % 10 === 8).count() == n1docs)
     // night 2 sees the widened corpus: base + night1
     val s2 = asSet(Dedup.screenAgainstIndex(spark, dir, night2))
     TransientCache.drain()
@@ -668,7 +671,10 @@ class TrainingOpsSpec extends SparkSpec {
     // 1. the index frames are plain file scans — no tokenize/shingle/
     //    minhash stage can touch the corpus through them
     val idx = Dedup.corpusIndex(spark, dir)
-    Seq(idx.bands, idx.shingles).foreach { t =>
+    // corpus_docs included: the seen-doc manifest must answer "which
+    // docs exist" as a bare scan, never an aggregate over the data
+    // tables (the r8 seen-set finding)
+    Seq(idx.bands, idx.shingles, idx.docs).foreach { t =>
       val plan = t.queryExecution.optimizedPlan
       assert(plan.collectLeaves().size == 1)
       assert(plan.collect { case n @ (_: Aggregate | _: Generate | _: Join) => n }.isEmpty,
@@ -676,6 +682,8 @@ class TrainingOpsSpec extends SparkSpec {
       assert(t.queryExecution.executedPlan.toString.contains(idx.root),
         "index frame must scan the at-rest warehouse files")
     }
+    assert(idx.docs.queryExecution.executedPlan.toString.contains("corpus_docs"),
+      "the manifest frame must scan the corpus_docs table")
     // 2. poisoned index ==> empty output: the operator demonstrably READS
     //    the at-rest table instead of re-signaturing the corpus itself
     Dedup.installCorpusIndex(spark, dir,

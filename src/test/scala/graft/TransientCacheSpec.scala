@@ -52,6 +52,13 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(Dedup.winnowPairs(spark, dir), 1)
   }
 
+  test("q88 deltaWinnow transients (batch fp, keep, shared, cand fp) drain") {
+    // the at-rest winnow index writes parquet, no persisted RDDs — build
+    // it first so its one-time cost stays out of the drain accounting
+    Dedup.winnowIndexAtRest(spark, dir)
+    checkDrains(Dedup.deltaWinnow(spark, dir), 4)
+  }
+
   test("q40 kmvDistinct transient (distinct hash frame) drains") {
     checkDrains(Sketch.kmvDistinct(spark, dir), 1)
   }

@@ -90,6 +90,161 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("q88 delta winnow == q86 pairs restricted to batch x corpus") {
+    // the incremental path (persisted winnow index + batch-only
+    // fingerprint work) must lose nothing against the full-corpus
+    // recompute: same pair set, same shared counts and sims, for
+    // exactly the pairs crossing the batch/corpus boundary
+    Dedup.clearWinnowIndexAtRest(spark)
+    val delta = Dedup.deltaWinnow(spark, dir)
+      .collect().map(_.mkString("|")).toSet
+    TransientCache.drain()
+    val full = Dedup.winnowPairs(spark, dir)
+      .filter((col("da") % 10 >= 8 && col("db") % 10 < 8) ||
+        (col("db") % 10 >= 8 && col("da") % 10 < 8))
+      .select(
+        when(col("da") % 10 >= 8, col("da")).otherwise(col("db")).as("di"),
+        when(col("da") % 10 >= 8, col("db")).otherwise(col("da")).as("dc"),
+        col("shared"), col("sim"))
+      .collect().map(_.mkString("|")).toSet
+    TransientCache.drain()
+    assert(delta == full)
+    assert(delta.nonEmpty, "fixture must contain cross-boundary winnow overlaps")
+  }
+
+  test("q88 nightly loop: screen -> append -> screen == rebuild; append idempotent") {
+    Dedup.clearWinnowIndexAtRest(spark)
+    val docs = Tables.documents(spark, dir)
+    val night1 = docs.filter(col("doc_id") % 10 === 8)
+    val night2 = docs.filter(col("doc_id") % 10 === 9)
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    // from-scratch reference at each boundary: the FULL q86 pair
+    // computation over exactly the docs visible that night (corpus-so-far
+    // ∪ batch — the df universe an incremental screen must reproduce),
+    // restricted to batch x corpus pairs
+    def expected(batchMod: Int, corpusMax: Int): Set[String] = {
+      val uni = docs.filter(col("doc_id") % 10 < corpusMax ||
+        col("doc_id") % 10 === batchMod)
+      val s = asSet(Dedup.winnowPairsOf(Dedup.winnowFingerprintsOf(uni))
+        .filter((col("da") % 10 === batchMod && col("db") % 10 < corpusMax) ||
+          (col("db") % 10 === batchMod && col("da") % 10 < corpusMax))
+        .select(
+          when(col("da") % 10 === batchMod, col("da")).otherwise(col("db")).as("di"),
+          when(col("da") % 10 === batchMod, col("db")).otherwise(col("da")).as("dc"),
+          col("shared"), col("sim")))
+      TransientCache.drain()
+      s
+    }
+    val s1 = asSet(Dedup.screenWinnowAgainstIndex(spark, dir, night1))
+    TransientCache.drain()
+    assert(s1 == expected(8, 8))
+    val widened = Dedup.appendToWinnowIndex(spark, dir, night1)
+    // the append must land in data AND manifest
+    val n1docs = night1.filter(col("text").isNotNull).count()
+    assert(widened.fingerprints.filter(col("doc_id") % 10 === 8)
+      .select(col("doc_id")).distinct().count() == n1docs)
+    assert(widened.docs.filter(col("doc_id") % 10 === 8).count() == n1docs)
+    val s2 = asSet(Dedup.screenWinnowAgainstIndex(spark, dir, night2))
+    TransientCache.drain()
+    assert(s2 == expected(9, 9))
+    assert((s1 ++ s2).nonEmpty, "fixture must contain nightly winnow overlaps")
+    // idempotence: re-appending night1 changes NOTHING
+    val idx = Dedup.winnowIndexAtRest(spark, dir)
+    val (fp0, docs0) = (asSet(idx.fingerprints), asSet(idx.docs))
+    assert(idx.fingerprints.count() == fp0.size && idx.docs.count() == docs0.size,
+      "index rows must be key-unique")
+    val again = Dedup.appendToWinnowIndex(spark, dir, night1)
+    assert(asSet(again.fingerprints) == fp0 && asSet(again.docs) == docs0)
+    assert(again.fingerprints.count() == fp0.size && again.docs.count() == docs0.size)
+    assert(asSet(Dedup.screenWinnowAgainstIndex(spark, dir, night2)) == s2)
+    TransientCache.drain()
+    Dedup.clearWinnowIndexAtRest(spark)
+  }
+
+  test("q88 replay repairs a crash between the data append and the manifest append") {
+    Dedup.clearWinnowIndexAtRest(spark)
+    val night1 = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 8)
+    // reference: the uncrashed append over the same batch
+    val want = Dedup.appendToWinnowIndex(spark, dir, night1)
+    val (wantFp, wantDocs) = (want.fingerprints.count(), want.docs.count())
+    Dedup.clearWinnowIndexAtRest(spark)
+    // crash simulation: the data append committed, the process died
+    // before the manifest append — the exact window the residual guard
+    // exists for
+    val idx0 = Dedup.winnowIndexAtRest(spark, dir)
+    val iwh = new graft.pipelines.Warehouse(spark, idx0.root)
+    iwh.append("corpus_winnow",
+      Dedup.winnowFingerprintsOf(night1)
+        .join(iwh.read("corpus_winnow_docs"), Seq("doc_id"), "left_anti"))
+    // "restart": re-open the at-rest tables as they are
+    Dedup.installWinnowIndex(spark, dir,
+      idx0.copy(fingerprints = iwh.read("corpus_winnow"),
+        docs = iwh.read("corpus_winnow_docs")))
+    assert(Dedup.winnowIndexAtRest(spark, dir).docs
+      .filter(col("doc_id") % 10 === 8).isEmpty, "crash state: manifest behind")
+    // redelivery appends exactly the missing manifest side, no dup rows
+    val repaired = Dedup.appendToWinnowIndex(spark, dir, night1)
+    assert(repaired.fingerprints.count() == wantFp && repaired.docs.count() == wantDocs)
+    Dedup.clearWinnowIndexAtRest(spark)
+  }
+
+  test("q88 corpus side is the at-rest index: bare scans, and injection drives output") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
+    Dedup.clearWinnowIndexAtRest(spark)
+    val real = Dedup.deltaWinnow(spark, dir).collect().toSeq
+    TransientCache.drain()
+    // 1. the index frames (data AND the seen-doc manifest) are plain
+    //    file scans — the manifest answers "which docs exist" without
+    //    an aggregate over the data table (the r8 seen-set finding)
+    val idx = Dedup.winnowIndexAtRest(spark, dir)
+    Seq("corpus_winnow" -> idx.fingerprints, "corpus_winnow_docs" -> idx.docs)
+      .foreach { case (table, t) =>
+        val plan = t.queryExecution.optimizedPlan
+        assert(plan.collectLeaves().size == 1)
+        assert(plan.collect { case n @ (_: Aggregate | _: Generate | _: Join) => n }.isEmpty,
+          s"index frame must be a bare scan, got:\n$plan")
+        assert(t.queryExecution.executedPlan.toString.contains(s"${idx.root}/$table"),
+          s"index frame must scan the at-rest $table files")
+      }
+    // 2. poisoned index ==> empty output: the screen demonstrably READS
+    //    the at-rest table instead of re-fingerprinting the corpus
+    Dedup.installWinnowIndex(spark, dir,
+      idx.copy(fingerprints = idx.fingerprints.limit(0)))
+    assert(Dedup.deltaWinnow(spark, dir).isEmpty)
+    TransientCache.drain()
+    // 3. a rebuild after clearing restores the real answer
+    Dedup.clearWinnowIndexAtRest(spark)
+    assert(Dedup.deltaWinnow(spark, dir).collect().toSeq == real)
+    TransientCache.drain()
+  }
+
+  test("q88 durable root: openWinnowIndex survives a process restart") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winidx-durable").toString
+    val root = s"$tmp/idx"
+    val night1 = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 8)
+    val night2 = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 9)
+    Dedup.clearWinnowIndexAtRest(spark)
+    Dedup.openWinnowIndex(spark, dir, root)
+    Dedup.appendToWinnowIndex(spark, dir, night1)
+    val wantS2 = Dedup.screenWinnowAgainstIndex(spark, dir, night2)
+      .collect().map(_.mkString("|")).toSet
+    TransientCache.drain()
+    // "restart": memo wiped — the state the temp-root path cannot
+    // recover from; the caller-owned root must survive the clear
+    Dedup.clearWinnowIndexAtRest(spark)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root)),
+      "caller-owned root must survive clearWinnowIndexAtRest")
+    Dedup.openWinnowIndex(spark, dir, root)
+    // night 2 still screens against streamed night 1 => nothing lost
+    assert(Dedup.screenWinnowAgainstIndex(spark, dir, night2)
+      .collect().map(_.mkString("|")).toSet == wantS2)
+    assert(Dedup.winnowIndexAtRest(spark, dir).docs
+      .filter(col("doc_id") % 10 === 8).count() > 0)
+    TransientCache.drain()
+    Dedup.clearWinnowIndexAtRest(spark)
+  }
+
   test("q87 rows straddle the split boundary with verified jaccard") {
     import graft.functions.TextFns._
     val split = Tables.documents(spark, dir)
