@@ -234,14 +234,26 @@ object Contamination {
     * for the same reason (the q72 note). Everything downstream is
     * collision-bounded.
     */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(Tables.documents(spark, dir), Dedup.shingleIndex(spark, dir))
+
+  /** The q87 audit over an explicit docs frame (`doc_id`, `text`) and its
+    * shingle rows — the form [[graft.pipelines.CorpusPipeline]] runs over
+    * a refined stage table (shingles from [[Dedup.shingleRowsOf]] on the
+    * stage docs; the standalone q87 passes the shared [[Dedup.shingleIndex]]
+    * cache, so its plan is unchanged). Split labels derive from the same
+    * content-hash rule as [[splitAssign]], so the audit and the
+    * assignment can never disagree.
+    */
+  private[graft] def splitLeakageOf(docsIn: DataFrame,
+                                    shingles: DataFrame): DataFrame = {
     import Dedup.{A, B, Bands, P, Rows}
-    val splits = Tables.documents(spark, dir)
+    val splits = docsIn
       .select(col("doc_id"),
         when(hash60(col("text")) % 100 < TrainPct, "train")
           .when(hash60(col("text")) % 100 < TrainPct + ValPct, "val")
           .otherwise("test").as("split"))
-    val shx = Dedup.shingleIndex(spark, dir).withColumn("x", col("sh_h") % P)
+    val shx = shingles.withColumn("x", col("sh_h") % P)
     val mins = A.indices.map(j =>
       min((lit(A(j)) * col("x") + lit(B(j))) % P).as(s"v$j"))
     val mh = shx.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -269,7 +281,7 @@ object Contamination {
       .select(explode(array(col("eval_id"), col("train_id"))).as("doc_id"))
       .distinct()
     val docSets = graft.TransientCache.register(
-      Dedup.shingleIndex(spark, dir)
+      shingles
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
         .cache()) // consumed from two join branches

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   *   corpus_exact        q20 exact dedup — canonical docs only
   *   corpus_span         q76 duplicated-span removal — text REWRITTEN
   *   corpus_clean        q33 decontamination vs the pristine benchmark
+  *   corpus_leaked       q87 split-leakage audit — the quarantine table
+  *   corpus_split        q34 content-hash split labels, leaked eval docs dropped
   *   corpus_mixed        q69 replication at q78-DERIVED temperature rates
   *
   * Every stage reads the PREVIOUS stage's at-rest parquet table and
@@ -100,13 +102,36 @@ object CorpusPipeline {
     val clean = stage("corpus_clean", span,
       span.join(flagged, Seq("doc_id"), "left_anti"))
 
-    // 5 — temperature mix (q78 -> q69): rates DERIVED from the refined
+    // 5 — split + leakage audit (q34 → q87): content-hash split labels,
+    // then the near-dup audit across the train/eval boundary over the
+    // CLEANED corpus. Exact duplicates share a split by construction;
+    // the audit catches what the hash cannot — an eval doc that is a
+    // light edit of a training doc. Leaked eval docs are QUARANTINED in
+    // their own at-rest table (the audit evidence: best train match +
+    // jaccard) and dropped from the corpus, so no pair published
+    // downstream straddles the boundary. Dropping the EVAL side is
+    // sufficient: every straddling pair has its eval member flagged.
+    val leaks = stage("corpus_leaked", clean,
+      Contamination.splitLeakageOf(clean, Dedup.shingleRowsOf(clean)))
+    val labeled = clean.withColumn("split",
+      when(graft.functions.TextFns.hash60(col("text")) % 100 <
+          Contamination.TrainPct, "train")
+        .when(graft.functions.TextFns.hash60(col("text")) % 100 <
+          Contamination.TrainPct + Contamination.ValPct, "val")
+        .otherwise("test"))
+    val split = stage("corpus_split", clean,
+      labeled.join(leaks.select(col("eval_id").as("doc_id")),
+        Seq("doc_id"), "left_anti"))
+
+    // 6 — temperature mix (q78 -> q69): rates DERIVED from the refined
     // corpus's own source distribution, applied as deterministic
-    // replication; rate_s = expected_docs_s / n_docs_s
-    val rates = TextOps.mixtureWeightsOf(clean)
+    // replication; rate_s = expected_docs_s / n_docs_s. Split labels
+    // ride through (replicas inherit their doc's split — exact copies
+    // can never straddle)
+    val rates = TextOps.mixtureWeightsOf(split)
       .select(col("source"),
         (col("expected_docs") / col("n_docs")).as("rate"))
-    stage("corpus_mixed", clean, TextOps.resampleAtRates(clean, rates))
+    stage("corpus_mixed", split, TextOps.resampleAtRates(split, rates))
 
     wh.write("corpus_stage_log", log.toSeq.toDF())
     log.toSeq
@@ -136,7 +161,7 @@ object CorpusPipeline {
       Seq(col("doc_id"), col("copy_id")))
     wh.writePartitioned("corpus_shards",
       sharded.join(mixed.select(col("doc_id"), col("copy_id"),
-          col("source"), col("text")),
+          col("source"), col("split"), col("text")),
         Seq("doc_id", "copy_id")),
       Seq("shard"))
     val atRest = wh.read("corpus_shards")

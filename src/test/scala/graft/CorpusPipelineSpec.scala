@@ -24,7 +24,8 @@ class CorpusPipelineSpec extends SparkSpec {
     val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh").toString)
     val log = CorpusPipeline.refine(wh, dir)
     assert(log.map(_.stage) == Seq("corpus_raw", "corpus_quality",
-      "corpus_exact", "corpus_span", "corpus_clean", "corpus_mixed"))
+      "corpus_exact", "corpus_span", "corpus_clean", "corpus_leaked",
+      "corpus_split", "corpus_mixed"))
     val counts = log.map(c => c.stage -> c.rows_out).toMap
 
     // monotone through the dropping stages; ingest is lossless
@@ -34,6 +35,9 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(counts("corpus_quality") >= counts("corpus_exact"))
     assert(counts("corpus_exact") >= counts("corpus_span"))
     assert(counts("corpus_span") >= counts("corpus_clean"))
+    assert(counts("corpus_clean") >= counts("corpus_split"))
+    assert(counts("corpus_split") == counts("corpus_clean") - counts("corpus_leaked"),
+      "the split stage drops exactly the quarantined eval docs")
     // the chain must DO something on the fixture, not pass it through
     assert(counts("corpus_clean") < counts("corpus_raw"))
     // the persisted stage log is the returned log
@@ -79,15 +83,44 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(clean.filter(col("source") === CorpusPipeline.BenchSource).isEmpty)
     assert(quality.filter(col("source") === CorpusPipeline.BenchSource).isEmpty)
 
-    // stage 5: the final mix matches the q78-derived rates — per-source
+    // stage 5: the quarantine agrees with the standalone q87 composition
+    // over the clean table, split labels follow the q34 content-hash
+    // rule, and the audit re-run over the SURVIVING corpus is empty —
+    // no published pair straddles the train/eval boundary
+    val splitT = wh.read("corpus_split").cache()
+    val leaked = wh.read("corpus_leaked")
+    val expectLeaks = Contamination.splitLeakageOf(clean, Dedup.shingleRowsOf(clean))
+    assert(rowsOf(leaked) == rowsOf(expectLeaks))
+    TransientCache.drain()
+    // on this fixture the quarantine is EMPTY — and that is the point:
+    // the upstream exact-dedup and span-rewrite stages already removed
+    // the near-dup content q87 flags on the RAW corpus (the standalone
+    // q87 finds leaks; the refined corpus has none left to leak). The
+    // drop path is exercised non-vacuously in the mini-universe test
+    // below, so an empty audit here is a verified outcome, not a
+    // dormant code path.
+    import graft.functions.TextFns.hash60
+    assert(splitT.filter(col("split") =!=
+      when(hash60(col("text")) % 100 < Contamination.TrainPct, "train")
+        .when(hash60(col("text")) % 100 <
+          Contamination.TrainPct + Contamination.ValPct, "val")
+        .otherwise("test")).isEmpty,
+      "split labels must follow the q34 content-hash rule")
+    assert(Contamination.splitLeakageOf(
+      splitT.select(col("doc_id"), col("source"), col("text")),
+      Dedup.shingleRowsOf(splitT)).isEmpty,
+      "the surviving corpus must contain zero straddling near-dup pairs")
+    TransientCache.drain()
+
+    // stage 6: the final mix matches the q78-derived rates — per-source
     // copy counts equal the deterministic replication recomputed from
-    // the clean table (exact), and land near expected_docs (the
+    // the split table (exact), and land near expected_docs (the
     // hash-Bernoulli concentration check)
     val mixed = wh.read("corpus_mixed").cache()
-    val weights = TextOps.mixtureWeightsOf(clean).cache()
+    val weights = TextOps.mixtureWeightsOf(splitT).cache()
     val rates = weights.select(col("source"),
       (col("expected_docs") / col("n_docs")).as("rate"))
-    val expectMix = TextOps.resampleAtRates(clean, rates)
+    val expectMix = TextOps.resampleAtRates(splitT, rates)
     assert(rowsOf(mixed.select(col("doc_id"), col("source"), col("copy_id"))) ==
       rowsOf(expectMix.select(col("doc_id"), col("source"), col("copy_id"))))
     val bySource = mixed.groupBy(col("source"))
@@ -115,6 +148,15 @@ class CorpusPipelineSpec extends SparkSpec {
       .filter(col("t") > TextOps.ShardBudget + maxDoc).isEmpty)
     assert(new java.io.File(s"${wh.root}/corpus_shards/shard=0").isDirectory,
       "shard output must be a partitioned directory layout")
+    // the leakage contract survives publication: the q87 audit over the
+    // PUBLISHED corpus (distinct docs — replicas are exact copies and
+    // cannot straddle) finds nothing
+    val pubDocs = shards.select(col("doc_id"), col("source"), col("text")).distinct()
+    assert(Contamination.splitLeakageOf(pubDocs, Dedup.shingleRowsOf(pubDocs)).isEmpty,
+      "published shards must contain zero straddling near-dup pairs")
+    TransientCache.drain()
+    // ... and every published row carries its split label
+    assert(shards.filter(col("split").isNull).isEmpty)
     // the load half reports to the metric table, keyed: re-publishing
     // replaces its row instead of duplicating it
     def shardLog() = wh.read("corpus_stage_log")
@@ -126,12 +168,36 @@ class CorpusPipelineSpec extends SparkSpec {
 
     // idempotent re-run: every table byte-identical in content
     val before = Seq("corpus_raw", "corpus_quality", "corpus_exact",
-      "corpus_span", "corpus_clean", "corpus_mixed")
+      "corpus_span", "corpus_clean", "corpus_leaked", "corpus_split",
+      "corpus_mixed")
       .map(t => t -> rowsOf(wh.read(t))).toMap
     val log2 = CorpusPipeline.refine(wh, dir)
     assert(log2 == log)
     before.foreach { case (t, rows) => assert(rowsOf(wh.read(t)) == rows, t) }
 
-    Seq(quality, span, clean, mixed, weights).foreach(_.unpersist(false))
+    Seq(quality, span, clean, splitT, mixed, weights).foreach(_.unpersist(false))
+  }
+
+  test("the split stage's drop removes every straddling pair (non-vacuous)") {
+    // the refined fixture audits clean (see above), so exercise the
+    // stage's drop logic on a universe KNOWN to leak: exactly the docs
+    // of the standalone q87's reported pairs. Labels derive from text
+    // alone, so the mini-universe reproduces the same straddles.
+    val leak = Contamination.splitLeakage(spark, dir)
+    TransientCache.drain()
+    val ids = leak.select(explode(array(col("eval_id"), col("train_id"))).as("doc_id"))
+      .distinct()
+    val uni = Tables.documents(spark, dir).join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("text"))
+    val found = Contamination.splitLeakageOf(uni, Dedup.shingleRowsOf(uni)).cache()
+    assert(found.count() > 0, "the leaking mini-universe must be detected")
+    TransientCache.drain()
+    // the pipeline's drop: remove the EVAL side of every reported pair
+    val kept = uni.join(found.select(col("eval_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    assert(Contamination.splitLeakageOf(kept, Dedup.shingleRowsOf(kept)).isEmpty,
+      "dropping the flagged eval docs must remove every straddling pair")
+    TransientCache.drain()
+    found.unpersist(false)
   }
 }
