@@ -367,7 +367,27 @@ object Similarity {
     pqMemo.keys.filter(_._1 eq spark.sparkContext).foreach(pqMemo.remove)
   }
 
-  private def fitKmeans(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] = {
+  private def fitKmeans(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] =
+    fitKmeansWith(spark, dir, orderedFold = true)
+
+  /** PRODUCTION fold for the coarse fit: plain commutative `avg` in the
+    * Lloyd update — O(1) aggregation state per (cluster, dim) — where
+    * [[fitKmeans]] buffers `collect_list(struct(vec_id, val))` per group
+    * for oracle bit-exactness (cluster-sized state, the one deliberate
+    * scale concession in the training tier). The
+    * [[labelCentroidsProd]] / [[TextOps.unigramLikelihoodProd]]
+    * discipline applied to the fit itself: same seeds, same argmin,
+    * same iterations — differing only by float re-association, spec'd
+    * ≤ 1e-9 against the ordered-fold fit in TrainingOpsSpec.
+    */
+  private[graft] def fitKmeansProd(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] =
+    fitKmeansWith(spark, dir, orderedFold = false)
+
+  /** The Lloyd loop behind both fit folds; `orderedFold` picks the
+    * oracle-matched vec_id-ordered mean or the production `avg`.
+    */
+  private def fitKmeansWith(spark: SparkSession, dir: String,
+                            orderedFold: Boolean): IndexedSeq[Array[Double]] = {
     kmFitCount.incrementAndGet()
     val v = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -383,15 +403,20 @@ object Similarity {
     val k = cents.size
 
     for (_ <- 1 to KmIters) {
-      val means = v.withColumn("cluster", kmArgmin(col("v"), cents))
+      val assigned = v.withColumn("cluster", kmArgmin(col("v"), cents))
         .select(col("cluster"), col("vec_id"),
           posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(count(lit(1)).as("n"),
-          collect_list(struct(col("vec_id"), col("val"))).as("vs"))
-        .select(col("cluster"), col("pos"),
-          (aggregate(transform(array_sort(col("vs")), s => s.getField("val")),
-            lit(0.0), (acc, x) => acc + x) / col("n")).as("m"))
+      val meansDf =
+        if (orderedFold)
+          assigned.agg(count(lit(1)).as("n"),
+            collect_list(struct(col("vec_id"), col("val"))).as("vs"))
+            .select(col("cluster"), col("pos"),
+              (aggregate(transform(array_sort(col("vs")), s => s.getField("val")),
+                lit(0.0), (acc, x) => acc + x) / col("n")).as("m"))
+        else assigned.agg(avg(col("val")).as("m"))
+      val means = meansDf
+        .select(col("cluster"), col("pos"), col("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
@@ -427,8 +452,10 @@ object Similarity {
     *
     * Integer-only output (vec_id, cluster): doubles only decide
     * comparisons, and the folds make those bit-identical (doubles
-    * round-trip the driver exactly). At 100 TB, swap the ordered-fold
-    * mean for plain `avg` exactly as [[labelCentroidsProd]] does.
+    * round-trip the driver exactly). At 100 TB, the fit swaps its
+    * ordered-fold mean for plain `avg` — that twin EXISTS as
+    * [[fitKmeansProd]] ([[fitPqProd]] for the codebooks), each spec'd
+    * ≤ 1e-9 against this oracle-matched path.
     */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
@@ -768,7 +795,20 @@ object Similarity {
     * state is M·Ks·dsub doubles on the driver — bounded like the
     * centroids. Empty codes keep their previous entry.
     */
-  private def fitPq(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+  private def fitPq(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
+    fitPqWith(spark, dir, orderedFold = true)
+
+  /** PRODUCTION fold for the PQ training — [[fitKmeansProd]]'s twin over
+    * the residual subspaces: plain `avg` per (m, code, pos) instead of
+    * the buffered vec_id-ordered fold. Trains on the same memoized
+    * coarse fit as [[fitPq]] (consulted, never refit), so the spec'd
+    * ≤ 1e-9 differential isolates exactly the fold change.
+    */
+  private[graft] def fitPqProd(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
+    fitPqWith(spark, dir, orderedFold = false)
+
+  private def fitPqWith(spark: SparkSession, dir: String,
+                        orderedFold: Boolean): IndexedSeq[IndexedSeq[Array[Double]]] = {
     pqFitCount.incrementAndGet()
     val cents = kmeansCentroids(spark, dir)
     val res = residualFrame(spark, dir, cents)
@@ -784,16 +824,21 @@ object Similarity {
           pqBest(slice(col("r"), m * PqSub + 1, PqSub), cbs(m))
             .getField("code").as("code"),
           slice(col("r"), m * PqSub + 1, PqSub).as("sub"))): _*)
-      val means = res
+      val grouped = res
         .select(col("vec_id"), explode(subStructs).as("s"))
         .select(col("vec_id"), col("s.m").as("m"), col("s.code").as("code"),
           posexplode(col("s.sub")).as(Seq("pos", "val")))
         .groupBy(col("m"), col("code"), col("pos"))
-        .agg(count(lit(1)).as("n"),
-          collect_list(struct(col("vec_id"), col("val"))).as("vs"))
-        .select(col("m"), col("code"), col("pos"),
-          (aggregate(transform(array_sort(col("vs")), s => s.getField("val")),
-            lit(0.0), (acc, x) => acc + x) / col("n")).as("mv"))
+      val meansDf =
+        if (orderedFold)
+          grouped.agg(count(lit(1)).as("n"),
+            collect_list(struct(col("vec_id"), col("val"))).as("vs"))
+            .select(col("m"), col("code"), col("pos"),
+              (aggregate(transform(array_sort(col("vs")), s => s.getField("val")),
+                lit(0.0), (acc, x) => acc + x) / col("n")).as("mv"))
+        else grouped.agg(avg(col("val")).as("mv"))
+      val means = meansDf
+        .select(col("m"), col("code"), col("pos"), col("mv"))
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (k, rows) =>

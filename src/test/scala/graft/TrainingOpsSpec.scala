@@ -257,6 +257,40 @@ class TrainingOpsSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("production k-means fit matches the ordered-fold fit to 1e-9") {
+    // same seeds, same argmin, same iterations — only the Lloyd mean
+    // changes (commutative avg, O(1) agg state, vs the cluster-sized
+    // collect_list buffer kept for oracle bit-exactness). Assignments
+    // are argmin over these centroids, so a ≤ 1e-9 fit bound carries
+    // the whole q71/q73/q83 consumer tier.
+    val oracle = Similarity.kmeansCentroids(spark, dir)
+    val prod = Similarity.fitKmeansProd(spark, dir)
+    assert(prod.size == oracle.size && oracle.nonEmpty)
+    oracle.zip(prod).zipWithIndex.foreach { case ((o, p), c) =>
+      assert(o.length == p.length)
+      o.zip(p).foreach { case (ov, pv) =>
+        assert(math.abs(ov - pv) <= 1e-9 * math.max(math.abs(ov), 1e-300),
+          s"cluster $c centroid diverged: $ov vs $pv")
+      }
+    }
+  }
+
+  test("production PQ fit matches the ordered-fold codebooks to 1e-9") {
+    // both paths train on the SAME memoized coarse fit, so the bound
+    // isolates exactly the per-(m, code, pos) fold change
+    val oracle = Similarity.pqCodebooks(spark, dir)
+    val prod = Similarity.fitPqProd(spark, dir)
+    assert(prod.size == oracle.size && oracle.nonEmpty)
+    for (m <- oracle.indices) {
+      assert(prod(m).size == oracle(m).size)
+      for (c <- oracle(m).indices; pos <- oracle(m)(c).indices) {
+        val (ov, pv) = (oracle(m)(c)(pos), prod(m)(c)(pos))
+        assert(math.abs(ov - pv) <= 1e-9 * math.max(math.abs(ov), 1e-300),
+          s"codebook ($m, $c, $pos) diverged: $ov vs $pv")
+      }
+    }
+  }
+
   test("kmeans: full assignment, clusters in range, seeds anchor their own clusters, deterministic") {
     val a = Similarity.kmeansAssign(spark, dir).cache()
     assert(a.count() == 500)
