@@ -359,7 +359,7 @@ object Dedup {
     * [[Bands]] tiny strings. Feeds q22's buckets, and [[corpusIndex]]
     * persists its output as the at-rest band index q74 scans.
     */
-  private def bandsOf(sh: DataFrame): DataFrame = {
+  private[graft] def bandsOf(sh: DataFrame): DataFrame = {
     val mh = minhashesOf(sh)
     val bandSigs = array((0 until Bands).map(bd =>
       concat_ws("-", (0 until Rows).map(r => col(s"v${bd * Rows + r}")): _*)): _*)
@@ -486,23 +486,35 @@ object Dedup {
   def openCorpusIndex(spark: SparkSession, dir: String, root: String): Unit = {
     val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
     if (corpusIndexMemo.get(key).exists(_.root == root)) return
+    installCorpusIndex(spark, dir, corpusIndexAt(spark, root,
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)))
+  }
+
+  /** Build-or-reopen the three index tables at an explicit root from an
+    * explicit corpus frame — the memo-free core behind
+    * [[openCorpusIndex]], also the form
+    * [[graft.pipelines.CorpusPipeline]] uses to keep a fuzzy-screen
+    * index over its OWN refined corpus (under the pipeline warehouse,
+    * never touching the per-dir memo). Missing tables are repaired from
+    * the at-rest ones: bands from shingles, the manifest from the BAND
+    * side (bands are appended after shingles, so a doc with band rows
+    * is fully present in both data tables; a doc caught mid-append —
+    * shingles only — stays out of the manifest and the next append's
+    * residual guard completes it). `corpusDocs` is only evaluated for a
+    * from-scratch build.
+    */
+  private[graft] def corpusIndexAt(spark: SparkSession, root: String,
+                                   corpusDocs: => DataFrame): CorpusIndex = {
     val wh = new graft.pipelines.Warehouse(spark, root)
-    if (!wh.exists("corpus_shingles")) {
-      val corpusDocs = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
+    if (!wh.exists("corpus_shingles"))
       wh.write("corpus_shingles", shingleRowsOf(corpusDocs))
-    }
     if (!wh.exists("corpus_band_index"))
       wh.write("corpus_band_index", bandsOf(wh.read("corpus_shingles")))
     if (!wh.exists("corpus_docs"))
-      // repair from the BAND side: bands are appended after shingles, so
-      // a doc with band rows is fully present in both data tables; a doc
-      // caught mid-append (shingles only) stays out of the manifest and
-      // the next append's residual guard completes it
       wh.write("corpus_docs",
         wh.read("corpus_band_index").select(col("doc_id")).distinct())
-    installCorpusIndex(spark, dir,
-      CorpusIndex(wh.read("corpus_band_index"), wh.read("corpus_shingles"),
-        wh.read("corpus_docs"), root))
+    CorpusIndex(wh.read("corpus_band_index"), wh.read("corpus_shingles"),
+      wh.read("corpus_docs"), root)
   }
 
   /** q74 — fuzzy delta-dedup: the INCREMENTAL twin of q22, and the
@@ -540,8 +552,16 @@ object Dedup {
     * work runs over it alone.
     */
   private[graft] def screenAgainstIndex(spark: SparkSession, dir: String,
-                                        batchDocs: DataFrame): DataFrame = {
-    val idx = corpusIndex(spark, dir)
+                                        batchDocs: DataFrame): DataFrame =
+    screenAgainstIndexOf(corpusIndex(spark, dir), batchDocs)
+
+  /** The q74 screen against an EXPLICIT index — the form consumers with
+    * their own at-rest index (the [[graft.pipelines.CorpusPipeline]]
+    * live corpus) call; the per-dir q74 path delegates here with the
+    * memoized [[corpusIndex]].
+    */
+  private[graft] def screenAgainstIndexOf(idx: CorpusIndex,
+                                          batchDocs: DataFrame): DataFrame = {
     // batch-only signature work, straight off the filtered source scan;
     // consumed twice (band build + verify sets) — cached, drained after
     val batchSh = graft.TransientCache.register(
@@ -617,7 +637,18 @@ object Dedup {
     */
   def appendToCorpusIndex(spark: SparkSession, dir: String,
                           batchDocs: DataFrame): CorpusIndex = {
-    val idx = corpusIndex(spark, dir) // ensure the tables exist
+    val fresh = appendToCorpusIndexOf(corpusIndex(spark, dir), batchDocs)
+    installCorpusIndex(spark, dir, fresh)
+    fresh
+  }
+
+  /** The index advance against an EXPLICIT index (no memo traffic) —
+    * [[screenAgainstIndexOf]]'s append half, shared by the per-dir path
+    * above and the pipeline's live-corpus index.
+    */
+  private[graft] def appendToCorpusIndexOf(idx: CorpusIndex,
+                                           batchDocs: DataFrame): CorpusIndex = {
+    val spark = batchDocs.sparkSession
     val wh = new graft.pipelines.Warehouse(spark, idx.root)
     // localCheckpoint, NOT cache: the first append below writes the very
     // path a pre-filtered batch (the streaming loop\'s seen-ledger
@@ -649,10 +680,8 @@ object Dedup {
     } finally batchSh.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
-    val fresh = CorpusIndex(wh.read("corpus_band_index"),
+    CorpusIndex(wh.read("corpus_band_index"),
       wh.read("corpus_shingles"), wh.read("corpus_docs"), idx.root)
-    installCorpusIndex(spark, dir, fresh)
-    fresh
   }
 
   val deltaMinhashSql: String = {

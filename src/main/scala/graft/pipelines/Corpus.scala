@@ -137,6 +137,124 @@ object CorpusPipeline {
     log.toSeq
   }
 
+  /** §2.9 INCREMENTAL refinement — the reference's nightly
+    * screen-then-advance cycle (update_raw_stock_movements.py:100-110)
+    * applied to the pipeline's own tables, so a night's batch arriving
+    * into the corpus no longer implies a full re-refinement. The batch
+    * runs the per-doc/per-key screens of the full chain — quality (q18),
+    * exact dedup against the seen-key ledger (the q61 discipline),
+    * decontamination vs the pristine benchmark (q33), and the fuzzy
+    * near-dup screen against the live corpus' at-rest band/shingle index
+    * (q74, [[Dedup.screenAgainstIndexOf]]) — and the survivors are
+    * appended to the live state:
+    *
+    *   corpus_live       the incrementally-refined corpus (seeded from
+    *                     `corpus_clean` on first call)
+    *   live_keys         seen normalized-content keys — first-seen-wins:
+    *                     rejected content stays rejected (a dupe of a
+    *                     contaminated doc is equally contaminated)
+    *   live_index/       the live corpus' fuzzy-screen index
+    *                     ([[Dedup.corpusIndexAt]] under this warehouse)
+    *
+    * Span rewriting and the split audit stay PERIODIC full-refine
+    * stages — they are corpus-global rewrites by nature (a new doc can
+    * change which spans count as duplicated in OLD docs), the same
+    * reason the reference keeps a date-watermark full-rebuild lane
+    * beside its incremental ones.
+    *
+    * Crash discipline — every append is guarded, and their ORDER makes
+    * any replay converge to the clean run's state:
+    *
+    *  1. `corpus_live` += survivors (doc_id anti-join guard);
+    *  2. `live_keys`   += the batch's novel keys (key anti-join guard);
+    *  3. the index advance reads the batch's docs back FROM the at-rest
+    *     `corpus_live` — not from the screen's in-memory result — so a
+    *     replay whose screens see partially-advanced state (e.g. keys
+    *     committed, index not: the exact screen then drops the whole
+    *     batch) still appends exactly the missing index rows.
+    *
+    * Replaying a fully-committed night is a no-op on all three (spec'd).
+    * Per-night cost ∝ batch + collisions: the corpus side is only the
+    * key-ledger anti-join, the benchmark broadcast, and index scans.
+    */
+  def refineIncremental(wh: Warehouse, batch: DataFrame): Seq[StageCount] = {
+    val spark = wh.spark
+    import spark.implicits._
+    require(wh.exists("corpus_clean") && wh.exists("corpus_raw"),
+      "refineIncremental needs a refined base — run refine() first")
+    if (!wh.exists("corpus_live")) {
+      wh.write("corpus_live", wh.read("corpus_clean"))
+      wh.write("live_keys",
+        Dedup.exactDedupOf(wh.read("corpus_clean")).select(col("k")))
+    }
+    val idx = Dedup.corpusIndexAt(spark, s"${wh.root}/live_index",
+      wh.read("corpus_live"))
+    val log = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    def count(name: String, in: Long, out: DataFrame): DataFrame = {
+      val c = out.count(); log += StageCount(name, in, c); out
+    }
+
+    // eagerly-materialized batch-bounded frames (localCheckpoint — the
+    // appends below write paths these frames' lineage reads, the
+    // appendToCorpusIndex hazard); all unpersisted on the way out
+    val checkpointed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); checkpointed += c; c
+    }
+    // seen-ledger fast path: docs already fully in the live index are
+    // replays (the manifest discipline); dropped docs re-screen to the
+    // same drops, so the whole body is idempotent either way
+    val fresh = ckpt(batch.select(col("doc_id"), col("source"), col("text"))
+      .join(idx.docs, Seq("doc_id"), "left_anti"))
+    try {
+      val nIn = fresh.count()
+      // 1 — quality (per-doc, the full chain's stage 1)
+      val q = count("live_quality", nIn,
+        fresh.filter(col("source") =!= BenchSource)
+          .join(TextOps.qualityScoreOf(fresh)
+              .filter(col("score") >= QualityCut).select(col("doc_id")),
+            Seq("doc_id"), "left_semi"))
+      graft.TransientCache.drain()
+      // 2 — exact screen (q61): within-batch canonical per key, novel
+      // keys only (the seen-key anti-join is the corpus-side work)
+      val canon = Dedup.exactDedupOf(q)
+      val novel = ckpt(canon.join(wh.read("live_keys"), Seq("k"), "left_anti"))
+      val e = count("live_exact", log.last.rows_out,
+        q.join(novel.select(col("canonical_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"))
+      // 3 — decontamination (q33) vs the PRISTINE raw benchmark slice
+      val bench = wh.read("corpus_raw").filter(col("source") === BenchSource)
+      val flagged = Contamination.contaminationOf(e.unionByName(bench), BenchSource)
+        .filter(col("flagged")).select(col("doc_id"))
+      val c = count("live_contam", log.last.rows_out,
+        e.join(flagged, Seq("doc_id"), "left_anti"))
+      graft.TransientCache.drain()
+      // 4 — fuzzy screen (q74) against the live index: batch docs that
+      // are near-dups of the refined corpus are dropped
+      val nearDup = Dedup.screenAgainstIndexOf(idx, c)
+        .select(col("di").as("doc_id")).distinct()
+      val f = ckpt(count("live_fuzzy", log.last.rows_out,
+        c.join(nearDup, Seq("doc_id"), "left_anti")))
+      graft.TransientCache.drain()
+
+      // appends, in the order the crash contract requires
+      wh.append("corpus_live",
+        f.join(wh.read("corpus_live").select(col("doc_id")),
+          Seq("doc_id"), "left_anti"))
+      wh.append("live_keys",
+        novel.select(col("k"))
+          .join(wh.read("live_keys"), Seq("k"), "left_anti"))
+      val batchInLive = wh.read("corpus_live")
+        .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      Dedup.appendToCorpusIndexOf(idx, batchInLive)
+    } finally checkpointed.foreach(df =>
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false)))
+    graft.TransientCache.drain()
+    log.toSeq
+  }
+
   /** The "load" half: pack the mixed corpus into fixed-token-budget
     * training shards (q68's two-phase prefix sum, keyed by
     * (doc_id, copy_id) — the mix emits replicas) and write them

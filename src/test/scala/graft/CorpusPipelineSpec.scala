@@ -178,6 +178,86 @@ class CorpusPipelineSpec extends SparkSpec {
     Seq(quality, span, clean, splitT, mixed, weights).foreach(_.unpersist(false))
   }
 
+  test("incremental refinement: each night == the standalone screens; replay is a no-op") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh-incr").toString)
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    // hand-seeded base: the refined corpus role-played by the %10<8
+    // non-benchmark slice (raw text — the boundary identity is about the
+    // SCREENS, not the base's provenance); the benchmark slice stays
+    // pristine in corpus_raw, q61/q74's %10>=8 docs arrive as nights
+    wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+    wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+      col("source") =!= CorpusPipeline.BenchSource))
+    def night(m: Int) = docs.filter(col("doc_id") % 10 === m)
+
+    // the full-recompute reference at one boundary: the standalone
+    // operators (q18 cut, q20 canonical vs the seen keys, q33 vs the
+    // pristine bench, q22-banded near-dup verify vs the live corpus)
+    def expectSurvivors(liveB: DataFrame, seenKeys: DataFrame,
+                        batch: DataFrame): DataFrame = {
+      val q = batch.filter(col("source") =!= CorpusPipeline.BenchSource)
+        .join(TextOps.qualityScoreOf(batch)
+            .filter(col("score") >= CorpusPipeline.QualityCut).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      val novel = Dedup.exactDedupOf(q).join(seenKeys, Seq("k"), "left_anti")
+      val e = q.join(novel.select(col("canonical_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val bench = wh.read("corpus_raw")
+        .filter(col("source") === CorpusPipeline.BenchSource)
+      val flagged = Contamination.contaminationOf(e.unionByName(bench),
+        CorpusPipeline.BenchSource).filter(col("flagged")).select(col("doc_id"))
+      val c = e.join(flagged, Seq("doc_id"), "left_anti")
+      // banded fuzzy reference (same LSH family the screen uses — an
+      // exhaustive reference would assert recall banding does not claim)
+      val sh = Dedup.shingleRowsOf(liveB.unionByName(c))
+      val bands = Dedup.bandsOf(sh)
+      val ci = bands.join(c.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("di"), col("band"), col("sig"))
+      val co = bands.join(liveB.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("dc"), col("band"), col("sig"))
+      val cand = ci.join(co, Seq("band", "sig")).select(col("di"), col("dc")).distinct()
+      val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("s"))
+      val dropped = cand
+        .join(sets.select(col("doc_id").as("di"), col("s").as("sa")), Seq("di"))
+        .join(sets.select(col("doc_id").as("dc"), col("s").as("sb")), Seq("dc"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("j", col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("j") >= Dedup.JaccardThreshold)
+        .select(col("di").as("doc_id")).distinct()
+      c.join(dropped, Seq("doc_id"), "left_anti")
+    }
+
+    var totalIn = 0L; var totalKept = 0L
+    Seq(8, 9).foreach { m =>
+      val liveB =
+        if (wh.exists("corpus_live")) wh.read("corpus_live")
+        else wh.read("corpus_clean")
+      val keysB =
+        if (wh.exists("live_keys")) wh.read("live_keys")
+        else Dedup.exactDedupOf(liveB).select(col("k"))
+      val surv = expectSurvivors(liveB, keysB, night(m))
+      val expectLive = rowsOf(liveB) ++ rowsOf(surv)
+      totalIn += night(m).count(); totalKept += surv.count()
+      CorpusPipeline.refineIncremental(wh, night(m))
+      assert(rowsOf(wh.read("corpus_live")) == expectLive,
+        s"night $m: incremental state != standalone-screen recompute")
+      TransientCache.drain()
+    }
+    assert(totalKept > 0, "nights must contribute survivors")
+    assert(totalKept < totalIn, "the screens must drop something")
+
+    // replay of a fully-committed night: no-op on the corpus, the key
+    // ledger, and all three live-index tables
+    val tables = Seq("corpus_live", "live_keys", "live_index/corpus_shingles",
+      "live_index/corpus_band_index", "live_index/corpus_docs")
+    val before = tables.map(t => t -> rowsOf(wh.read(t))).toMap
+    CorpusPipeline.refineIncremental(wh, night(8))
+    tables.foreach(t => assert(rowsOf(wh.read(t)) == before(t), t))
+    TransientCache.drain()
+  }
+
   test("the split stage's drop removes every straddling pair (non-vacuous)") {
     // the refined fixture audits clean (see above), so exercise the
     // stage's drop logic on a universe KNOWN to leak: exactly the docs
