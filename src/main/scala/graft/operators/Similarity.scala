@@ -738,7 +738,12 @@ object Similarity {
     * embedding dim is 64, pinned like [[planes]]), [[PqKs]] codes per
     * subspace, [[PqIters]] fixed update iterations (the deterministic-
     * oracle shape, as [[KmIters]]), and [[PqCandK]] ADC candidates kept
-    * per query for exact re-ranking.
+    * per query for exact re-ranking. These constants are ONE
+    * instantiation of a parametric machinery ([[fitPqGeometry]] /
+    * [[ivfPqWith]] take (M, dsub) explicitly): the M=8×8 alternative —
+    * half the code bytes' resolution per subspace, twice the subspaces —
+    * is trained and searched through the same code paths and spec'd at
+    * the same recall floor in TrainingOpsSpec.
     */
   val PqM = 4
   val PqSub = 16
@@ -807,8 +812,19 @@ object Similarity {
   private[graft] def fitPqProd(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
     fitPqWith(spark, dir, orderedFold = false)
 
-  private def fitPqWith(spark: SparkSession, dir: String,
-                        orderedFold: Boolean): IndexedSeq[IndexedSeq[Array[Double]]] = {
+  /** Ordered-fold PQ training at an EXPLICIT geometry — the codebook
+    * machinery is parametric in (M, dsub); the default [[PqM]]×[[PqSub]]
+    * is one instantiation, and the M=8×8 geometry spec trains through
+    * this entry to prove nothing is shape-bound (same recall floor
+    * through [[ivfPqWith]], spec'd in TrainingOpsSpec). Requires
+    * `pqM * pqSub == dim`.
+    */
+  private[graft] def fitPqGeometry(spark: SparkSession, dir: String,
+                                   pqM: Int, pqSub: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
+    fitPqWith(spark, dir, orderedFold = true, pqM, pqSub)
+
+  private def fitPqWith(spark: SparkSession, dir: String, orderedFold: Boolean,
+                        pqM: Int = PqM, pqSub: Int = PqSub): IndexedSeq[IndexedSeq[Array[Double]]] = {
     pqFitCount.incrementAndGet()
     val cents = kmeansCentroids(spark, dir)
     val res = residualFrame(spark, dir, cents)
@@ -816,14 +832,16 @@ object Similarity {
       .select(col("r")).collect().toIndexedSeq
       .map(_.getSeq[Double](0).toArray)
     require(seedRows.nonEmpty, s"pqCodebooks: empty corpus at $dir")
-    var cbs: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until PqM).map(m =>
-      seedRows.map(rv => rv.slice(m * PqSub, (m + 1) * PqSub)))
+    require(seedRows.head.length == pqM * pqSub,
+      s"PQ geometry ${pqM}x$pqSub must tile the ${seedRows.head.length}-dim space")
+    var cbs: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until pqM).map(m =>
+      seedRows.map(rv => rv.slice(m * pqSub, (m + 1) * pqSub)))
     for (_ <- 1 to PqIters) {
-      val subStructs = array((0 until PqM).map(m =>
+      val subStructs = array((0 until pqM).map(m =>
         struct(lit(m).as("m"),
-          pqBest(slice(col("r"), m * PqSub + 1, PqSub), cbs(m))
+          pqBest(slice(col("r"), m * pqSub + 1, pqSub), cbs(m))
             .getField("code").as("code"),
-          slice(col("r"), m * PqSub + 1, PqSub).as("sub"))): _*)
+          slice(col("r"), m * pqSub + 1, pqSub).as("sub"))): _*)
       val grouped = res
         .select(col("vec_id"), explode(subStructs).as("s"))
         .select(col("vec_id"), col("s.m").as("m"), col("s.code").as("code"),
@@ -844,7 +862,7 @@ object Similarity {
         .map { case (k, rows) =>
           k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
         }
-      cbs = (0 until PqM).map(m =>
+      cbs = (0 until pqM).map(m =>
         cbs(m).indices.map(c => means.getOrElse((m, c), cbs(m)(c))))
     }
     cbs
@@ -875,15 +893,27 @@ object Similarity {
     * relationally (the q82 cross-paradigm differential, here over
     * doubles instead of counters) and hash-matches bit-for-bit.
     */
-  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+  def ivfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqWith(spark, dir, pqCodebooks(spark, dir), PqM, PqSub)
+
+  /** q83's search with an explicit codebook set and geometry — proof the
+    * machinery is not shape-bound to the default [[PqM]]×[[PqSub]]: the
+    * geometry spec runs M=8×8 codebooks (same 64-dim fixture, same
+    * [[PqKs]]/[[PqCandK]]) through this path and checks the identical
+    * recall floor and no-lost-true-neighbor contract. The default path
+    * above delegates here with the memoized codebooks, so the oracle-
+    * checked q83 plan is unchanged.
+    */
+  private[graft] def ivfPqWith(spark: SparkSession, dir: String,
+                               cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+                               pqM: Int, pqSub: Int): DataFrame = {
     val cents = kmeansCentroids(spark, dir)
-    val cbs = pqCodebooks(spark, dir)
     val centArr = typedLit(cents.map(_.toSeq))
     val res = residualFrame(spark, dir, cents)
     // the PQ index: fixed-width rows, cell + M small codes
     val codes = res.select(Seq(col("vec_id"), col("cell")) ++
-      (0 until PqM).map(m =>
-        pqBest(slice(col("r"), m * PqSub + 1, PqSub), cbs(m))
+      (0 until pqM).map(m =>
+        pqBest(slice(col("r"), m * pqSub + 1, pqSub), cbs(m))
           .getField("code").as(s"c$m")): _*)
     val v = vecs(spark, dir)
     val cellRanks = array_sort(array(cents.zipWithIndex.map { case (cv, cid) =>
@@ -896,11 +926,11 @@ object Similarity {
       .withColumn("qr", zip_with(col("qv"),
         element_at(centArr, col("cell") + 1), (x, c) => x - c))
       .select(Seq(col("q_id"), col("qv"), col("qn"), col("cell")) ++
-        (0 until PqM).map(m =>
+        (0 until pqM).map(m =>
           transform(typedLit(cbs(m).map(_.toSeq)),
-            sv => sqDist(slice(col("qr"), m * PqSub + 1, PqSub), sv))
+            sv => sqDist(slice(col("qr"), m * pqSub + 1, pqSub), sv))
             .as(s"t$m")): _*)
-    val adc = (0 until PqM)
+    val adc = (0 until pqM)
       .map(m => element_at(col(s"t$m"), col(s"c$m") + 1))
       .reduce(_ + _) // left-assoc: same fold order as the oracle's list
     val wc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))

@@ -257,6 +257,42 @@ class TrainingOpsSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("ivf-pq at the M=8x8 geometry: same recall floor, nothing shape-bound") {
+    // the codebook machinery is parametric in (M, dsub); train and
+    // search the 64-dim fixture as 8 subspaces of 8 dims (vs the
+    // default 4x16) and hold the SAME contracts: exact re-rank scores,
+    // the recall floor, and the ADC cut losing no true neighbor the
+    // coarse layer admits
+    val cbs8 = Similarity.fitPqGeometry(spark, dir, 8, 8)
+    assert(cbs8.size == 8 && cbs8.forall(_.forall(_.length == 8)))
+    val pq8 = Similarity.ivfPqWith(spark, dir, cbs8, 8, 8).cache()
+    assert(pq8.count() > 0)
+    val bf = Similarity.cosineTopK(spark, dir)
+      .filter(col("rank") <= Similarity.AnnK)
+      .select(col("q_id"), col("vec_id"), col("score").as("bscore")).cache()
+    val shared = pq8.join(bf, Seq("q_id", "vec_id")).cache()
+    shared.collect().foreach { r =>
+      assert(r.getDouble(r.fieldIndex("score")) ==
+        r.getDouble(r.fieldIndex("bscore")), "re-rank must stay exact")
+    }
+    val recall = shared.count().toDouble / bf.count()
+    assert(recall >= 0.5, s"M=8x8 recall@${Similarity.AnnK} fell to $recall")
+    // same no-lost-true-neighbor contract as the default geometry: the
+    // hits equal q81's full-cell exact scan restricted to brute force
+    val q81hits = Similarity.ivfKmeans(spark, dir)
+      .join(bf, Seq("q_id", "vec_id"))
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(_.mkString("|")).toSet
+    assert(shared.select(col("q_id"), col("vec_id"))
+      .collect().map(_.mkString("|")).toSet == q81hits,
+      "M=8x8 ADC cut lost a true neighbor the coarse layer admitted")
+    // a wrong geometry cannot slip through: the tiling is checked
+    intercept[IllegalArgumentException] {
+      Similarity.fitPqGeometry(spark, dir, 8, 16)
+    }
+    Seq(pq8, bf, shared).foreach(_.unpersist(false))
+  }
+
   test("production k-means fit matches the ordered-fold fit to 1e-9") {
     // same seeds, same argmin, same iterations — only the Lloyd mean
     // changes (commutative avg, O(1) agg state, vs the cluster-sized
