@@ -29,6 +29,15 @@ object Contamination {
   val TrainPct = 80
   val ValPct = 10 // test = remainder
 
+  /** THE content-hash split rule — the single Scala definition behind
+    * q34, the q87 audit, and the pipeline's split stage (one copy, so
+    * labels and audits can never desynchronize).
+    */
+  def splitLabel(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hash60(text) % 100 < TrainPct, "train")
+      .when(hash60(text) % 100 < TrainPct + ValPct, "val")
+      .otherwise("test")
+
   /** q33: per-training-doc contamination against the benchmark slice. */
   def contamination(spark: SparkSession, dir: String): DataFrame =
     contaminationOf(Tables.spread(Tables.documents(spark, dir)))
@@ -85,12 +94,8 @@ object Contamination {
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        (hash60(col("text")) % 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainPct, "train")
-          .when(col("bucket") < TrainPct + ValPct, "val")
-          .otherwise("test"))
-      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+        (hash60(col("text")) % 100).as("bucket"),
+        splitLabel(col("text")).as("split"))
       .orderBy(col("doc_id"))
 
   val splitAssignSql: String =
@@ -249,10 +254,7 @@ object Contamination {
                                     shingles: DataFrame): DataFrame = {
     import Dedup.{A, B, Bands, P, Rows}
     val splits = docsIn
-      .select(col("doc_id"),
-        when(hash60(col("text")) % 100 < TrainPct, "train")
-          .when(hash60(col("text")) % 100 < TrainPct + ValPct, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitLabel(col("text")).as("split"))
     val shx = shingles.withColumn("x", col("sh_h") % P)
     val mins = A.indices.map(j =>
       min((lit(A(j)) * col("x") + lit(B(j))) % P).as(s"v$j"))

@@ -555,13 +555,39 @@ object Dedup {
                                         batchDocs: DataFrame): DataFrame =
     screenAgainstIndexOf(corpusIndex(spark, dir), batchDocs)
 
+  /** Drop batch docs the index has ALREADY ABSORBED — the screens'
+    * self-pair guard. The manifest alone is not enough: a doc caught by
+    * a crash between a data append and the manifest append has its rows
+    * AT REST but no manifest row, and a replayed screen would pair it
+    * with its own at-rest rows (jaccard/sim 1.0) and its batch siblings
+    * — novel pairs no clean run produces, which a (di, dc) pair
+    * anti-join cannot absorb. So: manifest fast path first (O(|docs|)),
+    * then a residual probe of the DATA table restricted to a broadcast
+    * of the batch's manifest-missing ids (∅ on the no-crash path — the
+    * restricted scan shuffles nothing).
+    */
+  private def unseenBatch(data: DataFrame, manifest: DataFrame,
+                          batch: DataFrame): DataFrame = {
+    val past = batch.select(col("doc_id")).distinct()
+      .join(manifest, Seq("doc_id"), "left_anti")
+    val residual = data.join(broadcast(past), Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).distinct()
+    batch.join(manifest, Seq("doc_id"), "left_anti")
+      .join(broadcast(residual), Seq("doc_id"), "left_anti")
+  }
+
   /** The q74 screen against an EXPLICIT index — the form consumers with
     * their own at-rest index (the [[graft.pipelines.CorpusPipeline]]
     * live corpus) call; the per-dir q74 path delegates here with the
-    * memoized [[corpusIndex]].
+    * memoized [[corpusIndex]]. Contract: a doc the index has already
+    * absorbed — even partially, through the append crash window — is
+    * never screened, so no doc can pair with its own at-rest rows
+    * ([[unseenBatch]]; what makes at-least-once redelivery safe for
+    * EVERY caller, not just the streaming loop).
     */
   private[graft] def screenAgainstIndexOf(idx: CorpusIndex,
-                                          batchDocs: DataFrame): DataFrame = {
+                                          batchDocs0: DataFrame): DataFrame = {
+    val batchDocs = unseenBatch(idx.shingles, idx.docs, batchDocs0)
     // batch-only signature work, straight off the filtered source scan;
     // consumed twice (band build + verify sets) — cached, drained after
     val batchSh = graft.TransientCache.register(
@@ -1180,20 +1206,33 @@ object Dedup {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.SparkContext, String, String), WinnowIndex]
 
+  /** Build-or-reopen the winnow index tables at an explicit root — the
+    * memo-free core shared by [[winnowIndexAtRest]] and
+    * [[openWinnowIndex]] (one build body, the [[corpusIndexAt]]
+    * discipline: diverging copies was a review-pass finding). The
+    * manifest is written LAST from the at-rest rows — a doc in the
+    * manifest has all its fingerprints durably in the data table — and
+    * a missing manifest is repaired the same way (appends are per-job
+    * atomic, so every doc with rows at rest has ALL its rows at rest).
+    * `corpusDocs` is only evaluated for a from-scratch build.
+    */
+  private def winnowIndexAt(spark: SparkSession, root: String,
+                            corpusDocs: => DataFrame): WinnowIndex = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    if (!wh.exists("corpus_winnow"))
+      wh.write("corpus_winnow", winnowFingerprintsOf(corpusDocs))
+    if (!wh.exists("corpus_winnow_docs"))
+      wh.write("corpus_winnow_docs",
+        wh.read("corpus_winnow").select(col("doc_id")).distinct())
+    WinnowIndex(wh.read("corpus_winnow"), wh.read("corpus_winnow_docs"), root)
+  }
+
   private[graft] def winnowIndexAtRest(spark: SparkSession, dir: String): WinnowIndex = {
     val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
     winnowIndexMemo.get(key).getOrElse {
       val root = java.nio.file.Files.createTempDirectory("graft_winidx_").toString
-      val wh = new graft.pipelines.Warehouse(spark, root)
-      val corpusDocs = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
-      wh.write("corpus_winnow", winnowFingerprintsOf(corpusDocs))
-      // manifest from the at-rest rows, written LAST (the CorpusIndex
-      // discipline): a doc in the manifest has all its fingerprints
-      // durably in the data table
-      wh.write("corpus_winnow_docs",
-        wh.read("corpus_winnow").select(col("doc_id")).distinct())
-      val built = WinnowIndex(wh.read("corpus_winnow"),
-        wh.read("corpus_winnow_docs"), root)
+      val built = winnowIndexAt(spark, root,
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8))
       winnowIndexMemo.putIfAbsent(key, built) match {
         case Some(winner) => deleteRootDir(root); winner
         case None => createdRoots.synchronized { createdRoots += root }; built
@@ -1236,16 +1275,8 @@ object Dedup {
   def openWinnowIndex(spark: SparkSession, dir: String, root: String): Unit = {
     val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
     if (winnowIndexMemo.get(key).exists(_.root == root)) return
-    val wh = new graft.pipelines.Warehouse(spark, root)
-    if (!wh.exists("corpus_winnow")) {
-      val corpusDocs = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
-      wh.write("corpus_winnow", winnowFingerprintsOf(corpusDocs))
-    }
-    if (!wh.exists("corpus_winnow_docs"))
-      wh.write("corpus_winnow_docs",
-        wh.read("corpus_winnow").select(col("doc_id")).distinct())
-    installWinnowIndex(spark, dir,
-      WinnowIndex(wh.read("corpus_winnow"), wh.read("corpus_winnow_docs"), root))
+    installWinnowIndex(spark, dir, winnowIndexAt(spark, root,
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)))
   }
 
   /** Advance the at-rest winnow index with a verified batch —
@@ -1311,8 +1342,12 @@ object Dedup {
     * index-sized one. Per-night cost ∝ batch + fingerprint collisions.
     */
   private[graft] def screenWinnowAgainstIndex(spark: SparkSession, dir: String,
-                                              batchDocs: DataFrame): DataFrame = {
+                                              batchDocs0: DataFrame): DataFrame = {
     val idx = winnowIndexAtRest(spark, dir)
+    // the [[unseenBatch]] self-pair guard, winnow edition: a doc whose
+    // fingerprints landed but whose manifest row did not (the append
+    // crash window) must not re-screen against its own at-rest rows
+    val batchDocs = unseenBatch(idx.fingerprints, idx.docs, batchDocs0)
     // batch-only fingerprint work; consumed 2x (df probe + keep join)
     val batchFp = graft.TransientCache.register(
       winnowFingerprintsOf(batchDocs).cache())

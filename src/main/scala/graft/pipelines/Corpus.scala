@@ -113,12 +113,7 @@ object CorpusPipeline {
     // sufficient: every straddling pair has its eval member flagged.
     val leaks = stage("corpus_leaked", clean,
       Contamination.splitLeakageOf(clean, Dedup.shingleRowsOf(clean)))
-    val labeled = clean.withColumn("split",
-      when(graft.functions.TextFns.hash60(col("text")) % 100 <
-          Contamination.TrainPct, "train")
-        .when(graft.functions.TextFns.hash60(col("text")) % 100 <
-          Contamination.TrainPct + Contamination.ValPct, "val")
-        .otherwise("test"))
+    val labeled = clean.withColumn("split", Contamination.splitLabel(col("text")))
     val split = stage("corpus_split", clean,
       labeled.join(leaks.select(col("eval_id").as("doc_id")),
         Seq("doc_id"), "left_anti"))
@@ -182,11 +177,15 @@ object CorpusPipeline {
     import spark.implicits._
     require(wh.exists("corpus_clean") && wh.exists("corpus_raw"),
       "refineIncremental needs a refined base — run refine() first")
-    if (!wh.exists("corpus_live")) {
+    // INDEPENDENT seed guards: a crash between the two seed writes must
+    // not strand the warehouse (a corpus_live-only guard would skip the
+    // live_keys seed forever — a review-pass finding). live_keys derives
+    // from the at-rest corpus_live, so the repair is exact.
+    if (!wh.exists("corpus_live"))
       wh.write("corpus_live", wh.read("corpus_clean"))
+    if (!wh.exists("live_keys"))
       wh.write("live_keys",
-        Dedup.exactDedupOf(wh.read("corpus_clean")).select(col("k")))
-    }
+        Dedup.exactDedupOf(wh.read("corpus_live")).select(col("k")))
     val idx = Dedup.corpusIndexAt(spark, s"${wh.root}/live_index",
       wh.read("corpus_live"))
     val log = scala.collection.mutable.ArrayBuffer.empty[StageCount]
@@ -226,8 +225,12 @@ object CorpusPipeline {
       val bench = wh.read("corpus_raw").filter(col("source") === BenchSource)
       val flagged = Contamination.contaminationOf(e.unionByName(bench), BenchSource)
         .filter(col("flagged")).select(col("doc_id"))
-      val c = count("live_contam", log.last.rows_out,
-        e.join(flagged, Seq("doc_id"), "left_anti"))
+      // checkpointed: four consumers downstream (the fuzzy screen's
+      // shingle build, its own count, the survivor anti-join, and f's
+      // checkpoint) would otherwise re-run the quality/exact/contam
+      // subplan once each
+      val c = ckpt(count("live_contam", log.last.rows_out,
+        e.join(flagged, Seq("doc_id"), "left_anti")))
       graft.TransientCache.drain()
       // 4 — fuzzy screen (q74) against the live index: batch docs that
       // are near-dups of the refined corpus are dropped

@@ -16,9 +16,11 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * At-least-once → exactly-once, structurally (no transactional sink
   * needed):
   *
-  *  1. the batch is pre-filtered against the index's `corpus_docs`
-  *     manifest (the at-rest seen-ledger — the S13 discipline), so a
-  *     replayed document never screens against itself;
+  *  1. the screen itself drops docs the index has already absorbed —
+  *     the manifest plus a residual data probe for the append crash
+  *     window (the S13 seen-ledger, inside
+  *     [[Dedup.screenAgainstIndexOf]]) — so a replayed document never
+  *     screens against its own at-rest rows;
   *  2. the pair append is keyed on (di, dc) — a replay that crashed
   *     between the pair append and the index append re-screens, finds
   *     the same pairs, and the anti-join drops them;
@@ -46,15 +48,13 @@ object StreamingDedup {
                    indexRoot: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     indexRoot.foreach(Dedup.openCorpusIndex(spark, dir, _))
-    val idx = Dedup.corpusIndex(spark, dir)
-    // seen-ledger filter FOR THE SCREEN ONLY: docs already fully in the
-    // index are replays and must not screen against themselves. The
-    // ledger is the corpus_docs MANIFEST — an O(|docs|) bare scan, not
-    // a distinct over the shingle table (the r8 seen-set finding); a
-    // doc caught mid-append (data rows without a manifest row) simply
-    // re-screens, and the pair anti-join below absorbs the repeats
-    val fresh = batch.join(idx.docs, Seq("doc_id"), "left_anti")
-    val pairs = Dedup.screenAgainstIndex(spark, dir, fresh)
+    // the seen-ledger is INSIDE the screen (Dedup.screenAgainstIndexOf's
+    // unseenBatch guard): manifest fast path + residual data probe, so a
+    // doc caught by a crash between a data append and the manifest
+    // append never screens against its own at-rest rows — self/sibling
+    // pairs are novel and the (di, dc) anti-join below could not absorb
+    // them (a review-pass finding; the crash window is spec'd)
+    val pairs = Dedup.screenAgainstIndex(spark, dir, batch)
     val novel =
       if (!wh.exists("dedup_pairs")) pairs
       else pairs.join(wh.read("dedup_pairs").select(col("di"), col("dc")),

@@ -293,10 +293,15 @@ class StreamingSpec extends SparkSpec {
     val wh2 = new Warehouse(spark, s"$tmp/wh2")
     val idx0 = Dedup.corpusIndex(spark, dir)
     val iwh = new Warehouse(spark, idx0.root)
+    // the pre-crash screen MATERIALIZED before the crash is simulated:
+    // the screen's unseenBatch guard reads corpus_shingles, and the
+    // append below refreshes that path's file listing — a lazy p0 would
+    // re-evaluate against post-crash state and see its docs as seen
     val p0 = Dedup.screenAgainstIndex(spark, dir, night(8))
-    iwh.append("corpus_shingles", Dedup.shingleRowsOf(night(8)))
-    wh2.append("dedup_pairs", p0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     TransientCache.drain()
+    iwh.append("corpus_shingles", Dedup.shingleRowsOf(night(8)))
+    wh2.append("dedup_pairs", p0.toDF("di", "dc", "jaccard"))
     // "restart": the process re-reads the at-rest tables as they are
     Dedup.installCorpusIndex(spark, dir,
       idx0.copy(bands = iwh.read("corpus_band_index"),
@@ -309,6 +314,61 @@ class StreamingSpec extends SparkSpec {
     val idx1 = Dedup.corpusIndex(spark, dir)
     assert(idx1.bands.count() == wantB && idx1.shingles.count() == wantS)
     assert(wh2.read("dedup_pairs").collect().map(_.mkString("|")).toSet == wantPairs)
+    Dedup.clearCorpusIndex(spark)
+  }
+
+  test("streaming dedup: replay after BOTH data appends land (manifest behind) adds no self-pairs") {
+    // the worst crash window for the manifest seen-ledger: shingles AND
+    // bands at rest, manifest not. A replayed screen that re-admitted
+    // these docs would band-match them against their OWN at-rest rows
+    // (jaccard 1.0) and their batch siblings — NOVEL pairs the (di, dc)
+    // anti-join cannot absorb (a review-pass finding). The screen's
+    // unseenBatch residual probe must drop them instead.
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    Dedup.clearCorpusIndex(spark)
+    val tmp = Files.createTempDirectory("graft-crash2").toString
+    def night(m: Int) = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === m)
+      .select(col("doc_id"), col("text"))
+    // reference: the uncrashed path
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    StreamingDedup.processBatch(dir, wh, night(8).as[DocRow].collect().toSeq.toDF())
+    val wantPairs = wh.read("dedup_pairs").collect().map(_.mkString("|")).toSet
+    val wantIdx = Dedup.corpusIndex(spark, dir)
+    val (wantB, wantS, wantD) =
+      (wantIdx.bands.count(), wantIdx.shingles.count(), wantIdx.docs.count())
+    Dedup.clearCorpusIndex(spark)
+
+    // crash simulation: pairs + BOTH index data appends committed, the
+    // corpus_docs append did not
+    val wh2 = new Warehouse(spark, s"$tmp/wh2")
+    val idx0 = Dedup.corpusIndex(spark, dir)
+    val iwh = new Warehouse(spark, idx0.root)
+    // pre-crash screen materialized BEFORE the crash sim (see the
+    // sibling crash spec: the guard re-lists appended paths)
+    val p0 = Dedup.screenAgainstIndex(spark, dir, night(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    TransientCache.drain()
+    val sh8 = Dedup.shingleRowsOf(night(8)).localCheckpoint(true)
+    iwh.append("corpus_shingles", sh8)
+    iwh.append("corpus_band_index", Dedup.bandsOf(sh8))
+    wh2.append("dedup_pairs", p0.toDF("di", "dc", "jaccard"))
+    // "restart": re-read the at-rest tables as they are
+    Dedup.installCorpusIndex(spark, dir,
+      idx0.copy(bands = iwh.read("corpus_band_index"),
+        shingles = iwh.read("corpus_shingles")))
+    assert(Dedup.corpusIndex(spark, dir).docs
+      .filter(col("doc_id") % 10 === 8).isEmpty, "crash state: manifest behind")
+    // redelivery: no new pairs (especially no di == dc), manifest repaired
+    StreamingDedup.processBatch(dir, wh2, night(8).as[DocRow].collect().toSeq.toDF())
+    val gotPairs = wh2.read("dedup_pairs").collect().map(_.mkString("|")).toSet
+    assert(gotPairs == wantPairs, "replay must add no self/sibling pairs")
+    assert(wh2.read("dedup_pairs").filter(col("di") === col("dc")).isEmpty)
+    val idx1 = Dedup.corpusIndex(spark, dir)
+    assert(idx1.bands.count() == wantB && idx1.shingles.count() == wantS &&
+      idx1.docs.count() == wantD)
     Dedup.clearCorpusIndex(spark)
   }
 

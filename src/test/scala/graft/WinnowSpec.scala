@@ -189,6 +189,27 @@ class WinnowSpec extends SparkSpec {
     Dedup.clearWinnowIndexAtRest(spark)
   }
 
+  test("q88 screen skips docs whose fingerprints landed without a manifest row") {
+    // the winnow edition of the self-pair crash window: data append
+    // committed, manifest append not — a redelivered screen must not
+    // pair the batch with its own at-rest rows (sim 1.0 self-pairs)
+    Dedup.clearWinnowIndexAtRest(spark)
+    val night1 = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 8)
+    val idx0 = Dedup.winnowIndexAtRest(spark, dir)
+    val iwh = new graft.pipelines.Warehouse(spark, idx0.root)
+    iwh.append("corpus_winnow",
+      Dedup.winnowFingerprintsOf(night1)
+        .join(iwh.read("corpus_winnow_docs"), Seq("doc_id"), "left_anti"))
+    Dedup.installWinnowIndex(spark, dir,
+      idx0.copy(fingerprints = iwh.read("corpus_winnow"),
+        docs = iwh.read("corpus_winnow_docs")))
+    val replayed = Dedup.screenWinnowAgainstIndex(spark, dir, night1)
+    assert(replayed.isEmpty,
+      "a partially-appended batch must not screen against its own rows")
+    TransientCache.drain()
+    Dedup.clearWinnowIndexAtRest(spark)
+  }
+
   test("q88 corpus side is the at-rest index: bare scans, and injection drives output") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
     Dedup.clearWinnowIndexAtRest(spark)
