@@ -18,8 +18,23 @@ object Tables {
     */
   val Money: DecimalType = DecimalType(18, 2)
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Fixture timestamps have arrived in three parquet physical forms across
+    * driver generations: TIMESTAMP(NANOS) (handled in [[events]]),
+    * TIMESTAMP(MICROS, adjustedToUTC=true) (read as TIMESTAMP), and
+    * TIMESTAMP(MICROS, adjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    * Normalize NTZ → TIMESTAMP at the load seam: the harness session runs
+    * UTC, so the cast reinterprets the same micros as the same instant the
+    * UTC-adjusted generations produced, and every downstream consumer
+    * (`unix_micros`, `Row.getTimestamp`, the Verify parquet dumps the
+    * oracle compares against) keeps one stable type surface.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+  }
 
   /** Fan a small-file scan out to all cores. The fixture tables are single
     * parquet files with one row group, so the scan gets ONE partition and
