@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import graft.operators.Dedup
 import graft.pipelines.Warehouse
-import graft.streaming.{StreamingDedup, StreamingIngest}
+import graft.streaming.{StreamingDedup, StreamingIngest, StreamingWinnow}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -405,6 +405,100 @@ class StreamingSpec extends SparkSpec {
     // night 9 still deduped against streamed night 8 ⇒ restart lost nothing
     assert(wh.read("dedup_pairs").collect().map(_.mkString("|")).toSet == want)
     Dedup.clearCorpusIndex(spark)
+  }
+
+  test("streaming winnow twin: two micro-batch nights == the batch loop; replay is a no-op") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    Dedup.clearWinnowIndexAtRest(spark) // start from the base corpus (% 10 < 8)
+    val tmp = Files.createTempDirectory("graft-swinnow").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val docs = Tables.documents(spark, dir)
+    def night(m: Int): Seq[DocRow] = docs
+      .filter(col("doc_id") % 10 === m)
+      .select(col("doc_id"), col("text")).as[DocRow].collect().toSeq
+
+    // night 1 and night 2 arrive as separate micro-batches of one stream
+    val stream = MemoryStream[DocRow](spark)
+    stream.addData(night(8): _*)
+    StreamingWinnow.screenSink(stream.toDF(), dir, wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    stream.addData(night(9): _*)
+    StreamingWinnow.screenSink(stream.toDF(), dir, wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+
+    val got = wh.read("winnow_pairs").collect().map(_.mkString("|")).toSet
+    // the batch reference: the full q86 pair computation over exactly the
+    // docs visible each night (corpus-so-far ∪ batch — the df universe an
+    // incremental screen must reproduce), restricted to batch x corpus —
+    // the WinnowSpec nightly-loop differential, now reached via the stream
+    def expected(batchMod: Int, corpusMax: Int): Set[String] = {
+      val uni = docs.filter(col("doc_id") % 10 < corpusMax ||
+        col("doc_id") % 10 === batchMod)
+      val s = Dedup.winnowPairsOf(Dedup.winnowFingerprintsOf(uni))
+        .filter((col("da") % 10 === batchMod && col("db") % 10 < corpusMax) ||
+          (col("db") % 10 === batchMod && col("da") % 10 < corpusMax))
+        .select(
+          when(col("da") % 10 === batchMod, col("da")).otherwise(col("db")).as("di"),
+          when(col("da") % 10 === batchMod, col("db")).otherwise(col("da")).as("dc"),
+          col("shared"), col("sim"))
+        .collect().map(_.mkString("|")).toSet
+      TransientCache.drain()
+      s
+    }
+    assert(got == (expected(8, 8) ++ expected(9, 9)))
+    assert(got.nonEmpty, "fixture must contain streaming winnow overlaps")
+
+    // the stream ADVANCED the shared index: both nights' docs are in the
+    // manifest now (foreachBatch clones the session — the memo must share
+    // across clones or each micro-batch rebuilds its own index)
+    val idx = Dedup.winnowIndexAtRest(spark, dir)
+    assert(idx.docs.filter(col("doc_id") % 10 >= 8).count() ==
+      docs.filter(col("doc_id") % 10 >= 8 && col("text").isNotNull).count())
+    val (nf, nd) = (idx.fingerprints.count(), idx.docs.count())
+    // replay of an already-processed batch (at-least-once delivery): the
+    // seen-ledger + keyed appends make it a no-op on pairs AND index
+    StreamingWinnow.processBatch(dir, wh, night(8).toDF())
+    assert(wh.read("winnow_pairs").collect().map(_.mkString("|")).toSet == got)
+    val idx2 = Dedup.winnowIndexAtRest(spark, dir)
+    assert(idx2.fingerprints.count() == nf && idx2.docs.count() == nd)
+    Dedup.clearWinnowIndexAtRest(spark)
+  }
+
+  test("streaming winnow: a durable index root survives a process restart") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def night(m: Int) = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === m)
+      .select(col("doc_id"), col("text"))
+
+    // reference: both nights in ONE process lifetime (temp-root index)
+    Dedup.clearWinnowIndexAtRest(spark)
+    val tmpRef = Files.createTempDirectory("graft-wdurable-ref").toString
+    val whRef = new Warehouse(spark, s"$tmpRef/wh")
+    StreamingWinnow.processBatch(dir, whRef, night(8).as[DocRow].collect().toSeq.toDF())
+    StreamingWinnow.processBatch(dir, whRef, night(9).as[DocRow].collect().toSeq.toDF())
+    val want = whRef.read("winnow_pairs").collect().map(_.mkString("|")).toSet
+    assert(want.nonEmpty)
+
+    // durable run: night 8, then a SIMULATED RESTART (memo wiped), then
+    // night 9 — the index must remember night 8 from the at-rest root
+    val tmp = Files.createTempDirectory("graft-wdurable").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val root = s"$tmp/idx"
+    Dedup.clearWinnowIndexAtRest(spark)
+    StreamingWinnow.processBatch(dir, wh,
+      night(8).as[DocRow].collect().toSeq.toDF(), Some(root))
+    Dedup.clearWinnowIndexAtRest(spark) // "restart": in-memory memo gone
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root)),
+      "caller-owned root must survive clearWinnowIndexAtRest")
+    StreamingWinnow.processBatch(dir, wh,
+      night(9).as[DocRow].collect().toSeq.toDF(), Some(root))
+    // night 9 still screened against streamed night 8 ⇒ restart lost nothing
+    assert(wh.read("winnow_pairs").collect().map(_.mkString("|")).toSet == want)
+    Dedup.clearWinnowIndexAtRest(spark)
   }
 
   test("the streaming aggregation plan also runs in plain batch mode") {
