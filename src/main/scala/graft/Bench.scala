@@ -162,6 +162,16 @@ object Bench {
       // memo hit is guaranteed and this tier bills only the PQ pass)
       ("pqfit", Set("q83"),
         () => operators.Similarity.pqCodebooks(spark, sfDir): Unit),
+      // the q89 tier's FROZEN corpus-side fits (trained on vec_id%10<8
+      // only — the incremental contract forbids the batch in training)
+      // and the at-rest codes build they feed; billed separately so
+      // q89's marginal is screen-only, like q74/q88
+      ("ckmfit", Set("q89"),
+        () => operators.Similarity.corpusKmeansCentroids(spark, sfDir): Unit),
+      ("cpqfit", Set("q89"),
+        () => operators.Similarity.corpusPqCodebooks(spark, sfDir): Unit),
+      ("annidx", Set("q89"),
+        () => operators.Similarity.annIndexAtRest(spark, sfDir): Unit),
       // the corpus seen-set bitset (256 KB driver state via the typed
       // Bloom Aggregator; consumes the shingle cache, listed after it)
       ("bloom", Set("q84"),

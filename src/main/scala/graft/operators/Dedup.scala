@@ -399,9 +399,9 @@ object Dedup {
   /** Temp roots THIS module created (vs. roots of test-injected indexes,
     * which we must never delete). Guarded by its own monitor.
     */
-  private val createdRoots = scala.collection.mutable.Set.empty[String]
+  private[operators] val createdRoots = scala.collection.mutable.Set.empty[String]
 
-  private def deleteRootDir(root: String): Unit = {
+  private[operators] def deleteRootDir(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -349,13 +349,25 @@ object Similarity {
     * TrainingOpsSpec via [[kmFitCount]].
     */
   private val kmMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.SparkContext, String), IndexedSeq[Array[Double]]]
+    .empty[(org.apache.spark.SparkContext, String, Boolean), IndexedSeq[Array[Double]]]
 
   /** Test observability: how many Lloyd fits actually ran (memo misses). */
   private[graft] val kmFitCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] =
-    kmMemo.getOrElseUpdate((spark.sparkContext, dir), fitKmeans(spark, dir))
+    kmMemo.getOrElseUpdate((spark.sparkContext, dir, false), fitKmeans(spark, dir))
+
+  /** The q89 tier's FROZEN coarse fit: Lloyd over the CORPUS side only
+    * (`vec_id % 10 < 8` — the delta tier's seen/incoming convention),
+    * memoized beside the shared full-table fit. Incremental honesty is
+    * the point: the codebooks an append-only ANN index encodes with were
+    * trained before the appended vectors existed, so the fit must never
+    * see the batch side ([[appendToAnnIndex]] encodes, never refits —
+    * the FAISS `add()` contract; refit = index rebuild).
+    */
+  private[graft] def corpusKmeansCentroids(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] =
+    kmMemo.getOrElseUpdate((spark.sparkContext, dir, true),
+      fitKmeansWith(spark, dir, orderedFold = true, corpusOnly = true))
 
   /** Evict this context's memoized fits — the Lloyd centroids AND the
     * PQ codebooks trained on their residuals (stale codebooks against a
@@ -365,6 +377,9 @@ object Similarity {
   def clearKmeansMemo(spark: SparkSession): Unit = {
     kmMemo.keys.filter(_._1 eq spark.sparkContext).foreach(kmMemo.remove)
     pqMemo.keys.filter(_._1 eq spark.sparkContext).foreach(pqMemo.remove)
+    // the at-rest codes quantize the cleared fits' space — a fresh fit
+    // with a stale codes table would ADC against the wrong codebooks
+    clearAnnIndex(spark)
   }
 
   private def fitKmeans(spark: SparkSession, dir: String): IndexedSeq[Array[Double]] =
@@ -387,10 +402,12 @@ object Similarity {
     * oracle-matched vec_id-ordered mean or the production `avg`.
     */
   private def fitKmeansWith(spark: SparkSession, dir: String,
-                            orderedFold: Boolean): IndexedSeq[Array[Double]] = {
+                            orderedFold: Boolean,
+                            corpusOnly: Boolean = false): IndexedSeq[Array[Double]] = {
     kmFitCount.incrementAndGet()
-    val v = Tables.spread(Tables.embeddings(spark, dir))
+    val all = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val v = if (corpusOnly) all.filter(col("vec_id") % 10 < 8) else all
 
     var cents: IndexedSeq[Array[Double]] = v.orderBy(col("vec_id")).limit(KmK)
       .select(col("v")).collect().toIndexedSeq
@@ -469,8 +486,11 @@ object Similarity {
   /** The oracle's k-means CTE chain — three unrolled Lloyd steps ending
     * at `a3(vec_id, v, cluster)`; shared by q71 and the q73 SemDeDup
     * oracle exactly as [[kmeansCentroids]] is shared in Spark.
+    * `where` filters the base vector scan — "" is the shared full-table
+    * fit; the q89 oracle passes the corpus restriction so its frozen
+    * fit is replicated relationally like everything else.
     */
-  private val kmeansCtes: String = {
+  private def kmeansCtesFor(where: String): String = {
     def assignCte(scored: String, cents: String) =
       s"""$scored AS (
         |  SELECT e.vec_id, e.v, c.cid, ${sqDistSql("e.v", "c.cv")} AS d
@@ -496,7 +516,7 @@ object Similarity {
         |  FROM $prev p LEFT JOIN ${m}v u ON u.cid = p.cid)""".stripMargin
     s"""e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM embeddings$where),
       |c0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmK)),
@@ -509,6 +529,8 @@ object Similarity {
       |${assignCte("s3", "c2")},
       |${argminCte("a3", "s3")}""".stripMargin
   }
+
+  private val kmeansCtes: String = kmeansCtesFor("")
 
   val kmeansAssignSql: String =
     s"""WITH $kmeansCtes
@@ -766,16 +788,18 @@ object Similarity {
     * no join.
     */
   private def residualFrame(spark: SparkSession, dir: String,
-                            cents: IndexedSeq[Array[Double]]): DataFrame = {
+                            cents: IndexedSeq[Array[Double]],
+                            corpusOnly: Boolean = false): DataFrame = {
     val centArr = typedLit(cents.map(_.toSeq))
-    vecs(spark, dir)
+    val v = vecs(spark, dir)
+    (if (corpusOnly) v.filter(col("vec_id") % 10 < 8) else v)
       .withColumn("cell", kmBest(col("v"), cents).getField("cid"))
       .withColumn("r", zip_with(col("v"),
         element_at(centArr, col("cell") + 1), (x, c) => x - c))
   }
 
   private val pqMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.SparkContext, String), IndexedSeq[IndexedSeq[Array[Double]]]]
+    .empty[(org.apache.spark.SparkContext, String, Boolean), IndexedSeq[IndexedSeq[Array[Double]]]]
 
   /** Test observability: how many PQ trainings actually ran. */
   private[graft] val pqFitCount = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -786,7 +810,16 @@ object Similarity {
     * coarse fit by [[clearKmeansMemo]].
     */
   private[graft] def pqCodebooks(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
-    pqMemo.getOrElseUpdate((spark.sparkContext, dir), fitPq(spark, dir))
+    pqMemo.getOrElseUpdate((spark.sparkContext, dir, false), fitPq(spark, dir))
+
+  /** The q89 tier's FROZEN PQ codebooks: trained on the CORPUS residuals
+    * against [[corpusKmeansCentroids]] — see that fit for why the batch
+    * side must stay invisible to training. Memoized and evicted together
+    * with the coarse fits ([[clearKmeansMemo]]).
+    */
+  private[graft] def corpusPqCodebooks(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
+    pqMemo.getOrElseUpdate((spark.sparkContext, dir, true),
+      fitPqWith(spark, dir, orderedFold = true, corpusOnly = true))
 
   /** Deterministic PQ training (the per-subspace k-means of Jégou et al.
     * 2011, "Product Quantization for Nearest Neighbor Search"): seeds are
@@ -824,10 +857,12 @@ object Similarity {
     fitPqWith(spark, dir, orderedFold = true, pqM, pqSub)
 
   private def fitPqWith(spark: SparkSession, dir: String, orderedFold: Boolean,
-                        pqM: Int = PqM, pqSub: Int = PqSub): IndexedSeq[IndexedSeq[Array[Double]]] = {
+                        pqM: Int = PqM, pqSub: Int = PqSub,
+                        corpusOnly: Boolean = false): IndexedSeq[IndexedSeq[Array[Double]]] = {
     pqFitCount.incrementAndGet()
-    val cents = kmeansCentroids(spark, dir)
-    val res = residualFrame(spark, dir, cents)
+    val cents = if (corpusOnly) corpusKmeansCentroids(spark, dir)
+                else kmeansCentroids(spark, dir)
+    val res = residualFrame(spark, dir, cents, corpusOnly)
     val seedRows = res.orderBy(col("vec_id")).limit(PqKs)
       .select(col("r")).collect().toIndexedSeq
       .map(_.getSeq[Double](0).toArray)
@@ -949,11 +984,20 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val ivfPqSql: String = {
-    def sub(l: String, m: String) =
-      s"list_slice($l, $m * $PqSub + 1, $m * $PqSub + $PqSub)"
-    s"""WITH $kmeansCtes,
-      |nr AS (SELECT vec_id, v, cluster, sqrt(${dotSql("v", "v")}) AS nrm FROM a3),
+  /** m-th subvector slice in DuckDB — the oracle's `slice(r, m*dsub+1, dsub)`. */
+  private def pqSubSql(l: String, m: String): String =
+    s"list_slice($l, $m * $PqSub + 1, $m * $PqSub + $PqSub)"
+
+  /** The oracle's PQ chain — residuals, codebook training, the at-rest
+    * CODES table — downstream of whichever k-means chain precedes it
+    * (`a3`/`c2` from [[kmeansCtesFor]]); shared verbatim by the q83 and
+    * q89 oracles exactly as the Spark-side fits are shared (q83 trains
+    * on the full table, q89 on the corpus-filtered chain — same text,
+    * different upstream `e`).
+    */
+  private val pqChainCtes: String = {
+    def sub(l: String, m: String) = pqSubSql(l, m)
+    s"""nr AS (SELECT vec_id, v, cluster, sqrt(${dotSql("v", "v")}) AS nrm FROM a3),
       |res AS (
       |  SELECT a.vec_id, a.cluster AS cell,
       |    list_transform(range(1, len(a.v) + 1),
@@ -993,7 +1037,13 @@ object Similarity {
       |    SELECT s.vec_id, s.cell, s.m, c.code,
       |      row_number() OVER (PARTITION BY s.vec_id, s.m
       |        ORDER BY ${sqDistSql("s.sub", "c.sv")}, c.code) AS rn
-      |    FROM subv s JOIN pcb$PqIters c ON c.m = s.m) WHERE rn = 1),
+      |    FROM subv s JOIN pcb$PqIters c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+  }
+
+  val ivfPqSql: String = {
+    def sub(l: String, m: String) = pqSubSql(l, m)
+    s"""WITH $kmeansCtes,
+      |$pqChainCtes,
       |pc AS (
       |  SELECT vec_id, cid AS cell,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
@@ -1024,6 +1074,273 @@ object Similarity {
       |  SELECT c.q_id, c.vec_id,
       |    ${dotSql("nq.v", "nx.v")} / (nq.nrm * nx.nrm) AS score
       |  FROM candq c JOIN nr nq ON nq.vec_id = c.q_id
+      |       JOIN nr nx ON nx.vec_id = c.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM rer)
+      |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, score
+      |FROM ranked WHERE rank <= $AnnK ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------- incremental ANN
+
+  /** The at-rest IVF-PQ index: the `corpus_codes` parquet table (vec_id,
+    * cell, c0..c{M-1} — fixed-width rows, M bytes of payload standing in
+    * for the raw vector) plus its root. One row per vector, so the codes
+    * table is its OWN membership manifest — the seen guard is an
+    * anti-join on its pruned vec_id column, already O(|vectors|); a
+    * separate `corpus_docs`-style manifest (the shingle tier's fix for
+    * O(index rows) ≫ O(docs)) would save nothing here.
+    */
+  private[graft] case class AnnIndex(codes: DataFrame, root: String)
+
+  /** Keyed by SparkContext like every index memo (foreachBatch hands
+    * micro-batches a cloned session); no hash-mode component — the ANN
+    * tier is pure numerics.
+    */
+  private val annIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), AnnIndex]
+
+  /** Encode a vector frame against FROZEN fits: coarse cell by literal-
+    * centroid argmin, then per-subspace PQ codes against the literal
+    * codebooks — one scan-stage projection, no join, the exact encode
+    * [[ivfPqWith]] performs inline. Shared by the index build and the
+    * nightly append so appended codes are bit-identical to what a
+    * from-scratch build over the widened corpus would produce (spec'd).
+    */
+  private[graft] def pqCodesOf(vframe: DataFrame, cents: IndexedSeq[Array[Double]],
+                               cbs: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val centArr = typedLit(cents.map(_.toSeq))
+    vframe
+      .withColumn("cell", kmBest(col("v"), cents).getField("cid"))
+      .withColumn("r", zip_with(col("v"),
+        element_at(centArr, col("cell") + 1), (x, c) => x - c))
+      .select(Seq(col("vec_id"), col("cell")) ++
+        (0 until PqM).map(m =>
+          pqBest(slice(col("r"), m * PqSub + 1, PqSub), cbs(m))
+            .getField("code").as(s"c$m")): _*)
+  }
+
+  /** Build-or-reopen the codes table at an explicit root — the
+    * [[Dedup.corpusIndexAt]] discipline: one build body shared by the
+    * temp-root memo path and the durable [[openAnnIndex]] path.
+    * `corpusCodes` is only evaluated for a from-scratch build.
+    */
+  private def annIndexAt(spark: SparkSession, root: String,
+                         corpusCodes: => DataFrame): AnnIndex = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    if (!wh.exists("corpus_codes")) wh.write("corpus_codes", corpusCodes)
+    AnnIndex(wh.read("corpus_codes"), root)
+  }
+
+  private[graft] def annIndexAtRest(spark: SparkSession, dir: String): AnnIndex = {
+    val key = (spark.sparkContext, dir)
+    annIndexMemo.get(key).getOrElse {
+      val root = java.nio.file.Files.createTempDirectory("graft_annidx_").toString
+      val built = annIndexAt(spark, root,
+        pqCodesOf(vecs(spark, dir).filter(col("vec_id") % 10 < 8),
+          corpusKmeansCentroids(spark, dir), corpusPqCodebooks(spark, dir)))
+      annIndexMemo.putIfAbsent(key, built) match {
+        case Some(winner) => Dedup.deleteRootDir(root); winner
+        case None =>
+          Dedup.createdRoots.synchronized { Dedup.createdRoots += root }; built
+      }
+    }
+  }
+
+  /** Drop this context's memoized ANN indexes; roots we created are
+    * deleted, injected/opened roots are left alone
+    * ([[Dedup.clearCorpusIndex]] semantics).
+    */
+  def clearAnnIndex(spark: SparkSession): Unit =
+    annIndexMemo.keys.filter(_._1 eq spark.sparkContext).foreach { k =>
+      annIndexMemo.remove(k).foreach { ai =>
+        val owned =
+          Dedup.createdRoots.synchronized { Dedup.createdRoots.remove(ai.root) }
+        if (owned) Dedup.deleteRootDir(ai.root)
+      }
+    }
+
+  /** Test seam — the q74/q88 contract spec pattern: inject a poisoned
+    * index to prove the screen reads the at-rest table.
+    */
+  private[graft] def installAnnIndex(spark: SparkSession, dir: String,
+                                     idx: AnnIndex): Unit = {
+    val prev = annIndexMemo.put((spark.sparkContext, dir), idx)
+    prev.filter(_.root != idx.root).foreach { ai =>
+      val owned =
+        Dedup.createdRoots.synchronized { Dedup.createdRoots.remove(ai.root) }
+      if (owned) Dedup.deleteRootDir(ai.root)
+    }
+  }
+
+  /** Open (or build) the ANN index at a DURABLE caller-owned root —
+    * [[Dedup.openCorpusIndex]]'s twin for the embedding tier. Existing
+    * codes are re-opened as-is (the nightly loop resumes where the last
+    * process stopped). Caller owns the root — never deleted here.
+    */
+  def openAnnIndex(spark: SparkSession, dir: String, root: String): Unit = {
+    val key = (spark.sparkContext, dir)
+    if (annIndexMemo.get(key).exists(_.root == root)) return
+    installAnnIndex(spark, dir, annIndexAt(spark, root,
+      pqCodesOf(vecs(spark, dir).filter(col("vec_id") % 10 < 8),
+        corpusKmeansCentroids(spark, dir), corpusPqCodebooks(spark, dir))))
+  }
+
+  /** Advance the at-rest index with a batch of new vectors — the FAISS
+    * `add()` contract: encode against the FROZEN corpus fits (never
+    * refit — refit is an index rebuild), guard with a vec_id anti-join
+    * against the codes table (one row per vector: the table is its own
+    * manifest, and `Warehouse.append` is per-job atomic, so there is no
+    * data/manifest crash window in this tier), append. Idempotent under
+    * at-least-once redelivery; spec'd in TrainingOpsSpec.
+    *
+    * `batchVecs` is embeddings-shaped (`vec_id`, `embedding`).
+    */
+  def appendToAnnIndex(spark: SparkSession, dir: String,
+                       batchVecs: DataFrame): AnnIndex = {
+    val idx = annIndexAtRest(spark, dir)
+    val wh = new graft.pipelines.Warehouse(spark, idx.root)
+    val fresh = pqCodesOf(vecsOf(batchVecs),
+      corpusKmeansCentroids(spark, dir), corpusPqCodebooks(spark, dir))
+      .join(wh.read("corpus_codes").select(col("vec_id")), Seq("vec_id"), "left_anti")
+    wh.append("corpus_codes", fresh)
+    val widened = AnnIndex(wh.read("corpus_codes"), idx.root)
+    installAnnIndex(spark, dir, widened)
+    widened
+  }
+
+  /** q89 — delta ANN screen: the INCREMENTAL twin of q83, closing the
+    * §2.9 loop for the embedding tier the way q74 closed the fuzzy tier
+    * and q88 the deterministic one. A nightly batch of new vectors
+    * (q61's `% 10 >= 8` convention) is screened for nearest corpus
+    * neighbors against the at-rest `corpus_codes` table — the corpus's
+    * raw vectors are NEVER rescanned for candidate generation, only the
+    * M-byte codes rows are:
+    *
+    *  1. batch probes rank the frozen corpus cells (literal-centroid
+    *     distances, scan-stage) and take [[NProbe]];
+    *  2. ADC lookup tables per (probe, cell) against the frozen literal
+    *     codebooks;
+    *  3. the at-rest codes join broadcast probes on cell, sum M
+    *     `element_at` lookups, and the [[PqCandK]] best candidates per
+    *     query survive;
+    *  4. exact cosine re-rank via query-bounded point lookups into the
+    *     raw vector store, [[AnnK]] emitted.
+    *
+    * At 100 TB the nightly cost is |batch| × (probed-cell codes rows) of
+    * fixed-width ADC work plus query-bounded exact re-ranks — independent
+    * of corpus pair count, and 128× less IO than scanning raw vectors.
+    * Every double is portable (the q83 argument verbatim), so the oracle
+    * replicates the corpus-restricted fit + codes + search relationally
+    * and hash-matches bit-for-bit.
+    */
+  def deltaAnn(spark: SparkSession, dir: String): DataFrame =
+    screenAnnAgainstIndex(spark, dir,
+      Tables.spread(Tables.embeddings(spark, dir))
+        .filter(col("vec_id") % 10 >= 8))
+
+  /** Normalize an embeddings-shaped frame to the (vec_id, v, nrm) search
+    * shape — [[vecs]] for an arbitrary batch frame.
+    */
+  private[graft] def vecsOf(df: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    df.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** The q89 screen with the batch as an argument — the nightly-loop
+    * form (screen, then [[appendToAnnIndex]] advances the index). The
+    * seen guard drops batch vectors the index already absorbed (replay
+    * is a no-op; a vector must not match itself after its own append),
+    * mirroring [[Dedup.screenAgainstIndex]]'s unseen discipline.
+    */
+  private[graft] def screenAnnAgainstIndex(spark: SparkSession, dir: String,
+                                           batchVecs: DataFrame): DataFrame = {
+    val idx = annIndexAtRest(spark, dir)
+    val cents = corpusKmeansCentroids(spark, dir)
+    val cbs = corpusPqCodebooks(spark, dir)
+    val centArr = typedLit(cents.map(_.toSeq))
+    val unseen = vecsOf(batchVecs)
+      .join(idx.codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val cellRanks = array_sort(array(cents.zipWithIndex.map { case (cv, cid) =>
+      struct(sqDist(col("v"), typedLit(cv.toSeq)).as("d"), lit(cid).as("cid"))
+    }: _*))
+    val probes = unseen
+      .withColumn("pc", explode(slice(cellRanks, 1, NProbe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("pc.cid").as("cell"))
+      .withColumn("qr", zip_with(col("qv"),
+        element_at(centArr, col("cell") + 1), (x, c) => x - c))
+      .select(Seq(col("q_id"), col("qv"), col("qn"), col("cell")) ++
+        (0 until PqM).map(m =>
+          transform(typedLit(cbs(m).map(_.toSeq)),
+            sv => sqDist(slice(col("qr"), m * PqSub + 1, PqSub), sv))
+            .as(s"t$m")): _*)
+    val adc = (0 until PqM)
+      .map(m => element_at(col(s"t$m"), col(s"c$m") + 1))
+      .reduce(_ + _) // left-assoc: same fold order as the oracle's list
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val cand = idx.codes.join(broadcast(probes), Seq("cell"))
+      .withColumn("adc", adc)
+      .withColumn("arn", row_number().over(wc))
+      .filter(col("arn") <= PqCandK)
+      .select(col("q_id"), col("qv"), col("qn"), col("vec_id"))
+    // exact re-rank: query-bounded point lookups into the raw vector
+    // store (ALL vectors — after appends the index legitimately holds
+    // earlier batches, and their raw rows live in the same store)
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    cand.join(vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm")),
+        Seq("vec_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= AnnK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val deltaAnnSql: String = {
+    def sub(l: String, m: String) = pqSubSql(l, m)
+    s"""WITH ${kmeansCtesFor(" WHERE vec_id % 10 < 8")},
+      |$pqChainCtes,
+      |eb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % 10 >= 8),
+      |ebn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM eb),
+      |sb AS (
+      |  SELECT b.vec_id, b.v, c.cid, ${sqDistSql("b.v", "c.cv")} AS d
+      |  FROM eb b CROSS JOIN c2 c),
+      |pc AS (
+      |  SELECT vec_id, cid AS cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
+      |  FROM sb),
+      |qres AS (
+      |  SELECT p.vec_id AS q_id, p.cell,
+      |    list_transform(range(1, len(n.v) + 1),
+      |      i -> n.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS qr
+      |  FROM pc p JOIN ebn n ON n.vec_id = p.vec_id
+      |       JOIN c2 c ON c.cid = p.cell
+      |  WHERE p.crn <= $NProbe),
+      |adcm AS (
+      |  SELECT q.q_id, x.vec_id, x.m,
+      |    ${sqDistSql(sub("q.qr", "x.m"), "b.sv")} AS d
+      |  FROM qres q
+      |       JOIN codes x ON x.cell = q.cell
+      |       JOIN pcb$PqIters b ON b.m = x.m AND b.code = x.code),
+      |adcv AS (
+      |  SELECT q_id, vec_id,
+      |    list_reduce(list_prepend(0.0, list(d ORDER BY m)), (a, b) -> a + b) AS adc
+      |  FROM adcm GROUP BY q_id, vec_id),
+      |candq AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
+      |    FROM adcv) WHERE arn <= $PqCandK),
+      |rer AS (
+      |  SELECT c.q_id, c.vec_id,
+      |    ${dotSql("nq.v", "nx.v")} / (nq.nrm * nx.nrm) AS score
+      |  FROM candq c JOIN ebn nq ON nq.vec_id = c.q_id
       |       JOIN nr nx ON nx.vec_id = c.vec_id),
       |ranked AS (
       |  SELECT q_id, vec_id, score,

@@ -1041,4 +1041,88 @@ class TrainingOpsSpec extends SparkSpec {
     val kept = Dq.dqFilteredLedger(spark, dir).agg(sum("n_events")).first().getLong(0)
     assert(kept + excluded == led.count())
   }
+
+  // --- q89 incremental ANN -------------------------------------------------
+
+  test("q89 nightly ANN loop: append == rebuild-encode; replay is a no-op; frozen fits") {
+    Similarity.clearKmeansMemo(spark) // also drops the ann index
+    val emb = Tables.embeddings(spark, dir)
+    val night1 = emb.filter(col("vec_id") % 10 === 8)
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    // the q89 query at the base state == the union of the two nights'
+    // screens (disjoint probe sets, same base index)
+    val q89 = asSet(Similarity.deltaAnn(spark, dir))
+    val s1 = asSet(Similarity.screenAnnAgainstIndex(spark, dir, night1))
+    val s2 = asSet(Similarity.screenAnnAgainstIndex(spark, dir,
+      emb.filter(col("vec_id") % 10 === 9)))
+    assert(q89 == (s1 ++ s2) && q89.nonEmpty)
+
+    // the fits are FROZEN: building the index + three screens paid at
+    // most one corpus coarse fit and one corpus PQ fit (plus the base
+    // fits the memo already held); further appends/screens refit nothing
+    val (kmF, pqF) = (Similarity.kmFitCount.get(), Similarity.pqFitCount.get())
+    val idx1 = Similarity.appendToAnnIndex(spark, dir, night1)
+    assert(Similarity.kmFitCount.get() == kmF && Similarity.pqFitCount.get() == pqF,
+      "append must encode with frozen fits, never refit")
+
+    // append == rebuild-encode: the widened table is bit-identical to a
+    // from-scratch encode of corpus ∪ night1 under the same frozen fits
+    val want = asSet(Similarity.pqCodesOf(
+      Similarity.vecsOf(emb.filter(col("vec_id") % 10 < 8 || col("vec_id") % 10 === 8)),
+      Similarity.corpusKmeansCentroids(spark, dir),
+      Similarity.corpusPqCodebooks(spark, dir)))
+    assert(asSet(idx1.codes) == want)
+    assert(idx1.codes.count() == want.size, "codes rows must be key-unique")
+
+    // replay of an already-appended batch: no-op on the table
+    val again = Similarity.appendToAnnIndex(spark, dir, night1)
+    assert(asSet(again.codes) == want && again.codes.count() == want.size)
+    // a vector the index absorbed is seen-guarded out of the screen
+    assert(Similarity.screenAnnAgainstIndex(spark, dir, night1).isEmpty,
+      "an absorbed batch must not screen (it would match itself)")
+    Similarity.clearKmeansMemo(spark)
+  }
+
+  test("q89 corpus side is the at-rest codes table: injection drives the output") {
+    Similarity.clearKmeansMemo(spark)
+    assert(Similarity.deltaAnn(spark, dir).count() > 0)
+    // poison: an index whose codes table is empty — a screen that
+    // recomputed corpus codes from raw vectors would still emit rows
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annpoison").toString
+    val wh = new graft.pipelines.Warehouse(spark, tmp)
+    wh.write("corpus_codes", Similarity.annIndexAtRest(spark, dir).codes.limit(0))
+    Similarity.installAnnIndex(spark, dir,
+      Similarity.AnnIndex(wh.read("corpus_codes"), tmp))
+    assert(Similarity.deltaAnn(spark, dir).isEmpty)
+    Similarity.clearKmeansMemo(spark)
+  }
+
+  test("q89 durable index root survives a process restart") {
+    Similarity.clearKmeansMemo(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val night1 = emb.filter(col("vec_id") % 10 === 8)
+    val night2 = emb.filter(col("vec_id") % 10 === 9)
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    // reference: append + screen in ONE process lifetime (temp-root index)
+    Similarity.appendToAnnIndex(spark, dir, night1)
+    val want = asSet(Similarity.screenAnnAgainstIndex(spark, dir, night2))
+    Similarity.clearAnnIndex(spark)
+
+    // durable run: open at a caller-owned root, append, then a SIMULATED
+    // RESTART (memo wiped), reopen — night 2 must still screen against
+    // the appended night 1
+    val root = java.nio.file.Files.createTempDirectory("graft-annroot").toString + "/idx"
+    Similarity.openAnnIndex(spark, dir, root)
+    Similarity.appendToAnnIndex(spark, dir, night1)
+    Similarity.clearAnnIndex(spark) // "restart": in-memory memo gone
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root)),
+      "caller-owned root must survive clearAnnIndex")
+    Similarity.openAnnIndex(spark, dir, root)
+    assert(asSet(Similarity.screenAnnAgainstIndex(spark, dir, night2)) == want)
+    Similarity.clearKmeansMemo(spark)
+  }
 }
