@@ -35,8 +35,9 @@ class DeterminismSweepSpec extends SparkSpec {
     // r8 newcomers: per-doc window minima + distinct (q85), fingerprint
     // pair ratios (q86), banding-recalled best-match windows (q87)
     "q85_winnow_fingerprints", "q86_winnow_pairs", "q87_split_leakage",
-    // r9: index-screened winnow delta pairs (q88)
-    "q88_delta_winnow")
+    // r9: index-screened winnow delta pairs (q88); frozen-fit ADC
+    // search + exact re-rank over the at-rest codes (q89)
+    "q88_delta_winnow", "q89_delta_ann")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

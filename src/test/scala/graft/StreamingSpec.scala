@@ -5,11 +5,13 @@ import java.sql.Timestamp
 
 import graft.operators.Dedup
 import graft.pipelines.Warehouse
-import graft.streaming.{StreamingDedup, StreamingIngest, StreamingWinnow}
+import graft.streaming.{StreamingAnn, StreamingDedup, StreamingIngest, StreamingWinnow}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class DocRow(doc_id: Long, text: String)
+
+case class EmbRow(vec_id: Long, embedding: Seq[Float])
 
 case class LedgerEvent(fecha: Timestamp, tienda_id: Int, art_id: Long,
                        delta_cantidad: Option[Long])
@@ -499,6 +501,53 @@ class StreamingSpec extends SparkSpec {
     // night 9 still screened against streamed night 8 ⇒ restart lost nothing
     assert(wh.read("winnow_pairs").collect().map(_.mkString("|")).toSet == want)
     Dedup.clearWinnowIndexAtRest(spark)
+  }
+
+  test("streaming ann twin: two micro-batch nights == the batch loop; replay is a no-op") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    def night(m: Int): Seq[EmbRow] = emb.filter(col("vec_id") % 10 === m)
+      .select(col("vec_id"), col("embedding")).as[EmbRow].collect().toSeq
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    // reference: the batch loop (the replay unit TrainingOpsSpec verifies
+    // differentially) driven directly, one fresh index
+    graft.operators.Similarity.clearKmeansMemo(spark)
+    val tmpRef = Files.createTempDirectory("graft-sann-ref").toString
+    val whRef = new Warehouse(spark, s"$tmpRef/wh")
+    StreamingAnn.processBatch(dir, whRef, night(8).toDF())
+    StreamingAnn.processBatch(dir, whRef, night(9).toDF())
+    val want = asSet(whRef.read("ann_matches"))
+    assert(want.nonEmpty, "fixture must contain streaming ann matches")
+
+    // streamed: the same two nights as micro-batches of one stream —
+    // equality proves the foreachBatch wiring (cloned-session memos,
+    // checkpoint restarts) preserves the loop exactly
+    graft.operators.Similarity.clearKmeansMemo(spark)
+    val tmp = Files.createTempDirectory("graft-sann").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val stream = MemoryStream[EmbRow](spark)
+    stream.addData(night(8): _*)
+    StreamingAnn.screenSink(stream.toDF(), dir, wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    stream.addData(night(9): _*)
+    StreamingAnn.screenSink(stream.toDF(), dir, wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    assert(asSet(wh.read("ann_matches")) == want)
+
+    // the stream ADVANCED the shared index: every vector of both nights
+    // is absorbed, so a replay is a no-op on matches AND index
+    val idx = graft.operators.Similarity.annIndexAtRest(spark, dir)
+    assert(idx.codes.filter(col("vec_id") % 10 >= 8).count() ==
+      emb.filter(col("vec_id") % 10 >= 8).count())
+    val nc = idx.codes.count()
+    StreamingAnn.processBatch(dir, wh, night(8).toDF())
+    assert(asSet(wh.read("ann_matches")) == want)
+    assert(graft.operators.Similarity.annIndexAtRest(spark, dir).codes.count() == nc)
+    graft.operators.Similarity.clearKmeansMemo(spark)
   }
 
   test("the streaming aggregation plan also runs in plain batch mode") {
