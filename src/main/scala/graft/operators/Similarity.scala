@@ -1223,9 +1223,11 @@ object Similarity {
     *     distances, scan-stage) and take [[NProbe]];
     *  2. ADC lookup tables per (probe, cell) against the frozen literal
     *     codebooks;
-    *  3. the at-rest codes join broadcast probes on cell, sum M
-    *     `element_at` lookups, and the [[PqCandK]] best candidates per
-    *     query survive;
+    *  3. the at-rest codes join the probes on cell (broadcast while the
+    *     batch fits — the q83 plan — with NO forced hint, so AQE
+    *     shuffles when a night's arrivals outgrow executor memory), sum
+    *     M `element_at` lookups, and the [[PqCandK]] best candidates
+    *     per query survive;
     *  4. exact cosine re-rank via query-bounded point lookups into the
     *     raw vector store, [[AnnK]] emitted.
     *
@@ -1282,7 +1284,12 @@ object Similarity {
       .map(m => element_at(col(s"t$m"), col(s"c$m") + 1))
       .reduce(_ + _) // left-assoc: same fold order as the oracle's list
     val wc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    val cand = idx.codes.join(broadcast(probes), Seq("cell"))
+    // NO forced broadcast, unlike q83: there the probe side is a bounded
+    // 1% sample; here it is the nightly batch, bounded operationally but
+    // not structurally. Catalyst broadcasts it while it fits (the
+    // fixture plan is identical to q83's) and AQE shuffles on cell when
+    // a night's arrivals outgrow executor memory — the q87 cliff rule.
+    val cand = idx.codes.join(probes, Seq("cell"))
       .withColumn("adc", adc)
       .withColumn("arn", row_number().over(wc))
       .filter(col("arn") <= PqCandK)
