@@ -1216,8 +1216,8 @@ object Dedup {
     * atomic, so every doc with rows at rest has ALL its rows at rest).
     * `corpusDocs` is only evaluated for a from-scratch build.
     */
-  private def winnowIndexAt(spark: SparkSession, root: String,
-                            corpusDocs: => DataFrame): WinnowIndex = {
+  private[graft] def winnowIndexAt(spark: SparkSession, root: String,
+                                   corpusDocs: => DataFrame): WinnowIndex = {
     val wh = new graft.pipelines.Warehouse(spark, root)
     if (!wh.exists("corpus_winnow"))
       wh.write("corpus_winnow", winnowFingerprintsOf(corpusDocs))
@@ -1290,7 +1290,18 @@ object Dedup {
     */
   def appendToWinnowIndex(spark: SparkSession, dir: String,
                           batchDocs: DataFrame): WinnowIndex = {
-    val idx = winnowIndexAtRest(spark, dir)
+    val fresh = appendToWinnowIndexOf(winnowIndexAtRest(spark, dir), batchDocs)
+    installWinnowIndex(spark, dir, fresh)
+    fresh
+  }
+
+  /** The append with the index as an argument — the
+    * [[appendToCorpusIndexOf]] twin for callers that own their index
+    * (the pipeline's live winnow index); no memo interaction.
+    */
+  private[graft] def appendToWinnowIndexOf(idx: WinnowIndex,
+                                           batchDocs: DataFrame): WinnowIndex = {
+    val spark = batchDocs.sparkSession
     val wh = new graft.pipelines.Warehouse(spark, idx.root)
     val batchFp = winnowFingerprintsOf(batchDocs).localCheckpoint(true)
     try {
@@ -1308,10 +1319,8 @@ object Dedup {
     } finally batchFp.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
-    val fresh = WinnowIndex(wh.read("corpus_winnow"),
+    WinnowIndex(wh.read("corpus_winnow"),
       wh.read("corpus_winnow_docs"), idx.root)
-    installWinnowIndex(spark, dir, fresh)
-    fresh
   }
 
   /** q88 — winnow delta-screen: the INCREMENTAL twin of q86, and the
@@ -1342,8 +1351,14 @@ object Dedup {
     * index-sized one. Per-night cost ∝ batch + fingerprint collisions.
     */
   private[graft] def screenWinnowAgainstIndex(spark: SparkSession, dir: String,
-                                              batchDocs0: DataFrame): DataFrame = {
-    val idx = winnowIndexAtRest(spark, dir)
+                                              batchDocs0: DataFrame): DataFrame =
+    screenWinnowAgainstIndexOf(winnowIndexAtRest(spark, dir), batchDocs0)
+
+  /** The q88 screen with the index as an argument — the
+    * [[screenAgainstIndexOf]] twin for callers that own their index.
+    */
+  private[graft] def screenWinnowAgainstIndexOf(idx: WinnowIndex,
+                                                batchDocs0: DataFrame): DataFrame = {
     // the [[unseenBatch]] self-pair guard, winnow edition: a doc whose
     // fingerprints landed but whose manifest row did not (the append
     // crash window) must not re-screen against its own at-rest rows

@@ -138,9 +138,12 @@ object CorpusPipeline {
     * into the corpus no longer implies a full re-refinement. The batch
     * runs the per-doc/per-key screens of the full chain — quality (q18),
     * exact dedup against the seen-key ledger (the q61 discipline),
-    * decontamination vs the pristine benchmark (q33), and the fuzzy
+    * decontamination vs the pristine benchmark (q33), the fuzzy
     * near-dup screen against the live corpus' at-rest band/shingle index
-    * (q74, [[Dedup.screenAgainstIndexOf]]) — and the survivors are
+    * (q74, [[Dedup.screenAgainstIndexOf]]), and the deterministic
+    * winnow screen against the live fingerprint index (q88,
+    * [[Dedup.screenWinnowAgainstIndexOf]] — shared-run certainty the
+    * probabilistic banding cannot give) — and the survivors are
     * appended to the live state:
     *
     *   corpus_live       the incrementally-refined corpus (seeded from
@@ -150,6 +153,8 @@ object CorpusPipeline {
     *                     contaminated doc is equally contaminated)
     *   live_index/       the live corpus' fuzzy-screen index
     *                     ([[Dedup.corpusIndexAt]] under this warehouse)
+    *   live_winnow/      the live corpus' winnow fingerprint index
+    *                     ([[Dedup.winnowIndexAt]] under this warehouse)
     *
     * Span rewriting and the split audit stay PERIODIC full-refine
     * stages — they are corpus-global rewrites by nature (a new doc can
@@ -162,13 +167,16 @@ object CorpusPipeline {
     *
     *  1. `corpus_live` += survivors (doc_id anti-join guard);
     *  2. `live_keys`   += the batch's novel keys (key anti-join guard);
-    *  3. the index advance reads the batch's docs back FROM the at-rest
-    *     `corpus_live` — not from the screen's in-memory result — so a
-    *     replay whose screens see partially-advanced state (e.g. keys
-    *     committed, index not: the exact screen then drops the whole
-    *     batch) still appends exactly the missing index rows.
+    *  3. both index advances read the batch's docs back FROM the
+    *     at-rest `corpus_live` — not from the screen's in-memory
+    *     result — so a replay whose screens see partially-advanced
+    *     state (e.g. keys committed, index not: the exact screen then
+    *     drops the whole batch) still appends exactly the missing
+    *     index rows; the MINHASH index advances LAST because the
+    *     `fresh` fast-path keys off its manifest — anything appended
+    *     after it would be skipped forever on replay.
     *
-    * Replaying a fully-committed night is a no-op on all three (spec'd).
+    * Replaying a fully-committed night is a no-op on all of them (spec'd).
     * Per-night cost ∝ batch + collisions: the corpus side is only the
     * key-ledger anti-join, the benchmark broadcast, and index scans.
     */
@@ -239,16 +247,34 @@ object CorpusPipeline {
       val f = ckpt(count("live_fuzzy", log.last.rows_out,
         c.join(nearDup, Seq("doc_id"), "left_anti")))
       graft.TransientCache.drain()
+      // 5 — deterministic screen (q88) against the live winnow index:
+      // shared content RUNS with the live corpus, the certainty the
+      // probabilistic stage 4 cannot give (winnowing's w+k−1 guarantee).
+      // Seen docs pass the screen untouched (the unseenBatch guard only
+      // prevents self-pairs); the guarded appends below decide them.
+      val widx = Dedup.winnowIndexAt(spark, s"${wh.root}/live_winnow",
+        wh.read("corpus_live"))
+      val runDup = Dedup.screenWinnowAgainstIndexOf(widx, f)
+        .select(col("di").as("doc_id")).distinct()
+      val w = ckpt(count("live_winnow", log.last.rows_out,
+        f.join(runDup, Seq("doc_id"), "left_anti")))
+      graft.TransientCache.drain()
 
-      // appends, in the order the crash contract requires
+      // appends, in the order the crash contract requires: the live
+      // MINHASH index advances LAST because the body's `fresh` fast-path
+      // keys off ITS manifest — a crash after any earlier append replays
+      // the whole body (each earlier append is individually guarded),
+      // while a winnow advance AFTER the minhash one would be skipped
+      // forever on replay (the fast path would drop the batch first)
       wh.append("corpus_live",
-        f.join(wh.read("corpus_live").select(col("doc_id")),
+        w.join(wh.read("corpus_live").select(col("doc_id")),
           Seq("doc_id"), "left_anti"))
       wh.append("live_keys",
         novel.select(col("k"))
           .join(wh.read("live_keys"), Seq("k"), "left_anti"))
       val batchInLive = wh.read("corpus_live")
         .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      Dedup.appendToWinnowIndexOf(widx, batchInLive)
       Dedup.appendToCorpusIndexOf(idx, batchInLive)
     } finally checkpointed.foreach(df =>
       df.queryExecution.optimizedPlan.collect {

@@ -226,10 +226,24 @@ class CorpusPipelineSpec extends SparkSpec {
           (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("j") >= Dedup.JaccardThreshold)
         .select(col("di").as("doc_id")).distinct()
-      c.join(dropped, Seq("doc_id"), "left_anti")
+      val f = c.join(dropped, Seq("doc_id"), "left_anti")
+      // deterministic winnow reference: the q88 delta contract — the
+      // full-rebuild q86 pairs over live ∪ fuzzy-survivors, restricted
+      // to survivor × live (the screen's df universe is exactly this)
+      val wfp = Dedup.winnowFingerprintsOf(liveB.unionByName(f))
+      val wdrop = Dedup.winnowPairsOf(wfp)
+        .join(f.select(col("doc_id").as("da")), Seq("da"), "left_semi")
+        .join(liveB.select(col("doc_id").as("db")), Seq("db"), "left_semi")
+        .select(col("da").as("doc_id"))
+        .unionByName(Dedup.winnowPairsOf(wfp)
+          .join(f.select(col("doc_id").as("db")), Seq("db"), "left_semi")
+          .join(liveB.select(col("doc_id").as("da")), Seq("da"), "left_semi")
+          .select(col("db").as("doc_id")))
+        .distinct()
+      f.join(wdrop, Seq("doc_id"), "left_anti")
     }
 
-    var totalIn = 0L; var totalKept = 0L
+    var totalIn = 0L; var totalKept = 0L; var winnowDropped = 0L
     Seq(8, 9).foreach { m =>
       val liveB =
         if (wh.exists("corpus_live")) wh.read("corpus_live")
@@ -240,18 +254,27 @@ class CorpusPipelineSpec extends SparkSpec {
       val surv = expectSurvivors(liveB, keysB, night(m))
       val expectLive = rowsOf(liveB) ++ rowsOf(surv)
       totalIn += night(m).count(); totalKept += surv.count()
-      CorpusPipeline.refineIncremental(wh, night(m))
+      val stageLog = CorpusPipeline.refineIncremental(wh, night(m))
+      winnowDropped += stageLog.filter(_.stage == "live_winnow")
+        .map(s => s.rows_in - s.rows_out).sum
       assert(rowsOf(wh.read("corpus_live")) == expectLive,
         s"night $m: incremental state != standalone-screen recompute")
       TransientCache.drain()
     }
     assert(totalKept > 0, "nights must contribute survivors")
     assert(totalKept < totalIn, "the screens must drop something")
+    // the deterministic stage is NON-VACUOUS here: the fixture contains
+    // shared-run overlaps below the jaccard threshold (q88 pairs ⊅ q74
+    // pairs — 6 batch docs at sf0.001), so stage 5 must drop docs the
+    // probabilistic stage 4 passed
+    assert(winnowDropped > 0,
+      "the winnow stage must catch shared-run docs the fuzzy screen missed")
 
     // replay of a fully-committed night: no-op on the corpus, the key
     // ledger, and all three live-index tables
     val tables = Seq("corpus_live", "live_keys", "live_index/corpus_shingles",
-      "live_index/corpus_band_index", "live_index/corpus_docs")
+      "live_index/corpus_band_index", "live_index/corpus_docs",
+      "live_winnow/corpus_winnow", "live_winnow/corpus_winnow_docs")
     val before = tables.map(t => t -> rowsOf(wh.read(t))).toMap
     CorpusPipeline.refineIncremental(wh, night(8))
     tables.foreach(t => assert(rowsOf(wh.read(t)) == before(t), t))
