@@ -14,9 +14,7 @@ import scala.collection.mutable
   * `cache:<tier>` profiles a shared-cache BUILD instead (cold caches,
   * documents read warmed) — e.g. `cache:winnow` times
   * `Dedup.winnowIndex(...).count()` with the same stage listener.
-  *
-  * `explain:<queryName>` prints the formatted physical plan instead of
-  * profiling (the docs/PLANS.md capture tool).
+  * (Plan printing lives in [[DevExplain]], not here.)
   */
 object DevProfile {
   def main(args: Array[String]): Unit = {
@@ -29,12 +27,6 @@ object DevProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    if (name.startsWith("explain:")) {
-      SparkEntry.queries(name.stripPrefix("explain:"))(spark, sfDir)
-        .explain("formatted")
-      spark.stop(); return
-    }
 
     val cacheBuilds: Map[String, () => Long] = Map(
       "winnow" -> (() => operators.Dedup.winnowIndex(spark, sfDir).count()),

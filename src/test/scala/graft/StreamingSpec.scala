@@ -550,6 +550,41 @@ class StreamingSpec extends SparkSpec {
     graft.operators.Similarity.clearKmeansMemo(spark)
   }
 
+  test("streaming ann: a durable index root survives a process restart") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    def night(m: Int): Seq[EmbRow] = emb.filter(col("vec_id") % 10 === m)
+      .select(col("vec_id"), col("embedding")).as[EmbRow].collect().toSeq
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    // reference: both nights in ONE process lifetime (temp-root index)
+    graft.operators.Similarity.clearKmeansMemo(spark)
+    val tmpRef = Files.createTempDirectory("graft-anndur-ref").toString
+    val whRef = new Warehouse(spark, s"$tmpRef/wh")
+    StreamingAnn.processBatch(dir, whRef, night(8).toDF())
+    StreamingAnn.processBatch(dir, whRef, night(9).toDF())
+    val want = asSet(whRef.read("ann_matches"))
+    assert(want.nonEmpty)
+
+    // durable run: night 8, a SIMULATED RESTART (index memo wiped; the
+    // fits legitimately re-memoize — they are deterministic), night 9
+    val tmp = Files.createTempDirectory("graft-anndur").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val root = s"$tmp/idx"
+    graft.operators.Similarity.clearKmeansMemo(spark)
+    StreamingAnn.processBatch(dir, wh, night(8).toDF(), Some(root))
+    graft.operators.Similarity.clearKmeansMemo(spark) // "restart"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root)),
+      "caller-owned root must survive the memo wipe")
+    StreamingAnn.processBatch(dir, wh, night(9).toDF(), Some(root))
+    // night 9 still searched against streamed night 8 ⇒ restart lost nothing
+    assert(asSet(wh.read("ann_matches")) == want)
+    graft.operators.Similarity.clearKmeansMemo(spark)
+  }
+
   test("the streaming aggregation plan also runs in plain batch mode") {
     val sql = spark.sqlContext
     import sql.implicits._
