@@ -1085,6 +1085,46 @@ class TrainingOpsSpec extends SparkSpec {
     Similarity.clearKmeansMemo(spark)
   }
 
+  test("q89 screen quality: exact re-rank scores and a recall floor vs brute force") {
+    Similarity.clearKmeansMemo(spark)
+    val pq = Similarity.deltaAnn(spark, dir).cache()
+    assert(pq.filter(col("rank") > Similarity.AnnK).isEmpty)
+    // brute-force reference: every batch vector against the corpus side
+    // (exactly the screen's candidate universe at the base index state)
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val q = emb.filter(col("vec_id") % 10 >= 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = emb.filter(col("vec_id") % 10 < 8)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("bscore").desc, col("vec_id"))
+    val bf = c.crossJoin(broadcast(q))
+      .withColumn("bscore", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("brank", row_number().over(w))
+      .filter(col("brank") <= Similarity.AnnK)
+      .select(col("q_id"), col("vec_id"), col("bscore")).cache()
+    // any hit shared with brute force carries the IDENTICAL score (the
+    // re-rank is true-vector cosine; ADC only selects candidates)
+    val shared = pq.join(bf, Seq("q_id", "vec_id")).cache()
+    shared.collect().foreach { r =>
+      assert(r.getDouble(r.fieldIndex("score")) ==
+        r.getDouble(r.fieldIndex("bscore")), "re-rank must be exact")
+    }
+    // the floor is the coarse-probe bound (NProbe=2 of 8 cells — q81's
+    // layer): this probe population measures 0.473 deterministically,
+    // below q83's 0.6 because its probes are the whole %10>=8 batch,
+    // not the %100=0 sample. A drop below the floor means the frozen
+    // fits, the codes, or the candidate cut regressed.
+    val recall = shared.count().toDouble / bf.count()
+    assert(recall >= 0.45, s"delta-ANN recall@${Similarity.AnnK} fell to $recall")
+    pq.unpersist(); bf.unpersist(); shared.unpersist()
+    Similarity.clearKmeansMemo(spark)
+  }
+
   test("q89 corpus side is the at-rest codes table: injection drives the output") {
     Similarity.clearKmeansMemo(spark)
     assert(Similarity.deltaAnn(spark, dir).count() > 0)
