@@ -1202,7 +1202,11 @@ object Similarity {
                        batchVecs: DataFrame): AnnIndex = {
     val idx = annIndexAtRest(spark, dir)
     val wh = new graft.pipelines.Warehouse(spark, idx.root)
-    val fresh = pqCodesOf(vecsOf(batchVecs),
+    // dropDuplicates BEFORE the anti-join: the at-rest guard only sees
+    // rows already committed, so a source that redelivers a vec_id
+    // WITHIN one batch would otherwise append it twice and break the
+    // one-row-per-vector = own-manifest invariant.
+    val fresh = pqCodesOf(vecsOf(batchVecs).dropDuplicates("vec_id"),
       corpusKmeansCentroids(spark, dir), corpusPqCodebooks(spark, dir))
       .join(wh.read("corpus_codes").select(col("vec_id")), Seq("vec_id"), "left_anti")
     wh.append("corpus_codes", fresh)

@@ -1082,6 +1082,15 @@ class TrainingOpsSpec extends SparkSpec {
     // a vector the index absorbed is seen-guarded out of the screen
     assert(Similarity.screenAnnAgainstIndex(spark, dir, night1).isEmpty,
       "an absorbed batch must not screen (it would match itself)")
+
+    // IN-BATCH redelivery: the at-rest anti-join only guards against
+    // committed rows, so a source that repeats a vec_id within one
+    // micro-batch must still append it exactly once
+    val night2 = emb.filter(col("vec_id") % 10 === 9)
+    val idx2 = Similarity.appendToAnnIndex(spark, dir, night2.union(night2))
+    assert(idx2.codes.count() ==
+      idx2.codes.select(col("vec_id")).distinct().count(),
+      "duplicate vec_ids within one batch must collapse to one codes row")
     Similarity.clearKmeansMemo(spark)
   }
 
@@ -1114,13 +1123,46 @@ class TrainingOpsSpec extends SparkSpec {
       assert(r.getDouble(r.fieldIndex("score")) ==
         r.getDouble(r.fieldIndex("bscore")), "re-rank must be exact")
     }
-    // the floor is the coarse-probe bound (NProbe=2 of 8 cells — q81's
-    // layer): this probe population measures 0.473 deterministically,
-    // below q83's 0.6 because its probes are the whole %10>=8 batch,
-    // not the %100=0 sample. A drop below the floor means the frozen
-    // fits, the codes, or the candidate cut regressed.
+    // The dominant, FIXTURE-SENSITIVE loss is coarse probing (NProbe of
+    // the corpus cells — q81's layer); the code-owned losses (frozen
+    // fits, codes, the PqCandK ADC cut) sit on top of it. So derive the
+    // floor at runtime: compute the exact coarse-probe recall bound on
+    // the CURRENT fixtures (exact cosine restricted to each query's
+    // probed cells) and require the full pipeline to retain >= 80% of
+    // it. Fixture regeneration moves both sides together; a drop below
+    // 0.8x means the fits, the codes, or the candidate cut regressed.
+    // (r9 fixtures measure: pipeline 0.473 vs coarse bound ~0.5.)
+    val cents = Similarity.corpusKmeansCentroids(spark, dir)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cvs = c.select(col("vec_id"), col("v"), col("nrm")).collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cellOf = cvs.map { case (id, v, _) =>
+      id -> cents.indices.minBy(i => (sq(v, cents(i)), i)) }.toMap
+    val bfTop = bf.collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+    var hits = 0; var total = 0
+    q.select(col("q_id"), col("qv"), col("qn")).collect().foreach { r =>
+      val (qid, qv, qn) = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      val probed = cents.indices.sortBy(i => (sq(qv, cents(i)), i))
+        .take(Similarity.NProbe).toSet
+      val coarseTop = cvs.filter(x => probed(cellOf(x._1)))
+        .sortBy { case (id, v, n) => (-dotA(qv, v) / (qn * n), id) }
+        .take(Similarity.AnnK).map(_._1).toSet
+      hits += (bfTop.getOrElse(qid, Set.empty) & coarseTop).size
+      total += bfTop.getOrElse(qid, Set.empty).size
+    }
+    val coarseBound = hits.toDouble / total
     val recall = shared.count().toDouble / bf.count()
-    assert(recall >= 0.45, s"delta-ANN recall@${Similarity.AnnK} fell to $recall")
+    assert(coarseBound > 0.0, "coarse-probe bound degenerate on these fixtures")
+    assert(recall >= 0.8 * coarseBound,
+      s"delta-ANN recall@${Similarity.AnnK} fell to $recall vs coarse bound $coarseBound")
     pq.unpersist(); bf.unpersist(); shared.unpersist()
     Similarity.clearKmeansMemo(spark)
   }
