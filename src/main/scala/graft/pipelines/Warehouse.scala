@@ -100,4 +100,74 @@ final class Warehouse(val spark: SparkSession, val root: String) extends UpsertS
     import spark.implicits._
     write(s"_checkpoints/$name", Seq(v).toDF("v"))
   }
+
+  /** Number of data files currently backing `table` — the fragmentation
+    * metric the append cadence watches. Underscore/dot-prefixed entries
+    * (_SUCCESS, .crc side files) don't count: only data files cost scan
+    * tasks and NameNode/listing pressure.
+    */
+  def dataFileCount(table: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** Compact an append-grown table: one narrow read → coalesce to
+    * ⌈bytes / targetFileBytes⌉ outputs → tmp-swap rewrite (the S10
+    * [[Fs.replaceWith]] discipline — readers of the old files are
+    * undisturbed until the swap, and a failed rewrite never destroys
+    * the table). Content-preserving by construction, so every
+    * manifest/data invariant of the append-only index tiers survives
+    * verbatim; a crash between delete and rename is the documented
+    * [[Fs.replaceWith]] window (data recoverable in the tmp dir), the
+    * same exposure every S10 staging swap already carries.
+    *
+    * `coalesce`, not `repartition`: compaction is pure IO — each output
+    * task drains a run of small files with no shuffle. NOT for
+    * bucketed tables ([[writeBucketed]] layouts carry catalog metadata
+    * a plain rewrite would orphan); none of the append-only index
+    * tables is bucketed.
+    */
+  def compact(table: String,
+              targetFileBytes: Long = Warehouse.CompactTargetFileBytes): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    write(table, read(table).coalesce(n))
+  }
+
+  /** The nightly cadence: compact only past a file-count threshold, so
+    * the common append is one cheap listing and the rewrite cost is
+    * amortized over ~maxFiles nights. At 100 TB this is what keeps
+    * months of guarded appends from turning the index tiers into the
+    * small-files problem.
+    */
+  def compactIfFragmented(table: String,
+                          maxFiles: Int = Warehouse.CompactMaxFiles): Unit =
+    if (dataFileCount(table) > maxFiles) compact(table)
+}
+
+object Warehouse {
+  /** Compaction output sizing: one file per ~128 MiB of at-rest bytes —
+    * aligned with `spark.sql.files.maxPartitionBytes`' default so a
+    * post-compaction scan gets full-sized splits.
+    */
+  val CompactTargetFileBytes: Long = 128L << 20
+
+  /** Appends accumulated before [[Warehouse.compactIfFragmented]]
+    * rewrites — small enough that listing/footer overhead stays
+    * bounded, large enough that the rewrite amortizes.
+    */
+  val CompactMaxFiles: Int = 256
 }

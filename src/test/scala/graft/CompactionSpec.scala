@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.pipelines.Warehouse
+import org.apache.spark.sql.functions._
+
+/** Compaction contract for the append-only index tiers (the one ops
+  * cost of the closed-loop design at 100 TB — months of guarded
+  * nightly appends ARE the small-files problem):
+  *
+  *   - `Warehouse.compact` is content-preserving and idempotent, and
+  *     actually shrinks the file count (measured, not assumed);
+  *   - `compactIfFragmented` fires only past its threshold;
+  *   - compact-then-screen ≡ screen, bit-identical, for all three
+  *     incremental tiers (q74 fuzzy, q88 deterministic, q89 semantic) —
+  *     so a nightly compaction can never change what a screen reports;
+  *   - manifests survive verbatim, and a post-compaction append still
+  *     honors the append ≡ rebuild contract.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("compact preserves content, shrinks files, and is idempotent") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpRoot("compact"))
+    (1 to 12).foreach(i =>
+      wh.append("t", (i * 100 until i * 100 + 100).toDF("x")))
+    val before = wh.dataFileCount("t")
+    val want = rowsOf(wh.read("t"))
+    assert(before >= 12, s"12 appends should fragment (saw $before files)")
+
+    wh.compact("t")
+    val after = wh.dataFileCount("t")
+    assert(after < before, s"compaction must shrink the file count ($before -> $after)")
+    assert(after == 1, s"KBs of data coalesce to one 128 MiB-target file (saw $after)")
+    assert(rowsOf(wh.read("t")) == want, "compaction must preserve content")
+
+    wh.compact("t") // idempotent: same layout, same content
+    assert(wh.dataFileCount("t") == after)
+    assert(rowsOf(wh.read("t")) == want)
+  }
+
+  test("compactIfFragmented fires only past the threshold") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpRoot("cadence"))
+    (1 to 6).foreach(i => wh.append("t", Seq(i).toDF("x")))
+    val frag = wh.dataFileCount("t")
+    wh.compactIfFragmented("t", maxFiles = 100) // under threshold: no-op
+    assert(wh.dataFileCount("t") == frag)
+    wh.compactIfFragmented("t", maxFiles = 3) // over threshold: rewrites
+    assert(wh.dataFileCount("t") == 1)
+  }
+
+  test("compact-then-screen == screen for all three tiers; manifests intact") {
+    val docs = Tables.documents(spark, dir)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+
+    // fuzzy tier (q74) at a durable root, fragmented by a real append
+    Dedup.clearCorpusIndex(spark)
+    val shRoot = tmpRoot("cshidx")
+    Dedup.openCorpusIndex(spark, dir, shRoot)
+    Dedup.appendToCorpusIndex(spark, dir, batch.filter(col("doc_id") % 10 === 8))
+    val shWant = rowsOf(Dedup.deltaMinhash(spark, dir))
+    val shWh = new Warehouse(spark, shRoot)
+    val shTables = Seq("corpus_shingles", "corpus_band_index", "corpus_docs")
+    val shManifest = rowsOf(shWh.read("corpus_docs"))
+    val shFilesBefore = shTables.map(shWh.dataFileCount)
+    shTables.foreach(shWh.compact(_))
+    assert(shTables.map(shWh.dataFileCount).sum < shFilesBefore.sum,
+      s"fuzzy-tier compaction must shrink files ($shFilesBefore)")
+    Dedup.clearCorpusIndex(spark)
+    Dedup.openCorpusIndex(spark, dir, shRoot) // reopen over the new layout
+    assert(rowsOf(Dedup.deltaMinhash(spark, dir)) == shWant,
+      "q74 must be bit-identical across compaction")
+    assert(rowsOf(shWh.read("corpus_docs")) == shManifest,
+      "the seen-doc manifest must survive compaction verbatim")
+    Dedup.clearCorpusIndex(spark)
+
+    // deterministic tier (q88)
+    Dedup.clearWinnowIndexAtRest(spark)
+    val wRoot = tmpRoot("cwinidx")
+    Dedup.openWinnowIndex(spark, dir, wRoot)
+    val wWant = rowsOf(Dedup.deltaWinnow(spark, dir))
+    val wWh = new Warehouse(spark, wRoot)
+    Seq("corpus_winnow", "corpus_winnow_docs").foreach(wWh.compact(_))
+    Dedup.clearWinnowIndexAtRest(spark)
+    Dedup.openWinnowIndex(spark, dir, wRoot)
+    assert(rowsOf(Dedup.deltaWinnow(spark, dir)) == wWant,
+      "q88 must be bit-identical across compaction")
+    // a post-compaction append still honors append == rebuild: the night
+    // lands exactly the unseen docs' fingerprints, and the manifest
+    // matches the data table's distinct docs
+    Dedup.appendToWinnowIndex(spark, dir, batch)
+    assert(rowsOf(wWh.read("corpus_winnow_docs")) ==
+      rowsOf(wWh.read("corpus_winnow").select(col("doc_id")).distinct()),
+      "manifest must equal the data table's doc set after the append")
+    Dedup.clearWinnowIndexAtRest(spark)
+
+    // semantic tier (q89)
+    Similarity.clearAnnIndex(spark)
+    val aRoot = tmpRoot("cannidx")
+    Similarity.openAnnIndex(spark, dir, aRoot)
+    val aWant = rowsOf(Similarity.deltaAnn(spark, dir))
+    val aWh = new Warehouse(spark, aRoot)
+    aWh.compact("corpus_codes")
+    Similarity.clearAnnIndex(spark)
+    Similarity.openAnnIndex(spark, dir, aRoot)
+    assert(rowsOf(Similarity.deltaAnn(spark, dir)) == aWant,
+      "q89 must be bit-identical across compaction")
+    Similarity.clearAnnIndex(spark)
+  }
+}
