@@ -706,6 +706,12 @@ object Dedup {
     } finally batchSh.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
+    // nightly compaction cadence — after ALL appends (the residual
+    // guards' lineage reads the pre-compaction listings), before the
+    // fresh reads below pick up the rewritten layout
+    wh.compactIfFragmented("corpus_shingles")
+    wh.compactIfFragmented("corpus_band_index")
+    wh.compactIfFragmented("corpus_docs")
     CorpusIndex(wh.read("corpus_band_index"),
       wh.read("corpus_shingles"), wh.read("corpus_docs"), idx.root)
   }
@@ -1319,6 +1325,8 @@ object Dedup {
     } finally batchFp.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
+    wh.compactIfFragmented("corpus_winnow")
+    wh.compactIfFragmented("corpus_winnow_docs")
     WinnowIndex(wh.read("corpus_winnow"),
       wh.read("corpus_winnow_docs"), idx.root)
   }

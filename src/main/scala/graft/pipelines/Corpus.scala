@@ -48,7 +48,15 @@ object CorpusPipeline {
     * `wh`. Returns the per-stage counts (also persisted as
     * `corpus_stage_log`).
     */
-  def refine(wh: Warehouse, srcDir: String): Seq[StageCount] = {
+  def refine(wh: Warehouse, srcDir: String): Seq[StageCount] =
+    refineFrom(wh, Tables.spread(Tables.documents(wh.spark, srcDir))
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** The chain body with the raw frame as an argument — shared by the
+    * fixture-sourced [[refine]] and the reconciliation lane
+    * ([[refreshFull]], which feeds the at-rest `corpus_raw` back in).
+    */
+  private[graft] def refineFrom(wh: Warehouse, src: DataFrame): Seq[StageCount] = {
     val spark = wh.spark
     import spark.implicits._
     val log = scala.collection.mutable.ArrayBuffer.empty[StageCount]
@@ -63,9 +71,10 @@ object CorpusPipeline {
     }
 
     // 0 — ingest: the at-rest copy of the source scan (S7 discipline:
-    // everything downstream reads warehouse tables, not the live source)
-    val src = Tables.spread(Tables.documents(spark, srcDir))
-      .select(col("doc_id"), col("source"), col("text"))
+    // everything downstream reads warehouse tables, not the live source).
+    // When src IS the at-rest corpus_raw (the refreshFull lane), this is
+    // a self-rewrite: replaceWith streams the old files into the tmp dir
+    // before the swap, the same read-merge-rewrite safety upsert() uses.
     val raw = stage("corpus_raw", src, src)
 
     // 1 — quality cut (q18): drop the "low" bucket; benchmark rows leave
@@ -265,13 +274,27 @@ object CorpusPipeline {
       // keys off ITS manifest — a crash after any earlier append replays
       // the whole body (each earlier append is individually guarded),
       // while a winnow advance AFTER the minhash one would be skipped
-      // forever on replay (the fast path would drop the batch first)
+      // forever on replay (the fast path would drop the batch first).
+      // The raw-input ledger goes FIRST (order-insensitive — nothing in
+      // the nightly body reads it back): corpus_raw stays exactly "the
+      // union of every raw input ever offered", UNSCREENED, so the
+      // periodic [[refreshFull]] lane is a clean refine() over it
+      wh.append("corpus_raw",
+        batch.select(col("doc_id"), col("source"), col("text"))
+          .join(wh.read("corpus_raw").select(col("doc_id")),
+            Seq("doc_id"), "left_anti"))
+      wh.compactIfFragmented("corpus_raw")
       wh.append("corpus_live",
         w.join(wh.read("corpus_live").select(col("doc_id")),
           Seq("doc_id"), "left_anti"))
       wh.append("live_keys",
         novel.select(col("k"))
           .join(wh.read("live_keys"), Seq("k"), "left_anti"))
+      // nightly compaction cadence for the pipeline-owned append tables
+      // (the live index tiers compact inside their own append helpers);
+      // BEFORE batchInLive below, so its lineage reads the new layout
+      wh.compactIfFragmented("corpus_live")
+      wh.compactIfFragmented("live_keys")
       val batchInLive = wh.read("corpus_live")
         .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
       Dedup.appendToWinnowIndexOf(widx, batchInLive)
@@ -282,6 +305,50 @@ object CorpusPipeline {
       }.foreach(_.unpersist(false)))
     graft.TransientCache.drain()
     log.toSeq
+  }
+
+  /** The PERIODIC full-refine reconciliation lane the incremental cycle
+    * defers to — the analog of the reference's date-watermark
+    * full-rebuild beside its incremental ones. [[refineIncremental]]
+    * correctly skips the corpus-GLOBAL stages (span rewriting, the
+    * split/leakage audit, the mixture re-derivation): a new doc can
+    * change which spans count as duplicated in OLD docs, so no
+    * batch-local computation can maintain them. This runs the whole
+    * chain over the at-rest `corpus_raw` — which the nightly lane keeps
+    * as exactly "the union of every raw input ever offered" — swaps the
+    * refined tables, and reseeds the live lane at the refreshed state:
+    * `corpus_live` := the new `corpus_clean`, `live_keys` := its keys,
+    * and both live indexes REBUILT over the rewritten corpus (span
+    * rewriting changed texts; stale fingerprints would screen against
+    * content that no longer exists).
+    *
+    * Equivalence contract (spec'd at every table boundary): N nights of
+    * [[refineIncremental]] + one `refreshFull` ≡ one clean [[refine]]
+    * over the union of base + nights. Crash discipline: every table
+    * swap is individually atomic-ish ([[Fs.replaceWith]]); a crash
+    * mid-refresh leaves each table intact at old or new state, and
+    * re-running converges (the whole lane is a deterministic function
+    * of `corpus_raw`). A crash between an index delete and its rebuild
+    * self-heals: the next [[refineIncremental]]'s build-or-reopen
+    * rebuilds the missing tables from the already-refreshed
+    * `corpus_live`.
+    */
+  def refreshFull(wh: Warehouse): Seq[StageCount] = {
+    val spark = wh.spark
+    require(wh.exists("corpus_raw"),
+      "refreshFull reconciles a refined warehouse — run refine() first")
+    val log = refineFrom(wh, wh.read("corpus_raw"))
+    // reseed the live lane — exactly the seeds a first refineIncremental
+    // would write, over the refreshed global state
+    wh.write("corpus_live", wh.read("corpus_clean"))
+    wh.write("live_keys",
+      Dedup.exactDedupOf(wh.read("corpus_live")).select(col("k")))
+    Fs.delete(spark, s"${wh.root}/live_index")
+    Fs.delete(spark, s"${wh.root}/live_winnow")
+    Dedup.corpusIndexAt(spark, s"${wh.root}/live_index", wh.read("corpus_live"))
+    Dedup.winnowIndexAt(spark, s"${wh.root}/live_winnow", wh.read("corpus_live"))
+    graft.TransientCache.drain()
+    log
   }
 
   /** The "load" half: pack the mixed corpus into fixed-token-budget

@@ -28,6 +28,17 @@ object Fs {
     * delete-target-then-write, which loses the old data the moment the
     * write starts.
     */
+  /** Recursive delete, existence-tolerant — the demolition half of a
+    * delete-then-rebuild (e.g. [[CorpusPipeline.refreshFull]] retiring
+    * stale live indexes before reseeding them).
+    */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
   def replaceWith(spark: SparkSession, target: String)(write: String => Unit): Unit = {
     val tmp = target + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     write(tmp)

@@ -303,4 +303,53 @@ class CorpusPipelineSpec extends SparkSpec {
     TransientCache.drain()
     found.unpersist(false)
   }
+
+  test("N nights + refreshFull == one clean refine over the union, at every table boundary") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh-refresh").toString)
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    // the incremental-lane seed of the earlier test: %10<8 base, nights
+    // 8 and 9 — so the nightly raw ledger's union is the WHOLE fixture,
+    // and refine(dir) is the clean-reference run over the same union
+    wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+    wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+      col("source") =!= CorpusPipeline.BenchSource))
+    CorpusPipeline.refineIncremental(wh, docs.filter(col("doc_id") % 10 === 8))
+    TransientCache.drain()
+    CorpusPipeline.refineIncremental(wh, docs.filter(col("doc_id") % 10 === 9))
+    TransientCache.drain()
+    // the raw ledger holds the union — UNSCREENED: dropped docs too
+    assert(rowsOf(wh.read("corpus_raw")) == rowsOf(docs),
+      "the nightly lane must keep corpus_raw == union of all raw inputs")
+
+    CorpusPipeline.refreshFull(wh)
+
+    // clean-refine reference over the same union; live lane seeded
+    // exactly as a first refineIncremental would seed it
+    val wh2 = new Warehouse(spark, Files.createTempDirectory("graft-wh-union").toString)
+    CorpusPipeline.refine(wh2, dir)
+    wh2.write("corpus_live", wh2.read("corpus_clean"))
+    wh2.write("live_keys",
+      Dedup.exactDedupOf(wh2.read("corpus_live")).select(col("k")))
+    Dedup.corpusIndexAt(spark, s"${wh2.root}/live_index", wh2.read("corpus_live"))
+    Dedup.winnowIndexAt(spark, s"${wh2.root}/live_winnow", wh2.read("corpus_live"))
+    TransientCache.drain()
+
+    val tables = Seq("corpus_raw", "corpus_quality", "corpus_exact",
+      "corpus_span", "corpus_clean", "corpus_leaked", "corpus_split",
+      "corpus_mixed", "corpus_stage_log", "corpus_live", "live_keys",
+      "live_index/corpus_shingles", "live_index/corpus_band_index",
+      "live_index/corpus_docs", "live_winnow/corpus_winnow",
+      "live_winnow/corpus_winnow_docs")
+    tables.foreach(t => assert(rowsOf(wh.read(t)) == rowsOf(wh2.read(t)),
+      s"nights+refresh != clean refine at table $t"))
+
+    // refreshFull is idempotent: a second reconciliation of the same
+    // raw ledger reproduces every table verbatim
+    val before = tables.map(t => t -> rowsOf(wh.read(t))).toMap
+    CorpusPipeline.refreshFull(wh)
+    tables.foreach(t => assert(rowsOf(wh.read(t)) == before(t),
+      s"second refreshFull changed $t"))
+    TransientCache.drain()
+  }
 }
