@@ -4,12 +4,14 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import graft.operators.Dedup
-import graft.pipelines.Warehouse
-import graft.streaming.{StreamingAnn, StreamingDedup, StreamingIngest, StreamingWinnow}
+import graft.pipelines.{CorpusPipeline, Warehouse}
+import graft.streaming.{StreamingAnn, StreamingDedup, StreamingIngest, StreamingRefine, StreamingWinnow}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class DocRow(doc_id: Long, text: String)
+
+case class SrcDocRow(doc_id: Long, source: String, text: String)
 
 case class EmbRow(vec_id: Long, embedding: Seq[Float])
 
@@ -583,6 +585,77 @@ class StreamingSpec extends SparkSpec {
     // night 9 still searched against streamed night 8 ⇒ restart lost nothing
     assert(asSet(wh.read("ann_matches")) == want)
     graft.operators.Similarity.clearKmeansMemo(spark)
+  }
+
+  test("streaming refine twin: micro-batch nights == batch nights; mid-cycle crash replay converges") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    def night(m: Int): Seq[SrcDocRow] = docs.filter(col("doc_id") % 10 === m)
+      .as[SrcDocRow].collect().toSeq
+    def seed(wh: Warehouse): Unit = {
+      wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+      wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+        col("source") =!= CorpusPipeline.BenchSource))
+    }
+    val tables = Seq("corpus_raw", "corpus_live", "live_keys",
+      "live_index/corpus_shingles", "live_index/corpus_band_index",
+      "live_index/corpus_docs", "live_winnow/corpus_winnow",
+      "live_winnow/corpus_winnow_docs")
+    def state(wh: Warehouse): Map[String, Set[String]] =
+      tables.map(t => t -> wh.read(t).collect().map(_.mkString("|")).toSet).toMap
+
+    // batch reference: two clean refineIncremental nights; the night-8
+    // lane tables are captured mid-way for the crash simulation below
+    val tmp = Files.createTempDirectory("graft-srefine").toString
+    val whRef = new Warehouse(spark, s"$tmp/ref")
+    seed(whRef)
+    CorpusPipeline.refineIncremental(whRef, night(8).toDF())
+    val n8Lane = Seq("corpus_raw", "corpus_live", "live_keys").map { t =>
+      val df = whRef.read(t); (t, df.schema, df.collect().toSeq)
+    }
+    CorpusPipeline.refineIncremental(whRef, night(9).toDF())
+    TransientCache.drain()
+    val want = state(whRef)
+
+    // the same nights as two micro-batches of one stream
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    seed(wh)
+    val stream = MemoryStream[SrcDocRow](spark)
+    stream.addData(night(8): _*)
+    StreamingRefine.refineSink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    stream.addData(night(9): _*)
+    StreamingRefine.refineSink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    assert(state(wh) == want, "streamed nights != batch nights")
+
+    // at-least-once: a replayed fully-committed night is a no-op
+    StreamingRefine.processBatch(wh, night(8).toDF())
+    assert(state(wh) == want, "replay of a committed night must be a no-op")
+
+    // mid-cycle crash, the WORST window of the append order: raw ledger,
+    // corpus_live, and live_keys committed; NEITHER live index advanced.
+    // On replay the exact screen drops the whole batch (its keys are all
+    // seen), and the index advances must still land via the at-rest
+    // corpus_live read-back — the order contract's central claim.
+    val whC = new Warehouse(spark, s"$tmp/crash")
+    seed(whC)
+    whC.write("corpus_live", whC.read("corpus_clean"))
+    whC.write("live_keys",
+      Dedup.exactDedupOf(whC.read("corpus_live")).select(col("k")))
+    Dedup.corpusIndexAt(spark, s"${whC.root}/live_index", whC.read("corpus_live"))
+    Dedup.winnowIndexAt(spark, s"${whC.root}/live_winnow", whC.read("corpus_live"))
+    n8Lane.foreach { case (t, schema, rows) =>
+      import scala.jdk.CollectionConverters._
+      whC.write(t, spark.createDataFrame(rows.asJava, schema))
+    }
+    StreamingRefine.processBatch(whC, night(8).toDF()) // the replay
+    StreamingRefine.processBatch(whC, night(9).toDF())
+    TransientCache.drain()
+    assert(state(whC) == want, "mid-cycle crash replay did not converge")
   }
 
   test("the streaming aggregation plan also runs in plain batch mode") {
