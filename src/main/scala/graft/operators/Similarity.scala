@@ -853,8 +853,9 @@ object Similarity {
     * `pqM * pqSub == dim`.
     */
   private[graft] def fitPqGeometry(spark: SparkSession, dir: String,
-                                   pqM: Int, pqSub: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
-    fitPqWith(spark, dir, orderedFold = true, pqM, pqSub)
+                                   pqM: Int, pqSub: Int,
+                                   corpusOnly: Boolean = false): IndexedSeq[IndexedSeq[Array[Double]]] =
+    fitPqWith(spark, dir, orderedFold = true, pqM, pqSub, corpusOnly)
 
   private def fitPqWith(spark: SparkSession, dir: String, orderedFold: Boolean,
                         pqM: Int = PqM, pqSub: Int = PqSub,
@@ -1111,14 +1112,18 @@ object Similarity {
     */
   private[graft] def pqCodesOf(vframe: DataFrame, cents: IndexedSeq[Array[Double]],
                                cbs: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    // geometry rides in with the codebooks: M = cbs.length, dsub = entry
+    // width — the default corpus fits instantiate PqM×PqSub, the
+    // geometry spec any other tiling of the dimension
+    val pqSub = cbs.head.head.length
     val centArr = typedLit(cents.map(_.toSeq))
     vframe
       .withColumn("cell", kmBest(col("v"), cents).getField("cid"))
       .withColumn("r", zip_with(col("v"),
         element_at(centArr, col("cell") + 1), (x, c) => x - c))
       .select(Seq(col("vec_id"), col("cell")) ++
-        (0 until PqM).map(m =>
-          pqBest(slice(col("r"), m * PqSub + 1, PqSub), cbs(m))
+        cbs.indices.map(m =>
+          pqBest(slice(col("r"), m * pqSub + 1, pqSub), cbs(m))
             .getField("code").as(s"c$m")): _*)
   }
 
@@ -1200,19 +1205,32 @@ object Similarity {
     */
   def appendToAnnIndex(spark: SparkSession, dir: String,
                        batchVecs: DataFrame): AnnIndex = {
-    val idx = annIndexAtRest(spark, dir)
-    val wh = new graft.pipelines.Warehouse(spark, idx.root)
+    val widened = appendAnnWith(annIndexAtRest(spark, dir),
+      corpusKmeansCentroids(spark, dir), corpusPqCodebooks(spark, dir),
+      batchVecs)
+    installAnnIndex(spark, dir, widened)
+    widened
+  }
+
+  /** The append with the index and the frozen fits as arguments — the
+    * [[Dedup.appendToWinnowIndexOf]] twin for callers that own their
+    * index; geometry rides in with the codebooks, no memo interaction
+    * (the geometry spec proves the contract at a non-default tiling).
+    */
+  private[graft] def appendAnnWith(idx: AnnIndex,
+                                   cents: IndexedSeq[Array[Double]],
+                                   cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+                                   batchVecs: DataFrame): AnnIndex = {
+    val wh = new graft.pipelines.Warehouse(batchVecs.sparkSession, idx.root)
     // dropDuplicates BEFORE the anti-join: the at-rest guard only sees
     // rows already committed, so a source that redelivers a vec_id
     // WITHIN one batch would otherwise append it twice and break the
     // one-row-per-vector = own-manifest invariant.
-    val fresh = pqCodesOf(vecsOf(batchVecs).dropDuplicates("vec_id"),
-      corpusKmeansCentroids(spark, dir), corpusPqCodebooks(spark, dir))
+    val fresh = pqCodesOf(vecsOf(batchVecs).dropDuplicates("vec_id"), cents, cbs)
       .join(wh.read("corpus_codes").select(col("vec_id")), Seq("vec_id"), "left_anti")
     wh.append("corpus_codes", fresh)
-    val widened = AnnIndex(wh.read("corpus_codes"), idx.root)
-    installAnnIndex(spark, dir, widened)
-    widened
+    wh.compactIfFragmented("corpus_codes")
+    AnnIndex(wh.read("corpus_codes"), idx.root)
   }
 
   /** q89 — delta ANN screen: the INCREMENTAL twin of q83, closing the
@@ -1263,10 +1281,21 @@ object Similarity {
     * mirroring [[Dedup.screenAgainstIndex]]'s unseen discipline.
     */
   private[graft] def screenAnnAgainstIndex(spark: SparkSession, dir: String,
-                                           batchVecs: DataFrame): DataFrame = {
-    val idx = annIndexAtRest(spark, dir)
-    val cents = corpusKmeansCentroids(spark, dir)
-    val cbs = corpusPqCodebooks(spark, dir)
+                                           batchVecs: DataFrame): DataFrame =
+    screenAnnWith(spark, dir, annIndexAtRest(spark, dir),
+      corpusKmeansCentroids(spark, dir), corpusPqCodebooks(spark, dir),
+      batchVecs)
+
+  /** The screen with the index and the frozen fits as arguments —
+    * geometry rides in with the codebooks ([[appendAnnWith]]'s twin).
+    * `spark`/`dir` locate the raw vector store for the exact re-rank.
+    */
+  private[graft] def screenAnnWith(spark: SparkSession, dir: String,
+                                   idx: AnnIndex,
+                                   cents: IndexedSeq[Array[Double]],
+                                   cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+                                   batchVecs: DataFrame): DataFrame = {
+    val pqSub = cbs.head.head.length
     val centArr = typedLit(cents.map(_.toSeq))
     val unseen = vecsOf(batchVecs)
       .join(idx.codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -1280,11 +1309,11 @@ object Similarity {
       .withColumn("qr", zip_with(col("qv"),
         element_at(centArr, col("cell") + 1), (x, c) => x - c))
       .select(Seq(col("q_id"), col("qv"), col("qn"), col("cell")) ++
-        (0 until PqM).map(m =>
+        cbs.indices.map(m =>
           transform(typedLit(cbs(m).map(_.toSeq)),
-            sv => sqDist(slice(col("qr"), m * PqSub + 1, PqSub), sv))
+            sv => sqDist(slice(col("qr"), m * pqSub + 1, pqSub), sv))
             .as(s"t$m")): _*)
-    val adc = (0 until PqM)
+    val adc = cbs.indices
       .map(m => element_at(col(s"t$m"), col(s"c$m") + 1))
       .reduce(_ + _) // left-assoc: same fold order as the oracle's list
     val wc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))

@@ -10,6 +10,42 @@ import org.apache.spark.sql.functions._
 class TrainingOpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  /** Exact coarse-probe recall bound on the CURRENT fixtures: for each
+    * query, exact cosine restricted to its NProbe nearest cells, scored
+    * against the brute-force top-K. This is the geometry-INDEPENDENT
+    * ceiling of any IVF pipeline over these cells — both the default
+    * 4x16 and the 8x8 incremental specs require recall >= 0.8x of it,
+    * so fixture regeneration moves the floor with the data instead of
+    * tripping a hardcoded constant.
+    */
+  private def coarseProbeBound(cents: IndexedSeq[Array[Double]],
+      corpus: Seq[(Long, Array[Double], Double)],
+      queries: Seq[(Long, Array[Double], Double)],
+      bfTop: Map[Long, Set[Long]]): Double = {
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cellOf = corpus.map { case (id, v, _) =>
+      id -> cents.indices.minBy(i => (sq(v, cents(i)), i)) }.toMap
+    var hits = 0; var total = 0
+    queries.foreach { case (qid, qv, qn) =>
+      val probed = cents.indices.sortBy(i => (sq(qv, cents(i)), i))
+        .take(Similarity.NProbe).toSet
+      val coarseTop = corpus.filter(x => probed(cellOf(x._1)))
+        .sortBy { case (id, v, n) => (-dotA(qv, v) / (qn * n), id) }
+        .take(Similarity.AnnK).map(_._1).toSet
+      hits += (bfTop.getOrElse(qid, Set.empty) & coarseTop).size
+      total += bfTop.getOrElse(qid, Set.empty).size
+    }
+    require(total > 0, "degenerate brute-force reference")
+    hits.toDouble / total
+  }
+
   // --- TextOps -------------------------------------------------------------
 
   test("token stats: counts are consistent and ttr in (0,1]") {
@@ -1133,32 +1169,13 @@ class TrainingOpsSpec extends SparkSpec {
     // 0.8x means the fits, the codes, or the candidate cut regressed.
     // (r9 fixtures measure: pipeline 0.473 vs coarse bound ~0.5.)
     val cents = Similarity.corpusKmeansCentroids(spark, dir)
-    def sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
-    }
-    def dotA(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
     val cvs = c.select(col("vec_id"), col("v"), col("nrm")).collect().map(r =>
-      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val cellOf = cvs.map { case (id, v, _) =>
-      id -> cents.indices.minBy(i => (sq(v, cents(i)), i)) }.toMap
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
+    val qs = q.select(col("q_id"), col("qv"), col("qn")).collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
     val bfTop = bf.collect().groupBy(_.getLong(0))
       .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
-    var hits = 0; var total = 0
-    q.select(col("q_id"), col("qv"), col("qn")).collect().foreach { r =>
-      val (qid, qv, qn) = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-      val probed = cents.indices.sortBy(i => (sq(qv, cents(i)), i))
-        .take(Similarity.NProbe).toSet
-      val coarseTop = cvs.filter(x => probed(cellOf(x._1)))
-        .sortBy { case (id, v, n) => (-dotA(qv, v) / (qn * n), id) }
-        .take(Similarity.AnnK).map(_._1).toSet
-      hits += (bfTop.getOrElse(qid, Set.empty) & coarseTop).size
-      total += bfTop.getOrElse(qid, Set.empty).size
-    }
-    val coarseBound = hits.toDouble / total
+    val coarseBound = coarseProbeBound(cents, cvs, qs, bfTop)
     val recall = shared.count().toDouble / bf.count()
     assert(coarseBound > 0.0, "coarse-probe bound degenerate on these fixtures")
     assert(recall >= 0.8 * coarseBound,
@@ -1205,6 +1222,75 @@ class TrainingOpsSpec extends SparkSpec {
       "caller-owned root must survive clearAnnIndex")
     Similarity.openAnnIndex(spark, dir, root)
     assert(asSet(Similarity.screenAnnAgainstIndex(spark, dir, night2)) == want)
+    Similarity.clearKmeansMemo(spark)
+  }
+
+  test("incremental ANN contract holds at the M=8x8 geometry end-to-end") {
+    Similarity.clearKmeansMemo(spark)
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    // frozen corpus-side fits at the NON-default tiling: same coarse
+    // cells, 8 subspaces of 8 dims each
+    val cents = Similarity.corpusKmeansCentroids(spark, dir)
+    val cbs8 = Similarity.fitPqGeometry(spark, dir, 8, 8, corpusOnly = true)
+    assert(cbs8.length == 8 && cbs8.head.head.length == 8)
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val root = java.nio.file.Files.createTempDirectory("graft_ann8i_").toString
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    wh.write("corpus_codes", Similarity.pqCodesOf(
+      Similarity.vecsOf(emb.filter(col("vec_id") % 10 < 8)), cents, cbs8))
+    var idx = Similarity.AnnIndex(wh.read("corpus_codes"), root)
+
+    // the full delta screen at 8x8: rank bounds + exact re-rank + the
+    // same runtime recall rule as the default geometry
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    val pq8 = Similarity.screenAnnWith(spark, dir, idx, cents, cbs8, batch).cache()
+    assert(pq8.count() > 0 && pq8.filter(col("rank") > Similarity.AnnK).isEmpty)
+    val embd = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dotC = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val q = embd.filter(col("vec_id") % 10 >= 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qn", sqrt(dotC(col("qv"), col("qv"))))
+    val c = embd.filter(col("vec_id") % 10 < 8)
+      .withColumn("nrm", sqrt(dotC(col("v"), col("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("bscore").desc, col("vec_id"))
+    val bf = c.crossJoin(broadcast(q))
+      .withColumn("bscore", dotC(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("brank", row_number().over(w))
+      .filter(col("brank") <= Similarity.AnnK)
+      .select(col("q_id"), col("vec_id"), col("bscore")).cache()
+    val shared = pq8.join(bf, Seq("q_id", "vec_id")).cache()
+    shared.collect().foreach { r =>
+      assert(r.getDouble(r.fieldIndex("score")) ==
+        r.getDouble(r.fieldIndex("bscore")), "re-rank must be exact at 8x8")
+    }
+    val cvs = c.select(col("vec_id"), col("v"), col("nrm")).collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
+    val qs = q.select(col("q_id"), col("qv"), col("qn")).collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))).toSeq
+    val bfTop = bf.collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+    val bound = coarseProbeBound(cents, cvs, qs, bfTop)
+    val recall = shared.count().toDouble / bf.count()
+    assert(recall >= 0.8 * bound,
+      s"8x8 delta-ANN recall fell to $recall vs coarse bound $bound")
+    pq8.unpersist(); bf.unpersist(); shared.unpersist()
+
+    // append == rebuild-encode, bit-identical at the 8x8 geometry
+    val night1 = emb.filter(col("vec_id") % 10 === 8)
+    idx = Similarity.appendAnnWith(idx, cents, cbs8, night1)
+    val want = asSet(Similarity.pqCodesOf(
+      Similarity.vecsOf(emb.filter(col("vec_id") % 10 < 8 || col("vec_id") % 10 === 8)),
+      cents, cbs8))
+    assert(asSet(idx.codes) == want,
+      "8x8 append must equal a from-scratch rebuild-encode")
+    // replay no-op; an absorbed batch is seen-guarded out of the screen
+    idx = Similarity.appendAnnWith(idx, cents, cbs8, night1)
+    assert(asSet(idx.codes) == want && idx.codes.count() == want.size)
+    assert(Similarity.screenAnnWith(spark, dir, idx, cents, cbs8, night1).isEmpty,
+      "an absorbed 8x8 batch must not screen")
     Similarity.clearKmeansMemo(spark)
   }
 }
