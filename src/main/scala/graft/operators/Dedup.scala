@@ -572,8 +572,13 @@ object Dedup {
       .join(manifest, Seq("doc_id"), "left_anti")
     val residual = data.join(broadcast(past), Seq("doc_id"), "left_semi")
       .select(col("doc_id")).distinct()
+    // dropDuplicates LAST: the at-rest guards only know committed rows,
+    // so a doc_id redelivered WITHIN one batch would otherwise ride
+    // through twice — doubled signature rows, doubled shared counts
+    // (the ANN tier's vec_id lesson, applied to both doc screens)
     batch.join(manifest, Seq("doc_id"), "left_anti")
       .join(broadcast(residual), Seq("doc_id"), "left_anti")
+      .dropDuplicates("doc_id")
   }
 
   /** The q74 screen against an EXPLICIT index — the form consumers with
@@ -685,7 +690,10 @@ object Dedup {
     // caught exactly this). Checkpointing materializes the batch
     // shingles ONCE and cuts the plan below them, so no write can
     // invalidate them. Batch-bounded state, the Graph.CC discipline.
-    val batchSh = shingleRowsOf(batchDocs).localCheckpoint(true)
+    // dropDuplicates: an in-batch doc_id redelivery must not double the
+    // doc's at-rest shingle rows (the unseenBatch rule, append side)
+    val batchSh = shingleRowsOf(batchDocs.dropDuplicates("doc_id"))
+      .localCheckpoint(true)
     try {
       val manifest = wh.read("corpus_docs")
       val newSh = batchSh.join(manifest, Seq("doc_id"), "left_anti")
@@ -1309,7 +1317,10 @@ object Dedup {
                                            batchDocs: DataFrame): WinnowIndex = {
     val spark = batchDocs.sparkSession
     val wh = new graft.pipelines.Warehouse(spark, idx.root)
-    val batchFp = winnowFingerprintsOf(batchDocs).localCheckpoint(true)
+    // dropDuplicates: the unseenBatch rule, append side (see
+    // appendToCorpusIndexOf)
+    val batchFp = winnowFingerprintsOf(batchDocs.dropDuplicates("doc_id"))
+      .localCheckpoint(true)
     try {
       val manifest = wh.read("corpus_winnow_docs")
       val newFp = batchFp.join(manifest, Seq("doc_id"), "left_anti")

@@ -1297,7 +1297,10 @@ object Similarity {
                                    batchVecs: DataFrame): DataFrame = {
     val pqSub = cbs.head.head.length
     val centArr = typedLit(cents.map(_.toSeq))
-    val unseen = vecsOf(batchVecs)
+    // dropDuplicates: an in-batch vec_id redelivery would double every
+    // probe row — duplicate candidates, corrupted rank sequences (the
+    // append-side guard's twin)
+    val unseen = vecsOf(batchVecs).dropDuplicates("vec_id")
       .join(idx.codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
     val cellRanks = array_sort(array(cents.zipWithIndex.map { case (cv, cid) =>
       struct(sqDist(col("v"), typedLit(cv.toSeq)).as("d"), lit(cid).as("cid"))

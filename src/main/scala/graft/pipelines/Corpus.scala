@@ -220,7 +220,11 @@ object CorpusPipeline {
     // seen-ledger fast path: docs already fully in the live index are
     // replays (the manifest discipline); dropped docs re-screen to the
     // same drops, so the whole body is idempotent either way
+    // dropDuplicates: an in-batch doc_id redelivery would ride every
+    // screen twice and append twice to corpus_live (both copies are in
+    // the same frame, so the committed-rows anti-joins can't see them)
     val fresh = ckpt(batch.select(col("doc_id"), col("source"), col("text"))
+      .dropDuplicates("doc_id")
       .join(idx.docs, Seq("doc_id"), "left_anti"))
     try {
       val nIn = fresh.count()
@@ -281,6 +285,7 @@ object CorpusPipeline {
       // periodic [[refreshFull]] lane is a clean refine() over it
       wh.append("corpus_raw",
         batch.select(col("doc_id"), col("source"), col("text"))
+          .dropDuplicates("doc_id")
           .join(wh.read("corpus_raw").select(col("doc_id")),
             Seq("doc_id"), "left_anti"))
       wh.compactIfFragmented("corpus_raw")
