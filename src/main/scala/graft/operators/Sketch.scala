@@ -148,4 +148,69 @@ object Sketch {
       |SELECT token, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
       |FROM e WHERE est >= $CmsHotT ORDER BY token""".stripMargin
   }
+
+  // ------------------------------------- sampled quantile estimate (q90)
+
+  /** Sample size for [[sampleQuantiles]] and the quantile probe points.
+    * K = 256 gives a DKW empirical-CDF sup-norm error ≤ ~0.1 rank units
+    * with probability ≥ 1 − 2e^{−2K·0.01} ≈ 0.994 — the classic
+    * distribution-free bound, checked at a looser 0.15 in the spec so a
+    * fixture regeneration cannot read as a code regression.
+    */
+  val QuantK = 256
+  val QuantPs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
+  /** q90 — corpus quantile estimate from a deterministic uniform sample:
+    * the engine-portable "beyond-memory" quantile path that
+    * `approx_percentile`/t-digest fill engine-specifically (the gap the
+    * exact-rank q41/q55 tiers documented). The sample is the bottom-
+    * [[QuantK]] documents by a salted 60-bit content hash — a
+    * value-carrying KMV: like q40's k-minimum pass it plans as
+    * `TakeOrderedAndProject` (per-partition top-k, k rows per partition
+    * move, one driver-side merge — no full sort, no full shuffle), and
+    * two node-local sketches merge by keeping the k smallest of the
+    * union, so the sample is identical across re-runs, partitionings and
+    * cluster sizes (the q34/q39 hash-order discipline; ties broken by
+    * doc_id for a total order). Quantiles then read off the sorted
+    * sample with q41's exact rank formula `floor((k−1)·q)+1` — the
+    * whole reduction is one bounded array, never a corpus-wide sort.
+    *
+    * Reference anchor: the reference's only distribution summary is
+    * pandas `describe()` over the full frame
+    * (`etl_inventory/seed_stock_points.py` debugging dumps) — an
+    * all-in-memory quantile; this is its 100 TB-shaped replacement.
+    */
+  def sampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns._
+    val sample = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("h", hash60(concat(lit("squant:"), col("doc_id").cast("string"))))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(QuantK)
+    // one row: the sorted sample + its true size (k < QuantK on a tiny
+    // corpus keeps the rank formula well-defined)
+    val sorted = sample.agg(
+      sort_array(collect_list(col("n_chars"))).as("vals"),
+      count(lit(1)).as("k"))
+    sorted
+      .select(explode(array(QuantPs.map(lit): _*)).as("p"), col("vals"), col("k"))
+      .select(col("p"),
+        element_at(col("vals"),
+          (floor(col("p") * (col("k") - 1)) + 1).cast("int")).as("est_n_chars"),
+        col("k"))
+      .orderBy(col("p"))
+  }
+
+  val sampleQuantilesSql: String = {
+    import graft.functions.TextFns._
+    val ps = QuantPs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH s AS (
+      |  SELECT n_chars FROM documents
+      |  ORDER BY ${hash60Sql("'squant:' || CAST(doc_id AS VARCHAR)")}, doc_id
+      |  LIMIT $QuantK),
+      |v AS (SELECT list_sort(list(n_chars)) AS vals, count(*) AS k FROM s),
+      |p AS (SELECT unnest($ps) AS p)
+      |SELECT p, vals[CAST(floor(p * (k - 1)) + 1 AS INT)] AS est_n_chars, k
+      |FROM p, v ORDER BY p""".stripMargin
+  }
 }

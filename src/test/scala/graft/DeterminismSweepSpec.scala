@@ -37,7 +37,9 @@ class DeterminismSweepSpec extends SparkSpec {
     "q85_winnow_fingerprints", "q86_winnow_pairs", "q87_split_leakage",
     // r9: index-screened winnow delta pairs (q88); frozen-fit ADC
     // search + exact re-rank over the at-rest codes (q89)
-    "q88_delta_winnow", "q89_delta_ann")
+    "q88_delta_winnow", "q89_delta_ann",
+    // r10: hash-ordered bottom-k sample + rank-select quantiles (q90)
+    "q90_sample_quantiles")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -40,4 +40,37 @@ class KmvSketchSpec extends SparkSpec {
       .as[Long].select(KmvSketch.distinctEstimate(Sketch.K)).head()
     assert(rel == agg)
   }
+
+  // ------------------------- q90: value-carrying KMV quantile estimate
+
+  test("q90 sample quantiles: estimates bracket the true corpus ranks (DKW)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Sketch.sampleQuantiles(spark, dir).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Sketch.QuantPs)
+    val chars = graft.Tables.documents(spark, dir)
+      .select(col("n_chars")).as[Long].collect().sorted
+    val n = chars.length.toDouble
+    assert(rows.head.getLong(2) == math.min(Sketch.QuantK.toLong, chars.length.toLong))
+    // Runtime-derived bracket, not a pinned fixture value: the est for
+    // probe p must sit where the TRUE empirical CDF is within ±0.15 of p
+    // (DKW at K=256 puts the deviation beyond 0.15 at ~1e-5 per probe,
+    // so a benign fixture regeneration cannot trip this).
+    rows.foreach { r =>
+      val (p, est) = (r.getDouble(0), r.getLong(1))
+      val below = chars.count(_ < est) / n   // CDF just under est
+      val atOrBelow = chars.count(_ <= est) / n
+      assert(below <= p + 0.15 && atOrBelow >= p - 0.15,
+        s"p=$p est=$est cdf=[$below,$atOrBelow]")
+    }
+  }
+
+  test("q90 sample quantiles: bottom-k plans as TakeOrderedAndProject, and re-runs agree") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Sketch.sampleQuantiles(spark, dir)
+    // the claimed scale shape: per-partition top-k + one driver merge —
+    // never a corpus-wide sort feeding a limit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(df.collect().toSeq == Sketch.sampleQuantiles(spark, dir).collect().toSeq)
+  }
 }

@@ -188,7 +188,8 @@ class PlanLintSpec extends SparkSpec {
     "q86_winnow_pairs" -> 4,
     "q87_split_leakage" -> 6,
     "q88_delta_winnow" -> 14,
-    "q89_delta_ann" -> 4)
+    "q89_delta_ann" -> 4,
+    "q90_sample_quantiles" -> 0) // TakeOrderedAndProject + 1-partition agg: shuffle-free
 
   /** Per-table parquet scan-width ceiling — "push down and prune" turned
     * into CI. The widest scan ANY query issues against a base fixture
