@@ -64,6 +64,47 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("QuantileSketch: typed twin of q90 is bit-identical, partitioning-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val rel = Sketch.sampleQuantiles(spark, dir).collect().map(_.getLong(1)).toSeq
+    val rows = graft.Tables.documents(spark, dir)
+      .select(
+        graft.functions.TextFns.hash60(
+          concat(lit("squant:"), col("doc_id").cast("string"))).as("_1"),
+        col("doc_id").as("_2"), col("n_chars").as("_3"))
+      .as[(Long, Long, Long)]
+    val typed = rows
+      .select(graft.functions.QuantileSketch.estimates(Sketch.QuantK, Sketch.QuantPs))
+      .head()
+    // same hash, same tiebreak => the SAME 256-doc sample => equal, not close
+    assert(typed == rel)
+    val reparted = rows.repartition(13)
+      .select(graft.functions.QuantileSketch.estimates(Sketch.QuantK, Sketch.QuantPs))
+      .head()
+    assert(reparted == typed)
+  }
+
+  test("QuantileSketch: grouped per-lang quantiles in one hash-agg") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.documents(spark, dir)
+      .select(col("lang").as("_1"),
+        graft.functions.TextFns.hash60(
+          concat(lit("squant:"), col("doc_id").cast("string"))).as("_2"),
+        col("doc_id").as("_3"), col("n_chars").as("_4"))
+      .as[(String, Long, Long, Long)]
+    // capacity above every group size: the buffer IS the group, so the
+    // grouped sketch must equal the exact per-group rank selection
+    val got = rows.groupByKey(_._1).mapValues(r => (r._2, r._3, r._4))
+      .agg(graft.functions.QuantileSketch.estimates(1 << 20, Seq(0.25, 0.5, 0.75)))
+      .collect().toMap
+    val exact = rows.collect().groupBy(_._1).map { case (lang, g) =>
+      val sorted = g.map(_._4).sorted
+      lang -> Seq(0.25, 0.5, 0.75).map(p =>
+        sorted(math.floor(p * (sorted.length - 1)).toInt))
+    }
+    assert(got == exact)
+  }
+
   test("q90 sample quantiles: bottom-k plans as TakeOrderedAndProject, and re-runs agree") {
     val dir = "/root/testdata/sf0.001"
     val df = Sketch.sampleQuantiles(spark, dir)

@@ -80,6 +80,50 @@ class SketchAlgebraSpec extends AnyFunSuite {
     })
   }
 
+  /** Domain-consistent keyed rows: h and v are FUNCTIONS of the row id
+    * (in production h = salted hash60 of the id, v its column value), so
+    * a repeated id is a redelivery of the same triplet — never two
+    * values under one sample key. The 8-bit pseudo-hash forces real
+    * (h, id) tiebreak work. The sketch algebra is only claimed on this
+    * domain; that is the keyed-source contract its callers satisfy.
+    */
+  private val keyedRows: Gen[List[(Long, Long, Long)]] =
+    Gen.listOf(Gen.choose(0L, 300L))
+      .map(_.take(200).map(id => ((id * 37) % 256, id, id * 7 - 50)))
+
+  private def qsOf(agg: graft.functions.QuantileSketch,
+                   xs: Seq[(Long, Long, Long)]): Array[Long] =
+    xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+
+  test("Quantile: merge is associative/commutative/idempotent with zero identity, equals the fold") {
+    val agg = new graft.functions.QuantileSketch(16, Seq(0.25, 0.5, 0.75))
+    run("quantile", Prop.forAll(keyedRows, keyedRows, keyedRows) { (a, b, c) =>
+      def m(x: Array[Long], y: Array[Long]) = agg.merge(x.clone(), y.clone())
+      val (sa, sb, sc) = (qsOf(agg, a), qsOf(agg, b), qsOf(agg, c))
+      m(m(sa, sb), sc).sameElements(m(sa, m(sb, sc))) &&
+      m(sa, sb).sameElements(m(sb, sa)) &&
+      m(sa, agg.zero).sameElements(sa) &&
+      m(sa, sa).sameElements(sa) && // keyed sample: re-ingest is free
+      m(sa, sb).sameElements(qsOf(agg, a ++ b)) // partials == one pass
+    })
+  }
+
+  test("Quantile: exact rank selection below capacity, under any split") {
+    val agg = new graft.functions.QuantileSketch(64, Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    run("quantile-exact", Prop.forAll(keyedRows, Gen.choose(0, 200)) { (xs0, cut) =>
+      // unique ids => a keyed stream; ≤ 64 rows => the buffer IS the group
+      val xs = xs0.zipWithIndex.map { case ((h, _, v), i) => (h, i.toLong, v) }.take(64)
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val merged = agg.merge(qsOf(agg, l), qsOf(agg, r))
+      val sorted = xs.map(_._3).sorted
+      val expect =
+        if (sorted.isEmpty) Seq.empty
+        else Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+          .map(p => sorted(math.floor(p * (sorted.size - 1)).toInt))
+      agg.finish(merged) == expect
+    })
+  }
+
   test("CMS/Bloom point guarantees hold under any merge order") {
     run("guarantees", Prop.forAll(hashes, hashes) { (a, b) =>
       val cms = new CmsSketch(4, 64)
