@@ -426,4 +426,83 @@ object Analytics {
       |FROM documents
       |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** q93 — grouped least-squares fit of chars on tokens (the
+    * "tokenizer fertility" line per language × source: slope ≈ chars
+    * per token, a drifting slope flags a source whose tokenization
+    * changed under you). The regression-aggregate family (`regr_slope`
+    * and friends) done the way a 100 TB engine should: closed-form from
+    * INTEGER power sums — n, Σx, Σy, Σxy, Σx² — which partial
+    * aggregation computes map-side as plain exact sums (no Welford
+    * merge-order state, no float until the very end). The sums are
+    * carried as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), exact far past
+    * any per-group size this fixture or a 100 TB corpus reaches, and
+    * commutative — so the whole aggregation is order-free and the
+    * first floating-point ROUNDING in the entire query is the final
+    * slope division (every cast below 2⁵³ is exact): bit-identical
+    * across engines and partitionings WITHOUT an ordered fold, the one
+    * aggregate family where exactness is free. Engines' built-in
+    * `regr_slope` is avoided precisely because its Welford/centered
+    * streaming moments round at every merge in an order Spark does not
+    * pin.
+    *
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = ȳ − slope·x̄;
+    * a zero denominator (all x equal in a group) yields NULL in both
+    * engines rather than an engine-specific ±Inf/NaN.
+    */
+  def lengthFit(spark: SparkSession, dir: String): DataFrame =
+    lengthFitOf(Tables.spread(Tables.documents(spark, dir)))
+
+  /** The q93 fit over an explicit documents frame (`lang`, `source`,
+    * `text`, `n_chars`) — the spec drives degenerate (zero-variance) and
+    * exact-line cases through this seam.
+    */
+  private[graft] def lengthFitOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = docs
+      .select(col("lang"), col("source"),
+        size(toks(col("text"))).cast("long").as("x"), col("n_chars").as("y"))
+    val sums = base.groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    val num = (col("n_docs").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .as("num")
+    val den = (col("n_docs").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .as("den")
+    val slope = col("num").cast("double") / col("den").cast("double")
+    sums.select(col("lang"), col("source"), col("n_docs"), col("sx"),
+        col("sy"), num, den)
+      .select(col("lang"), col("source"), col("n_docs"),
+        when(col("den") === 0, lit(null)).otherwise(slope).as("slope"),
+        when(col("den") === 0, lit(null)).otherwise(
+          (col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n_docs").cast("double")).as("intercept"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Oracle: DuckDB's `sum(BIGINT)` is HUGEINT (128-bit) — the same
+    * exact-integer algebra as the Spark side's DECIMAL(38,0), with the
+    * identical final division order.
+    */
+  val lengthFitSql: String =
+    s"""WITH b AS (
+      |  SELECT lang, source, CAST(len($toksSql) AS BIGINT) AS x, n_chars AS y
+      |  FROM documents),
+      |s AS (SELECT lang, source, count(*) AS n_docs,
+      |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM b GROUP BY lang, source),
+      |f AS (SELECT lang, source, n_docs, sx, sy,
+      |  n_docs * sxy - sx * sy AS num, n_docs * sxx - sx * sx AS den
+      |  FROM s)
+      |SELECT lang, source, n_docs,
+      |  CASE WHEN den = 0 THEN NULL
+      |    ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+      |  CASE WHEN den = 0 THEN NULL
+      |    ELSE (CAST(sy AS DOUBLE)
+      |      - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |      / CAST(n_docs AS DOUBLE) END AS intercept
+      |FROM f ORDER BY lang, source""".stripMargin
 }

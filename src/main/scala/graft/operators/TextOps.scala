@@ -1066,6 +1066,121 @@ object TextOps {
         .agg(count(lit(1)).cast("int").as("n_tokens"),
           (sum(col("p")) / count(lit(1))).as("mean_p")))
 
+  /** Interpolation weight for [[bigramLikelihood]]. 0.75 = 3/4 is exact
+    * in binary (so is its complement 0.25), so the λ·p₂ + (1−λ)·p₁ blend
+    * is two correctly-rounded multiplies and one add — deterministic
+    * across engines, the q77 portability discipline extended to an
+    * interpolated model.
+    */
+  val BigramLambda = 0.75
+
+  /** q92 — interpolated bigram-likelihood score: the context-aware
+    * upgrade of q77's unigram filter (CCNet's LM quality signal, one
+    * order up). A bigram model is fit on the corpus itself —
+    * p(cur | prev) = c(prev, cur) / c(prev, ·), with a `<s>`
+    * start-of-document sentinel so position 1 is conditioned like every
+    * other position — and Jelinek-Mercer-interpolated with the q77
+    * unigram (λ = [[BigramLambda]]) so unseen-in-context tokens degrade
+    * to their corpus rate instead of zeroing the document. Every
+    * document is scored by its mean interpolated token probability:
+    * repetitive/templated text (predictable continuations) scores high,
+    * token-salad scores at its unigram floor. As in q77 the score stays
+    * in probability space — no `ln`/`exp` (the q67 lesson), only
+    * count divisions, exact-λ multiplies, and the position-ordered
+    * fold, all IEEE exact-rounded → bit-identical across engines.
+    *
+    * Plan: ONE tokenize; the bigram stream is derived in-array
+    * (`posexplode` + `element_at(t, pos)` for the predecessor — no
+    * self-join, no window over the corpus); three hash-aggs fit the
+    * model (bigram counts, context totals as a second agg OVER the
+    * bigram counts so numerator and denominator can never disagree,
+    * unigram counts); scoring equi-joins the stream to the three model
+    * tables on their keys — all corpus-bounded vocab tables, shuffle
+    * joins on the token keys at scale (broadcast only the 1-row grand
+    * total). Per-doc reduction is the q77 ordered fold;
+    * [[bigramLikelihoodProd]] is the commutative twin.
+    */
+  def bigramLikelihood(spark: SparkSession, dir: String): DataFrame =
+    withAllDocs(spark, dir,
+      bigramProbs(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          collect_list(struct(col("pos"), col("p"))).as("ps"))
+        .select(col("doc_id"), col("n_tokens"),
+          (aggregate(transform(array_sort(col("ps")), s => s.getField("p")),
+            lit(0.0), (acc, x) => acc + x) / col("n_tokens")).as("mean_p")))
+
+  /** Production twin: commutative `sum(p) / count` per doc (the q77/q70
+    * trade — O(1) agg memory, last-ulp reproducibility traded away).
+    */
+  def bigramLikelihoodProd(spark: SparkSession, dir: String): DataFrame =
+    withAllDocs(spark, dir,
+      bigramProbs(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          (sum(col("p")) / count(lit(1))).as("mean_p")))
+
+  /** The q92 model fit + per-token scoring, shared by both tiers (the
+    * differential spec always compares the SAME model). The bigram
+    * stream tags each token with its predecessor (sentinel `<s>` at
+    * position 1; a pathological literal `<s>` token in the text would
+    * merge contexts with the sentinel — identically in both engines, and
+    * impossible in the fixture's alnum/punct text); context totals are
+    * summed FROM the bigram counts, so ctx(prev) ≡ Σ_cur c2(prev, cur)
+    * by construction.
+    */
+  private def bigramProbs(spark: SparkSession, dir: String): DataFrame = {
+    val big = graft.TransientCache.register(docToks(spark, dir)
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos0", "cur")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        when(col("pos0") === 0, lit("<s>"))
+          .otherwise(element_at(col("t"), col("pos0"))).as("prev"),
+        col("cur"))
+      .cache())
+    val c2 = graft.TransientCache.register(
+      big.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2")).cache())
+    val ctx = c2.groupBy(col("prev")).agg(sum(col("c2")).as("ctx"))
+    val uni = graft.TransientCache.register(
+      big.groupBy(col("cur")).agg(count(lit(1)).as("c1")).cache())
+    val total = uni.agg(sum(col("c1")).as("total"))
+    big.join(c2, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .join(uni, Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"),
+        // 1.0 − 0.75 is EXACT (0.75 is a binary literal), so this equals
+        // the oracle's written 0.25 bit-for-bit
+        (lit(BigramLambda) * (col("c2").cast("double") / col("ctx")) +
+          lit(1.0 - BigramLambda) * (col("c1").cast("double") / col("total"))).as("p"))
+  }
+
+  /** Oracle: the same stream/model/fold chain in DuckDB list dialect —
+    * the predecessor via `list_extract(t, u.i - 1)`, the fold the q77
+    * `list_reduce` with positions ordering the list.
+    */
+  val bigramLikelihoodSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT doc_id, CAST(u.i AS INT) AS pos, list_extract(t, u.i) AS cur,
+      |  CASE WHEN u.i = 1 THEN '<s>' ELSE list_extract(t, u.i - 1) END AS prev
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |c2 AS (SELECT prev, cur, count(*) AS c2 FROM tok GROUP BY prev, cur),
+      |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY prev),
+      |uni AS (SELECT cur, count(*) AS c1 FROM tok GROUP BY cur),
+      |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni),
+      |p AS (SELECT t.doc_id, t.pos,
+      |  CAST(0.75 AS DOUBLE) * (CAST(c2.c2 AS DOUBLE) / ctx.ctx) +
+      |  CAST(0.25 AS DOUBLE) * (CAST(uni.c1 AS DOUBLE) / tt.total) AS p
+      |  FROM tok t JOIN c2 ON c2.prev = t.prev AND c2.cur = t.cur
+      |  JOIN ctx ON ctx.prev = t.prev
+      |  JOIN uni ON uni.cur = t.cur
+      |  CROSS JOIN tt),
+      |d AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |  list(p ORDER BY pos) AS ps FROM p GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(coalesce(d.n_tokens, 0) AS INT) AS n_tokens,
+      |  list_reduce(list_prepend(0.0, d.ps), (a, b) -> a + b) / d.n_tokens AS mean_p
+      |FROM documents t LEFT JOIN d ON d.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** q78 — temperature-scaled mixture weights (the Gopher/PaLM "sample
     * source s proportionally to p_s^alpha" calculation, alpha = 1/2):
     * per-source corpus shares are raised to the temperature exponent and

@@ -125,4 +125,68 @@ class AnalyticsSpec extends SparkSpec {
       assert(ma == frame.sum.toDouble / frame.length, s"day $k")
     }
   }
+
+  // ----------------------------------------------- q93 length fit
+
+  test("length fit recovers an exact integer line exactly") {
+    import spark.implicits._
+    // y = 7x + 3 on x = 1..5 (token counts), all points exactly on the
+    // line: the integer power-sum algebra makes num/den a ratio of exact
+    // integers, so slope and intercept come out as EXACT doubles
+    val docs = (1 to 5).map { x =>
+      ("en", "s0", Seq.fill(x)("tok").mkString(" "), 7L * x + 3)
+    }.toDF("lang", "source", "text", "n_chars")
+    val got = Analytics.lengthFitOf(docs).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 5)
+    assert(got.head.getDouble(3) == 7.0, "slope must be exactly 7.0")
+    assert(got.head.getDouble(4) == 3.0, "intercept must be exactly 3.0")
+  }
+
+  test("length fit: zero x-variance group yields NULL, not Inf/NaN") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "s0", "a b", 10L), ("en", "s0", "c d", 20L),
+      ("de", "s1", "a b", 10L), ("de", "s1", "c d e", 20L))
+      .toDF("lang", "source", "text", "n_chars")
+    val got = Analytics.lengthFitOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.isNullAt(3), r.isNullAt(4)))).toMap
+    assert(got("en") == ((true, true)), "constant x => NULL slope/intercept")
+    assert(got("de") == ((false, false)))
+  }
+
+  test("length fit matches a driver-side double least squares to 1e-9") {
+    val got = Analytics.lengthFit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val pts = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(graft.functions.TextFns.toks(col("text"))).cast("long").as("x"),
+        col("n_chars").as("y"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2).toDouble, r.getLong(3).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == pts.keySet)
+    for ((k, xy) <- pts) {
+      val n = xy.length
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      val (gn, gs, gi) = got(k)
+      assert(gn == n, s"$k n")
+      if (den == 0) {
+        assert(gs.isEmpty && gi.isEmpty, s"$k: zero variance must be NULL")
+      } else {
+        val slope = (n * sxy - sx * sy) / den
+        val icept = (sy - slope * sx) / n
+        assert(math.abs(gs.get - slope) <= 1e-9 * math.max(1.0, math.abs(slope)),
+          s"$k slope ${gs.get} vs $slope")
+        assert(math.abs(gi.get - icept) <= 1e-9 * math.max(1.0, math.abs(icept)),
+          s"$k intercept ${gi.get} vs $icept")
+      }
+    }
+  }
 }

@@ -38,8 +38,13 @@ class DeterminismSweepSpec extends SparkSpec {
     // r9: index-screened winnow delta pairs (q88); frozen-fit ADC
     // search + exact re-rank over the at-rest codes (q89)
     "q88_delta_winnow", "q89_delta_ann",
-    // r10: hash-ordered bottom-k sample + rank-select quantiles (q90)
-    "q90_sample_quantiles")
+    // r10: hash-ordered bottom-k sample + rank-select quantiles (q90);
+    // per-node in-neighbor-ordered contribution folds (q91); per-doc
+    // interpolated-probability folds (q92); exact-integer power-sum
+    // regression — the one double family that is order-free by
+    // construction, swept to prove it (q93)
+    "q90_sample_quantiles", "q91_pagerank", "q92_bigram_lm",
+    "q93_length_fit")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -48,4 +48,70 @@ class GraphSpec extends SparkSpec {
 
     assert(components(edges) == want)
   }
+
+  // ------------------------------------------------------- PageRank
+
+  private def sym(edges: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame =
+    (edges ++ edges.map(_.swap)).toDF("src", "dst")
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = Graph.PrIters)
+      : Map[Long, Double] = {
+    val got = Graph.pageRank(sym(edges), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.TransientCache.drain()
+    got
+  }
+
+  test("pagerank: probability mass is conserved on a dangling-free graph") {
+    // star (center 1) + a detached triangle
+    val got = ranks(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)))
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    assert(got.size == 8)
+  }
+
+  test("pagerank: the star center outranks its leaves, leaves tie exactly") {
+    // iters pinned: on a bipartite star the walk oscillates, so the
+    // center/leaf gap depends on iteration parity
+    val got = ranks(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)), iters = 3)
+    assert(got(1L) > got(2L) * 2,
+      "hub must clearly dominate a leaf on a 4-leaf star")
+    // symmetric leaves run the identical fp ops => EXACTLY equal
+    assert(Seq(got(3L), got(4L), got(5L)).forall(_ == got(2L)))
+  }
+
+  test("pagerank: a cycle stays uniform at 1/N") {
+    val n = 6
+    val got = ranks((1 to n).map(i => (i.toLong, (i % n + 1).toLong)))
+    assert(got.size == n)
+    // every node runs the identical fp ops => one distinct value
+    assert(got.values.toSet.size == 1)
+    assert(math.abs(got.values.head - 1.0 / n) < 1e-12)
+  }
+
+  test("pagerank: production sum matches the ordered fold to 1e-9") {
+    val dir = "/root/testdata/sf0.001"
+    val oracle = Graph.supplierPartRank(spark, dir)
+      .select(col("kind"), col("key"), col("pr"))
+    val li = graft.Tables.lineitem(spark, dir)
+      .select((col("l_suppkey") * 2).as("s"), (col("l_partkey") * 2 + 1).as("p"))
+      .distinct()
+    val s2 = li.select(explode(array(
+        struct(col("s").as("a"), col("p").as("b")),
+        struct(col("p").as("a"), col("s").as("b")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
+    val prod = Graph.pageRankProd(s2, "a", "b")
+      .select(
+        when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part"))
+          .as("kind"),
+        shiftright(col("node"), 1).as("key"), col("pr").as("pr_prod"))
+    val j = oracle.join(prod, Seq("kind", "key"), "full").cache()
+    assert(j.filter(col("pr").isNull || col("pr_prod").isNull).isEmpty,
+      "both folds must rank every node")
+    assert(j.filter(abs(col("pr") - col("pr_prod")) >
+      lit(1e-9) * abs(col("pr"))).isEmpty)
+    assert(j.count() > 0)
+    j.unpersist()
+    graft.TransientCache.drain()
+  }
 }

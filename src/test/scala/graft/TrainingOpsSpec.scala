@@ -962,6 +962,63 @@ class TrainingOpsSpec extends SparkSpec {
     graft.TransientCache.drain()
   }
 
+  test("bigram likelihood: bounds, zero-token nulls, model-mass identity") {
+    val df = TextOps.bigramLikelihood(spark, dir).cache()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(df.count() == nDocs, "one score row per document")
+    assert(df.filter(col("n_tokens") === 0 && col("mean_p").isNotNull).isEmpty)
+    assert(df.filter(col("n_tokens") > 0 && col("mean_p").isNull).isEmpty)
+    // interpolated probabilities live in (0, 1]
+    assert(df.filter(col("mean_p") <= 0 || col("mean_p") > 1).isEmpty)
+    assert(df.select(col("mean_p")).distinct().count() > 1)
+    // model-mass identity, each component against INDEPENDENTLY rebuilt
+    // counts: sum_docs(n * mean_p) = 0.75 * sum_{(prev,cur)} c2^2/ctx
+    //                              + 0.25 * sum_cur c1^2/total
+    // (each bigram occurrence contributes its own model probability once)
+    val lhs = df.select((col("n_tokens") * col("mean_p")).as("m"))
+      .agg(sum(col("m"))).first().getDouble(0)
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFns.toks(col("text")))
+          .as(Seq("pos0", "cur")),
+        graft.functions.TextFns.toks(col("text")).as("t"))
+      .select(col("doc_id"),
+        when(col("pos0") === 0, lit("<s>"))
+          .otherwise(element_at(col("t"), col("pos0"))).as("prev"), col("cur"))
+      .cache()
+    val c2 = tok.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      .withColumn("ctx", sum(col("c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
+    val bigMass = c2
+      .select((col("c2") * col("c2") / col("ctx").cast("double")).as("m"))
+      .agg(sum(col("m"))).first().getDouble(0)
+    val c1 = tok.groupBy("cur").agg(count(lit(1)).as("c1")).cache()
+    val total = c1.agg(sum(col("c1"))).first().getLong(0)
+    val uniMass = c1.select((col("c1") * col("c1")).cast("double").as("m"))
+      .agg(sum(col("m"))).first().getDouble(0) / total
+    val rhs = 0.75 * bigMass + 0.25 * uniMass
+    assert(math.abs(lhs - rhs) < 1e-6 * rhs, s"$lhs vs $rhs")
+    tok.unpersist(); c1.unpersist(); df.unpersist()
+    graft.TransientCache.drain()
+  }
+
+  test("production bigram scoring matches the ordered-fold path to 1e-9") {
+    val oracle = TextOps.bigramLikelihood(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("mean_p"))
+    val prod = TextOps.bigramLikelihoodProd(spark, dir)
+      .select(col("doc_id"),
+        col("n_tokens").as("n_prod"), col("mean_p").as("p_prod"))
+    val j = oracle.join(prod, Seq("doc_id"), "full").cache()
+    assert(j.filter(col("n_tokens").isNull || col("n_prod").isNull).isEmpty)
+    assert(j.filter(col("n_tokens") =!= col("n_prod")).isEmpty)
+    assert(j.filter(col("mean_p").isNull =!= col("p_prod").isNull).isEmpty)
+    assert(j.filter(abs(col("mean_p") - col("p_prod")) >
+      lit(1e-9) * greatest(abs(col("mean_p")), lit(1e-300))).isEmpty)
+    assert(j.count() > 0)
+    j.unpersist()
+    graft.TransientCache.drain()
+  }
+
   test("mixture weights: normalized, temperature up-weights small sources") {
     val df = TextOps.mixtureWeights(spark, dir).cache()
     val srcs = Tables.documents(spark, dir).select("source").distinct().count()
