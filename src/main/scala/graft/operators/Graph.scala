@@ -320,19 +320,25 @@ object Graph {
                            iters: Int, orderedFold: Boolean): DataFrame = {
     val e = graft.TransientCache.register(
       edges.select(col(src).as("a"), col(dst).as("b")).distinct().cache())
-    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+    // Eager fill: the degree aggregation and the e2 join's probe side are
+    // INDEPENDENT map stages over `e`, so inside one job both would race
+    // the cold cache and each recompute the full symmetrize+distinct
+    // (measured: the two ~15 s task-time twins in the sf0.1 profile).
+    // One count materializes the deduped edge list once; everything
+    // downstream reads the cache.
+    e.count()
+    // the degree table doubles as the node set (sources cover all nodes
+    // under the contract), so ONE aggregation feeds the e2 annotation,
+    // the node count and the r0 seed — no separate distinct
+    val deg = graft.TransientCache.register(
+      e.groupBy(col("a")).agg(count(lit(1)).as("outdeg")).cache())
     // (a, b, outdeg): degree riding on every edge so each iteration's
     // contribution is ONE division `pr/outdeg` (not a second join) —
     // cached once, consumed every round
     val e2 = graft.TransientCache.register(e.join(deg, Seq("a")).cache())
-    // node set + count as data (the q77 total discipline — no driver
-    // collect); sources cover all nodes under the contract. Cached: the
-    // count and the r0 seed both read it, and at corpus scale the
-    // distinct is a shuffle worth paying once.
-    val nodes = graft.TransientCache.register(
-      e.select(col("a").as("node")).distinct().cache())
-    val n = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(n))
+    // node count as data (the q77 total discipline — no driver collect)
+    val n = deg.agg(count(lit(1)).as("n"))
+    var r = deg.select(col("a").as("node")).crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to iters) {
       val contribs = e2.join(r, e2("a") === r("node"))
