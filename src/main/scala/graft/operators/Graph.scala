@@ -305,21 +305,29 @@ object Graph {
     * spec'd against this path at 1e-9 relative.
     */
   def pageRank(edges: DataFrame, src: String, dst: String,
-               iters: Int = PrIters): DataFrame =
-    pageRankImpl(edges, src, dst, iters, orderedFold = true)
+               iters: Int = PrIters,
+               assumeDeduped: Boolean = false): DataFrame =
+    pageRankImpl(edges, src, dst, iters, orderedFold = true, assumeDeduped)
 
   /** Production fold: plain `sum` of contributions (partial aggregation
     * does the work, O(1) agg memory per node, last-ulp reproducibility
     * traded away) — the hub-safe path at web scale.
     */
   def pageRankProd(edges: DataFrame, src: String, dst: String,
-                   iters: Int = PrIters): DataFrame =
-    pageRankImpl(edges, src, dst, iters, orderedFold = false)
+                   iters: Int = PrIters,
+                   assumeDeduped: Boolean = false): DataFrame =
+    pageRankImpl(edges, src, dst, iters, orderedFold = false, assumeDeduped)
 
   private def pageRankImpl(edges: DataFrame, src: String, dst: String,
-                           iters: Int, orderedFold: Boolean): DataFrame = {
+                           iters: Int, orderedFold: Boolean,
+                           assumeDeduped: Boolean): DataFrame = {
+    // `assumeDeduped` drops the defensive distinct — a full edge-list
+    // shuffle — for callers whose construction is provably
+    // duplicate-free (a duplicate edge would inflate both the degree
+    // and the contribution, so the contract matters)
+    val raw = edges.select(col(src).as("a"), col(dst).as("b"))
     val e = graft.TransientCache.register(
-      edges.select(col(src).as("a"), col(dst).as("b")).distinct().cache())
+      (if (assumeDeduped) raw else raw.distinct()).cache())
     // Eager fill: the degree aggregation and the e2 join's probe side are
     // INDEPENDENT map stages over `e`, so inside one job both would race
     // the cold cache and each recompute the full symmetrize+distinct
@@ -378,7 +386,10 @@ object Graph {
         struct(col("s").as("a"), col("p").as("b")),
         struct(col("p").as("a"), col("s").as("b")))).as("ed"))
       .select(col("ed.a").as("a"), col("ed.b").as("b"))
-    pageRank(sym, "a", "b", PrIters)
+    // deduped by construction: base is distinct and the two orientations
+    // are parity-disjoint (even→odd vs odd→even), so the generic
+    // defensive distinct — a full edge-list shuffle — is skipped
+    pageRank(sym, "a", "b", PrIters, assumeDeduped = true)
       .select(
         when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part"))
           .as("kind"),

@@ -193,8 +193,9 @@ class PlanLintSpec extends SparkSpec {
     "q88_delta_winnow" -> 14,
     "q89_delta_ann" -> 4,
     "q90_sample_quantiles" -> 0, // TakeOrderedAndProject + 1-partition agg: shuffle-free
-    "q91_pagerank" -> 11, // edge distinct + degree build (the deg table doubles as the
-                          // node set) + 3 x (contrib join keeps the cached hash(a)
+    "q91_pagerank" -> 10, // base-pair distinct (the symmetrized list is deduped by
+                          // parity, no second distinct) + degree build (deg doubles as
+                          // the node set) + 3 x (contrib join keeps the cached hash(a)
                           // partitioning; dst re-agg shuffles)
     "q92_bigram_lm" -> 8, // bigram/unigram/context model aggs + 3 model probe joins +
                           // per-doc fold (the q77 shape, one model deeper)
