@@ -107,6 +107,14 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(Sketch.cmsHeavyHitters(spark, dir), 1)
   }
 
+  test("q91 pageRank transients (edges, degrees, annotated edges) drain") {
+    checkDrains(graft.operators.Graph.supplierPartRank(spark, dir), 3)
+  }
+
+  test("q92 bigramLikelihood transients (bigram stream, c2, unigram) drain") {
+    checkDrains(TextOps.bigramLikelihood(spark, dir), 3)
+  }
+
   test("drained query recomputes correctly (no dangling reuse)") {
     val a = Contamination.fuzzyContamination(spark, dir).collect().toSeq
     TransientCache.drain()
