@@ -1129,14 +1129,21 @@ object TextOps {
     * summed FROM the bigram counts, so ctx(prev) ≡ Σ_cur c2(prev, cur)
     * by construction.
     */
-  private def bigramProbs(spark: SparkSession, dir: String): DataFrame = {
-    val big = graft.TransientCache.register(docToks(spark, dir)
+  /** The shared (doc_id, pos, prev, cur) bigram stream — q92's model fit
+    * and q94's collocation mining both read it; within one session the
+    * CacheManager unifies the identical cached plans.
+    */
+  private def bigramStream(spark: SparkSession, dir: String): DataFrame =
+    graft.TransientCache.register(docToks(spark, dir)
       .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos0", "cur")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"),
         when(col("pos0") === 0, lit("<s>"))
           .otherwise(element_at(col("t"), col("pos0"))).as("prev"),
         col("cur"))
       .cache())
+
+  private def bigramProbs(spark: SparkSession, dir: String): DataFrame = {
+    val big = bigramStream(spark, dir)
     val c2 = graft.TransientCache.register(
       big.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2")).cache())
     val ctx = c2.groupBy(col("prev")).agg(sum(col("c2")).as("ctx"))
@@ -1180,6 +1187,66 @@ object TextOps {
       |  list_reduce(list_prepend(0.0, d.ps), (a, b) -> a + b) / d.n_tokens AS mean_p
       |FROM documents t LEFT JOIN d ON d.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** Minimum bigram support and result size for [[collocations]]. */
+  val CollocMinCount = 5
+  val CollocK = 20
+
+  /** q94 — collocation mining by lift: the PMI phrase-mining pass
+    * (word2vec's phrase pass, tokenizer-vocab merge candidates) done in
+    * RATIO space — lift(a, b) = c(a,b)·N / (c(a)·c(b)) ranks identically
+    * to PMI = log lift (log is monotone) without the non-portable
+    * `ln` (the q67 lesson, third application). Every factor is an exact
+    * integer (products bounded far under 2⁵³), so the single final
+    * division is the query's only float rounding — bit-identical across
+    * engines with NO ordered fold. Document-start pairs are excluded
+    * (the `<s>` sentinel is context, not a word) and a minimum support
+    * of [[CollocMinCount]] keeps one-off juxtapositions out, the
+    * standard phrase-mining guard.
+    *
+    * Plan: the shared q92 bigram stream, two hash-aggs (bigram counts,
+    * word counts), the bigram table probed against the word table TWICE
+    * (left word, right word — shuffle equi-joins on the word key; only
+    * the 1-row grand total broadcasts), and the top-[[CollocK]] by
+    * (lift, words) as a `TakeOrderedAndProject` — per-partition top-k,
+    * one driver merge, never a global sort of the candidate table.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val big = bigramStream(spark, dir)
+    val c2 = big.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val uni = graft.TransientCache.register(
+      big.groupBy(col("cur").as("w")).agg(count(lit(1)).as("c1")).cache())
+    val total = uni.agg(sum(col("c1")).as("total"))
+    c2.filter(col("prev") =!= "<s>" && col("c2") >= CollocMinCount)
+      .join(uni.select(col("w").as("prev"), col("c1").as("cp")), Seq("prev"))
+      .join(uni.select(col("w").as("cur"), col("c1").as("cc")), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("prev"), col("cur"), col("c2"),
+        ((col("c2") * col("total")).cast("double") /
+          (col("cp") * col("cc")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("prev"), col("cur"))
+      .limit(CollocK)
+  }
+
+  /** Oracle: same counts, same single-division lift, same total order
+    * (lift desc with the word pair breaking exact ties at the cut).
+    */
+  val collocationsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT doc_id, CAST(u.i AS INT) AS pos, list_extract(t, u.i) AS cur,
+      |  CASE WHEN u.i = 1 THEN '<s>' ELSE list_extract(t, u.i - 1) END AS prev
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |c2 AS (SELECT prev, cur, count(*) AS c2 FROM tok GROUP BY prev, cur),
+      |uni AS (SELECT cur AS w, count(*) AS c1 FROM tok GROUP BY cur),
+      |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni)
+      |SELECT c2.prev, c2.cur, c2.c2,
+      |  CAST(c2.c2 * tt.total AS DOUBLE) / CAST(p.c1 * c.c1 AS DOUBLE) AS lift
+      |FROM c2
+      |JOIN uni p ON p.w = c2.prev
+      |JOIN uni c ON c.w = c2.cur
+      |CROSS JOIN tt
+      |WHERE c2.prev <> '<s>' AND c2.c2 >= $CollocMinCount
+      |ORDER BY lift DESC, c2.prev, c2.cur LIMIT $CollocK""".stripMargin
 
   /** q78 — temperature-scaled mixture weights (the Gopher/PaLM "sample
     * source s proportionally to p_s^alpha" calculation, alpha = 1/2):

@@ -44,7 +44,10 @@ class DeterminismSweepSpec extends SparkSpec {
     // regression — the one double family that is order-free by
     // construction, swept to prove it (q93)
     "q90_sample_quantiles", "q91_pagerank", "q92_bigram_lm",
-    "q93_length_fit")
+    "q93_length_fit",
+    // top-k cut by a double score — the (lift, prev, cur) total order
+    // must make the boundary partition-invariant (q94)
+    "q94_collocations")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

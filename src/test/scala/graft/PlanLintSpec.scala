@@ -58,7 +58,8 @@ class PlanLintSpec extends SparkSpec {
       "|sources| counts frame reused across both (TextOps.scala:1100-1106)")),
     "q91_pagerank" -> (4 -> ("1-row node-count broadcast: the r0 seed + one " +
       "teleport term per power iteration (Graph.pageRankImpl)")),
-    "q92_bigram_lm" -> (1 -> "1-row corpus token total (the q77 discipline)"))
+    "q92_bigram_lm" -> (1 -> "1-row corpus token total (the q77 discipline)"),
+    "q94_collocations" -> (1 -> "1-row corpus token total (the q77 discipline)"))
 
   /** Unpartitioned-window whitelist: query → (max instances, the bounded
     * frame). A whitelisted frame must be driver-tiny BY CONSTRUCTION —
@@ -199,7 +200,9 @@ class PlanLintSpec extends SparkSpec {
                           // partitioning; dst re-agg shuffles)
     "q92_bigram_lm" -> 8, // bigram/unigram/context model aggs + 3 model probe joins +
                           // per-doc fold (the q77 shape, one model deeper)
-    "q93_length_fit" -> 3) // one grouped power-sum agg; exact sums need no second pass
+    "q93_length_fit" -> 3, // one grouped power-sum agg; exact sums need no second pass
+    "q94_collocations" -> 4) // bigram + word-count aggs, two word-key probe joins;
+                             // the top-k cut is TakeOrderedAndProject (no sort shuffle)
 
   /** Per-table parquet scan-width ceiling — "push down and prune" turned
     * into CI. The widest scan ANY query issues against a base fixture

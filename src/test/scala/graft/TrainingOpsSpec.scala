@@ -1002,6 +1002,38 @@ class TrainingOpsSpec extends SparkSpec {
     graft.TransientCache.drain()
   }
 
+  test("collocations: lift identity vs driver-side counts, guards hold") {
+    val got = TextOps.collocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    graft.TransientCache.drain()
+    assert(got.length == TextOps.CollocK)
+    assert(got.forall(_._3 >= TextOps.CollocMinCount), "min support")
+    assert(got.forall(_._1 != "<s>"), "sentinel is context, not a word")
+    // ranked by (lift desc, prev, cur) — a total order
+    assert(got.sliding(2).forall { case Array((p1, c1, _, l1), (p2, c2, _, l2)) =>
+      l1 > l2 || (l1 == l2 && (p1 < p2 || (p1 == p2 && c1 < c2)))
+    })
+    // lift recomputed from INDEPENDENT driver-side counts, bit-exact
+    // (one division of exact integers in both paths)
+    val docs = Tables.documents(spark, dir).select(col("text"))
+      .collect().map(_.getString(0))
+    val toks = docs.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    var total = 0L
+    for (t <- toks; i <- t.indices) {
+      uni(t(i)) = uni.getOrElse(t(i), 0L) + 1; total += 1
+      if (i > 0) {
+        val k = (t(i - 1), t(i)); bi(k) = bi.getOrElse(k, 0L) + 1
+      }
+    }
+    for ((p, c, n, lift) <- got) {
+      assert(bi((p, c)) == n, s"($p,$c) count")
+      assert(lift == (n * total).toDouble / (uni(p) * uni(c)).toDouble,
+        s"($p,$c) lift")
+    }
+  }
+
   test("production bigram scoring matches the ordered-fold path to 1e-9") {
     val oracle = TextOps.bigramLikelihood(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("mean_p"))

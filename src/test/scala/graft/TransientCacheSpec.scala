@@ -115,6 +115,10 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(TextOps.bigramLikelihood(spark, dir), 3)
   }
 
+  test("q94 collocations transients (bigram stream, word counts) drain") {
+    checkDrains(TextOps.collocations(spark, dir), 2)
+  }
+
   test("drained query recomputes correctly (no dangling reuse)") {
     val a = Contamination.fuzzyContamination(spark, dir).collect().toSeq
     TransientCache.drain()
