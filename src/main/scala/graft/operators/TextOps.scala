@@ -1356,4 +1356,352 @@ object TextOps {
       |    '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'),
       |    '$DigitRe', '<NUM>', 'g')) AS scrub_md5
       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Unrolled merge rounds learned by [[bpeMerges]]. */
+  val BpeRounds = 4
+
+  /** Symbol-boundary separator for the BPE merge encoding (U+001F unit
+    * separator). A word's symbol segmentation is carried as ONE string,
+    * `␟s1␟␟s2␟␟…␟␟sk␟` — every symbol wrapped in separators, adjacent
+    * symbols sharing a double separator — so one `replace` per round
+    * applies a merge greedily left-to-right (standard non-overlapping
+    * replace semantics ARE the BPE greedy-scan semantics) and the
+    * wrapped form makes partial-symbol matches impossible: the search
+    * key `␟x␟␟y␟` can only match where `x` and `y` are COMPLETE
+    * adjacent symbols, and the replacement `␟xy␟` re-establishes the
+    * invariant so consecutive merge sites both fire (`a a a a` →
+    * `aa aa`, while the odd one in `a a a` is left alone — exactly the
+    * reference BPE behavior). The encode step strips any stray U+001F
+    * from the input first, so the boundary invariant is self-enforced
+    * rather than assumed of upstream text.
+    */
+  private val BpeSep = "\u001f"
+  private val BpeSep2 = BpeSep + BpeSep
+
+  /** q95 — BPE merge learning (Sennrich et al. 2016, the `learn_bpe`
+    * counting pass): the top-[[BpeRounds]] byte-pair merges over the
+    * corpus, each round counting adjacent-symbol pairs weighted by word
+    * occurrence and merging the winner everywhere. This is the
+    * tokenizer-training half of the pipeline ([[collocations]] ranks
+    * word-level merge candidates; this one LEARNS the subword vocab) —
+    * the computation `tokenizers`' BPE trainer runs, expressed
+    * relationally.
+    *
+    * Plan: ONE corpus-scale hash-agg collapses the corpus to the
+    * weighted vocab (map-side partial, the only corpus-bounded shuffle);
+    * every round after that runs over the vocab table only — explode
+    * pairs → hash-agg → top-1 as a 1-row `TakeOrderedAndProject`
+    * (total order: count desc, then the pair — partition-invariant) →
+    * broadcast the winner into a map-only `replace`. Like q91's power
+    * iteration, the rounds are sequential BY NATURE (round r's counts
+    * depend on round r−1's merge), so the unrolled chain is
+    * [[BpeRounds]] small latency-bound jobs at fixture scale and
+    * vocab-bounded work at 100 TB. Vocab frames are transient-cached
+    * with an eager fill (two consumers each — the pair count and the
+    * next merge — would otherwise race the cold cache, the q91 lesson);
+    * all arithmetic is exact integers, so no ordered folds are needed.
+    *
+    * Degenerate corpora (every word collapsed to one symbol before the
+    * rounds run out) exhaust the pair table early: such rounds emit no
+    * output row, so the result can carry fewer than [[BpeRounds]] rows.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(docToks(spark, dir))
+
+  /** The q95 merge learner over an explicit `(t: array<string>)` token
+    * frame — the spec drives greedy-overlap, boundary-safety and
+    * stray-separator cases through this seam.
+    */
+  private[graft] def bpeMergesOf(toksDf: DataFrame): DataFrame =
+    bpeChain(toksDf, applyLast = false)._1.reduce(_ union _)
+      .orderBy(col("step"))
+
+  /** The shared trainer chain behind q95/q97: the per-round winner
+    * frames (1 row each) and the vocab — fully merged through round
+    * [[BpeRounds]] when `applyLast` (the q97 apply path needs the final
+    * segmentation; the q95 report does not, so its last merge is never
+    * built, let alone run). Intermediate vocab frames have TWO consumers
+    * (the next pair count and the round after's merge input) but those
+    * run in strictly sequential jobs, so they are cached WITHOUT eager
+    * fills; only the per-round winner `count()` stays eager — it both
+    * sequences the rounds (each winner must exist before the next
+    * round's counts mean anything) and prevents the final union job
+    * from racing its broadcast materializations against cold caches.
+    */
+  private def bpeChain(toksDf: DataFrame, applyLast: Boolean)
+      : (Seq[DataFrame], DataFrame) =
+    bpeChainFromCounts(
+      toksDf.select(explode(col("t")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("w")),
+      applyLast)
+
+  /** The chain over an explicit `(word, w)` weighted vocab — q97 feeds
+    * the word counts it already aggregated from its per-doc frame, so
+    * the corpus is tokenized exactly once between the two halves.
+    */
+  private def bpeChainFromCounts(wordCounts: DataFrame, applyLast: Boolean)
+      : (Seq[DataFrame], DataFrame) = {
+    // cached lazily for the same sequential-consumer reason as the
+    // per-round vocab frames below
+    val v0 = graft.TransientCache.register(
+      wordCounts
+        .select(col("word"),
+          regexp_replace(
+            regexp_replace(col("word"), BpeSep, ""),
+            "(.)", BpeSep + "$1" + BpeSep).as("enc"),
+          col("w"))
+        .cache())
+    var v = v0
+    val outs = Seq.newBuilder[DataFrame]
+    for (i <- 1 to BpeRounds) {
+      val pairs = v
+        .select(split(trim(col("enc"), BpeSep), BpeSep2).as("s"), col("w"))
+        .select(col("s"), col("w"), posexplode(col("s")).as(Seq("i0", "l")))
+        .filter(col("i0") < size(col("s")) - 1)
+        .select(col("l"), element_at(col("s"), col("i0") + 2).as("r"), col("w"))
+        .groupBy(col("l"), col("r")).agg(sum(col("w")).as("cnt"))
+      val best = graft.TransientCache.register(
+        pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).cache())
+      best.count()
+      outs += best.select(lit(i).as("step"), col("l").as("lhs"),
+        col("r").as("rhs"), concat(col("l"), col("r")).as("merged"),
+        col("cnt").as("pair_count"))
+      if (i < BpeRounds || applyLast) {
+        val merged = v.crossJoin(broadcast(best))
+          .select(col("word"),
+            replace(col("enc"),
+              concat(lit(BpeSep), col("l"), lit(BpeSep2), col("r"),
+                lit(BpeSep)),
+              concat(lit(BpeSep), col("l"), col("r"), lit(BpeSep)))
+              .as("enc"),
+            col("w"))
+        // cached but NOT eagerly counted: unlike q91's sibling map
+        // stages, this frame's two consumers (the next round's pair
+        // count, then the round after's merge input) run in strictly
+        // SEQUENTIAL jobs — the first fills the cache race-free, so an
+        // eager fill would only add a redundant barrier'd job round
+        // (measured ~0.1 s each at sf0.1 on kilobyte vocab frames)
+        v =
+          if (i < BpeRounds) graft.TransientCache.register(merged.cache())
+          else merged
+      }
+    }
+    (outs.result(), v)
+  }
+
+  /** Oracle: the same rounds as a CTE chain — the identical wrapped
+    * encoding (`chr(31)` boundaries), the identical greedy `replace`,
+    * the identical (count desc, pair) top-1 cut. All integers; no float
+    * ever appears.
+    */
+  val bpeMergesSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""p$i AS (SELECT l, r, CAST(sum(w) AS BIGINT) AS cnt FROM (
+        |  SELECT list_extract(s, u.i) AS l, list_extract(s, u.i + 1) AS r, w
+        |  FROM (SELECT string_split(trim(enc, chr(31)), chr(31) || chr(31)) AS s, w
+        |        FROM $prev) t,
+        |       unnest(generate_series(1, len(s) - 1)) AS u(i)) q GROUP BY l, r),
+        |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+        |e$i AS (SELECT replace(enc,
+        |    chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+        |    chr(31) || b.l || b.r || chr(31)) AS enc, w
+        |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT list_extract(t, u.i) AS cur
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |v0 AS (SELECT cur AS word, count(*) AS w FROM tok GROUP BY cur),
+      |e0 AS (SELECT regexp_replace(replace(word, chr(31), ''),
+      |    '(.)', chr(31) || '\\1' || chr(31), 'g') AS enc, w FROM v0),
+      |${round(1, "e0")},
+      |${round(2, "e1")},
+      |${round(3, "e2")},
+      |${round(4, "e3")}
+      |SELECT * FROM (
+      |  SELECT 1 AS step, l AS lhs, r AS rhs, l || r AS merged,
+      |    cnt AS pair_count FROM b1
+      |  UNION ALL SELECT 2, l, r, l || r, cnt FROM b2
+      |  UNION ALL SELECT 3, l, r, l || r, cnt FROM b3
+      |  UNION ALL SELECT 4, l, r, l || r, cnt FROM b4) u
+      |ORDER BY step""".stripMargin
+  }
+
+  /** q97 — BPE segmentation stats: the APPLY half of [[bpeMerges]]'
+    * trainer (learn_bpe's sibling `apply_bpe`): every document
+    * re-segmented with the [[BpeRounds]] learned merges, reported as
+    * per-doc token/char/symbol counts and the chars-per-symbol
+    * compression the learned vocab achieves — the number a tokenizer
+    * team tracks across corpus snapshots. Train→apply as ONE closed
+    * declarative loop.
+    *
+    * Plan: the corpus is tokenized ONCE into a per-(doc, word) count
+    * frame (transient-cached: the trainer's word counts are summed FROM
+    * it — the q92 single-source discipline — and it is the apply-side
+    * probe); the trainer chain runs vocab-bounded as in q95, the final
+    * merged vocab is applied per distinct WORD (never per occurrence),
+    * and the apply is a shuffle equi-join on the word key (vocab is
+    * corpus-bounded — it never broadcasts) followed by one per-doc
+    * hash-agg. All counts exact integers; the single float rounding is
+    * the final ratio.
+    */
+  def bpeSegment(spark: SparkSession, dir: String): DataFrame =
+    bpeSegmentOf(docToks(spark, dir))
+
+  /** The q97 apply over an explicit `(doc_id, t)` token frame. */
+  private[graft] def bpeSegmentOf(toksDf: DataFrame): DataFrame = {
+    // two consumers (the trainer's word counts in round 1's job, the
+    // apply probe in the final job) — strictly sequential, so the
+    // cache fills race-free without an eager count
+    val dw = graft.TransientCache.register(
+      toksDf.select(col("doc_id"), explode(col("t")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .cache())
+    val v4 = bpeChainFromCounts(
+      dw.groupBy(col("word")).agg(sum(col("c")).as("w")),
+      applyLast = true)._2
+    val sym = v4.select(col("word"),
+      length(regexp_replace(col("word"), BpeSep, "")).as("n_ch"),
+      size(split(trim(col("enc"), BpeSep), BpeSep2)).as("n_sym"))
+    dw.join(sym, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("n_ch")).as("n_chars"),
+        sum(col("c") * col("n_sym")).as("n_symbols"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        col("n_symbols"),
+        (col("n_chars").cast("double") / col("n_symbols").cast("double"))
+          .as("chars_per_symbol"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the q95 round chain re-derived with the word key carried
+    * through (the apply needs word → final segmentation), then the same
+    * word-key probe join and per-doc integer sums.
+    */
+  val bpeSegmentSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""p$i AS (SELECT l, r, CAST(sum(w) AS BIGINT) AS cnt FROM (
+        |  SELECT list_extract(s, u.i) AS l, list_extract(s, u.i + 1) AS r, w
+        |  FROM (SELECT string_split(trim(enc, chr(31)), chr(31) || chr(31)) AS s, w
+        |        FROM $prev) t,
+        |       unnest(generate_series(1, len(s) - 1)) AS u(i)) q GROUP BY l, r),
+        |b$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+        |e$i AS (SELECT word, replace(enc,
+        |    chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+        |    chr(31) || b.l || b.r || chr(31)) AS enc, w
+        |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT doc_id, list_extract(t, u.i) AS cur
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |dw AS (SELECT doc_id, cur AS word, count(*) AS c FROM tok
+      |  GROUP BY doc_id, cur),
+      |v0 AS (SELECT word, CAST(sum(c) AS BIGINT) AS w FROM dw GROUP BY word),
+      |e0 AS (SELECT word, regexp_replace(replace(word, chr(31), ''),
+      |    '(.)', chr(31) || '\\1' || chr(31), 'g') AS enc, w FROM v0),
+      |${round(1, "e0")},
+      |${round(2, "e1")},
+      |${round(3, "e2")},
+      |${round(4, "e3")},
+      |sym AS (SELECT word,
+      |    CAST(length(replace(word, chr(31), '')) AS INT) AS n_ch,
+      |    CAST(len(string_split(trim(enc, chr(31)), chr(31) || chr(31)))
+      |      AS INT) AS n_sym
+      |  FROM e4),
+      |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(c * n_ch) AS BIGINT) AS n_chars,
+      |    CAST(sum(c * n_sym) AS BIGINT) AS n_symbols
+      |  FROM dw JOIN sym USING (word) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_chars, n_symbols,
+      |  CAST(n_chars AS DOUBLE) / CAST(n_symbols AS DOUBLE)
+      |    AS chars_per_symbol
+      |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  /** q96 — per-source distribution drift: the L1 (total-variation × 2)
+    * distance between each source's token distribution and the corpus
+    * distribution — the "is this source's language shifting away from
+    * the mix" monitor a training pipeline runs per ingest snapshot
+    * (domain drift, scrape rot, a source going spammy). Done in EXACT
+    * integer space (the q93/q94 discipline): for source s with token
+    * counts c_s(t), total N_s, corpus counts c(t), total N,
+    *
+    *   D(s) = Σ_t |c_s(t)·N − c(t)·N_s|
+    *        = Σ_{t∈V_s} |c_s(t)·N − c(t)·N_s| + (N − Σ_{t∈V_s} c(t))·N_s
+    *
+    * — the second form needs only the rows where c_s(t) > 0 (the
+    * missing-token mass is the closed-form remainder), so the join is
+    * the source-token table itself, never a |sources|×|vocab|
+    * expansion. Every product is DECIMAL(38,0) (N² at 100 TB ≈ 10²⁷,
+    * far under 10³⁸), sums are commutative-exact, and the single float
+    * rounding is the final division l1 = D / (N_s·N) — bit-identical
+    * across engines and partitionings with NO ordered fold.
+    *
+    * Plan: one corpus-scale hash-agg to (source, token) counts
+    * (transient-cached: three consumers — the corpus marginal, the
+    * source marginal, and the probe side); the corpus marginal is
+    * summed FROM it so numerator and denominator can never disagree
+    * (the q92 lesson); the probe is a shuffle equi-join on the token
+    * key (vocab is corpus-bounded — it never broadcasts); only the
+    * per-source totals (sources operationally bounded, the
+    * [[mixtureWeights]] precedent) and the 1-row grand total ride
+    * broadcasts.
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftOf(Tables.spread(Tables.documents(spark, dir)))
+
+  /** The q96 drift over an explicit `(source, text)` frame — the spec
+    * drives identical-distribution and disjoint-vocabulary cases (drift
+    * exactly 0 and exactly 1) through this seam.
+    */
+  private[graft] def sourceDriftOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = graft.TransientCache.register(
+      docs
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cst"))
+        .cache())
+    st.count()
+    val gt = st.groupBy(col("tok")).agg(sum(col("cst")).as("ct"))
+    val ns = st.groupBy(col("source")).agg(sum(col("cst")).as("n_s"))
+    val n = ns.agg(sum(col("n_s")).as("n"))
+    st.join(gt, Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"), col("n_s"), col("n"))
+      .agg(
+        sum(abs(col("cst").cast(dec) * col("n").cast(dec)
+          - col("ct").cast(dec) * col("n_s").cast(dec))).as("d_in"),
+        sum(col("ct").cast(dec)).as("cov"))
+      .select(col("source"), col("n_s"), col("n"),
+        (col("d_in") + (col("n").cast(dec) - col("cov"))
+          * col("n_s").cast(dec)).as("d"))
+      .select(col("source"),
+        (col("d").cast("double")
+          / (col("n_s").cast(dec) * col("n").cast(dec)).cast("double"))
+          .as("l1_drift"),
+        col("n_s").as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: DuckDB's 128-bit HUGEINT sums carry the same exact-integer
+    * algebra; the lone division is written in the identical order.
+    */
+  val sourceDriftSql: String =
+    s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+      |tok AS (SELECT source, list_extract(t, u.i) AS tok
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |st AS (SELECT source, tok, count(*) AS cst FROM tok GROUP BY source, tok),
+      |gt AS (SELECT tok, CAST(sum(cst) AS BIGINT) AS ct FROM st GROUP BY tok),
+      |ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS n_s FROM st GROUP BY source),
+      |tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
+      |agg AS (SELECT st.source, ns.n_s, tt.n,
+      |    sum(abs(st.cst * tt.n - gt.ct * ns.n_s)) AS d_in,
+      |    CAST(sum(gt.ct) AS BIGINT) AS cov
+      |  FROM st JOIN gt USING (tok) JOIN ns ON ns.source = st.source
+      |  CROSS JOIN tt
+      |  GROUP BY st.source, ns.n_s, tt.n)
+      |SELECT source,
+      |  CAST(d_in + (n - cov) * n_s AS DOUBLE) / CAST(n_s * n AS DOUBLE)
+      |    AS l1_drift,
+      |  n_s AS n_tokens
+      |FROM agg ORDER BY source""".stripMargin
 }

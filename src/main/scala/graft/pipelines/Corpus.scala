@@ -391,4 +391,25 @@ object CorpusPipeline {
     wh.write("corpus_stage_log", log0.unionByName(entry))
     atRest.select(col("shard")).distinct().count()
   }
+
+  /** Nightly observability probe: the q96 exact-integer L1 drift of an
+    * incoming batch's token distribution, measured against the live
+    * corpus — the "has this source gone off-distribution" alarm an
+    * operator checks BEFORE deciding a night's ingest is trustworthy
+    * (scrape rot and spam floods shift the distribution before any
+    * per-doc quality screen fires). Two rows: `corpus_live` (its drift
+    * from the pooled distribution — near 0 when the batch is small) and
+    * `batch` — the monitor number.
+    *
+    * Deliberately STATELESS: it appends nothing, so it adds no entry to
+    * the crash/replay contract — the caller decides whether a drifted
+    * batch still enters [[refineIncremental]]. Cost ∝ one (label, token)
+    * hash-agg over live + batch.
+    */
+  def batchDrift(wh: Warehouse, batch: DataFrame): DataFrame =
+    TextOps.sourceDriftOf(
+      wh.read("corpus_live")
+        .select(lit("corpus_live").as("source"), col("text"))
+        .unionByName(
+          batch.select(lit("batch").as("source"), col("text"))))
 }

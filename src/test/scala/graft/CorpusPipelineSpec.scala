@@ -352,4 +352,29 @@ class CorpusPipelineSpec extends SparkSpec {
       s"second refreshFull changed $t"))
     TransientCache.drain()
   }
+
+  test("batchDrift: the nightly off-distribution alarm orders by separation") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh-drift").toString)
+    wh.write("corpus_live",
+      Seq((1L, "s", "x y z x y z"), (2L, "s", "x y z z y x"))
+        .toDF("doc_id", "source", "text"))
+    def driftOf(batch: Seq[(Long, String, String)]): Double = {
+      val out = CorpusPipeline.batchDrift(wh,
+          batch.toDF("doc_id", "source", "text")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      TransientCache.drain()
+      assert(out.keySet == Set("corpus_live", "batch"))
+      out("batch")
+    }
+    // same distribution -> exactly 0 (the q96 exact-integer property);
+    // overlapping-but-shifted sits strictly between; disjoint maxes out
+    val same = driftOf(Seq((10L, "n", "x y z y x z")))
+    val shifted = driftOf(Seq((10L, "n", "x x x x y z")))
+    val disjoint = driftOf(Seq((10L, "n", "p q r p q r")))
+    assert(same == 0.0, s"identical distribution must read 0, got $same")
+    assert(shifted > same && disjoint > shifted,
+      s"drift must order by separation: $same < $shifted < $disjoint")
+    assert(disjoint <= 2.0)
+  }
 }

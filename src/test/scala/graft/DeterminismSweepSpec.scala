@@ -47,7 +47,15 @@ class DeterminismSweepSpec extends SparkSpec {
     "q93_length_fit",
     // top-k cut by a double score — the (lift, prev, cur) total order
     // must make the boundary partition-invariant (q94)
-    "q94_collocations")
+    "q94_collocations",
+    // iterated top-1 cuts by (count, pair) — four successive argmaxes,
+    // each a total order over exact integers, and every later round's
+    // counts depend on the earlier cut landing identically (q95);
+    // exact-integer L1 products with the lone final division (q96)
+    "q95_bpe_merges", "q96_source_drift",
+    // the apply half rides the same four argmax cuts, then one exact
+    // integer ratio per doc (q97)
+    "q97_bpe_segment")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

