@@ -138,7 +138,7 @@ object Bench {
         () => operators.Ledger.unionLedger(spark, sfDir).count(): Unit),
       ("stock", Set("q13", "q14", "q54"),
         () => operators.Stock.stockPoints(spark, sfDir).count(): Unit),
-      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80", "q84", "q87"),
+      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80", "q84", "q87", "q98"),
         () => operators.Dedup.shingleIndex(spark, sfDir).count(): Unit),
       // the winnowed-fingerprint index (q85's artifact, q86's join input)
       ("winnow", Set("q85", "q86"),

@@ -129,6 +129,101 @@ object Dedup {
       |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= $JaccardThreshold
       |ORDER BY da, db""".stripMargin
 
+  /** Source-df ceiling for [[sourceOverlap]]: shingles present in more
+    * than this many distinct sources are background phrasing (shared by
+    * everyone, zero mirror signal) and — the scale point — would expand
+    * the self-join by |sources|² rows EACH. The q86 global-df-guard
+    * discipline applied at source granularity.
+    */
+  val SrcDfCap = 16
+
+  /** q98 — cross-source syndication matrix: for every source pair, how
+    * much shingled content both carry — the "which feeds mirror each
+    * other" ingest diagnostic (syndicated wire copy, scraped re-posts,
+    * wholesale mirrors) a corpus team consults before trusting two
+    * sources as independent. Exact-key content mirrors are a subset;
+    * shingle granularity also catches partial syndication.
+    *
+    * Plan: rides the SAME cached shingle index as q21/q22 (no new
+    * corpus-scale work); doc→source is a shuffle equi-join on doc_id
+    * (both sides corpus-bounded — nothing broadcasts); the per-gram
+    * source-df guard is computed FROM the (source, shingle) frame (the
+    * q92 single-source discipline) and drops universal background
+    * phrases BEFORE the self-join, so the pair expansion is bounded by
+    * [[SrcDfCap]]² per gram instead of |sources|²; pair counts and the
+    * per-source gram totals aggregate from the same guarded frame, so
+    * numerator and denominator can never disagree; containment =
+    * n_shared / min(n_a, n_b) is the query's single float division.
+    * The guarded (source, shingle) frame is transient-cached with an
+    * eager fill — its three consumers (per-source totals and both
+    * self-join sides) are sibling stages of one job (the q91 race).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapImpl(shingleIndex(spark, dir),
+      Tables.documents(spark, dir), SrcDfCap)
+
+  /** The q98 matrix over an explicit documents frame (shingles derived
+    * fresh, cap overridable) — the spec drives the df-guard boundary
+    * through this seam.
+    */
+  private[graft] def sourceOverlapOf(docs: DataFrame,
+                                     cap: Int = SrcDfCap): DataFrame =
+    sourceOverlapImpl(shingleRowsOf(docs), docs, cap)
+
+  private def sourceOverlapImpl(sh: DataFrame, docs: DataFrame,
+                                cap: Int): DataFrame = {
+    val srcs = docs.select(col("doc_id"), col("source"))
+    val ks = graft.TransientCache.register(
+      sh.join(srcs, Seq("doc_id"))
+        .select(col("source"), col("sh_h")).distinct().cache())
+    // eager: the df guard's aggregation and kk's join probe are SIBLING
+    // stages of the kk fill job — both would race the cold cache and
+    // re-run the doc-join + distinct (the q91 race)
+    ks.count()
+    val keep = ks.groupBy(col("sh_h"))
+      .agg(count(lit(1)).as("src_df"))
+      .filter(col("src_df") <= cap).select(col("sh_h"))
+    val kk = graft.TransientCache.register(ks.join(keep, Seq("sh_h")).cache())
+    kk.count()
+    val cnt = kk.groupBy(col("source")).agg(count(lit(1)).as("n_keys"))
+    val pairs = kk.select(col("source").as("src_a"), col("sh_h"))
+      .join(kk.select(col("source").as("src_b"), col("sh_h")), Seq("sh_h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(cnt.select(col("source").as("src_a"), col("n_keys").as("na")),
+        Seq("src_a"))
+      .join(cnt.select(col("source").as("src_b"), col("n_keys").as("nb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / least(col("na"), col("nb")).cast("double")).as("containment"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Oracle: the q21 shingle CTE + the identical guard/count/containment
+    * chain (`least` on BIGINTs is exact in both engines — the decimal
+    * pitfall the verify notes record does not apply).
+    */
+  val sourceOverlapSql: String =
+    s"""WITH $shCte,
+      |ks AS (SELECT DISTINCT d.source, shx.sh_h
+      |  FROM shx JOIN documents d USING (doc_id)),
+      |keep AS (SELECT sh_h FROM ks GROUP BY sh_h
+      |  HAVING count(*) <= $SrcDfCap),
+      |kk AS (SELECT ks.source, ks.sh_h FROM ks JOIN keep USING (sh_h)),
+      |cnt AS (SELECT source, count(*) AS n_keys FROM kk GROUP BY source),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |  FROM kk a JOIN kk b ON a.sh_h = b.sh_h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / CAST(least(ca.n_keys, cb.n_keys) AS DOUBLE)
+      |    AS containment
+      |FROM p
+      |JOIN cnt ca ON ca.source = src_a
+      |JOIN cnt cb ON cb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** q61 — delta-vs-corpus dedup: the nightly-ingest shape of near-dup
     * detection at corpus scale. A new batch ("incoming", role-played by
     * `doc_id % 10 >= 8`) is checked against the EXISTING corpus

@@ -1412,13 +1412,14 @@ object TextOps {
     * frame — the spec drives greedy-overlap, boundary-safety and
     * stray-separator cases through this seam.
     */
-  private[graft] def bpeMergesOf(toksDf: DataFrame): DataFrame =
-    bpeChain(toksDf, applyLast = false)._1.reduce(_ union _)
+  private[graft] def bpeMergesOf(toksDf: DataFrame,
+                                 rounds: Int = BpeRounds): DataFrame =
+    bpeChain(toksDf, rounds, applyLast = false)._1.reduce(_ union _)
       .orderBy(col("step"))
 
   /** The shared trainer chain behind q95/q97: the per-round winner
     * frames (1 row each) and the vocab — fully merged through round
-    * [[BpeRounds]] when `applyLast` (the q97 apply path needs the final
+    * `rounds` (default [[BpeRounds]]) when `applyLast` (the q97 apply path needs the final
     * segmentation; the q95 report does not, so its last merge is never
     * built, let alone run). Intermediate vocab frames have TWO consumers
     * (the next pair count and the round after's merge input) but those
@@ -1428,18 +1429,19 @@ object TextOps {
     * round's counts mean anything) and prevents the final union job
     * from racing its broadcast materializations against cold caches.
     */
-  private def bpeChain(toksDf: DataFrame, applyLast: Boolean)
+  private def bpeChain(toksDf: DataFrame, rounds: Int, applyLast: Boolean)
       : (Seq[DataFrame], DataFrame) =
     bpeChainFromCounts(
       toksDf.select(explode(col("t")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("w")),
-      applyLast)
+      rounds, applyLast)
 
   /** The chain over an explicit `(word, w)` weighted vocab — q97 feeds
     * the word counts it already aggregated from its per-doc frame, so
     * the corpus is tokenized exactly once between the two halves.
     */
-  private def bpeChainFromCounts(wordCounts: DataFrame, applyLast: Boolean)
+  private def bpeChainFromCounts(wordCounts: DataFrame, rounds: Int,
+                                 applyLast: Boolean)
       : (Seq[DataFrame], DataFrame) = {
     // cached lazily for the same sequential-consumer reason as the
     // per-round vocab frames below
@@ -1453,7 +1455,7 @@ object TextOps {
         .cache())
     var v = v0
     val outs = Seq.newBuilder[DataFrame]
-    for (i <- 1 to BpeRounds) {
+    for (i <- 1 to rounds) {
       val pairs = v
         .select(split(trim(col("enc"), BpeSep), BpeSep2).as("s"), col("w"))
         .select(col("s"), col("w"), posexplode(col("s")).as(Seq("i0", "l")))
@@ -1466,7 +1468,7 @@ object TextOps {
       outs += best.select(lit(i).as("step"), col("l").as("lhs"),
         col("r").as("rhs"), concat(col("l"), col("r")).as("merged"),
         col("cnt").as("pair_count"))
-      if (i < BpeRounds || applyLast) {
+      if (i < rounds || applyLast) {
         val merged = v.crossJoin(broadcast(best))
           .select(col("word"),
             replace(col("enc"),
@@ -1482,7 +1484,7 @@ object TextOps {
         // eager fill would only add a redundant barrier'd job round
         // (measured ~0.1 s each at sf0.1 on kilobyte vocab frames)
         v =
-          if (i < BpeRounds) graft.TransientCache.register(merged.cache())
+          if (i < rounds) graft.TransientCache.register(merged.cache())
           else merged
       }
     }
@@ -1547,7 +1549,8 @@ object TextOps {
     bpeSegmentOf(docToks(spark, dir))
 
   /** The q97 apply over an explicit `(doc_id, t)` token frame. */
-  private[graft] def bpeSegmentOf(toksDf: DataFrame): DataFrame = {
+  private[graft] def bpeSegmentOf(toksDf: DataFrame,
+                                  rounds: Int = BpeRounds): DataFrame = {
     // two consumers (the trainer's word counts in round 1's job, the
     // apply probe in the final job) — strictly sequential, so the
     // cache fills race-free without an eager count
@@ -1557,7 +1560,7 @@ object TextOps {
         .cache())
     val v4 = bpeChainFromCounts(
       dw.groupBy(col("word")).agg(sum(col("c")).as("w")),
-      applyLast = true)._2
+      rounds, applyLast = true)._2
     val sym = v4.select(col("word"),
       length(regexp_replace(col("word"), BpeSep, "")).as("n_ch"),
       size(split(trim(col("enc"), BpeSep), BpeSep2)).as("n_sym"))

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.pipelines.{CorpusPipeline, Warehouse}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Streaming twin of the q96 drift monitor
+  * ([[CorpusPipeline.batchDrift]]): every micro-batch of a documents
+  * stream is measured for token-distribution drift against the live
+  * corpus, and the reading lands in a durable `drift_log` table — the
+  * continuously-written version of the nightly off-distribution alarm,
+  * the dashboard feed an ingest operator watches BETWEEN refine cycles.
+  *
+  * Unlike the dedup/winnow/ANN twins this loop advances NO shared
+  * state: the probe reads `corpus_live` and appends only to its own
+  * log, so it composes with [[StreamingRefine]] (or the nightly batch
+  * cycle) without entering their crash contracts. Exactly-once for the
+  * log itself comes from keying on `(batch_id, source)` — the
+  * foreachBatch epoch id is stable across checkpoint replays, so a
+  * redelivered micro-batch recomputes the same rows and the keyed
+  * anti-join drops them.
+  *
+  * No wall-clock rides in the log (the suite's determinism contract):
+  * `batch_id` is the stream's own epoch counter, which is exactly the
+  * ordering a drift time-series needs.
+  */
+object StreamingDrift {
+
+  /** One micro-batch of the monitor — also the replay unit the spec
+    * drives directly. `batch` is documents-shaped (needs `text`).
+    */
+  def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit = {
+    val drift = CorpusPipeline.batchDrift(wh, batch)
+      .select(lit(batchId).as("batch_id"), col("source"),
+        col("l1_drift"), col("n_tokens"))
+    val novel =
+      if (!wh.exists("drift_log")) drift
+      else drift.join(
+        wh.read("drift_log").select(col("batch_id"), col("source")),
+        Seq("batch_id", "source"), "left_anti")
+    wh.append("drift_log", novel)
+    graft.TransientCache.drain()
+    ()
+  }
+
+  /** Wire a documents stream into the monitor. The streaming checkpoint
+    * gives at-least-once delivery; the keyed append upgrades the log to
+    * exactly-once effect.
+    */
+  def driftSink(docsStream: DataFrame, wh: Warehouse,
+                checkpointDir: String): DataStreamWriter[Row] =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(wh, batch, id)
+      }
+}

@@ -55,7 +55,10 @@ class DeterminismSweepSpec extends SparkSpec {
     "q95_bpe_merges", "q96_source_drift",
     // the apply half rides the same four argmax cuts, then one exact
     // integer ratio per doc (q97)
-    "q97_bpe_segment")
+    "q97_bpe_segment",
+    // pair counts from a guarded self-join + a single containment
+    // division (q98)
+    "q98_source_overlap")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

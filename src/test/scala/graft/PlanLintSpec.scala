@@ -214,8 +214,12 @@ class PlanLintSpec extends SparkSpec {
     "q96_source_drift" -> 8, // spread + (source,tok) agg + two marginal aggs +
                              // the 1-row total's single-partition exchange +
                              // token-key probe re-exchange + per-source agg + sort
-    "q97_bpe_segment" -> 9) // spread + (doc,word) agg + vocab agg + 4 pair aggs +
+    "q97_bpe_segment" -> 9, // spread + (doc,word) agg + vocab agg + 4 pair aggs +
                             // word-key probe exchange + per-doc agg + sort
+    "q98_source_overlap" -> 8) // shingle tier build (spread + hash distinct) +
+                               // doc->source join + (source,gram) distinct +
+                               // df guard + totals + self-join reusing the guarded
+                               // frame's partitioning + pair agg + sort
 
   /** Per-table parquet scan-width ceiling — "push down and prune" turned
     * into CI. The widest scan ANY query issues against a base fixture

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import graft.operators.Dedup
 import graft.pipelines.{CorpusPipeline, Warehouse}
-import graft.streaming.{StreamingAnn, StreamingDedup, StreamingIngest, StreamingRefine, StreamingWinnow}
+import graft.streaming.{StreamingAnn, StreamingDedup, StreamingDrift, StreamingIngest, StreamingRefine, StreamingWinnow}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -669,5 +669,45 @@ class StreamingSpec extends SparkSpec {
       .select("dia", "daily_delta", "n_events").orderBy("dia")
       .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq(("2025-02-01", 4L, 2L), ("2025-02-02", 6L, 1L)))
+  }
+
+  test("streaming drift monitor: per-epoch readings; keyed replay is a no-op") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-sdrift").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val docs = Tables.documents(spark, dir)
+    wh.write("corpus_live", docs.filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id"), col("source"), col("text")))
+    def night(m: Int): Seq[DocRow] = docs.filter(col("doc_id") % 10 === m)
+      .select(col("doc_id"), col("text")).as[DocRow].collect().toSeq
+
+    val stream = MemoryStream[DocRow](spark)
+    stream.addData(night(8): _*)
+    StreamingDrift.driftSink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    stream.addData(night(9): _*)
+    StreamingDrift.driftSink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+
+    val log = wh.read("drift_log").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // one (batch, corpus_live) reading per epoch, epoch ids from the
+    // stream's own counter
+    assert(log.keySet == Set((0L, "batch"), (0L, "corpus_live"),
+      (1L, "batch"), (1L, "corpus_live")))
+    assert(log.values.forall { case (d, n) => d >= 0.0 && d <= 2.0 && n > 0 })
+    // the logged epoch-0 reading IS the direct q96 probe of that night
+    val direct = CorpusPipeline.batchDrift(wh, night(8).toDF()).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    TransientCache.drain()
+    assert(log((0L, "batch")) == direct("batch"))
+    assert(log((0L, "corpus_live")) == direct("corpus_live"))
+    // at-least-once redelivery of epoch 0: the (batch_id, source) keyed
+    // append drops the recomputed rows
+    StreamingDrift.processBatch(wh, night(8).toDF(), 0L)
+    assert(wh.read("drift_log").count() == 4)
   }
 }

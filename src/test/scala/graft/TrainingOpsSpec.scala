@@ -1451,6 +1451,39 @@ class TrainingOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "stray separator must be a no-op")
   }
 
+  test("bpe merges: the merge sequence is prefix-stable in the round count") {
+    // Greedy BPE is sequential by definition: training 2 rounds must
+    // produce exactly the first 2 rows of training 4 — a regression here
+    // would mean the chain's caching/sequencing leaks across rounds.
+    val docs = Seq("the cat sat on the mat the cat sat the bat",
+      "banana bandana cabana the cat", "thee them then the")
+    val r4 = bpeRows(docs)
+    val r2 = operators.TextOps.bpeMergesOf(tokFrame(docs), rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    graft.TransientCache.drain()
+    assert(r4.length == 4 && r2.length == 2)
+    assert(r4.take(2).toSeq == r2.toSeq,
+      s"prefix instability: ${r4.take(2).toSeq} vs ${r2.toSeq}")
+  }
+
+  test("bpe segment: fewer learned merges can only coarsen the compression") {
+    val s2 = operators.TextOps.bpeSegmentOf(
+        Tables.documents(spark, dir).select(col("doc_id"),
+          graft.functions.TextFns.toks(col("text")).as("t")), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    graft.TransientCache.drain()
+    val s4 = operators.TextOps.bpeSegment(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    graft.TransientCache.drain()
+    assert(s2.keySet == s4.keySet)
+    // each extra merge can only reduce (or hold) a doc's symbol count
+    assert(s4.forall { case (id, n4) => n4 <= s2(id) },
+      "4-round segmentation produced MORE symbols than 2-round somewhere")
+    assert(s4.exists { case (id, n4) => n4 < s2(id) },
+      "4 rounds vs 2 changed nothing — the fixture should exercise merges 3-4")
+  }
+
   test("bpe merges matches the fixture oracle counts, all integers") {
     val got = operators.TextOps.bpeMerges(spark, dir).collect()
     graft.TransientCache.drain()
@@ -1499,6 +1532,32 @@ class TrainingOpsSpec extends SparkSpec {
     //   D=6, l1 = 6/12 = 0.5. s2: Ns=1, own |1*4 - 1*1| = 3,
     //   remainder (4-1)*1 = 3, D=6, l1 = 6/4 = 1.5.
     assert(got("s1") == 0.5 && got("s2") == 1.5, got.toString)
+  }
+
+  test("source overlap: the df guard drops universal phrasing; counts are exact") {
+    import spark.implicits._
+    // three sources; the phrase "a b c" is in ALL three (universal), the
+    // phrase "x y z" is shared by exactly s1+s2, "p q r" is s3-private
+    val docs = Seq(
+      (1L, "s1", "a b c x y z"),
+      (2L, "s2", "a b c x y z"),
+      (3L, "s3", "a b c p q r")).toDF("doc_id", "source", "text")
+    // cap 2: the universal 3-source shingles are dropped; (s1, s2) keep
+    // their 4 shared shingles from "a b c x y z" minus the 3-source ones.
+    // Shingle walk of "a b c x y z": [abc, bcx, cxy, xyz]; abc is in all
+    // three docs (df 3, dropped); bcx/cxy/xyz are s1+s2 only (df 2, kept).
+    // s3's [abc, bcp, cpq, pqr]: abc dropped, rest private (no pairs).
+    val got = operators.Dedup.sourceOverlapOf(docs, cap = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    graft.TransientCache.drain()
+    assert(got.toSeq == Seq(("s1", "s2", 3L, 1.0)),
+      s"expected the single guarded pair, got ${got.toSeq}")
+    // cap 3 re-admits the universal shingle: every pair now shares it
+    val got3 = operators.Dedup.sourceOverlapOf(docs, cap = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    graft.TransientCache.drain()
+    assert(got3 == Seq(("s1", "s2", 4L), ("s1", "s3", 1L), ("s2", "s3", 1L)),
+      s"cap 3 matrix wrong: $got3")
   }
 
   test("source drift is bounded by 2 and monotone in separation") {
