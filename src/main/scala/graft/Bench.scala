@@ -140,6 +140,10 @@ object Bench {
         () => operators.Stock.stockPoints(spark, sfDir).count(): Unit),
       ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80", "q84", "q87", "q98"),
         () => operators.Dedup.shingleIndex(spark, sfDir).count(): Unit),
+      // the vocab-bounded bigram MODEL shared by the LM and collocation
+      // tiers (cache the model, never the exploded corpus stream)
+      ("bigram", Set("q92", "q94"),
+        () => operators.TextOps.bigramCounts(spark, sfDir).count(): Unit),
       // the winnowed-fingerprint index (q85's artifact, q86's join input)
       ("winnow", Set("q85", "q86"),
         () => operators.Dedup.winnowIndex(spark, sfDir).count(): Unit),

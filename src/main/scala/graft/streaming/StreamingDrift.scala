@@ -40,6 +40,9 @@ object StreamingDrift {
         wh.read("drift_log").select(col("batch_id"), col("source")),
         Seq("batch_id", "source"), "left_anti")
     wh.append("drift_log", novel)
+    // one tiny parquet lands per epoch — the small-files bill every
+    // append-only table in the repo pays via the same cadence
+    wh.compactIfFragmented("drift_log")
     graft.TransientCache.drain()
     ()
   }

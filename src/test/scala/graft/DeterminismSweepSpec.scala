@@ -74,6 +74,9 @@ class DeterminismSweepSpec extends SparkSpec {
     // rebuilt plan against the cache registry)
     graft.operators.Dedup.winnowFingerprintsOf(Tables.documents(spark, dir))
       .unpersist()
+    // same CacheManager plan-match eviction for the shared bigram model
+    // (q92/q94 would otherwise serve one partition config to the other)
+    graft.operators.TextOps.bigramCounts(spark, dir).unpersist()
     TransientCache.drain()
     ()
   }

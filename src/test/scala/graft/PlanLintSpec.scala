@@ -203,8 +203,11 @@ class PlanLintSpec extends SparkSpec {
                           // parity, no second distinct) + degree build (deg doubles as
                           // the node set) + 3 x (contrib join keeps the cached hash(a)
                           // partitioning; dst re-agg shuffles)
-    "q92_bigram_lm" -> 8, // bigram/unigram/context model aggs + 3 model probe joins +
-                          // per-doc fold (the q77 shape, one model deeper)
+    "q92_bigram_lm" -> 9, // stream build + the SHARED model build (its own corpus
+                          // pass when cold — one extra spread+agg vs r9; warm
+                          // sessions hit the vocab-bounded `bigram` tier) + probe
+                          // joins + per-doc fold; uni/ctx derive from the model
+                          // (vocab-bounded aggs, no second corpus shuffle)
     "q93_length_fit" -> 3, // one grouped power-sum agg; exact sums need no second pass
     "q94_collocations" -> 4, // bigram + word-count aggs, two word-key probe joins;
                              // the top-k cut is TakeOrderedAndProject (no sort shuffle)

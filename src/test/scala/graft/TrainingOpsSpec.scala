@@ -1484,6 +1484,68 @@ class TrainingOpsSpec extends SparkSpec {
       "4 rounds vs 2 changed nothing — the fixture should exercise merges 3-4")
   }
 
+  /** Independent plain-Scala BPE reference (greedy left-to-right merge
+    * over symbol vectors — no strings-with-separators, no Spark), for
+    * the randomized differential below. Tie order matches the engine's
+    * (count desc, then the pair).
+    */
+  private def refBpeMerges(docs: Seq[String], rounds: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    def mergeGreedy(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    val words = docs.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab: Map[String, (Vector[String], Long)] = words.map { case (w, c) =>
+      w -> (w.replace("\u001f", "").map(_.toString).toVector, c)
+    }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (syms, c)) <- vocab; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (pc.nonEmpty) {
+        val ((l, rr), cnt) = pc.toSeq.minBy { case ((l0, r0), c0) => (-c0, l0, r0) }
+        out += ((r, l, rr, l + rr, cnt))
+        vocab = vocab.map { case (w, (syms, c)) => w -> (mergeGreedy(syms, l, rr), c) }
+      }
+    }
+    out.result()
+  }
+
+  test("bpe merges: randomized differential vs an independent reference") {
+    // deterministic corpus generator (fixed seed): small alphabets make
+    // pair-count ties and repeated-symbol runs COMMON, which is exactly
+    // where a string-encoded greedy scan could diverge from the
+    // symbol-vector reference
+    val rnd = new scala.util.Random(20260814L)
+    def corpus(alpha: String, nWords: Int, nDocs: Int): Seq[String] = {
+      val lexicon = Vector.fill(nWords)(
+        (1 to (1 + rnd.nextInt(5))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      Seq.fill(nDocs)(
+        (1 to (3 + rnd.nextInt(15))).map(_ => lexicon(rnd.nextInt(lexicon.length)))
+          .mkString(" "))
+    }
+    val cases = Seq(
+      corpus("ab", 6, 6),      // binary alphabet: maximal tie pressure
+      corpus("abc", 10, 8),
+      corpus("abcd", 15, 10),
+      corpus("a", 4, 5),       // unary: pure repeated-run merges
+      Seq("ab ab ab ab ccc ccc"), // stray separator + runs
+      corpus("xyz", 12, 7))
+    cases.zipWithIndex.foreach { case (docs, ci) =>
+      val got = bpeRows(docs).toSeq
+      val want = refBpeMerges(docs, operators.TextOps.BpeRounds)
+      assert(got == want, s"case $ci: engine $got vs reference $want")
+    }
+  }
+
   test("bpe merges matches the fixture oracle counts, all integers") {
     val got = operators.TextOps.bpeMerges(spark, dir).collect()
     graft.TransientCache.drain()
