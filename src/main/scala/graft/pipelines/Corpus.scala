@@ -412,4 +412,56 @@ object CorpusPipeline {
         .select(lit("corpus_live").as("source"), col("text"))
         .unionByName(
           batch.select(lit("batch").as("source"), col("text"))))
+
+  /** Default ceiling for [[refineIncrementalGated]]: the fixture's
+    * in-distribution nights read ≈ 0.1–0.15 against the live corpus;
+    * wholesale distribution shifts (spam floods, scrape rot, a source
+    * switching language) read far above it. Operational knob, not a
+    * tuned constant.
+    */
+  val DriftGate = 0.5
+
+  /** Drift-GATED nightly ingest — the monitor made load-bearing: the
+    * batch's [[batchDrift]] reading is taken first, and an
+    * off-distribution night (reading > `maxDrift`) is diverted whole
+    * into `corpus_quarantine` instead of entering the screens — the
+    * "don't let a spam flood fight the per-doc quality cut one document
+    * at a time" control a production ingest runs. In-distribution
+    * nights proceed through [[refineIncremental]] unchanged.
+    *
+    * Crash/replay discipline: the gate itself is a deterministic
+    * function of (live corpus, batch), so a replay re-takes the same
+    * branch; the quarantine append is doc_id-anti-join guarded (replay
+    * no-op), and the quarantined lane touches NO live state — repair is
+    * re-offering the quarantined docs as a later batch after review.
+    * The 1-row drift collect is bounded driver state (the
+    * checkpoint-read precedent).
+    */
+  def refineIncrementalGated(wh: Warehouse, batch: DataFrame,
+                             maxDrift: Double = DriftGate): Seq[StageCount] = {
+    // the gate reads corpus_live before refineIncremental would seed it
+    // — run the same idempotent seed guard first
+    require(wh.exists("corpus_clean"),
+      "refineIncrementalGated needs a refined base — run refine() first")
+    if (!wh.exists("corpus_live"))
+      wh.write("corpus_live", wh.read("corpus_clean"))
+    val reading = batchDrift(wh, batch)
+      .filter(col("source") === "batch")
+      .select(col("l1_drift")).collect()
+      .headOption.map(_.getDouble(0)).getOrElse(0.0)
+    graft.TransientCache.drain()
+    if (reading <= maxDrift) refineIncremental(wh, batch)
+    else {
+      val in = batch.select(col("doc_id"), col("source"), col("text"))
+        .dropDuplicates("doc_id")
+      val novel =
+        if (!wh.exists("corpus_quarantine")) in
+        else in.join(wh.read("corpus_quarantine").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      val n = novel.count()
+      wh.append("corpus_quarantine", novel)
+      wh.compactIfFragmented("corpus_quarantine")
+      Seq(StageCount("live_drift_gate", in.count(), n))
+    }
+  }
 }

@@ -353,6 +353,57 @@ class CorpusPipelineSpec extends SparkSpec {
     TransientCache.drain()
   }
 
+  test("drift-gated ingest: spam nights quarantine whole; normal nights refine") {
+    import spark.implicits._
+    def seed(tag: String): Warehouse = {
+      val wh = new Warehouse(spark,
+        Files.createTempDirectory(s"graft-wh-$tag").toString)
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("source"), col("text"))
+      wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+      wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+        col("source") =!= CorpusPipeline.BenchSource))
+      wh
+    }
+    val wh = seed("gate")
+    val whRef = seed("gate-ref")
+    val night8 = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 8)
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // an in-distribution night takes the refine branch: stage log and
+    // every live table match the ungated cycle bit-for-bit
+    val gated = CorpusPipeline.refineIncrementalGated(wh, night8)
+    val ungated = CorpusPipeline.refineIncremental(whRef, night8)
+    assert(gated == ungated, s"gated $gated vs ungated $ungated")
+    assert(!wh.exists("corpus_quarantine"))
+    Seq("corpus_live", "live_keys").foreach { t =>
+      assert(wh.read(t).collect().map(_.mkString("|")).toSet ==
+        whRef.read(t).collect().map(_.mkString("|")).toSet,
+        s"gated in-distribution night diverged at $t")
+    }
+
+    // a spam flood (one nonsense distribution, disjoint vocabulary)
+    // reads far above the gate: quarantined WHOLE, live state untouched
+    val spam = spark.range(9000L, 9040L)
+      .select(col("id").as("doc_id"), lit("spamnet").as("source"),
+        lit("zqzq vrvr kjkj zqzq wmwm vrvr").as("text"))
+    val liveBefore = wh.read("corpus_live").count()
+    val g2 = CorpusPipeline.refineIncrementalGated(wh, spam)
+    assert(g2 == Seq(CorpusPipeline.StageCount("live_drift_gate", 40L, 40L)),
+      s"spam night should gate, got $g2")
+    assert(wh.read("corpus_quarantine").count() == 40)
+    assert(wh.read("corpus_live").count() == liveBefore,
+      "quarantine lane must not touch corpus_live")
+
+    // at-least-once replay of the spam night: same branch, keyed
+    // append drops everything
+    val g3 = CorpusPipeline.refineIncrementalGated(wh, spam)
+    assert(g3 == Seq(CorpusPipeline.StageCount("live_drift_gate", 40L, 0L)))
+    assert(wh.read("corpus_quarantine").count() == 40)
+    TransientCache.drain()
+  }
+
   test("batchDrift: the nightly off-distribution alarm orders by separation") {
     import spark.implicits._
     val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh-drift").toString)
