@@ -49,4 +49,25 @@ object StreamingRefine {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(wh, batch)
       }
+
+  /** The drift-GATED form ([[CorpusPipeline.refineIncrementalGated]]):
+    * each micro-batch takes the q96 drift reading first, and an
+    * off-distribution batch quarantines whole instead of entering the
+    * screens. Replay convergence is inherited: the gate is a
+    * deterministic function of (live corpus, batch), so a redelivered
+    * batch re-takes the same branch, and both branches' appends are
+    * keyed.
+    */
+  def gatedSink(docsStream: DataFrame, wh: Warehouse,
+                checkpointDir: String,
+                maxDrift: Double = CorpusPipeline.DriftGate)
+      : DataStreamWriter[Row] =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CorpusPipeline.refineIncrementalGated(wh, batch, maxDrift)
+        ()
+      }
 }

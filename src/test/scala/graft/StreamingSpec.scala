@@ -671,6 +671,41 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(("2025-02-01", 4L, 2L), ("2025-02-02", 6L, 1L)))
   }
 
+  test("streaming gated refine: a spam micro-batch quarantines; a normal one refines") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-sgate").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+    wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+      col("source") =!= CorpusPipeline.BenchSource))
+    def night(m: Int): Seq[SrcDocRow] = docs.filter(col("doc_id") % 10 === m)
+      .as[SrcDocRow].collect().toSeq
+    val spam = (9000L until 9030L).map(i =>
+      SrcDocRow(i, "spamnet", "zqzq vrvr kjkj zqzq wmwm vrvr"))
+
+    val stream = MemoryStream[SrcDocRow](spark)
+    stream.addData(night(8): _*)
+    StreamingRefine.gatedSink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    val liveAfterNormal = wh.read("corpus_live").count()
+    assert(!wh.exists("corpus_quarantine"),
+      "an in-distribution micro-batch must not quarantine")
+    assert(liveAfterNormal >
+      wh.read("corpus_clean").count(), "night 8 should refine into live")
+
+    stream.addData(spam: _*)
+    StreamingRefine.gatedSink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    assert(wh.read("corpus_quarantine").count() == 30)
+    assert(wh.read("corpus_live").count() == liveAfterNormal,
+      "a gated micro-batch must not touch corpus_live")
+    TransientCache.drain()
+  }
+
   test("streaming drift monitor: per-epoch readings; keyed replay is a no-op") {
     val sql = spark.sqlContext
     import sql.implicits._

@@ -111,6 +111,10 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(graft.operators.Graph.supplierPartRank(spark, dir), 3)
   }
 
+  test("q98 sourceOverlap transients (source-gram frame, guarded frame) drain") {
+    checkDrains(Dedup.sourceOverlap(spark, dir), 2)
+  }
+
   test("q92 bigramLikelihood transients (bigram stream, unigram) drain") {
     // the c2 model is the shared `bigram` cache tier now (out of scope,
     // like the shingle index) — warm it into the baseline first
