@@ -1427,7 +1427,9 @@ object TextOps {
     *
     * Degenerate corpora (every word collapsed to one symbol before the
     * rounds run out) exhaust the pair table early: such rounds emit no
-    * output row, so the result can carry fewer than [[BpeRounds]] rows.
+    * output row — the result can carry fewer than [[BpeRounds]] rows —
+    * and the exhausted-pair guard keeps the vocab intact so the apply
+    * half (q97) still segments with the merges learned so far.
     */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOf(docToks(spark, dir))
@@ -1488,11 +1490,16 @@ object TextOps {
         .groupBy(col("l"), col("r")).agg(sum(col("w")).as("cnt"))
       val best = graft.TransientCache.register(
         pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).cache())
-      best.count()
+      val haveWinner = best.count() > 0
       outs += best.select(lit(i).as("step"), col("l").as("lhs"),
         col("r").as("rhs"), concat(col("l"), col("r")).as("merged"),
         col("cnt").as("pair_count"))
-      if (i < rounds || applyLast) {
+      // exhausted-pair guard: on a degenerate corpus (every word one
+      // symbol before the rounds run out) `best` is EMPTY, and merging
+      // against an empty 1-row frame would wipe the whole vocab — the
+      // apply half (q97) must keep segmenting with the merges learned
+      // so far, not return zero documents
+      if (haveWinner && (i < rounds || applyLast)) {
         val merged = v.crossJoin(broadcast(best))
           .select(col("word"),
             replace(col("enc"),
@@ -1520,18 +1527,31 @@ object TextOps {
     * the identical (count desc, pair) top-1 cut. All integers; no float
     * ever appears.
     */
+  /** One oracle merge round as a CTE block, shared by the q95 and q97
+    * oracles (`carryWord` threads the word key through for the apply
+    * half). The merge uses LEFT JOIN ON TRUE + coalesce rather than a
+    * CROSS JOIN: when the pair table is exhausted (degenerate corpus)
+    * `b$$i` is empty, a cross join would wipe the vocab, and the
+    * coalesced empty-symbol search key `chr(31) x 4` can never match an
+    * encoding (separator runs are at most 2), so the round becomes the
+    * identity — mirroring the engine's exhausted-pair guard.
+    */
+  private def bpeRoundCte(i: Int, prev: String, carryWord: Boolean): String = {
+    val w = if (carryWord) "word, " else ""
+    s"""p$i AS (SELECT l, r, CAST(sum(w) AS BIGINT) AS cnt FROM (
+      |  SELECT list_extract(s, u.i) AS l, list_extract(s, u.i + 1) AS r, w
+      |  FROM (SELECT string_split(trim(enc, chr(31)), chr(31) || chr(31)) AS s, w
+      |        FROM $prev) t,
+      |       unnest(generate_series(1, len(s) - 1)) AS u(i)) q GROUP BY l, r),
+      |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+      |e$i AS (SELECT ${w}replace(enc,
+      |    chr(31) || coalesce(b.l, '') || chr(31) || chr(31) || coalesce(b.r, '') || chr(31),
+      |    chr(31) || coalesce(b.l, '') || coalesce(b.r, '') || chr(31)) AS enc, w
+      |  FROM $prev LEFT JOIN b$i b ON TRUE)""".stripMargin
+  }
+
   val bpeMergesSql: String = {
-    def round(i: Int, prev: String): String =
-      s"""p$i AS (SELECT l, r, CAST(sum(w) AS BIGINT) AS cnt FROM (
-        |  SELECT list_extract(s, u.i) AS l, list_extract(s, u.i + 1) AS r, w
-        |  FROM (SELECT string_split(trim(enc, chr(31)), chr(31) || chr(31)) AS s, w
-        |        FROM $prev) t,
-        |       unnest(generate_series(1, len(s) - 1)) AS u(i)) q GROUP BY l, r),
-        |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-        |e$i AS (SELECT replace(enc,
-        |    chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
-        |    chr(31) || b.l || b.r || chr(31)) AS enc, w
-        |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+    def round(i: Int, prev: String): String = bpeRoundCte(i, prev, carryWord = false)
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |tok AS (SELECT list_extract(t, u.i) AS cur
       |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
@@ -1605,17 +1625,7 @@ object TextOps {
     * word-key probe join and per-doc integer sums.
     */
   val bpeSegmentSql: String = {
-    def round(i: Int, prev: String): String =
-      s"""p$i AS (SELECT l, r, CAST(sum(w) AS BIGINT) AS cnt FROM (
-        |  SELECT list_extract(s, u.i) AS l, list_extract(s, u.i + 1) AS r, w
-        |  FROM (SELECT string_split(trim(enc, chr(31)), chr(31) || chr(31)) AS s, w
-        |        FROM $prev) t,
-        |       unnest(generate_series(1, len(s) - 1)) AS u(i)) q GROUP BY l, r),
-        |b$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-        |e$i AS (SELECT word, replace(enc,
-        |    chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
-        |    chr(31) || b.l || b.r || chr(31)) AS enc, w
-        |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+    def round(i: Int, prev: String): String = bpeRoundCte(i, prev, carryWord = true)
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |tok AS (SELECT doc_id, list_extract(t, u.i) AS cur
       |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
@@ -1709,8 +1719,11 @@ object TextOps {
       .orderBy(col("source"))
   }
 
-  /** Oracle: DuckDB's 128-bit HUGEINT sums carry the same exact-integer
-    * algebra; the lone division is written in the identical order.
+  /** Oracle: the per-row products are cast to DuckDB's 128-bit HUGEINT
+    * BEFORE multiplying (BIGINT x BIGINT would overflow once the corpus
+    * token total passes ~3e9 — the Spark side's DECIMAL(38,0) products
+    * have the same headroom) and the sums stay HUGEINT; the lone
+    * division is written in the identical order.
     */
   val sourceDriftSql: String =
     s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
@@ -1721,7 +1734,8 @@ object TextOps {
       |ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS n_s FROM st GROUP BY source),
       |tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
       |agg AS (SELECT st.source, ns.n_s, tt.n,
-      |    sum(abs(st.cst * tt.n - gt.ct * ns.n_s)) AS d_in,
+      |    sum(abs(CAST(st.cst AS HUGEINT) * CAST(tt.n AS HUGEINT)
+      |      - CAST(gt.ct AS HUGEINT) * CAST(ns.n_s AS HUGEINT))) AS d_in,
       |    CAST(sum(gt.ct) AS BIGINT) AS cov
       |  FROM st JOIN gt USING (tok) JOIN ns ON ns.source = st.source
       |  CROSS JOIN tt

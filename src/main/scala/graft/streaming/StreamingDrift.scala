@@ -31,6 +31,13 @@ object StreamingDrift {
     * drives directly. `batch` is documents-shaped (needs `text`).
     */
   def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit = {
+    // same base contract as the ingest entry points: require a refined
+    // warehouse and idempotently seed corpus_live, instead of dying on
+    // a raw path error the first time a sink is wired before refine()
+    require(wh.exists("corpus_live") || wh.exists("corpus_clean"),
+      "StreamingDrift needs a refined base — run refine() first")
+    if (!wh.exists("corpus_live"))
+      wh.write("corpus_live", wh.read("corpus_clean"))
     val drift = CorpusPipeline.batchDrift(wh, batch)
       .select(lit(batchId).as("batch_id"), col("source"),
         col("l1_drift"), col("n_tokens"))

@@ -77,6 +77,11 @@ class DeterminismSweepSpec extends SparkSpec {
     // same CacheManager plan-match eviction for the shared bigram model
     // (q92/q94 would otherwise serve one partition config to the other)
     graft.operators.TextOps.bigramCounts(spark, dir).unpersist()
+    // ... and for the shared shingle index, which q22/q74/q80/q84/q98's
+    // whole plans ride — without this the 5-partition evaluation reuses
+    // the 2-partition-built InMemoryRelation and the sweep can't see
+    // partition sensitivity in the build/distinct stage
+    graft.operators.Dedup.shingleIndex(spark, dir).unpersist()
     TransientCache.drain()
     ()
   }

@@ -1546,6 +1546,26 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe: exhausted pairs keep the vocab; q97 still segments (reviewed bug)") {
+    import spark.implicits._
+    // vocabulary {"ab"}: round 1 merges (a,b) and every word is one
+    // symbol — rounds 2..4 have NO pairs. The merge report ends early
+    // (1 row); the APPLY half must still emit one row per doc with the
+    // round-1 segmentation, not wipe the vocab and return nothing.
+    val docs = Seq("ab ab ab", "ab")
+    val merges = bpeRows(docs)
+    assert(merges.toSeq == Seq((1, "a", "b", "ab", 4L)), merges.toSeq.toString)
+    val seg = operators.TextOps.bpeSegmentOf(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+          .select(col("doc_id"), graft.functions.TextFns.toks(col("text")).as("t")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    graft.TransientCache.drain()
+    // doc 0: 3 tokens, each "ab" one merged symbol; doc 1: 1 token
+    assert(seg.toSeq == Seq((0L, 3L, 3L), (1L, 1L, 1L)),
+      s"degenerate corpus must keep segmenting: ${seg.toSeq}")
+  }
+
   test("bpe merges matches the fixture oracle counts, all integers") {
     val got = operators.TextOps.bpeMerges(spark, dir).collect()
     graft.TransientCache.drain()

@@ -111,6 +111,21 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(graft.operators.Graph.supplierPartRank(spark, dir), 3)
   }
 
+  test("q95 bpeMerges transients (vocab chain + winners) drain") {
+    // v0 + 4 winner frames + 3 intermediate merged vocabs
+    checkDrains(TextOps.bpeMerges(spark, dir), 8)
+  }
+
+  test("q96 sourceDrift transient (source-token counts) drains") {
+    checkDrains(TextOps.sourceDrift(spark, dir), 1)
+  }
+
+  test("q97 bpeSegment transients (doc-word frame + trainer chain) drain") {
+    // dw + v0 + 4 winners + 3 intermediate merged vocabs (the round-4
+    // applied vocab is deliberately uncached)
+    checkDrains(TextOps.bpeSegment(spark, dir), 9)
+  }
+
   test("q98 sourceOverlap transients (source-gram frame, guarded frame) drain") {
     checkDrains(Dedup.sourceOverlap(spark, dir), 2)
   }
