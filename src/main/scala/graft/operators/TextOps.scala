@@ -1218,9 +1218,10 @@ object TextOps {
     * RATIO space — lift(a, b) = c(a,b)·N / (c(a)·c(b)) ranks identically
     * to PMI = log lift (log is monotone) without the non-portable
     * `ln` (the q67 lesson, third application). Every factor is an exact
-    * integer (products bounded far under 2⁵³), so the single final
-    * division is the query's only float rounding — bit-identical across
-    * engines with NO ordered fold. Document-start pairs are excluded
+    * integer and the products are carried in DECIMAL(38,0) / HUGEINT
+    * (c2·N would wrap a 64-bit long past ~3e9 corpus tokens), so the
+    * single final division is the query's only float rounding —
+    * bit-identical across engines with NO ordered fold. Document-start pairs are excluded
     * (the `<s>` sentinel is context, not a word) and a minimum support
     * of [[CollocMinCount]] keeps one-off juxtapositions out, the
     * standard phrase-mining guard.
@@ -1246,8 +1247,14 @@ object TextOps {
       .join(uni.select(col("w").as("cur"), col("c1").as("cc")), Seq("cur"))
       .crossJoin(broadcast(total))
       .select(col("prev"), col("cur"), col("c2"),
-        ((col("c2") * col("total")).cast("double") /
-          (col("cp") * col("cc")).cast("double")).as("lift"))
+        // products in DECIMAL(38,0): c2*N tops Long past ~3e9 corpus
+        // tokens (a reviewed wrap hazard at the 100 TB design point);
+        // decimal->double is correctly rounded in both engines, so the
+        // values are bit-identical to the old long path at fixture scale
+        ((col("c2").cast("decimal(38,0)") * col("total").cast("decimal(38,0)"))
+          .cast("double") /
+          (col("cp").cast("decimal(38,0)") * col("cc").cast("decimal(38,0)"))
+            .cast("double")).as("lift"))
       .orderBy(col("lift").desc, col("prev"), col("cur"))
       .limit(CollocK)
   }
@@ -1264,7 +1271,8 @@ object TextOps {
       |uni AS (SELECT cur AS w, count(*) AS c1 FROM tok GROUP BY cur),
       |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni)
       |SELECT c2.prev, c2.cur, c2.c2,
-      |  CAST(c2.c2 * tt.total AS DOUBLE) / CAST(p.c1 * c.c1 AS DOUBLE) AS lift
+      |  CAST(CAST(c2.c2 AS HUGEINT) * CAST(tt.total AS HUGEINT) AS DOUBLE)
+      |    / CAST(CAST(p.c1 AS HUGEINT) * CAST(c.c1 AS HUGEINT) AS DOUBLE) AS lift
       |FROM c2
       |JOIN uni p ON p.w = c2.prev
       |JOIN uni c ON c.w = c2.cur

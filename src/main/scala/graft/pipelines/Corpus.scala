@@ -242,8 +242,16 @@ object CorpusPipeline {
       val e = count("live_exact", log.last.rows_out,
         q.join(novel.select(col("canonical_id").as("doc_id")),
           Seq("doc_id"), "left_semi"))
-      // 3 — decontamination (q33) vs the PRISTINE raw benchmark slice
+      // 3 — decontamination (q33) vs the PRISTINE raw benchmark slice.
+      // The CURRENT batch's docs are excluded from the slice: the raw
+      // ledger append below is individually guarded, so a crash after it
+      // replays the whole body with the batch's own bench docs already
+      // at rest — without this anti-join the replayed screen would see a
+      // bench universe the clean night never had, and survivors would
+      // depend on crash timing (a reviewed convergence bug)
       val bench = wh.read("corpus_raw").filter(col("source") === BenchSource)
+        .join(batch.select(col("doc_id")).dropDuplicates("doc_id"),
+          Seq("doc_id"), "left_anti")
       val flagged = Contamination.contaminationOf(e.unionByName(bench), BenchSource)
         .filter(col("flagged")).select(col("doc_id"))
       // checkpointed: four consumers downstream (the fuzzy screen's
@@ -279,10 +287,12 @@ object CorpusPipeline {
       // the whole body (each earlier append is individually guarded),
       // while a winnow advance AFTER the minhash one would be skipped
       // forever on replay (the fast path would drop the batch first).
-      // The raw-input ledger goes FIRST (order-insensitive — nothing in
-      // the nightly body reads it back): corpus_raw stays exactly "the
-      // union of every raw input ever offered", UNSCREENED, so the
-      // periodic [[refreshFull]] lane is a clean refine() over it
+      // The raw-input ledger goes FIRST (order-insensitive: the one
+      // read-back — stage 3's bench slice — excludes the current batch's
+      // docs, so a replay sees the same slice whether or not this append
+      // committed): corpus_raw stays exactly "the union of every raw
+      // input ever offered", UNSCREENED, so the periodic [[refreshFull]]
+      // lane is a clean refine() over it
       wh.append("corpus_raw",
         batch.select(col("doc_id"), col("source"), col("text"))
           .dropDuplicates("doc_id")

@@ -10,42 +10,76 @@ import org.apache.spark.sql.SparkSession
   */
 object Fs {
 
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def exists(spark: SparkSession, path: String): Boolean = {
+    heal(spark, path)
     val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    fsOf(spark, p).exists(p)
   }
 
-  /** Replace `target` with whatever `write` produces: write to a fresh
-    * sibling tmp dir (readers of `target` are NOT disturbed — this is
-    * what makes read-merge-rewrite of the same table safe without
-    * materializing), then delete old + rename tmp into place.
-    *
-    * The delete+rename pair is not a single atomic commit (a crash
-    * between them leaves the data recoverable in the tmp dir but the
-    * target missing) — the honest production answer is a table format
-    * with atomic commits (Delta/Iceberg MERGE); this is the best plain
-    * filesystem layout can do, and strictly better than Overwrite mode's
-    * delete-target-then-write, which loses the old data the moment the
-    * write starts.
-    */
   /** Recursive delete, existence-tolerant — the demolition half of a
     * delete-then-rebuild (e.g. [[CorpusPipeline.refreshFull]] retiring
     * stale live indexes before reseeding them).
     */
   def delete(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, p)
     if (fs.exists(p)) fs.delete(p, true)
     ()
   }
 
+  /** Complete an interrupted [[replaceWith]] swap, WAL-recovery style:
+    * `target.bak` existing without `target` means the crash hit between
+    * the two renames — roll back to the old table (it is complete; the
+    * caller's failed rewrite simply never committed). Both existing
+    * means the crash hit after the commit rename — finish by dropping
+    * the backup. Called from [[exists]] and the warehouse read path, so
+    * no reader can observe the mid-swap state: without this, a crash
+    * mid-compaction would read as "table missing" and the seed/rebuild
+    * repair paths would silently reseed from a STALE base (a reviewed
+    * near-miss: months of appended nightly survivors lost while the
+    * manifests still listed them, blocking re-append forever).
+    */
+  def heal(spark: SparkSession, target: String): Unit = {
+    val bak = new Path(target + ".bak")
+    val fs = fsOf(spark, bak)
+    if (fs.exists(bak)) {
+      val p = new Path(target)
+      if (!fs.exists(p)) fs.rename(bak, p)
+      else fs.delete(bak, true)
+      ()
+    }
+  }
+
+  /** Replace `target` with whatever `write` produces: write to a fresh
+    * sibling tmp dir (readers of `target` are NOT disturbed — this is
+    * what makes read-merge-rewrite of the same table safe without
+    * materializing), then swap via rename(target → target.bak),
+    * rename(tmp → target), delete(bak).
+    *
+    * No single-rename window loses data: a crash before the first
+    * rename leaves the old table untouched; between the renames, the
+    * old table is complete in `.bak` and [[heal]] rolls it back;
+    * after the commit rename, the new table is live and [[heal]] just
+    * drops the leftover backup. The honest production answer is still
+    * a table format with atomic commits (Delta/Iceberg MERGE); this is
+    * the strongest contract a plain filesystem layout offers, and
+    * strictly better than both Overwrite mode (deletes the old data
+    * the moment the write starts) and the naive delete+rename (whose
+    * crash window turns "table missing" into a silent stale reseed).
+    */
   def replaceWith(spark: SparkSession, target: String)(write: String => Unit): Unit = {
+    heal(spark, target)
     val tmp = target + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     write(tmp)
     val p = new Path(target)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val fs = fsOf(spark, p)
+    val bak = new Path(target + ".bak")
+    if (fs.exists(p)) fs.rename(p, bak)
     fs.rename(new Path(tmp), p)
+    if (fs.exists(bak)) fs.delete(bak, true)
     ()
   }
 }

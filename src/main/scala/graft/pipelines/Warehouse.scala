@@ -38,7 +38,12 @@ final class Warehouse(val spark: SparkSession, val root: String) extends UpsertS
 
   def exists(table: String): Boolean = Fs.exists(spark, path(table))
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  def read(table: String): DataFrame = {
+    // complete any interrupted swap before resolving files — a reader
+    // must never observe the mid-swap "table missing" state
+    Fs.heal(spark, path(table))
+    spark.read.parquet(path(table))
+  }
 
   def write(table: String, df: DataFrame): Unit =
     Fs.replaceWith(spark, path(table))(tmp => df.write.parquet(tmp))

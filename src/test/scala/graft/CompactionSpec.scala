@@ -47,6 +47,37 @@ class CompactionSpec extends SparkSpec {
     assert(rowsOf(wh.read("t")) == want)
   }
 
+  test("a crash between the swap renames heals: readers see the old table") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpRoot("heal"))
+    wh.write("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val rows = wh.read("t").collect().map(_.mkString("|")).toSet
+
+    // simulate the mid-swap crash window: target renamed away to .bak,
+    // the commit rename never ran (the reviewed window that used to
+    // read as "table missing" and trigger a silent stale reseed)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(s"${wh.root}/t")
+    val fs = target.getFileSystem(conf)
+    fs.rename(target, new org.apache.hadoop.fs.Path(s"${wh.root}/t.bak"))
+    assert(!fs.exists(target), "window precondition")
+
+    // exists() heals: rolls the complete old table back into place
+    assert(wh.exists("t"), "heal must complete the interrupted swap")
+    assert(wh.read("t").collect().map(_.mkString("|")).toSet == rows)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${wh.root}/t.bak")))
+
+    // the post-commit window (both present): heal drops the leftover bak
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${wh.root}/t.bak"))
+    assert(wh.read("t").collect().map(_.mkString("|")).toSet == rows)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${wh.root}/t.bak")),
+      "heal must clear a committed swap's backup")
+
+    // end-to-end: compact itself goes through the healed swap
+    wh.compact("t")
+    assert(wh.read("t").collect().map(_.mkString("|")).toSet == rows)
+  }
+
   test("compactIfFragmented fires only past the threshold") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpRoot("cadence"))

@@ -353,6 +353,58 @@ class CorpusPipelineSpec extends SparkSpec {
     TransientCache.drain()
   }
 
+  test("replay after the raw-ledger append converges (bench slice excludes the batch)") {
+    import spark.implicits._
+    // A batch carrying its own benchmark-source doc B plus a training
+    // doc D that shares B's text. Clean night: the bench slice is read
+    // from corpus_raw BEFORE the batch lands there, so D is screened
+    // against the PRE-EXISTING benchmark only and survives. A crash
+    // after the (guarded, order-first) corpus_raw append replays the
+    // body with B already at rest — without the batch anti-join on the
+    // bench slice, the replayed screen would flag D and the final state
+    // would depend on crash timing (the reviewed convergence bug).
+    def seed(tag: String): Warehouse = {
+      val wh = new Warehouse(spark,
+        Files.createTempDirectory(s"graft-wh-$tag").toString)
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("source"), col("text"))
+      wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+      wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+        col("source") =!= CorpusPipeline.BenchSource))
+      wh
+    }
+    // long enough to clear the q18 cut comfortably (the token-count
+    // term saturates at 100 tokens)
+    val sharedText = Seq.fill(6)(
+      "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight without any rest")
+      .mkString(" ")
+    val batch = Seq(
+      (9001L, CorpusPipeline.BenchSource, sharedText),
+      (9002L, "srcX", sharedText)).toDF("doc_id", "source", "text")
+
+    // clean night
+    val whClean = seed("replay-clean")
+    CorpusPipeline.refineIncremental(whClean, batch)
+
+    // crashed night: the corpus_raw append committed (B at rest), then
+    // the body replays from the top
+    val whCrash = seed("replay-crash")
+    whCrash.append("corpus_raw", batch)
+    CorpusPipeline.refineIncremental(whCrash, batch)
+
+    Seq("corpus_live", "live_keys", "corpus_raw").foreach { t =>
+      assert(whClean.read(t).collect().map(_.mkString("|")).toSet ==
+        whCrash.read(t).collect().map(_.mkString("|")).toSet,
+        s"replay after the raw append diverged at $t")
+    }
+    // and D genuinely survived (the scenario is non-vacuous: had the
+    // replayed bench slice included B, D would have been flagged)
+    assert(whCrash.read("corpus_live").filter(col("doc_id") === 9002L).count() == 1,
+      "training doc sharing the batch's own bench text must survive both runs")
+    TransientCache.drain()
+  }
+
   test("drift-gated ingest: spam nights quarantine whole; normal nights refine") {
     import spark.implicits._
     def seed(tag: String): Warehouse = {
