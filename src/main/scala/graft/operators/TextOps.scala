@@ -1697,13 +1697,37 @@ object TextOps {
     * drives identical-distribution and disjoint-vocabulary cases (drift
     * exactly 0 and exactly 1) through this seam.
     */
-  private[graft] def sourceDriftOf(docs: DataFrame): DataFrame = {
-    val dec = "decimal(38,0)"
-    val st = graft.TransientCache.register(
+  private[graft] def sourceDriftOf(docs: DataFrame): DataFrame =
+    sourceDriftFromCounts(
       docs
         .select(col("source"), explode(toks(col("text"))).as("tok"))
-        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cst"))
-        .cache())
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cst")))
+
+  /** Per-source token counts `(tok, cnt)` of a documents frame — the
+    * additive building block the maintained live distribution
+    * ([[graft.pipelines.CorpusPipeline]]'s `live_token_counts`) is kept
+    * in: counts are exact integers, so the distribution of a corpus is
+    * EXACTLY the sum of its appended batches' count frames.
+    */
+  private[graft] def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** The q96 drift computed from an EXPLICIT per-source token-count
+    * frame `(source, tok, cst)` — the seam that lets a maintained
+    * at-rest distribution stand in for a corpus tokenize: everything
+    * from the count frame down is identical to [[sourceDriftOf]] (which
+    * is exactly "tokenize, then this"), and since every input is an
+    * exact integer the drift is bit-identical whichever way the counts
+    * were produced. This is what makes the nightly gate O(batch tokens
+    * + live vocab) instead of a corpus-scale pass.
+    */
+  private[graft] def sourceDriftFromCounts(counts: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    // eager fill: the final job consumes `st` on the probe side WHILE
+    // materializing the ns/n broadcasts built from it — sibling
+    // consumers inside one job race a cold cache (the q91 rule)
+    val st = graft.TransientCache.register(counts.cache())
     st.count()
     val gt = st.groupBy(col("tok")).agg(sum(col("cst")).as("ct"))
     val ns = st.groupBy(col("source")).agg(sum(col("cst")).as("n_s"))
@@ -1749,7 +1773,8 @@ object TextOps {
       |  CROSS JOIN tt
       |  GROUP BY st.source, ns.n_s, tt.n)
       |SELECT source,
-      |  CAST(d_in + (n - cov) * n_s AS DOUBLE) / CAST(n_s * n AS DOUBLE)
+      |  CAST(d_in + CAST(n - cov AS HUGEINT) * CAST(n_s AS HUGEINT) AS DOUBLE)
+      |    / CAST(CAST(n_s AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
       |    AS l1_drift,
       |  n_s AS n_tokens
       |FROM agg ORDER BY source""".stripMargin

@@ -160,6 +160,9 @@ object CorpusPipeline {
     *   live_keys         seen normalized-content keys — first-seen-wins:
     *                     rejected content stays rejected (a dupe of a
     *                     contaminated doc is equally contaminated)
+    *   live_token_counts the maintained token distribution of
+    *                     `corpus_live` ([[liveTokenCounts]]) — what
+    *                     keeps the q96 drift gate batch-bounded
     *   live_index/       the live corpus' fuzzy-screen index
     *                     ([[Dedup.corpusIndexAt]] under this warehouse)
     *   live_winnow/      the live corpus' winnow fingerprint index
@@ -174,7 +177,10 @@ object CorpusPipeline {
     * Crash discipline — every append is guarded, and their ORDER makes
     * any replay converge to the clean run's state:
     *
-    *  1. `corpus_live` += survivors (doc_id anti-join guard);
+    *  1. `live_token_counts` += the NEW docs' token counts (keyed by
+    *     the doc-set hash, BEFORE the corpus_live append — see the
+    *     in-body ordering argument), then `corpus_live` += the same
+    *     pinned doc set (doc_id anti-join guard);
     *  2. `live_keys`   += the batch's novel keys (key anti-join guard);
     *  3. both index advances read the batch's docs back FROM the
     *     at-rest `corpus_live` — not from the screen's in-memory
@@ -203,6 +209,7 @@ object CorpusPipeline {
     if (!wh.exists("live_keys"))
       wh.write("live_keys",
         Dedup.exactDedupOf(wh.read("corpus_live")).select(col("k")))
+    seedTokenCounts(wh)
     val idx = Dedup.corpusIndexAt(spark, s"${wh.root}/live_index",
       wh.read("corpus_live"))
     val log = scala.collection.mutable.ArrayBuffer.empty[StageCount]
@@ -299,9 +306,25 @@ object CorpusPipeline {
           .join(wh.read("corpus_raw").select(col("doc_id")),
             Seq("doc_id"), "left_anti"))
       wh.compactIfFragmented("corpus_raw")
-      wh.append("corpus_live",
-        w.join(wh.read("corpus_live").select(col("doc_id")),
-          Seq("doc_id"), "left_anti"))
+      // the docs this night actually ADDS to the live corpus — pinned
+      // (localCheckpoint) so the token-count delta and the corpus_live
+      // append commit the SAME set, and so neither re-reads corpus_live
+      // mid-append
+      val toAdd = ckpt(w.join(wh.read("corpus_live").select(col("doc_id")),
+        Seq("doc_id"), "left_anti"))
+      // maintained-distribution delta FIRST, corpus_live append second:
+      // a crash between them replays with toAdd unchanged (docs still
+      // absent from corpus_live) and re-appends BYTE-IDENTICAL delta
+      // rows — same doc set, same batch_key, same counts — which the
+      // liveTokenCounts read collapses; the reverse order would replay
+      // with toAdd EMPTY and lose the delta forever. Same serial-nights
+      // contract as every other guarded append: a crashed night is
+      // replayed to convergence before the next batch is offered.
+      wh.append("live_token_counts",
+        TextOps.tokenCountsOf(toAdd)
+          .crossJoin(broadcast(docSetKey(toAdd)))
+          .select(col("batch_key"), col("tok"), col("cnt")))
+      wh.append("corpus_live", toAdd)
       wh.append("live_keys",
         novel.select(col("k"))
           .join(wh.read("live_keys"), Seq("k"), "left_anti"))
@@ -310,6 +333,7 @@ object CorpusPipeline {
       // BEFORE batchInLive below, so its lineage reads the new layout
       wh.compactIfFragmented("corpus_live")
       wh.compactIfFragmented("live_keys")
+      wh.compactIfFragmented("live_token_counts")
       val batchInLive = wh.read("corpus_live")
         .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
       Dedup.appendToWinnowIndexOf(widx, batchInLive)
@@ -354,7 +378,14 @@ object CorpusPipeline {
       "refreshFull reconciles a refined warehouse — run refine() first")
     val log = refineFrom(wh, wh.read("corpus_raw"))
     // reseed the live lane — exactly the seeds a first refineIncremental
-    // would write, over the refreshed global state
+    // would write, over the refreshed global state. The token-count
+    // table is RETIRED before the live swap and reseeded after: a crash
+    // anywhere between leaves it MISSING (never stale), so the next
+    // refineIncremental's seed guard rebuilds it from whichever
+    // corpus_live is at rest — the same missing-table self-heal the
+    // index deletes below ride. This is also what collapses the
+    // accumulated nightly deltas back to a single seed.
+    Fs.delete(spark, s"${wh.root}/live_token_counts")
     wh.write("corpus_live", wh.read("corpus_clean"))
     wh.write("live_keys",
       Dedup.exactDedupOf(wh.read("corpus_live")).select(col("k")))
@@ -362,6 +393,7 @@ object CorpusPipeline {
     Fs.delete(spark, s"${wh.root}/live_winnow")
     Dedup.corpusIndexAt(spark, s"${wh.root}/live_index", wh.read("corpus_live"))
     Dedup.winnowIndexAt(spark, s"${wh.root}/live_winnow", wh.read("corpus_live"))
+    seedTokenCounts(wh)
     graft.TransientCache.drain()
     log
   }
@@ -413,15 +445,77 @@ object CorpusPipeline {
     *
     * Deliberately STATELESS: it appends nothing, so it adds no entry to
     * the crash/replay contract — the caller decides whether a drifted
-    * batch still enters [[refineIncremental]]. Cost ∝ one (label, token)
-    * hash-agg over live + batch.
+    * batch still enters [[refineIncremental]].
+    *
+    * Cost ∝ batch tokens + live VOCAB, not the live corpus: the live
+    * side reads the MAINTAINED `live_token_counts` distribution
+    * ([[liveTokenCounts]] — advanced wherever `corpus_live` advances,
+    * reseeded by [[refreshFull]]) instead of re-tokenizing the corpus
+    * every night. Counts are exact integers, so the maintained path is
+    * bit-identical to a recompute ([[TextOps.sourceDriftFromCounts]]).
+    * On a warehouse that has never seeded the table, this falls back to
+    * the direct corpus tokenize (keeping the probe itself stateless);
+    * every load-bearing caller ([[refineIncrementalGated]],
+    * [[graft.streaming.StreamingDrift]]) seeds first.
     */
-  def batchDrift(wh: Warehouse, batch: DataFrame): DataFrame =
-    TextOps.sourceDriftOf(
-      wh.read("corpus_live")
-        .select(lit("corpus_live").as("source"), col("text"))
-        .unionByName(
-          batch.select(lit("batch").as("source"), col("text"))))
+  def batchDrift(wh: Warehouse, batch: DataFrame): DataFrame = {
+    val batchCounts = TextOps.tokenCountsOf(batch.select(col("text")))
+      .select(lit("batch").as("source"), col("tok"), col("cnt").as("cst"))
+    val liveCounts =
+      (if (wh.exists("live_token_counts")) liveTokenCounts(wh)
+       else TextOps.tokenCountsOf(wh.read("corpus_live")))
+        .select(lit("corpus_live").as("source"), col("tok"),
+          col("cnt").as("cst"))
+    TextOps.sourceDriftFromCounts(liveCounts.unionByName(batchCounts))
+  }
+
+  /** The live corpus' maintained token distribution, `(tok, cnt)` —
+    * exactly `tokenCountsOf(corpus_live)` at all times (spec'd across N
+    * nights + a refresh), without ever re-tokenizing the corpus.
+    *
+    * At-rest layout: `live_token_counts` holds `(batch_key, tok, cnt)`
+    * DELTA rows — the seed (key 0) plus one vocab-bounded delta per
+    * night, keyed by a deterministic hash of the night's appended doc
+    * set. The read collapses replayed/partially-committed appends by
+    * `(batch_key, tok)` (a replay writes byte-identical rows — same doc
+    * set, same key, same counts) and then sums: counts are ADDITIVE, so
+    * the sum of deltas IS the corpus distribution. Row growth is
+    * nights × vocab between refreshes; [[refreshFull]] collapses the
+    * table back to a single seed, and [[Warehouse.compactIfFragmented]]
+    * bounds the file count in between (content-preserving — the
+    * batch_key rows survive verbatim, so replay dedup still works).
+    */
+  def liveTokenCounts(wh: Warehouse): DataFrame =
+    wh.read("live_token_counts")
+      .dropDuplicates("batch_key", "tok")
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Idempotent one-time seed of `live_token_counts` from the at-rest
+    * `corpus_live` — one corpus tokenize, the same one-time bill the
+    * live index builds pay. Independent of the `corpus_live` seed guard
+    * (the review-pass lesson: paired seeds crash independently), and an
+    * exact repair since it derives from at-rest state.
+    */
+  private[graft] def seedTokenCounts(wh: Warehouse): Unit =
+    if (!wh.exists("live_token_counts"))
+      wh.write("live_token_counts",
+        TextOps.tokenCountsOf(wh.read("corpus_live"))
+          .select(lit(0L).as("batch_key"), col("tok"), col("cnt")))
+
+  /** Deterministic, order-insensitive key of a doc set: xxhash64 over
+    * (XOR of per-doc hashes, count). XOR is commutative and cannot
+    * overflow (doc_ids are deduped upstream, so cancellation needs a
+    * genuine hash collision), so any replay of the same set produces
+    * the same key — the dedup handle for delta appends and persisted
+    * gate decisions. 1-row frame; ride it as a broadcast (the q77/q91
+    * no-driver-collect discipline) or collect it where the value itself
+    * gates driver control flow (the bounded checkpoint-read precedent).
+    */
+  private def docSetKey(docs: DataFrame): DataFrame =
+    docs.agg(
+      coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L)).as("h"),
+      count(lit(1)).as("nd"))
+      .select(xxhash64(col("h"), col("nd")).as("batch_key"))
 
   /** Default ceiling for [[refineIncrementalGated]]: the fixture's
     * in-distribution nights read ≈ 0.1–0.15 against the live corpus;
@@ -434,42 +528,71 @@ object CorpusPipeline {
   /** Drift-GATED nightly ingest — the monitor made load-bearing: the
     * batch's [[batchDrift]] reading is taken first, and an
     * off-distribution night (reading > `maxDrift`) is diverted whole
-    * into `corpus_quarantine` instead of entering the screens — the
-    * "don't let a spam flood fight the per-doc quality cut one document
-    * at a time" control a production ingest runs. In-distribution
-    * nights proceed through [[refineIncremental]] unchanged.
+    * into `corpus_quarantine` (rows tagged `reason = "drift_gate"`)
+    * instead of entering the screens — the "don't let a spam flood
+    * fight the per-doc quality cut one document at a time" control a
+    * production ingest runs. In-distribution nights proceed through
+    * [[refineIncremental]] unchanged.
     *
-    * Crash/replay discipline: the gate itself is a deterministic
-    * function of (live corpus, batch), so a replay re-takes the same
-    * branch; the quarantine append is doc_id-anti-join guarded (replay
-    * no-op), and the quarantined lane touches NO live state — repair is
-    * re-offering the quarantined docs as a later batch after review.
-    * The 1-row drift collect is bounded driver state (the
-    * checkpoint-read precedent).
+    * Crash/replay discipline: the decision is PERSISTED before it is
+    * acted on — one `(batch_key, admitted, l1_drift)` row in `gate_log`,
+    * keyed by the batch's doc-set hash — so a replay re-takes the
+    * recorded branch even when its own drift reading would differ (a
+    * crash mid-[[refineIncremental]] leaves the live distribution
+    * partially advanced by the batch's survivors, so a near-threshold
+    * re-reading is NOT guaranteed to land on the same side; before the
+    * decision row lands, nothing has advanced and a re-derived reading
+    * is exactly reproducible, so every window is covered). The
+    * quarantine append is doc_id-anti-join guarded (replay no-op), and
+    * the quarantined lane touches NO live state — repair is
+    * [[reviewQuarantine]] (which bypasses the gate by design: a
+    * reviewed re-offer must not be re-refused by its recorded
+    * decision). The per-night collects — the 1-row key, the 0/1-row
+    * prior decision, the 1-row reading — are all bounded driver state
+    * (the checkpoint-read precedent).
     */
   def refineIncrementalGated(wh: Warehouse, batch: DataFrame,
                              maxDrift: Double = DriftGate): Seq[StageCount] = {
-    // the gate reads corpus_live before refineIncremental would seed it
-    // — run the same idempotent seed guard first
+    val spark = wh.spark
+    import spark.implicits._
+    // the gate reads the live distribution before refineIncremental
+    // would seed it — run the same idempotent seed guards first
     require(wh.exists("corpus_clean"),
       "refineIncrementalGated needs a refined base — run refine() first")
     if (!wh.exists("corpus_live"))
       wh.write("corpus_live", wh.read("corpus_clean"))
-    val reading = batchDrift(wh, batch)
-      .filter(col("source") === "batch")
-      .select(col("l1_drift")).collect()
-      .headOption.map(_.getDouble(0)).getOrElse(0.0)
-    graft.TransientCache.drain()
-    if (reading <= maxDrift) refineIncremental(wh, batch)
+    seedTokenCounts(wh)
+    // deduped first: an in-batch redelivery must not shift the reading
+    // (a clean batch and its partially-duplicated twin have different
+    // pooled counts), and the doc-set key must match what the screens
+    // will actually consume
+    val in = batch.select(col("doc_id"), col("source"), col("text"))
+      .dropDuplicates("doc_id")
+    val key = docSetKey(in).collect().head.getLong(0)
+    val prior =
+      if (!wh.exists("gate_log")) None
+      else wh.read("gate_log").filter(col("batch_key") === key)
+        .select(col("admitted")).collect().headOption.map(_.getBoolean(0))
+    val admitted = prior.getOrElse {
+      val reading = batchDrift(wh, in)
+        .filter(col("source") === "batch")
+        .select(col("l1_drift")).collect()
+        .headOption.map(_.getDouble(0)).getOrElse(0.0)
+      graft.TransientCache.drain()
+      val adm = reading <= maxDrift
+      wh.append("gate_log",
+        Seq((key, adm, reading)).toDF("batch_key", "admitted", "l1_drift"))
+      adm
+    }
+    if (admitted) refineIncremental(wh, batch)
     else {
-      val in = batch.select(col("doc_id"), col("source"), col("text"))
-        .dropDuplicates("doc_id")
       val novel =
         if (!wh.exists("corpus_quarantine")) in
         else in.join(wh.read("corpus_quarantine").select(col("doc_id")),
           Seq("doc_id"), "left_anti")
       val n = novel.count()
-      wh.append("corpus_quarantine", novel)
+      wh.append("corpus_quarantine",
+        novel.withColumn("reason", lit("drift_gate")))
       wh.compactIfFragmented("corpus_quarantine")
       Seq(StageCount("live_drift_gate", in.count(), n))
     }

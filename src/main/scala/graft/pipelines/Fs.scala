@@ -21,9 +21,13 @@ object Fs {
 
   /** Recursive delete, existence-tolerant — the demolition half of a
     * delete-then-rebuild (e.g. [[CorpusPipeline.refreshFull]] retiring
-    * stale live indexes before reseeding them).
+    * stale live indexes before reseeding them). Heals first: deleting a
+    * mid-swap table must retire BOTH halves — without the heal, a stale
+    * `.bak` left behind would be resurrected by the next [[heal]] as if
+    * the delete never happened.
     */
   def delete(spark: SparkSession, path: String): Unit = {
+    heal(spark, path)
     val p = new Path(path)
     val fs = fsOf(spark, p)
     if (fs.exists(p)) fs.delete(p, true)
@@ -47,7 +51,10 @@ object Fs {
     val fs = fsOf(spark, bak)
     if (fs.exists(bak)) {
       val p = new Path(target)
-      if (!fs.exists(p)) fs.rename(bak, p)
+      // rename returns false instead of throwing on missing parents or
+      // cross-filesystem moves — a silent false here would degrade the
+      // rollback to a no-op, so it must surface as an error
+      if (!fs.exists(p)) require(fs.rename(bak, p), s"heal: rename $bak -> $p failed")
       else fs.delete(bak, true)
       ()
     }
@@ -77,8 +84,12 @@ object Fs {
     val p = new Path(target)
     val fs = fsOf(spark, p)
     val bak = new Path(target + ".bak")
-    if (fs.exists(p)) fs.rename(p, bak)
-    fs.rename(new Path(tmp), p)
+    // the whole crash-safety protocol hinges on these renames landing;
+    // rename reports failure as `false` (not an exception), so each is
+    // checked — a silent false on the commit rename would strand the new
+    // data in the tmp dir with no error surfaced
+    if (fs.exists(p)) require(fs.rename(p, bak), s"swap: rename $p -> $bak failed")
+    require(fs.rename(new Path(tmp), p), s"swap: rename $tmp -> $p failed")
     if (fs.exists(bak)) fs.delete(bak, true)
     ()
   }

@@ -48,8 +48,15 @@ final class Warehouse(val spark: SparkSession, val root: String) extends UpsertS
   def write(table: String, df: DataFrame): Unit =
     Fs.replaceWith(spark, path(table))(tmp => df.write.parquet(tmp))
 
-  def append(table: String, df: DataFrame): Unit =
+  def append(table: String, df: DataFrame): Unit = {
+    // complete any interrupted swap BEFORE appending: in the mid-swap
+    // window (`.bak` present, target missing) an unhealed append would
+    // recreate the target with only the new rows, and the next heal()
+    // — seeing both present — would drop the backup, the only complete
+    // copy. The read path heals; the write paths must too.
+    Fs.heal(spark, path(table))
     df.write.mode(SaveMode.Append).parquet(path(table))
+  }
 
   /** Keyed last-wins upsert (S8/S9): read current, merge via
     * [[Upsert.upsertByKey]], write to a tmp dir (the read of the old
@@ -132,9 +139,10 @@ final class Warehouse(val spark: SparkSession, val root: String) extends UpsertS
     * undisturbed until the swap, and a failed rewrite never destroys
     * the table). Content-preserving by construction, so every
     * manifest/data invariant of the append-only index tiers survives
-    * verbatim; a crash between delete and rename is the documented
-    * [[Fs.replaceWith]] window (data recoverable in the tmp dir), the
-    * same exposure every S10 staging swap already carries.
+    * verbatim; a crash anywhere in the swap is covered by the bak-heal
+    * protocol ([[Fs.replaceWith]]/[[Fs.heal]] — the old table rides in
+    * `.bak` until the commit rename lands, and every read/append heals
+    * first), the same contract every S10 staging swap rides.
     *
     * `coalesce`, not `repartition`: compaction is pure IO — each output
     * task drains a run of small files with no shuffle. NOT for

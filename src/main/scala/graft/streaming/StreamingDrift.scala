@@ -13,9 +13,11 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * the dashboard feed an ingest operator watches BETWEEN refine cycles.
   *
   * Unlike the dedup/winnow/ANN twins this loop advances NO shared
-  * state: the probe reads `corpus_live` and appends only to its own
-  * log, so it composes with [[StreamingRefine]] (or the nightly batch
-  * cycle) without entering their crash contracts. Exactly-once for the
+  * state: the probe reads the maintained `live_token_counts`
+  * distribution (seeding it once if absent — the one-time bill the
+  * index builds also pay) and appends only to its own log, so it
+  * composes with [[StreamingRefine]] (or the nightly batch cycle)
+  * without entering their crash contracts. Exactly-once for the
   * log itself comes from keying on `(batch_id, source)` — the
   * foreachBatch epoch id is stable across checkpoint replays, so a
   * redelivered micro-batch recomputes the same rows and the keyed
@@ -38,6 +40,10 @@ object StreamingDrift {
       "StreamingDrift needs a refined base — run refine() first")
     if (!wh.exists("corpus_live"))
       wh.write("corpus_live", wh.read("corpus_clean"))
+    // seed the maintained distribution so every micro-batch reading is
+    // O(batch tokens + live vocab) — without this, a monitor ticking
+    // every few minutes would re-tokenize the whole corpus per tick
+    CorpusPipeline.seedTokenCounts(wh)
     val drift = CorpusPipeline.batchDrift(wh, batch)
       .select(lit(batchId).as("batch_id"), col("source"),
         col("l1_drift"), col("n_tokens"))

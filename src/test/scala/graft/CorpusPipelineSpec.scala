@@ -456,6 +456,124 @@ class CorpusPipelineSpec extends SparkSpec {
     TransientCache.drain()
   }
 
+  /** All parquet scan root-paths reachable from a frame's executed plan
+    * (AQE stages, reused exchanges, cache-build plans, subqueries) — the
+    * PlanLintSpec walk, scoped to the one question this suite asks: what
+    * does the nightly gate actually READ?
+    */
+  private def scanPaths(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def descend(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case other => other.children
+    }
+    def go(p: SparkPlan): Seq[SparkPlan] =
+      if (!seen.add(p)) Nil else p +: (descend(p) ++ p.subqueries).flatMap(go)
+    go(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec => s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+  }
+
+  test("maintained token distribution == recompute across nights, replayed deltas, and refresh; the gate scans no corpus text") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh-tc").toString)
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+    wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+      col("source") =!= CorpusPipeline.BenchSource))
+
+    def recount(): Set[String] = rowsOf(TextOps.tokenCountsOf(wh.read("corpus_live")))
+    def maintained(): Set[String] = rowsOf(CorpusPipeline.liveTokenCounts(wh))
+
+    // two gated in-distribution nights: the maintained distribution IS
+    // tokenCountsOf(corpus_live) at every boundary
+    CorpusPipeline.refineIncrementalGated(wh, docs.filter(col("doc_id") % 10 === 8))
+    TransientCache.drain()
+    assert(maintained() == recount(), "maintained != recompute after night 1")
+    CorpusPipeline.refineIncrementalGated(wh, docs.filter(col("doc_id") % 10 === 9))
+    TransientCache.drain()
+    assert(maintained() == recount(), "maintained != recompute after night 2")
+    // both admitted nights persisted their decision exactly once
+    assert(wh.read("gate_log").filter(col("admitted")).count() == 2)
+
+    // a replayed (or partially-committed) delta append writes
+    // byte-identical keyed rows — the read must collapse them
+    val dup = wh.read("live_token_counts")
+      .filter(col("batch_key") =!= 0L).localCheckpoint(true)
+    assert(dup.count() > 0, "nights must have written keyed delta rows")
+    wh.append("live_token_counts", dup)
+    assert(maintained() == recount(), "replayed delta rows must collapse at read")
+
+    // the worst crash window: the token delta committed, the corpus_live
+    // append did NOT. Replaying the night must converge — toAdd is
+    // recomputed over the un-advanced corpus, lands the same doc set,
+    // same batch_key, same rows, and the read collapses the pair.
+    val whC = new Warehouse(spark, Files.createTempDirectory("graft-wh-tc-crash").toString)
+    whC.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+    whC.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+      col("source") =!= CorpusPipeline.BenchSource))
+    CorpusPipeline.seedTokenCounts({
+      // seed corpus_live first, as the body's guards would
+      if (!whC.exists("corpus_live"))
+        whC.write("corpus_live", whC.read("corpus_clean"))
+      whC
+    })
+    // inject the committed half of the crashed nights: the keyed delta
+    // rows the clean run produced (wh's night rows are exactly what the
+    // crashed attempts wrote — same base, same batches)
+    val crashedDelta = wh.read("live_token_counts")
+      .filter(col("batch_key") =!= 0L).localCheckpoint(true)
+    whC.append("live_token_counts", crashedDelta)
+    CorpusPipeline.refineIncremental(whC, docs.filter(col("doc_id") % 10 === 8))
+    TransientCache.drain()
+    CorpusPipeline.refineIncremental(whC, docs.filter(col("doc_id") % 10 === 9))
+    TransientCache.drain()
+    assert(rowsOf(CorpusPipeline.liveTokenCounts(whC)) ==
+      rowsOf(TextOps.tokenCountsOf(whC.read("corpus_live"))),
+      "crash-window replay must converge the maintained distribution")
+    assert(rowsOf(whC.read("corpus_live")) == rowsOf(wh.read("corpus_live")),
+      "crash-window replay must converge the corpus itself")
+
+    // maintained and fallback (tokenize-the-corpus) drift readings are
+    // bit-identical — exact integers end to end
+    val probe = docs.filter(col("doc_id") % 10 === 7)
+    val whF = new Warehouse(spark, Files.createTempDirectory("graft-wh-tc-fb").toString)
+    whF.write("corpus_live", wh.read("corpus_live"))
+    def reading(w: Warehouse): Seq[(String, Double)] = {
+      val r = CorpusPipeline.batchDrift(w, probe).collect()
+        .map(x => x.getString(0) -> x.getDouble(1)).toSeq
+      TransientCache.drain(); r
+    }
+    assert(reading(wh) == reading(whF),
+      "maintained drift must equal the recomputed drift bit-for-bit")
+
+    // the maintained gate reads the counts table, never the corpus text
+    val gatePlan = CorpusPipeline.batchDrift(wh, probe)
+    gatePlan.collect()
+    val paths = scanPaths(gatePlan)
+    assert(paths.exists(_.contains("live_token_counts")),
+      "the gate must read the maintained distribution (non-vacuous walk)")
+    assert(!paths.exists(_.contains("corpus_live")),
+      s"the nightly gate must not scan corpus_live; scans: $paths")
+    TransientCache.drain()
+
+    // refreshFull collapses the accumulated deltas back to one seed and
+    // re-establishes the identity over the refreshed corpus
+    CorpusPipeline.refreshFull(wh)
+    assert(maintained() == recount(), "maintained != recompute after refreshFull")
+    assert(wh.read("live_token_counts").select(col("batch_key")).distinct().count() == 1,
+      "refreshFull must collapse the delta table to a single seed")
+    TransientCache.drain()
+  }
+
   test("batchDrift: the nightly off-distribution alarm orders by separation") {
     import spark.implicits._
     val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh-drift").toString)
