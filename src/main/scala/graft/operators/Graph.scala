@@ -318,9 +318,25 @@ object Graph {
                    assumeDeduped: Boolean = false): DataFrame =
     pageRankImpl(edges, src, dst, iters, orderedFold = false, assumeDeduped)
 
-  private def pageRankImpl(edges: DataFrame, src: String, dst: String,
-                           iters: Int, orderedFold: Boolean,
-                           assumeDeduped: Boolean): DataFrame = {
+  /** Lineage-truncation cadence for caller-supplied iteration budgets:
+    * every this-many rounds the rank frame is EAGERLY
+    * `localCheckpoint`ed, so a 30-iteration production walk builds
+    * bounded-depth plans instead of one 30-deep unchecked tree (the
+    * [[connectedComponentsWithRounds]] per-round discipline, amortized
+    * — each checkpoint is one extra narrow job over the |nodes|-row
+    * rank frame, so every K rounds is the right cadence where CC's
+    * every-round one follows from its fixpoint count needing the
+    * materialization anyway). The q91 default of [[PrIters]] = 3 rounds
+    * never reaches the cadence — its single-DAG plan is untouched.
+    * Values are unchanged by construction (checkpointing materializes
+    * the same rows), spec'd bit-exact at 12 iterations.
+    */
+  val PrCheckpointEvery = 5
+
+  private[graft] def pageRankImpl(edges: DataFrame, src: String, dst: String,
+                                  iters: Int, orderedFold: Boolean,
+                                  assumeDeduped: Boolean,
+                                  checkpointEvery: Int = PrCheckpointEvery): DataFrame = {
     // `assumeDeduped` drops the defensive distinct — a full edge-list
     // shuffle — for callers whose construction is provably
     // duplicate-free (a duplicate edge would inflate both the degree
@@ -348,7 +364,17 @@ object Graph {
     val n = deg.agg(count(lit(1)).as("n"))
     var r = deg.select(col("a").as("node")).crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to iters) {
+    // the checkpoint that currently backs `r` (if any): superseded
+    // blocks are dropped as soon as the NEXT checkpoint materializes —
+    // rounds after checkpoint k read only checkpoint k's blocks, so the
+    // k-1 blocks are dead weight the moment k's eager job finishes.
+    // The FINAL frame's blocks stay pinned: the caller reads them.
+    var liveCkpt: DataFrame = null
+    def dropCkpt(df: DataFrame): Unit =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
+    for (i <- 1 to iters) {
       val contribs = e2.join(r, e2("a") === r("node"))
         .select(e2("b").as("node"), (col("pr") / col("outdeg")).as("c"),
           e2("a").as("a"))
@@ -364,6 +390,12 @@ object Graph {
       r = summed.crossJoin(broadcast(n))
         .select(col("node"),
           (lit(0.15) / col("n") + lit(0.85) * col("s")).as("pr"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        val c = r.localCheckpoint(true) // eager: runs the rounds since the last cut
+        if (liveCkpt != null) dropCkpt(liveCkpt)
+        liveCkpt = c
+        r = c
+      }
     }
     r
   }

@@ -525,6 +525,55 @@ object CorpusPipeline {
     */
   val DriftGate = 0.5
 
+  /** Review-and-drain lane for `corpus_quarantine` — the gated nights'
+    * documented repair ("re-offer after review"), made code. `admit`
+    * selects the reviewed docs to re-offer (any frame function over the
+    * quarantine table — the result is semi-joined back so only genuine
+    * quarantine members can be admitted); admitted docs re-enter
+    * through [[refineIncremental]] — the gate is BYPASSED by design, a
+    * reviewed re-offer must not be re-refused by its recorded `gate_log`
+    * decision — and face every per-doc screen like any other batch (a
+    * reviewed spam doc the quality cut rejects still vanishes: review
+    * restores a batch's RIGHT to be screened, not its admission).
+    * Refused docs are retained with `reason = "review_refused"`; if
+    * nothing is refused the table is retired entirely, restoring the
+    * never-gated state exactly.
+    *
+    * Crash discipline: the re-offer runs FIRST (it is the fully guarded
+    * nightly body), the quarantine rewrite second (tmp-swap). A crash
+    * between them replays the admitted docs through the screens —
+    * survivors no-op off the index manifest, dropped docs re-screen to
+    * the same drops — and redoes the rewrite; re-running with the same
+    * `admit` converges. Admit-all is spec'd ≡ the night never having
+    * been gated, at every table boundary.
+    */
+  def reviewQuarantine(wh: Warehouse,
+                       admit: DataFrame => DataFrame = df => df): Seq[StageCount] = {
+    val spark = wh.spark
+    if (!wh.exists("corpus_quarantine")) return Nil
+    val q = wh.read("corpus_quarantine")
+    val nIn = q.count()
+    // pinned: the rewrite below replaces the very files this lineage
+    // reads, and the re-offer must consume a fixed doc set
+    val admitted = q.join(
+      admit(q).select(col("doc_id")).dropDuplicates("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true)
+    val nAdmit = admitted.count()
+    val log = if (nAdmit > 0) refineIncremental(wh, admitted) else Nil
+    val refused = q.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"),
+        lit("review_refused").as("reason"))
+    if (refused.isEmpty) Fs.delete(spark, s"${wh.root}/corpus_quarantine")
+    else wh.write("corpus_quarantine", refused)
+    admitted.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+    graft.TransientCache.drain()
+    StageCount("quarantine_review", nIn, nAdmit) +: log
+  }
+
   /** Drift-GATED nightly ingest — the monitor made load-bearing: the
     * batch's [[batchDrift]] reading is taken first, and an
     * off-distribution night (reading > `maxDrift`) is diverted whole

@@ -456,6 +456,69 @@ class CorpusPipelineSpec extends SparkSpec {
     TransientCache.drain()
   }
 
+  test("quarantine review: admit-all == never gated at every boundary; partial admits retain refusals") {
+    import spark.implicits._
+    def seed(tag: String): Warehouse = {
+      val wh = new Warehouse(spark,
+        Files.createTempDirectory(s"graft-wh-$tag").toString)
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("source"), col("text"))
+      wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+      wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+        col("source") =!= CorpusPipeline.BenchSource))
+      wh
+    }
+    val spam = spark.range(9000L, 9040L)
+      .select(col("id").as("doc_id"), lit("spamnet").as("source"),
+        lit("zqzq vrvr kjkj zqzq wmwm vrvr").as("text"))
+
+    // gated warehouse vs the never-gated counterfactual
+    val wh = seed("review")
+    val whRef = seed("review-ref")
+    CorpusPipeline.refineIncrementalGated(wh, spam)
+    assert(wh.exists("corpus_quarantine"), "spam night must gate (non-vacuous)")
+    TransientCache.drain()
+    CorpusPipeline.refineIncremental(whRef, spam)
+    TransientCache.drain()
+
+    // admit-all: the review re-offers the whole night through the
+    // ungated body, then retires the empty quarantine — the warehouse
+    // must land EXACTLY where the never-gated one did
+    val log = CorpusPipeline.reviewQuarantine(wh)
+    assert(log.head == CorpusPipeline.StageCount("quarantine_review", 40L, 40L))
+    assert(!wh.exists("corpus_quarantine"),
+      "an emptied quarantine must be retired, restoring the never-gated state")
+    val tables = Seq("corpus_live", "live_keys", "corpus_raw",
+      "live_token_counts", "live_index/corpus_shingles",
+      "live_index/corpus_band_index", "live_index/corpus_docs",
+      "live_winnow/corpus_winnow", "live_winnow/corpus_winnow_docs")
+    tables.foreach(t => assert(rowsOf(wh.read(t)) == rowsOf(whRef.read(t)),
+      s"admit-all review != never-gated night at table $t"))
+    // a second review of the drained warehouse is a no-op
+    assert(CorpusPipeline.reviewQuarantine(wh) == Nil)
+    TransientCache.drain()
+
+    // partial admit: refusals retained with the review reason; the
+    // same admit replayed re-offers nothing and keeps the refusals
+    val wh2 = seed("review-partial")
+    CorpusPipeline.refineIncrementalGated(wh2, spam)
+    TransientCache.drain()
+    val half: DataFrame => DataFrame = df => df.filter(col("doc_id") < 9020L)
+    val log2 = CorpusPipeline.reviewQuarantine(wh2, half)
+    assert(log2.head == CorpusPipeline.StageCount("quarantine_review", 40L, 20L))
+    val qq = wh2.read("corpus_quarantine").cache()
+    assert(qq.count() == 20)
+    assert(qq.filter(col("reason") =!= "review_refused").isEmpty,
+      "retained docs must carry the review refusal reason")
+    assert(qq.filter(col("doc_id") < 9020L).isEmpty,
+      "admitted docs must leave the quarantine")
+    val log3 = CorpusPipeline.reviewQuarantine(wh2, half)
+    assert(log3.head == CorpusPipeline.StageCount("quarantine_review", 20L, 0L))
+    assert(wh2.read("corpus_quarantine").count() == 20)
+    qq.unpersist(false)
+    TransientCache.drain()
+  }
+
   /** All parquet scan root-paths reachable from a frame's executed plan
     * (AQE stages, reused exchanges, cache-build plans, subqueries) — the
     * PlanLintSpec walk, scoped to the one question this suite asks: what

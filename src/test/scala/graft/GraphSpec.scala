@@ -89,6 +89,37 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.head - 1.0 / n) < 1e-12)
   }
 
+  test("pagerank: lineage truncation at large budgets is value-exact and bounds plan depth") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.LogicalRDD
+    def depth(p: LogicalPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
+    // two triangles joined by a bridge — 12 rounds genuinely mix ranks
+    // across the bridge, so a value drift anywhere would surface
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)))
+    // default cadence (5): checkpoints after rounds 5 and 10
+    val trunc = Graph.pageRankImpl(edges, "src", "dst", 12,
+      orderedFold = true, assumeDeduped = false)
+    val tRows = trunc.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // cadence disabled: the single 12-deep unrolled DAG
+    val flat = Graph.pageRankImpl(edges, "src", "dst", 12,
+      orderedFold = true, assumeDeduped = false, checkpointEvery = Int.MaxValue)
+    val fRows = flat.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // checkpointing materializes the same rows: BIT-exact, not approx
+    assert(tRows == fRows,
+      "lineage truncation must not change a single rank bit")
+    // the truncated tree really is truncated: rooted in a checkpoint
+    // RDD and materially shallower than the unrolled 12-round plan
+    assert(trunc.queryExecution.optimizedPlan.collect {
+      case _: LogicalRDD => 1 }.nonEmpty,
+      "the truncated walk must be backed by a localCheckpoint")
+    assert(depth(trunc.queryExecution.optimizedPlan) <
+      depth(flat.queryExecution.optimizedPlan),
+      "the cadence must bound plan depth below the unrolled DAG")
+    graft.TransientCache.drain()
+  }
+
   test("pagerank: production sum matches the ordered fold to 1e-9") {
     val dir = "/root/testdata/sf0.001"
     val oracle = Graph.supplierPartRank(spark, dir)
