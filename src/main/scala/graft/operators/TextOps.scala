@@ -1470,6 +1470,27 @@ object TextOps {
         .groupBy(col("word")).agg(count(lit(1)).as("w")),
       rounds, applyLast)
 
+  /** Lineage truncation for deep relational merge budgets (the q91
+    * pageRank discipline, but EVERY round past the demonstration
+    * depth): each round references the previous vocab frame several
+    * times (the pair count, the winner's cached plan, the merge input),
+    * and plan-STRING generation prints every `InMemoryRelation`'s
+    * cached plan transitively without sharing — so the per-job plan
+    * description grows ~6× per round (measured: 1.9 KB at round 1 to
+    * 2 billion chars — `maxPlanStringLength`-saturated — by round 9,
+    * with the driver spending minutes in `generateTreeString` per job).
+    * An eager `localCheckpoint` per round past [[BpeRounds]] resets the
+    * base each round, keeping analysis, cache-manager canonicalization
+    * and plan strings O(1) per round. The q95/q97 default of
+    * [[BpeRounds]] = 4 never reaches the cadence — their plans and pins
+    * are untouched. Values unchanged by construction; the deep
+    * differential against [[bpeMergesProd]] runs 60 checkpointed
+    * rounds. ([[bpeMergesProd]] itself remains the production answer:
+    * rounds × scheduler-latency is the relational chain's cost at ANY
+    * data size.)
+    */
+  private def bpeDeepRound(i: Int): Boolean = i > BpeRounds
+
   /** The chain over an explicit `(word, w)` weighted vocab — q97 feeds
     * the word counts it already aggregated from its per-doc frame, so
     * the corpus is tokenized exactly once between the two halves.
@@ -1488,6 +1509,13 @@ object TextOps {
           col("w"))
         .cache())
     var v = v0
+    // the checkpoint currently backing `v` at deep budgets (if any);
+    // superseded blocks drop as the next cadence point materializes
+    var liveCkpt: DataFrame = null
+    def dropCkpt(df: DataFrame): Unit =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
     val outs = Seq.newBuilder[DataFrame]
     for (i <- 1 to rounds) {
       val pairs = v
@@ -1521,10 +1549,17 @@ object TextOps {
         // count, then the round after's merge input) run in strictly
         // SEQUENTIAL jobs — the first fills the cache race-free, so an
         // eager fill would only add a redundant barrier'd job round
-        // (measured ~0.1 s each at sf0.1 on kilobyte vocab frames)
+        // (measured ~0.1 s each at sf0.1 on kilobyte vocab frames).
+        // At deep budgets every round swaps the cache for an eager
+        // checkpoint — see [[bpeDeepRound]]
         v =
-          if (i < rounds) graft.TransientCache.register(merged.cache())
-          else merged
+          if (i >= rounds) merged
+          else if (bpeDeepRound(i)) {
+            val c = merged.localCheckpoint(true)
+            if (liveCkpt != null) dropCkpt(liveCkpt)
+            liveCkpt = c
+            c
+          } else graft.TransientCache.register(merged.cache())
       }
     }
     (outs.result(), v)
@@ -1577,6 +1612,123 @@ object TextOps {
       |  UNION ALL SELECT 3, l, r, l || r, cnt FROM b3
       |  UNION ALL SELECT 4, l, r, l || r, cnt FROM b4) u
       |ORDER BY step""".stripMargin
+  }
+
+  /** PRODUCTION BPE trainer — the driver-loop tier for real merge
+    * budgets. The relational [[bpeMerges]] chain is the oracle-checked
+    * demonstration, but a 30k-merge training run cannot be 30k
+    * barrier'd Spark jobs (each round is a full scheduler round-trip;
+    * at any scale the wall-clock is rounds × latency, not data). The
+    * honest production shape: ONE corpus-scale hash-agg to the weighted
+    * `(word, w)` vocab — the only distributed work, map-side partial,
+    * identical to the relational chain's v0 — then COLLECT the
+    * vocab-bounded table (bounded driver state, the CMS/KMV/k-means
+    * seed precedent: vocab is O(distinct words), not O(corpus)) and run
+    * the standard in-memory trainer over symbol arrays. The returned
+    * merge list is itself vocab-bounded and re-broadcasts for the
+    * distributed apply (q97's word-key join shape unchanged).
+    *
+    * Bit-compatibility with the relational chain is engineered, not
+    * hoped for: symbols are CODE POINTS of the separator-stripped word
+    * (what the encode regex `(.)` produces), the merge is the same
+    * greedy left-to-right non-overlapping scan the wrapped-string
+    * `replace` performs, and the (count desc, l, r) tie-break compares
+    * strings in UTF-8 BINARY order — Spark's `UTF8String` ordering,
+    * which differs from Java's UTF-16 `compareTo` beyond the BMP.
+    * Differential-spec'd equal to [[bpeMergesOf]] at 4 and 64 rounds,
+    * including early pair exhaustion.
+    */
+  def bpeMergesProd(spark: SparkSession, dir: String,
+                    rounds: Int = BpeRounds): DataFrame =
+    bpeMergesProdOf(docToks(spark, dir), rounds)
+
+  /** The production trainer over an explicit `(t: array<string>)` token
+    * frame — the differential spec's seam.
+    */
+  private[graft] def bpeMergesProdOf(toksDf: DataFrame, rounds: Int): DataFrame = {
+    val spark = toksDf.sparkSession
+    import spark.implicits._
+    val vocab = toksDf.select(explode(col("t")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = bpeTrain(vocab, rounds)
+      .map { case (step, l, r, cnt) => (step, l, r, l + r, cnt) }
+    spark.createDataFrame(merges)
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** UTF-8 binary comparison — `UTF8String.compareTo`'s unsigned
+    * byte-wise order, so the driver tie-break is bit-compatible with
+    * the relational `orderBy(cnt desc, l, r)` cut.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The in-memory merge loop over the collected weighted vocab: pair
+    * counts (all adjacent indices, occurrence-weighted), best by
+    * (count desc, l, r) in UTF-8 order, greedy non-overlapping merge —
+    * each round O(vocab symbols) driver work, zero cluster round-trips.
+    * Early pair exhaustion ends the walk with the merges learned so far
+    * (the relational chain's exhausted-pair guard, same row semantics).
+    */
+  private def bpeTrain(vocab: Array[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] = vocab.map { case (w0, c) =>
+      val clean = w0.replace(BpeSep, "")
+      val syms = clean.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      (syms, c)
+    }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= rounds && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bl: String = null; var br: String = null; var bc = -1L
+        counts.foreach { case ((l, r), c) =>
+          val better = c > bc || (c == bc && {
+            val cl = utf8Cmp(l, bl)
+            cl < 0 || (cl == 0 && utf8Cmp(r, br) < 0)
+          })
+          if (better) { bl = l; br = r; bc = c }
+        }
+        out += ((step, bl, br, bc))
+        val merged = bl + br
+        words = words.map { case (s, c) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == bl && s(i + 1) == br) {
+              b += merged; i += 2
+            } else { b += s(i); i += 1 }
+          }
+          (b.result(), c)
+        }
+        step += 1
+      }
+    }
+    out.result()
   }
 
   /** q97 — BPE segmentation stats: the APPLY half of [[bpeMerges]]'

@@ -60,6 +60,24 @@ object StreamingDrift {
     ()
   }
 
+  /** Retention cut for the drift log: keep only the newest `keepEpochs`
+    * epochs. A monitor ticking for months otherwise accumulates an
+    * unbounded (if tiny) log; the cut rides the same tmp-swap (bak-heal)
+    * discipline as every table rewrite, so a crash mid-cut leaves the
+    * old log intact. The epoch set is bounded (one row group per epoch),
+    * so the newest-N cut plans as a `TakeOrderedAndProject` + semi-join
+    * — no full sort. Idempotent: re-cutting at the same setting keeps
+    * the same rows.
+    */
+  def retainEpochs(wh: Warehouse, keepEpochs: Int): Unit = {
+    require(keepEpochs > 0, "keepEpochs must be positive")
+    if (!wh.exists("drift_log")) return
+    val log = wh.read("drift_log")
+    val cut = log.select(col("batch_id")).distinct()
+      .orderBy(col("batch_id").desc).limit(keepEpochs)
+    wh.write("drift_log", log.join(cut, Seq("batch_id"), "left_semi"))
+  }
+
   /** Wire a documents stream into the monitor. The streaming checkpoint
     * gives at-least-once delivery; the keyed append upgrades the log to
     * exactly-once effect.

@@ -744,5 +744,17 @@ class StreamingSpec extends SparkSpec {
     // append drops the recomputed rows
     StreamingDrift.processBatch(wh, night(8).toDF(), 0L)
     assert(wh.read("drift_log").count() == 4)
+
+    // retention: keep only the newest epoch; idempotent; a window wider
+    // than the log is a no-op
+    StreamingDrift.retainEpochs(wh, 1)
+    def keys() = wh.read("drift_log").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keys() == Set((1L, "batch"), (1L, "corpus_live")),
+      s"retention must keep exactly the newest epoch, got ${keys()}")
+    StreamingDrift.retainEpochs(wh, 1)
+    assert(keys() == Set((1L, "batch"), (1L, "corpus_live")))
+    StreamingDrift.retainEpochs(wh, 10)
+    assert(wh.read("drift_log").count() == 2)
   }
 }

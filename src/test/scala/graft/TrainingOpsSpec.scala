@@ -1566,6 +1566,43 @@ class TrainingOpsSpec extends SparkSpec {
       s"degenerate corpus must keep segmenting: ${seg.toSeq}")
   }
 
+  test("bpe production trainer: differential vs the relational chain at 4 and 64 rounds") {
+    def rowsOfDf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    // 4 rounds over the fixture corpus — the oracle-checked q95 shape
+    val rel4 = rowsOfDf(operators.TextOps.bpeMerges(spark, dir))
+    graft.TransientCache.drain()
+    val prod4 = rowsOfDf(operators.TextOps.bpeMergesProd(spark, dir))
+    assert(prod4 == rel4, s"prod $prod4 vs relational $rel4")
+    // 64 rounds over a randomized small-alphabet corpus (maximal tie
+    // pressure) — the driver loop must walk the identical merge path
+    // far past the unrolled demonstration depth, including whichever
+    // round the pair table exhausts at
+    val rnd = new scala.util.Random(11L)
+    val lexicon = Vector.fill(30)(
+      (1 to (1 + rnd.nextInt(6))).map(_ => "abc"(rnd.nextInt(3))).mkString)
+    val docs = Seq.fill(12)(
+      (1 to (5 + rnd.nextInt(20))).map(_ => lexicon(rnd.nextInt(lexicon.length)))
+        .mkString(" "))
+    // the deep relational walk's per-job plan-description strings are
+    // QUADRATIC in the chained depth (AQE regenerates the tree string
+    // per stage) — cap them for the differential; this is exactly the
+    // rounds-times-overhead cost bpeMergesProd exists to avoid
+    val prevLen = spark.conf.get("spark.sql.maxPlanStringLength", "2147483632")
+    val rel64 = try {
+      spark.conf.set("spark.sql.maxPlanStringLength", "1024")
+      rowsOfDf(operators.TextOps.bpeMergesOf(tokFrame(docs), rounds = 64))
+    } finally spark.conf.set("spark.sql.maxPlanStringLength", prevLen)
+    graft.TransientCache.drain()
+    val prod64 = rowsOfDf(operators.TextOps.bpeMergesProdOf(tokFrame(docs), rounds = 64))
+    assert(prod64 == rel64,
+      s"64-round divergence: prod ${prod64.take(8)}... vs relational ${rel64.take(8)}...")
+    // the deep walk must genuinely pass the demonstration depth
+    assert(rel64.length > operators.TextOps.BpeRounds,
+      "the 64-round corpus exhausted before round 5 — raise the lexicon size")
+  }
+
   test("bpe merges matches the fixture oracle counts, all integers") {
     val got = operators.TextOps.bpeMerges(spark, dir).collect()
     graft.TransientCache.drain()
