@@ -1651,11 +1651,53 @@ object TextOps {
     val vocab = toksDf.select(explode(col("t")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("w"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val merges = bpeTrain(vocab, rounds)
+    val merges = bpeTrain(vocab, rounds)._1
       .map { case (step, l, r, cnt) => (step, l, r, l + r, cnt) }
     spark.createDataFrame(merges)
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy(col("step"))
+  }
+
+  /** PRODUCTION apply half: q97's per-doc segmentation stats with the
+    * training moved to the driver loop. The corpus side is identical to
+    * [[bpeSegmentOf]] — one distributed tokenize to the `(doc, word)`
+    * count frame, a word-key shuffle join, one per-doc hash-agg — only
+    * the per-distinct-WORD segmentation now comes from the in-memory
+    * trainer's final state, shipped back as a vocab-bounded
+    * `(word, n_ch, n_sym)` frame (what "re-broadcast the merge list"
+    * means operationally: the segmented vocab IS the applied merge
+    * list). Differential-spec'd bit-identical to [[bpeSegmentOf]].
+    */
+  def bpeSegmentProd(spark: SparkSession, dir: String,
+                     rounds: Int = BpeRounds): DataFrame =
+    bpeSegmentProdOf(docToks(spark, dir), rounds)
+
+  private[graft] def bpeSegmentProdOf(toksDf: DataFrame, rounds: Int): DataFrame = {
+    val spark = toksDf.sparkSession
+    import spark.implicits._
+    val dw = graft.TransientCache.register(
+      toksDf.select(col("doc_id"), explode(col("t")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .cache())
+    val vocab = dw.groupBy(col("word")).agg(sum(col("c")).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val segmented = bpeTrain(vocab, rounds)._2
+      .map { case (word, syms) =>
+        (word,
+          word.replace(BpeSep, "").codePointCount(0, word.replace(BpeSep, "").length),
+          syms.length)
+      }
+    val sym = spark.createDataFrame(segmented.toSeq).toDF("word", "n_ch", "n_sym")
+    dw.join(sym, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("n_ch")).as("n_chars"),
+        sum(col("c") * col("n_sym")).as("n_symbols"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        col("n_symbols"),
+        (col("n_chars").cast("double") / col("n_symbols").cast("double"))
+          .as("chars_per_symbol"))
+      .orderBy(col("doc_id"))
   }
 
   /** UTF-8 binary comparison — `UTF8String.compareTo`'s unsigned
@@ -1681,21 +1723,23 @@ object TextOps {
     * each round O(vocab symbols) driver work, zero cluster round-trips.
     * Early pair exhaustion ends the walk with the merges learned so far
     * (the relational chain's exhausted-pair guard, same row semantics).
+    * Returns the merge list AND the fully-merged per-word segmentation
+    * (the apply half's input).
     */
   private def bpeTrain(vocab: Array[(String, Long)], rounds: Int)
-      : Seq[(Int, String, String, Long)] = {
-    var words: Array[(Array[String], Long)] = vocab.map { case (w0, c) =>
+      : (Seq[(Int, String, String, Long)], Array[(String, Array[String])]) = {
+    var words: Array[(String, Array[String], Long)] = vocab.map { case (w0, c) =>
       val clean = w0.replace(BpeSep, "")
       val syms = clean.codePoints().toArray
         .map(cp => new String(Character.toChars(cp)))
-      (syms, c)
+      (w0, syms, c)
     }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var done = false
     while (step <= rounds && !done) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (s, c) =>
+      words.foreach { case (_, s, c) =>
         var i = 0
         while (i < s.length - 1) {
           val k = (s(i), s(i + 1))
@@ -1715,7 +1759,7 @@ object TextOps {
         }
         out += ((step, bl, br, bc))
         val merged = bl + br
-        words = words.map { case (s, c) =>
+        words = words.map { case (w, s, c) =>
           val b = Array.newBuilder[String]
           var i = 0
           while (i < s.length) {
@@ -1723,12 +1767,12 @@ object TextOps {
               b += merged; i += 2
             } else { b += s(i); i += 1 }
           }
-          (b.result(), c)
+          (w, b.result(), c)
         }
         step += 1
       }
     }
-    out.result()
+    (out.result(), words.map { case (w, s, _) => (w, s) })
   }
 
   /** q97 — BPE segmentation stats: the APPLY half of [[bpeMerges]]'

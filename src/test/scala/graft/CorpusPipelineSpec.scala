@@ -519,13 +519,14 @@ class CorpusPipelineSpec extends SparkSpec {
     TransientCache.drain()
   }
 
-  /** All parquet scan root-paths reachable from a frame's executed plan
-    * (AQE stages, reused exchanges, cache-build plans, subqueries) — the
-    * PlanLintSpec walk, scoped to the one question this suite asks: what
-    * does the nightly gate actually READ?
+  /** Every physical node reachable from an executed plan (AQE stages,
+    * reused exchanges, cache-build plans, subqueries) — the PlanLintSpec
+    * walk, reused here for the pipeline-lane questions: what does the
+    * nightly gate READ, and does any lane plan go quadratic?
     */
-  private def scanPaths(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  private def planNodes(root: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
@@ -540,9 +541,72 @@ class CorpusPipelineSpec extends SparkSpec {
     }
     def go(p: SparkPlan): Seq[SparkPlan] =
       if (!seen.add(p)) Nil else p +: (descend(p) ++ p.subqueries).flatMap(go)
-    go(df.queryExecution.executedPlan).collect {
-      case s: FileSourceScanExec => s.relation.location.rootPaths.map(_.toString)
+    go(root)
+  }
+
+  /** All parquet scan root-paths reachable from a frame's executed plan. */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    planNodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
     }.flatten
+
+  test("pipeline-lane lint: no cartesian product anywhere in a gated two-night + refresh cycle") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // capture EVERY SQL execution the production lanes issue — writes,
+    // counts, collects — and walk their final adaptive plans: the
+    // nightly/refresh path is audited by machine, not only the query
+    // registry PlanLintSpec covers
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = { captured.add(qe); () }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh-lanelint").toString)
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+    wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+      col("source") =!= CorpusPipeline.BenchSource))
+    import spark.implicits._
+    val spam = spark.range(9500L, 9520L)
+      .select(col("id").as("doc_id"), lit("spamnet").as("source"),
+        lit("qqzz wvwv qqzz kjkj").as("text"))
+    spark.listenerManager.register(listener)
+    try {
+      CorpusPipeline.refineIncrementalGated(wh, docs.filter(col("doc_id") % 10 === 8))
+      TransientCache.drain()
+      CorpusPipeline.refineIncrementalGated(wh, spam) // the quarantine lane too
+      TransientCache.drain()
+      CorpusPipeline.refineIncrementalGated(wh, docs.filter(col("doc_id") % 10 === 9))
+      TransientCache.drain()
+      CorpusPipeline.reviewQuarantine(wh)
+      TransientCache.drain()
+      CorpusPipeline.refreshFull(wh)
+      TransientCache.drain()
+      // listener delivery is async on the bus: poll until the capture
+      // count is stable
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 20000) {
+        Thread.sleep(250); waited += 250
+        val n = captured.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val plans = captured.asScala.toSeq
+    assert(plans.size > 40,
+      s"non-vacuous: the cycle must register many executions, saw ${plans.size}")
+    val cartesians = plans.filter(qe =>
+      planNodes(qe.executedPlan).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(cartesians.isEmpty,
+      s"cartesian product in a pipeline lane:\n${cartesians.map(_.executedPlan.toString.take(2000)).mkString("\n---\n")}")
   }
 
   test("maintained token distribution == recompute across nights, replayed deltas, and refresh; the gate scans no corpus text") {

@@ -1601,6 +1601,17 @@ class TrainingOpsSpec extends SparkSpec {
     // the deep walk must genuinely pass the demonstration depth
     assert(rel64.length > operators.TextOps.BpeRounds,
       "the 64-round corpus exhausted before round 5 — raise the lexicon size")
+
+    // the production APPLY half: per-doc stats bit-identical to the
+    // relational train→apply loop (same integer sums, same single
+    // final division)
+    val relSeg = operators.TextOps.bpeSegment(spark, dir)
+      .collect().map(_.mkString("|")).toSeq
+    graft.TransientCache.drain()
+    val prodSeg = operators.TextOps.bpeSegmentProd(spark, dir)
+      .collect().map(_.mkString("|")).toSeq
+    graft.TransientCache.drain()
+    assert(prodSeg == relSeg, "production apply diverged from the relational apply")
   }
 
   test("bpe merges matches the fixture oracle counts, all integers") {
