@@ -267,6 +267,95 @@ object Graph {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- Triangle counting (q99)
+
+  /** q99 — per-doc triangle counts over the near-dup pair graph: how
+    * many mutual near-dup triples each document sits in — the
+    * clustering-coefficient numerator that separates a tight duplicate
+    * clique (template spam, mirrored boilerplate: every member pairs
+    * with every other) from a hub-and-spokes pattern (one popular page
+    * many others echo), a distinction q45's components cannot make
+    * (both shapes are one component). Same edge set as q24/q45/q62 —
+    * the shared simhash signature cache feeds all four.
+    *
+    * Plan — the degree-ORIENTED wedge join (the classic m^{3/2}
+    * enumeration): orient every undirected edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges as
+    * a self-equi-join of the oriented list on the CENTER u (two
+    * out-edges), and close each wedge against the undirected id-ordered
+    * edge list. Each triangle has EXACTLY ONE node whose two triangle
+    * edges both point out (the (degree, id)-minimum member), so every
+    * triangle is produced exactly once — no distinct, no /3, no /6.
+    * Orientation is the load-bearing scale choice: with id-ordering a
+    * boilerplate hub of degree d fans out d²/2 wedges from one key,
+    * while degree-ordering bounds every node's out-degree by O(√m)
+    * (each out-neighbor has degree ≥ the node's own), so wedge work is
+    * Σ outdeg² ≤ O(m^{3/2}) — skew-proof by construction, not by AQE
+    * rescue. All joins are key equi-joins (node id / (da, db) pair
+    * key); counts are exact integers; output ordered by doc_id.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsOf(
+      Dedup.simhashPairsUnsorted(spark, dir).select(col("da"), col("db")))
+      .orderBy(col("doc_id"))
+
+  /** The triangle engine over an explicit id-ordered `(da < db)` edge
+    * frame — the spec drives hand graphs and a naive-reference
+    * differential through this seam.
+    */
+  private[graft] def triangleCountsOf(edges: DataFrame): DataFrame = {
+    // eager fill: the closure join consumes `e` as its probe side in
+    // the same job that builds the degree/orientation broadcasts from
+    // it (the q91 sibling-consumer rule)
+    val e = graft.TransientCache.register(
+      edges.select(col("da"), col("db")).cache())
+    e.count()
+    val deg = e.select(explode(array(col("da"), col("db"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val ann = e
+      .join(deg.select(col("v").as("da"), col("d").as("dega")), Seq("da"))
+      .join(deg.select(col("v").as("db"), col("d").as("degb")), Seq("db"))
+    val aFirst = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("da") < col("db"))
+    // oriented edge list: u -> v with (deg, id)(u) < (deg, id)(v);
+    // cached — BOTH sides of the wedge self-join read it
+    val o = graft.TransientCache.register(
+      ann.select(
+        when(aFirst, col("da")).otherwise(col("db")).as("u"),
+        when(aFirst, col("db")).otherwise(col("da")).as("v"))
+        .cache())
+    val wedges = o.as("x").join(o.as("y"),
+      col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+    val tri = wedges
+      .select(col("a"), col("b"), col("c"),
+        least(col("b"), col("c")).as("da"),
+        greatest(col("b"), col("c")).as("db"))
+      .join(e, Seq("da", "db"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Oracle: the same pair CTEs as q24/q45, then the textbook
+    * id-ordered triple join a<b<c (each triangle once) and a member
+    * unnest — a deliberately DIFFERENT enumeration (no orientation)
+    * whose triangle set provably equals the oriented walk's.
+    */
+  val triangleCountsSql: String = {
+    val pairCtes = Dedup.simhashPairsCtes
+    s"""WITH $pairCtes,
+      |e AS (SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+      |tri AS (
+      |  SELECT e1.da AS a, e1.db AS b, e2.db AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.da = e1.db
+      |  JOIN e e3 ON e3.da = e1.da AND e3.db = e2.db),
+      |m AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------- PageRank (q91)
 
   /** Fixed iteration count for the q91 oracle query. Three power

@@ -58,7 +58,11 @@ class DeterminismSweepSpec extends SparkSpec {
     "q97_bpe_segment",
     // pair counts from a guarded self-join + a single containment
     // division (q98)
-    "q98_source_overlap")
+    "q98_source_overlap",
+    // degree-oriented wedge enumeration — the (deg, id) orientation and
+    // the one-wedge-per-triangle theorem must hold under any
+    // partitioning; all integers (q99)
+    "q99_triangle_count")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

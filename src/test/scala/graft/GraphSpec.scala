@@ -49,6 +49,49 @@ class GraphSpec extends SparkSpec {
     assert(components(edges) == want)
   }
 
+  test("triangle counts: hand graphs exact; oriented walk == naive triple scan on random graphs") {
+    import spark.implicits._
+    def counts(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("da", "db")
+      val got = Graph.triangleCountsOf(e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.TransientCache.drain()
+      got
+    }
+    // K4: every vertex sits in C(3,2) = 3 of the 4 triangles
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(counts(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a star has wedges everywhere and no triangle — the exact shape an
+    // unclosed wedge count would get wrong
+    assert(counts(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))).isEmpty)
+    // triangle + pendant edge: the pendant vertex stays out
+    assert(counts(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // randomized differential vs a naive driver-side triple scan — the
+    // orientation theorem (exactly one out-out wedge per triangle) is
+    // what guarantees no double counting, so random graphs with heavy
+    // degree ties are the adversarial case
+    val rnd = new scala.util.Random(7L)
+    (1 to 4).foreach { ci =>
+      val n = 12 + ci * 3
+      val edges = (for {
+        a <- 1L to n.toLong
+        b <- (a + 1) to n.toLong
+        if rnd.nextInt(4) == 0
+      } yield (a, b)).toSeq
+      val eset = edges.toSet
+      val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        a <- 1L to n.toLong
+        b <- (a + 1) to n.toLong
+        c <- (b + 1) to n.toLong
+        if eset((a, b)) && eset((b, c)) && eset((a, c))
+      } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+      assert(counts(edges) == naive.toMap, s"random case $ci diverged")
+    }
+  }
+
   // ------------------------------------------------------- PageRank
 
   private def sym(edges: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame =

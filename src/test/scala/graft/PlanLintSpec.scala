@@ -219,10 +219,15 @@ class PlanLintSpec extends SparkSpec {
                              // token-key probe re-exchange + per-source agg + sort
     "q97_bpe_segment" -> 9, // spread + (doc,word) agg + vocab agg + 4 pair aggs +
                             // word-key probe exchange + per-doc agg + sort
-    "q98_source_overlap" -> 8) // shingle tier build (spread + hash distinct) +
+    "q98_source_overlap" -> 8, // shingle tier build (spread + hash distinct) +
                                // doc->source join + (source,gram) distinct +
                                // df guard + totals + self-join reusing the guarded
                                // frame's partitioning + pair agg + sort
+    "q99_triangle_count" -> 6) // shared simhash sig build + band self-join pair
+                               // machinery (q24's shapes) + degree agg + wedge
+                               // self-join on the center key + member agg + sort;
+                               // the orientation/closure joins broadcast the
+                               // fixture-sized sides under AQE
 
   /** Per-table parquet scan-width ceiling — "push down and prune" turned
     * into CI. The widest scan ANY query issues against a base fixture

@@ -604,8 +604,14 @@ class StreamingSpec extends SparkSpec {
       "live_index/corpus_shingles", "live_index/corpus_band_index",
       "live_index/corpus_docs", "live_winnow/corpus_winnow",
       "live_winnow/corpus_winnow_docs")
+    // the maintained distribution is compared through its AGGREGATED
+    // view: delta rows are keyed by append history (a crash-replayed
+    // lane legitimately splits the same counts across different
+    // batch keys), and the aggregate IS the semantic contract
     def state(wh: Warehouse): Map[String, Set[String]] =
-      tables.map(t => t -> wh.read(t).collect().map(_.mkString("|")).toSet).toMap
+      tables.map(t => t -> wh.read(t).collect().map(_.mkString("|")).toSet).toMap +
+        ("live_token_counts:agg" -> CorpusPipeline.liveTokenCounts(wh)
+          .collect().map(_.mkString("|")).toSet)
 
     // batch reference: two clean refineIncremental nights; the night-8
     // lane tables are captured mid-way for the crash simulation below

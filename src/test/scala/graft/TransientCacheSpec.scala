@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Contamination, Dedup, Sketch, TextOps}
+import graft.operators.{Contamination, Dedup, Graph, Sketch, TextOps}
 
 /** Eviction hygiene for per-query transient caches: after a query is
   * materialized and [[TransientCache.drain]] runs, none of its cached
@@ -39,6 +39,13 @@ class TransientCacheSpec extends SparkSpec {
 
   test("q72 fuzzyContamination transients (cand, docSets) drain") {
     checkDrains(Contamination.fuzzyContamination(spark, dir), 2)
+  }
+
+  test("q99 triangleCounts transients (edge list, oriented list) drain") {
+    // the simhash signature frame is a shared bench tier (q23/q24/q45's
+    // input) — warm it into the baseline like the shingle index
+    Dedup.simhash(spark, dir).count()
+    checkDrains(Graph.triangleCounts(spark, dir), 2)
   }
 
   test("q87 splitLeakage transients (bands, cand, docSets) drain") {
