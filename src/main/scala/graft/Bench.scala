@@ -142,7 +142,7 @@ object Bench {
         () => operators.Dedup.shingleIndex(spark, sfDir).count(): Unit),
       // the vocab-bounded bigram MODEL shared by the LM and collocation
       // tiers (cache the model, never the exploded corpus stream)
-      ("bigram", Set("q92", "q94"),
+      ("bigram", Set("q92", "q94", "q100"),
         () => operators.TextOps.bigramCounts(spark, sfDir).count(): Unit),
       // the winnowed-fingerprint index (q85's artifact, q86's join input)
       ("winnow", Set("q85", "q86"),

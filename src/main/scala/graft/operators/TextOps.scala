@@ -1280,6 +1280,91 @@ object TextOps {
       |WHERE c2.prev <> '<s>' AND c2.c2 >= $CollocMinCount
       |ORDER BY lift DESC, c2.prev, c2.cur LIMIT $CollocK""".stripMargin
 
+  /** Window radius for q100: each token pairs with the next this-many
+    * tokens (word2vec's symmetric window, enumerated one-directionally
+    * so every unordered pair is produced exactly once).
+    */
+  val CoocWindow = 4
+
+  /** Support / cut for q100 — the q94 conventions. */
+  val CoocMinCount = 5
+  val CoocK = 20
+
+  /** q100 — windowed co-occurrence lift (skip-gram PMI): the word2vec /
+    * GloVe co-occurrence signal one step past q94's adjacency — token
+    * pairs within a [[CoocWindow]]-token window, ranked by
+    * lift(a,b) = c_ab·N / (c_a·c_b), which orders identically to
+    * window PMI without the non-portable `ln` (the q94 lesson; the
+    * constant window factor cancels in the ranking and is documented
+    * out of the reported number).
+    *
+    * Plan: the pair stream is built IN-ARRAY — one
+    * `transform(slice(...))`-flatten generator in the scan stage, so
+    * window pairs are W·N rows (corpus-LINEAR, W a constant), never a
+    * positional self-join or a corpus-wide window; pairs canonicalize
+    * to unordered (least, greatest) at generation; the pair hash-agg is
+    * the only corpus-bounded shuffle and the min-support cut lands
+    * BEFORE the vocabulary probe joins (token-key shuffles — vocab
+    * never broadcasts); unigram counts derive from the SHARED
+    * vocab-bounded bigram model's cur-marginal (zero extra corpus pass
+    * when the tier is warm — the q92/q94 single-source discipline);
+    * only the 1-row total broadcasts; products ride DECIMAL(38,0)
+    * (c_ab·N ≈ 10²⁷ at 100 TB, far under 10³⁸); the top-[[CoocK]] cut
+    * is a `TakeOrderedAndProject` over the total order
+    * (lift desc, a, b).
+    */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pairs = Tables.spread(Tables.documents(spark, dir))
+      .select(toks(col("text")).as("t"))
+      .select(explode(expr(
+        s"flatten(transform(t, (x, i) -> transform(slice(t, i + 2, $CoocWindow), " +
+          "y -> named_struct('l', x, 'r', y))))")).as("p"))
+      .select(least(col("p.l"), col("p.r")).as("a"),
+        greatest(col("p.l"), col("p.r")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CoocMinCount)
+    val uni = graft.TransientCache.register(
+      bigramCounts(spark, dir)
+        .groupBy(col("cur").as("w")).agg(sum(col("c2")).as("c1")).cache())
+    val total = uni.agg(sum(col("c1")).as("total"))
+    pairs
+      .join(uni.select(col("w").as("a"), col("c1").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c1").as("cb")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_ab"),
+        ((col("c_ab").cast(dec) * col("total").cast(dec)).cast("double") /
+          (col("ca").cast(dec) * col("cb").cast(dec)).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(CoocK)
+  }
+
+  /** Oracle: the same windowed pair enumeration via a lateral
+    * generate_series (i+1 .. i+W), the same canonicalization, counts,
+    * single HUGEINT-product division and total-order cut.
+    */
+  val cooccurrenceSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT t, CAST(u.i AS INT) AS i
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |pr AS (SELECT list_extract(t, i) AS x, list_extract(t, v.j) AS y
+      |  FROM tok,
+      |    unnest(generate_series(i + 1, least(i + $CoocWindow, len(t)))) AS v(j)),
+      |cp AS (SELECT least(x, y) AS a, greatest(x, y) AS b, count(*) AS c_ab
+      |  FROM pr WHERE x <> y GROUP BY 1, 2),
+      |uni AS (SELECT list_extract(t, i) AS w, count(*) AS c1 FROM tok GROUP BY 1),
+      |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni)
+      |SELECT cp.a, cp.b, cp.c_ab,
+      |  CAST(CAST(cp.c_ab AS HUGEINT) * CAST(tt.total AS HUGEINT) AS DOUBLE)
+      |    / CAST(CAST(ua.c1 AS HUGEINT) * CAST(ub.c1 AS HUGEINT) AS DOUBLE) AS lift
+      |FROM cp
+      |JOIN uni ua ON ua.w = cp.a
+      |JOIN uni ub ON ub.w = cp.b
+      |CROSS JOIN tt
+      |WHERE cp.c_ab >= $CoocMinCount
+      |ORDER BY lift DESC, cp.a, cp.b LIMIT $CoocK""".stripMargin
+
   /** q78 — temperature-scaled mixture weights (the Gopher/PaLM "sample
     * source s proportionally to p_s^alpha" calculation, alpha = 1/2):
     * per-source corpus shares are raised to the temperature exponent and

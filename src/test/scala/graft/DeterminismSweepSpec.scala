@@ -62,7 +62,11 @@ class DeterminismSweepSpec extends SparkSpec {
     // degree-oriented wedge enumeration — the (deg, id) orientation and
     // the one-wedge-per-triangle theorem must hold under any
     // partitioning; all integers (q99)
-    "q99_triangle_count")
+    "q99_triangle_count",
+    // windowed-pair top-k cut by a double lift — the (lift, a, b) total
+    // order must make the boundary partition-invariant (the q94 shape
+    // one window out) (q100)
+    "q100_cooc_lift")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -60,6 +60,7 @@ class PlanLintSpec extends SparkSpec {
       "teleport term per power iteration (Graph.pageRankImpl)")),
     "q92_bigram_lm" -> (1 -> "1-row corpus token total (the q77 discipline)"),
     "q94_collocations" -> (1 -> "1-row corpus token total (the q77 discipline)"),
+    "q100_cooc_lift" -> (1 -> "1-row corpus token total (the q77 discipline)"),
     "q95_bpe_merges" -> (3 -> ("1-row best-pair winner broadcast into each of the " +
       "three vocab-merge rounds (TextOps.bpeMerges; round 4's winner is output only)")),
     "q96_source_drift" -> (1 -> "1-row corpus token total (the q77 discipline)"),
@@ -223,6 +224,12 @@ class PlanLintSpec extends SparkSpec {
                                // doc->source join + (source,gram) distinct +
                                // df guard + totals + self-join reusing the guarded
                                // frame's partitioning + pair agg + sort
+    "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
+                           // the SHARED bigram model build when cold (its own
+                           // corpus pass — warm sessions hit the vocab-bounded
+                           // tier, the q92/q94 shape) + unigram marginal agg +
+                           // two word-key probe exchanges; the top-k cut is a
+                           // TakeOrderedAndProject (no sort shuffle)
     "q99_triangle_count" -> 6) // shared simhash sig build + band self-join pair
                                // machinery (q24's shapes) + degree agg + wedge
                                // self-join on the center key + member agg + sort;

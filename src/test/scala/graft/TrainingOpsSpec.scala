@@ -1034,6 +1034,40 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("cooccurrence: full top-k recomputed from an independent driver-side window scan") {
+    val got = TextOps.cooccurrence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    graft.TransientCache.drain()
+    assert(got.length == TextOps.CoocK)
+    assert(got.forall(_._3 >= TextOps.CoocMinCount), "min support")
+    assert(got.forall(p => p._1 < p._2), "pairs canonical and non-self")
+    // the COMPLETE expected top-k from an independent driver-side
+    // window scan — same tokenizer, same window, same canonicalization,
+    // same single exact-integer division, same total order
+    val docs = Tables.documents(spark, dir).select(col("text"))
+      .collect().map(_.getString(0))
+    val toksD = docs.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val cp = scala.collection.mutable.Map.empty[(String, String), Long]
+    var total = 0L
+    for (t <- toksD; i <- t.indices) {
+      uni(t(i)) = uni.getOrElse(t(i), 0L) + 1; total += 1
+      for (j <- (i + 1) until math.min(i + 1 + TextOps.CoocWindow, t.length)
+           if t(i) != t(j)) {
+        val k = if (t(i) < t(j)) (t(i), t(j)) else (t(j), t(i))
+        cp(k) = cp.getOrElse(k, 0L) + 1
+      }
+    }
+    val expect = cp.toSeq
+      .filter(_._2 >= TextOps.CoocMinCount)
+      .map { case ((a, b), n) =>
+        (a, b, n, (n * total).toDouble / (uni(a) * uni(b)).toDouble) }
+      .sortBy { case (a, b, _, lift) => (-lift, a, b) }
+      .take(TextOps.CoocK)
+    assert(got == expect, s"engine top-k != driver reference:\n$got\nvs\n$expect")
+  }
+
   test("production bigram scoring matches the ordered-fold path to 1e-9") {
     val oracle = TextOps.bigramLikelihood(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("mean_p"))

@@ -149,6 +149,11 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(TextOps.collocations(spark, dir), 1)
   }
 
+  test("q100 cooccurrence transient (unigram marginal) drains") {
+    TextOps.bigramCounts(spark, dir).count()
+    checkDrains(TextOps.cooccurrence(spark, dir), 1)
+  }
+
   test("drained query recomputes correctly (no dangling reuse)") {
     val a = Contamination.fuzzyContamination(spark, dir).collect().toSeq
     TransientCache.drain()
