@@ -79,6 +79,24 @@ object Fs {
     */
   def replaceWith(spark: SparkSession, target: String)(write: String => Unit): Unit = {
     heal(spark, target)
+    // retire stale tmp dirs from earlier CRASHED swaps (the tmp write
+    // landed, the crash hit before the renames): heal() restores the
+    // table but nothing else ever looks at the orphan, so without this
+    // every crashed swap strands a full table copy forever — a storage
+    // leak, not a correctness one. The single-writer discipline (serial
+    // nights; one swap per table at a time) is what makes deleting
+    // sibling tmps safe.
+    locally {
+      val p0 = new Path(target)
+      val fs0 = fsOf(spark, p0)
+      val parent = p0.getParent
+      if (parent != null && fs0.exists(parent)) {
+        val prefix = p0.getName + ".tmp-"
+        fs0.listStatus(parent).foreach { st =>
+          if (st.getPath.getName.startsWith(prefix)) fs0.delete(st.getPath, true)
+        }
+      }
+    }
     val tmp = target + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     write(tmp)
     val p = new Path(target)

@@ -78,6 +78,32 @@ class CompactionSpec extends SparkSpec {
     assert(wh.read("t").collect().map(_.mkString("|")).toSet == rows)
   }
 
+  test("a crashed swap's stranded tmp dir is retired by the next swap") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpRoot("tmpgc"))
+    wh.write("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val rows = wh.read("t").collect().map(_.mkString("|")).toSet
+    // simulate the pre-rename crash: the tmp write landed in full, the
+    // swap never started — heal() has nothing to do, and the orphan
+    // would otherwise sit there forever (a full table copy of storage)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dead = new org.apache.hadoop.fs.Path(s"${wh.root}/t.tmp-deadbeef")
+    val fs = dead.getFileSystem(conf)
+    fs.mkdirs(dead)
+    fs.create(new org.apache.hadoop.fs.Path(dead, "part-0.parquet")).close()
+    // the next swap of the SAME table retires the orphan and commits
+    wh.write("t", Seq((3L, "c")).toDF("k", "v"))
+    assert(!fs.exists(dead), "stale tmp must be retired by the next swap")
+    assert(wh.read("t").collect().map(_.mkString("|")).toSet == Set("3|c"))
+    // unrelated tables' swaps leave other tables' tmps alone
+    wh.write("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    fs.mkdirs(dead)
+    wh.write("other", Seq((9L, "z")).toDF("k", "v"))
+    assert(fs.exists(dead), "a swap must only collect its own table's orphans")
+    fs.delete(dead, true)
+    assert(rows.nonEmpty)
+  }
+
   test("compactIfFragmented fires only past the threshold") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpRoot("cadence"))

@@ -113,6 +113,52 @@ class ScaleProbeSpec extends SparkSpec {
     assert(rounds <= 12, s"pointer jumping degraded: $rounds rounds for diameter 256")
   }
 
+  test("q99 degree orientation collapses hub wedge fan-out (the skew claim, measured)") {
+    import spark.implicits._
+    // adversarial hub: node 0 adjacent to 300 leaves, plus a sparse leaf
+    // ring so triangles exist (each ring edge closes with the hub)
+    val n = 300
+    val hub = (1 to n).map(i => (0L, i.toLong))
+    val ring = (1 until n by 3).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (hub ++ ring).toDF("da", "db")
+    val got = Graph.triangleCountsOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TransientCache.drain()
+    // correctness under extreme skew: hub sits in |ring| triangles, each
+    // ring endpoint in exactly one
+    assert(got(0L) == ring.size.toLong)
+    ring.foreach { case (a, b) =>
+      assert(got(a) == 1L && got(b) == 1L, s"ring pair ($a,$b)")
+    }
+    assert(got.size == 1 + 2 * ring.size)
+    // the measured claim: wedge rows each orientation enumerates.
+    // id-ordering directs every hub edge OUT of node 0 (id 0 is
+    // minimal), so the hub alone contributes C(300, 2) wedges from one
+    // join key; (degree, id)-ordering directs every hub edge INTO the
+    // hub (its degree is maximal), so hub-centered wedges vanish and
+    // total wedge work collapses by orders of magnitude — the
+    // difference between a plan that survives a template-spam cluster
+    // and one that stalls on its hottest key
+    val und = (hub ++ ring).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    def wedges(orient: ((Long, Long)) => Boolean): Long = {
+      val out = (hub ++ ring).map { case (a, b) =>
+        if (orient((a, b))) a else b
+      }.groupBy(identity).map { case (_, vs) => vs.size.toLong }
+      out.map(d => d * (d - 1) / 2).sum
+    }
+    val idWedges = wedges { case (a, b) => a < b }
+    val degWedges = wedges { case (a, b) =>
+      deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+    }
+    assert(idWedges >= n.toLong * (n - 1) / 2,
+      "the id-ordered walk must pay the full hub fan-out")
+    assert(degWedges <= 4L * n,
+      s"degree orientation must bound wedge work, got $degWedges")
+    assert(idWedges / math.max(degWedges, 1L) > 50,
+      s"expected orders-of-magnitude collapse: $idWedges vs $degWedges")
+  }
+
   test("10x running balance stays within a loose linear-runtime envelope") {
     val ledger = Tables.ledger(spark, dir).cache()
     ledger.count()
