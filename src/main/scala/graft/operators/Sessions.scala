@@ -291,4 +291,117 @@ object Sessions {
       |  AND e.ts BETWEEN s.session_start AND s.session_end
       |WHERE e.event_type = 'error'
       |ORDER BY e.event_id""".stripMargin
+
+  /** Funnel chain window (q101): all steps must land within this many
+    * seconds of the chain's step-1 event.
+    */
+  val FunnelWindowSec = 86400L
+
+  private val B36 = 68719476736L   // 2^36 — the start-ts field
+  private val B40 = 1099511627776L // 2^40 — the best-depth field
+
+  /** q101 — window funnel (the ClickHouse `windowFunnel` family): per
+    * user, the deepest prefix of the view → click → purchase funnel
+    * completed with every step inside [[FunnelWindowSec]] of the
+    * chain's first step — THE conversion metric an event pipeline
+    * reports. Greedy deterministic semantics: the next step extends a
+    * live in-window chain; a step-1 event starts a new chain only when
+    * no live chain exists or the current one has expired (so a view
+    * mid-chain never destroys progress); `best` tracks the deepest
+    * chain seen.
+    *
+    * Sequence matching is ORDER-DEPENDENT state — not expressible as a
+    * commutative aggregate — so the engine packs each event into one
+    * long (epoch-seconds · 8 + step: sorts by (time, step), ties at the
+    * same second resolved by step order IDENTICALLY in both engines)
+    * and runs the chain as an integer fold over the per-user sorted
+    * array: state = best·2⁴⁰ + depth·2³⁶ + start_ts, every operation
+    * integer DIV/MOD/compare — bit-exact on any engine with 64-bit
+    * integers, no doubles anywhere (the q12/q67 fold discipline, in
+    * pure-integer form). Plan: one user-key hash-agg (collect + sort);
+    * per-user arrays are bounded by user activity — the q47/q65
+    * justification — and a production whale-user mitigation is the
+    * same one sessionization uses: pre-filter to the three funnel
+    * types (done here: the scan keeps 3/5 of event rows and 2 of 6
+    * columns) and shard by time range. Users with no funnel-typed
+    * events have no depth to report and are absent by construction.
+    */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame =
+    windowFunnelOf(Tables.events(spark, dir))
+
+  /** The funnel over an explicit events frame (`user_id`, `ts`,
+    * `event_type`) — the spec drives window-boundary, expiry-restart
+    * and mid-chain-view cases through this seam.
+    */
+  private[graft] def windowFunnelOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) * 8 +
+          when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .otherwise(3)).as("x"))
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("x"))).as("evs"))
+      .withColumn("packed", expr(
+        s"""aggregate(evs, CAST(0 AS BIGINT), (acc, x) -> CASE
+           |  WHEN x % 8 = (acc DIV $B36) % 16 + 1
+           |       AND ((acc DIV $B36) % 16 = 0
+           |            OR x DIV 8 - (acc % $B36) <= $FunnelWindowSec)
+           |  THEN greatest(acc DIV $B40, (acc DIV $B36) % 16 + 1) * $B40
+           |       + ((acc DIV $B36) % 16 + 1) * $B36
+           |       + (CASE WHEN (acc DIV $B36) % 16 = 0
+           |               THEN x DIV 8 ELSE acc % $B36 END)
+           |  WHEN x % 8 = 1 AND (acc DIV $B36) % 16 > 0
+           |       AND x DIV 8 - (acc % $B36) > $FunnelWindowSec
+           |  THEN greatest(acc DIV $B40, CAST(1 AS BIGINT)) * $B40
+           |       + $B36 + x DIV 8
+           |  ELSE acc END)""".stripMargin))
+      .select(col("user_id"), expr(s"packed DIV $B40").as("funnel_depth"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Oracle: the identical packed-integer fold, expressed as a
+    * RECURSIVE-CTE walk over the per-user position-numbered event list
+    * (the q45 recursion precedent) rather than `list_reduce` — DuckDB
+    * v1.0.0's list_reduce MIXES accumulator state ACROSS ROWS when a
+    * branching lambda folds several rows in one vector (verified: four
+    * users wrong in the full query, each correct when queried alone;
+    * recorded in PLANS r11). Every quantity is a 64-bit integer in
+    * both engines, so the chain state is bit-identical at every step.
+    */
+  val windowFunnelSql: String =
+    s"""WITH RECURSIVE ev AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) * 8 +
+      |      CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |                      ELSE 3 END AS x
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |numbered AS (
+      |  SELECT user_id, x,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY x)
+      |      AS BIGINT) AS i
+      |  FROM ev),
+      |n AS (SELECT user_id, count(*) AS cnt FROM numbered GROUP BY user_id),
+      |r AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS acc
+      |  FROM n
+      |  UNION ALL
+      |  SELECT r.user_id, r.i + 1, CASE
+      |    WHEN e.x % 8 = (r.acc // $B36) % 16 + 1
+      |         AND ((r.acc // $B36) % 16 = 0
+      |              OR e.x // 8 - (r.acc % $B36) <= $FunnelWindowSec)
+      |    THEN greatest(r.acc // $B40, (r.acc // $B36) % 16 + 1) * $B40
+      |         + ((r.acc // $B36) % 16 + 1) * $B36
+      |         + (CASE WHEN (r.acc // $B36) % 16 = 0
+      |                 THEN e.x // 8 ELSE r.acc % $B36 END)
+      |    WHEN e.x % 8 = 1 AND (r.acc // $B36) % 16 > 0
+      |         AND e.x // 8 - (r.acc % $B36) > $FunnelWindowSec
+      |    THEN greatest(r.acc // $B40, CAST(1 AS BIGINT)) * $B40
+      |         + $B36 + e.x // 8
+      |    ELSE r.acc END
+      |  FROM r JOIN numbered e ON e.user_id = r.user_id AND e.i = r.i + 1)
+      |SELECT r.user_id, CAST(r.acc // $B40 AS BIGINT) AS funnel_depth
+      |FROM r JOIN n ON n.user_id = r.user_id AND r.i = n.cnt
+      |ORDER BY r.user_id""".stripMargin
 }

@@ -66,7 +66,11 @@ class DeterminismSweepSpec extends SparkSpec {
     // windowed-pair top-k cut by a double lift — the (lift, a, b) total
     // order must make the boundary partition-invariant (the q94 shape
     // one window out) (q100)
-    "q100_cooc_lift")
+    "q100_cooc_lift",
+    // per-user packed-integer sequence fold — the sorted event array
+    // and the pure-integer chain state must land identically under any
+    // partitioning (q101)
+    "q101_window_funnel")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

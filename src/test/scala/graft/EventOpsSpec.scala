@@ -123,6 +123,41 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 2L, 1L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
   }
 
+  test("window funnel: chain, window boundary, expiry restart, mid-chain view") {
+    import spark.implicits._
+    val base = 1700000000L // fixed epoch anchor
+    def ev(u: Long, offSec: Long, t: String): (Long, java.sql.Timestamp, String) =
+      (u, new java.sql.Timestamp((base + offSec) * 1000L), t)
+    val rows = Seq(
+      // u1: clean 3-step chain inside the window
+      ev(1, 0, "view"), ev(1, 100, "click"), ev(1, 200, "purchase"),
+      // u2: purchase lands EXACTLY at the window bound — inclusive
+      ev(2, 0, "view"), ev(2, 10, "click"),
+      ev(2, Sessions.FunnelWindowSec, "purchase"),
+      // u3: purchase one second PAST the bound — depth stalls at 2
+      ev(3, 0, "view"), ev(3, 10, "click"),
+      ev(3, Sessions.FunnelWindowSec + 1, "purchase"),
+      // u4: first chain expires at depth 1; a later view restarts and
+      // the SECOND chain completes — best is 3
+      ev(4, 0, "view"),
+      ev(4, Sessions.FunnelWindowSec + 100, "view"),
+      ev(4, Sessions.FunnelWindowSec + 200, "click"),
+      ev(4, Sessions.FunnelWindowSec + 300, "purchase"),
+      // u5: a mid-chain view must NOT destroy progress (the live chain
+      // keeps its start and still completes)
+      ev(5, 0, "view"), ev(5, 50, "click"), ev(5, 60, "view"),
+      ev(5, 70, "purchase"),
+      // u6: steps out of order never chain (purchase before click)
+      ev(6, 0, "view"), ev(6, 10, "purchase"), ev(6, 20, "click"),
+      // u7: only non-funnel events — absent from the output
+      (7L, new java.sql.Timestamp(base * 1000L), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Sessions.windowFunnelOf(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 3L, 5L -> 3L,
+      6L -> 2L), got.toString)
+  }
+
   test("KMV estimate is close on a known universe and exact-count sane") {
     // 5000 distinct strings through the production hash; k = 64
     val n = 5000

@@ -224,6 +224,9 @@ class PlanLintSpec extends SparkSpec {
                                // doc->source join + (source,gram) distinct +
                                // df guard + totals + self-join reusing the guarded
                                // frame's partitioning + pair agg + sort
+    "q101_window_funnel" -> 2, // ONE user-key hash-agg (collect + sort feed the
+                               // in-array integer fold — no per-event window,
+                               // no self-join) + the presentation sort
     "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
                            // the SHARED bigram model build when cold (its own
                            // corpus pass — warm sessions hit the vocab-bounded
