@@ -505,4 +505,78 @@ object Analytics {
       |      - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
       |      / CAST(n_docs AS DOUBLE) END AS intercept
       |FROM f ORDER BY lang, source""".stripMargin
+
+  /** Support floor / cut for q102 — absolute at fixture scale; a
+    * production run sets it RELATIVE (min share of baskets), same
+    * formula.
+    */
+  val BasketMinSupport = 3
+  val BasketK = 20
+
+  /** q102 — market-basket association (co-purchase lift): for part
+    * pairs bought together in ≥ [[BasketMinSupport]] orders,
+    * lift(a,b) = n_ab·N / (n_a·n_b) — the classic association-rule
+    * score (frequent-itemset mining's pair tier), ranking identically
+    * to PMI over baskets (the q94/q100 ratio-space discipline: exact
+    * integers, one final division, no `ln`).
+    *
+    * Plan: distinct (order, part) is the single corpus-bounded
+    * deduplication; the pair self-join is on the ORDER key, so per-key
+    * expansion is bounded by basket size — C(lines, 2) with TPC-H
+    * baskets ≤ 7 lines, and at any scale a basket is a business-bounded
+    * object (a pathological mega-basket would take the q73 sub-block
+    * cap; none exists here, noted not built); pair counts hash-agg with
+    * map-side partials; the support cut lands BEFORE the per-part probe
+    * joins; only the 1-row order total broadcasts; top-[[BasketK]] is a
+    * `TakeOrderedAndProject` over the (lift, pa, pb) total order.
+    */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    // eager fill: the self-join consumes BOTH sides of `op` inside one
+    // job while the order-total broadcast materializes from it too
+    val op = graft.TransientCache.register(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().cache())
+    op.count()
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= BasketMinSupport)
+    val pc = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val n = op.agg(countDistinct(col("o")).as("n_orders"))
+    pairs
+      .join(pc.select(col("p").as("pa"), col("n_p").as("n_a")), Seq("pa"))
+      .join(pc.select(col("p").as("pb"), col("n_p").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast(dec) * col("n_orders").cast(dec)).cast("double") /
+          (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(BasketK)
+  }
+
+  /** Oracle: same distinct basket frame, same counts, same single
+    * HUGEINT-product division, same total-order cut.
+    */
+  val basketLiftSql: String =
+    s"""WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT x.p AS pa, y.p AS pb, count(*) AS n_ab
+      |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2),
+      |pc AS (SELECT p, count(*) AS n_p FROM op GROUP BY p),
+      |tt AS (SELECT count(DISTINCT o) AS n_orders FROM op)
+      |SELECT pairs.pa, pairs.pb, pairs.n_ab, a.n_p AS n_a, b.n_p AS n_b,
+      |  CAST(CAST(pairs.n_ab AS HUGEINT) * CAST(tt.n_orders AS HUGEINT) AS DOUBLE)
+      |    / CAST(CAST(a.n_p AS HUGEINT) * CAST(b.n_p AS HUGEINT) AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN pc a ON a.p = pairs.pa
+      |JOIN pc b ON b.p = pairs.pb
+      |CROSS JOIN tt
+      |WHERE pairs.n_ab >= $BasketMinSupport
+      |ORDER BY lift DESC, pairs.pa, pairs.pb LIMIT $BasketK""".stripMargin
 }

@@ -128,6 +128,38 @@ class AnalyticsSpec extends SparkSpec {
 
   // ----------------------------------------------- q93 length fit
 
+  test("basket lift: full top-k recomputed from an independent driver-side basket scan") {
+    val got = Analytics.basketLift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    TransientCache.drain()
+    assert(got.length == Analytics.BasketK)
+    assert(got.forall(p => p._1 < p._2), "pairs canonical")
+    assert(got.forall(_._3 >= Analytics.BasketMinSupport), "support floor")
+    // independent reference: collect the raw lines, build baskets, count
+    // pairs and singles, same single division, same total order
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = lines.groupBy(_._1).map { case (_, ls) => ls.map(_._2).distinct.sorted }
+    val nOrders = baskets.size.toLong
+    val single = scala.collection.mutable.Map.empty[Long, Long]
+    val pair = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (b <- baskets) {
+      b.foreach(p => single(p) = single.getOrElse(p, 0L) + 1)
+      for (i <- b.indices; j <- (i + 1) until b.size) {
+        val k = (b(i), b(j)); pair(k) = pair.getOrElse(k, 0L) + 1
+      }
+    }
+    val expect = pair.toSeq.filter(_._2 >= Analytics.BasketMinSupport)
+      .map { case ((a, b), nab) =>
+        (a, b, nab, single(a), single(b),
+          (nab * nOrders).toDouble / (single(a) * single(b)).toDouble) }
+      .sortBy { case (a, b, _, _, _, lift) => (-lift, a, b) }
+      .take(Analytics.BasketK)
+    assert(got == expect, s"engine top-k != driver reference:\n$got\nvs\n$expect")
+  }
+
   test("length fit recovers an exact integer line exactly") {
     import spark.implicits._
     // y = 7x + 3 on x = 1..5 (token counts), all points exactly on the

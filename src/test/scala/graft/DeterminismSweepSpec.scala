@@ -70,7 +70,10 @@ class DeterminismSweepSpec extends SparkSpec {
     // per-user packed-integer sequence fold — the sorted event array
     // and the pure-integer chain state must land identically under any
     // partitioning (q101)
-    "q101_window_funnel")
+    "q101_window_funnel",
+    // basket-pair top-k cut by a double lift over exact integer counts
+    // — the (lift, pa, pb) total order at the boundary (q102)
+    "q102_basket_lift")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -61,6 +61,7 @@ class PlanLintSpec extends SparkSpec {
     "q92_bigram_lm" -> (1 -> "1-row corpus token total (the q77 discipline)"),
     "q94_collocations" -> (1 -> "1-row corpus token total (the q77 discipline)"),
     "q100_cooc_lift" -> (1 -> "1-row corpus token total (the q77 discipline)"),
+    "q102_basket_lift" -> (1 -> "1-row order total (the q77 discipline)"),
     "q95_bpe_merges" -> (3 -> ("1-row best-pair winner broadcast into each of the " +
       "three vocab-merge rounds (TextOps.bpeMerges; round 4's winner is output only)")),
     "q96_source_drift" -> (1 -> "1-row corpus token total (the q77 discipline)"),
@@ -224,6 +225,11 @@ class PlanLintSpec extends SparkSpec {
                                // doc->source join + (source,gram) distinct +
                                // df guard + totals + self-join reusing the guarded
                                // frame's partitioning + pair agg + sort
+    "q102_basket_lift" -> 6, // distinct (order, part) dedup + order-key pair
+                             // self-join reusing the deduped frame's
+                             // partitioning + pair agg + per-part counts +
+                             // the 1-row order total's exchange + probe
+                             // re-exchanges; top-k is TakeOrderedAndProject
     "q101_window_funnel" -> 2, // ONE user-key hash-agg (collect + sort feed the
                                // in-array integer fold — no per-event window,
                                // no self-join) + the presentation sort

@@ -154,6 +154,10 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(TextOps.cooccurrence(spark, dir), 1)
   }
 
+  test("q102 basketLift transient (distinct basket frame) drains") {
+    checkDrains(graft.operators.Analytics.basketLift(spark, dir), 1)
+  }
+
   test("drained query recomputes correctly (no dangling reuse)") {
     val a = Contamination.fuzzyContamination(spark, dir).collect().toSeq
     TransientCache.drain()
