@@ -42,4 +42,17 @@ object TransientCache {
     frames.clear()
     n
   }
+
+  /** Unpersist the RDD blocks behind a `localCheckpoint`ed frame — the
+    * shared walk for iterative operators that supersede checkpoints
+    * (pageRank's round cadence) or retire batch-pinned frames after
+    * their appends commit (the corpus pipeline's crash-ordering
+    * checkpoints). Callers own the safety argument: nothing with
+    * TRUNCATED lineage may still root in the dropped blocks, or a later
+    * eviction turns into a hard recompute failure.
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 }

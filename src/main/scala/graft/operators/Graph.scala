@@ -324,6 +324,11 @@ object Graph {
         when(aFirst, col("da")).otherwise(col("db")).as("u"),
         when(aFirst, col("db")).otherwise(col("da")).as("v"))
         .cache())
+    // eager fill: BOTH sides of the wedge self-join read `o` inside the
+    // final job (with a broadcast side materializing concurrently under
+    // AQE) — the same sibling-consumer race as `e` above; without the
+    // fill the orientation subplan ran twice (a review-pass finding)
+    o.count()
     val wedges = o.as("x").join(o.as("y"),
       col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
@@ -459,10 +464,6 @@ object Graph {
     // k-1 blocks are dead weight the moment k's eager job finishes.
     // The FINAL frame's blocks stay pinned: the caller reads them.
     var liveCkpt: DataFrame = null
-    def dropCkpt(df: DataFrame): Unit =
-      df.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(false))
     for (i <- 1 to iters) {
       val contribs = e2.join(r, e2("a") === r("node"))
         .select(e2("b").as("node"), (col("pr") / col("outdeg")).as("c"),
@@ -481,7 +482,9 @@ object Graph {
           (lit(0.15) / col("n") + lit(0.85) * col("s")).as("pr"))
       if (i % checkpointEvery == 0 && i < iters) {
         val c = r.localCheckpoint(true) // eager: runs the rounds since the last cut
-        if (liveCkpt != null) dropCkpt(liveCkpt)
+        // safe to drop here (unlike the BPE chain): nothing but the
+        // rank chain itself references superseded rounds
+        if (liveCkpt != null) graft.TransientCache.unpersistCheckpoint(liveCkpt)
         liveCkpt = c
         r = c
       }

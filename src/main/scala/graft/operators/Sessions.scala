@@ -300,15 +300,26 @@ object Sessions {
   private val B36 = 68719476736L   // 2^36 — the start-ts field
   private val B40 = 1099511627776L // 2^40 — the best-depth field
 
-  /** q101 — window funnel (the ClickHouse `windowFunnel` family): per
-    * user, the deepest prefix of the view → click → purchase funnel
-    * completed with every step inside [[FunnelWindowSec]] of the
-    * chain's first step — THE conversion metric an event pipeline
-    * reports. Greedy deterministic semantics: the next step extends a
-    * live in-window chain; a step-1 event starts a new chain only when
-    * no live chain exists or the current one has expired (so a view
-    * mid-chain never destroys progress); `best` tracks the deepest
-    * chain seen.
+  /** q101 — window funnel: per user, the deepest prefix of the
+    * view → click → purchase funnel completed with every step inside
+    * [[FunnelWindowSec]] of the chain's first step — the conversion
+    * metric an event pipeline reports. GREEDY-FIRST-CHAIN semantics,
+    * stated precisely because the family's implementations differ: the
+    * next step extends a live in-window chain; a step-1 event starts a
+    * new chain only when no live chain exists or the current one has
+    * expired (so a view mid-chain never destroys progress); `best`
+    * tracks the deepest chain seen. This is DELIBERATELY NOT
+    * ClickHouse's `windowFunnel`, which re-stamps the level-1 time on
+    * every step-1 event and can therefore complete a chain that starts
+    * at a LATER view while an earlier one is still live (e.g. view t₀,
+    * view t₀+100, click t₀+W+50: ClickHouse reads 2 off the second
+    * view; this fold reads 1 — the first chain was live, so the second
+    * view did not restart it). The greedy variant's single (best,
+    * depth, start) state is what packs into one integer; per-level
+    * re-stamping needs a timestamp PER STEP (3×36 bits — past one
+    * long), so the trade is one extra long of state vs. bit-exact
+    * integer portability, and the greedy reading is a LOWER bound on
+    * the re-stamping one.
     *
     * Sequence matching is ORDER-DEPENDENT state — not expressible as a
     * commutative aggregate — so the engine packs each event into one

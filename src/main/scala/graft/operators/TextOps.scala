@@ -1594,13 +1594,6 @@ object TextOps {
           col("w"))
         .cache())
     var v = v0
-    // the checkpoint currently backing `v` at deep budgets (if any);
-    // superseded blocks drop as the next cadence point materializes
-    var liveCkpt: DataFrame = null
-    def dropCkpt(df: DataFrame): Unit =
-      df.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(false))
     val outs = Seq.newBuilder[DataFrame]
     for (i <- 1 to rounds) {
       val pairs = v
@@ -1636,15 +1629,20 @@ object TextOps {
         // eager fill would only add a redundant barrier'd job round
         // (measured ~0.1 s each at sf0.1 on kilobyte vocab frames).
         // At deep budgets every round swaps the cache for an eager
-        // checkpoint — see [[bpeDeepRound]]
+        // checkpoint — see [[bpeDeepRound]]. Superseded checkpoints are
+        // deliberately NOT unpersisted (unlike pageRank's cadence,
+        // where nothing but the rank chain references old rounds):
+        // every round's cached 1-row winner in `outs` roots its
+        // TRUNCATED lineage in that round's input checkpoint, so
+        // dropping the blocks would turn a later winner-cache eviction
+        // into a hard "checkpoint block not found" failure instead of
+        // a recompute (a review-pass finding). The retained blocks are
+        // vocab-bounded — one small frame per deep round, gone with
+        // the session like the CC round checkpoints.
         v =
           if (i >= rounds) merged
-          else if (bpeDeepRound(i)) {
-            val c = merged.localCheckpoint(true)
-            if (liveCkpt != null) dropCkpt(liveCkpt)
-            liveCkpt = c
-            c
-          } else graft.TransientCache.register(merged.cache())
+          else if (bpeDeepRound(i)) merged.localCheckpoint(true)
+          else graft.TransientCache.register(merged.cache())
       }
     }
     (outs.result(), v)

@@ -338,10 +338,7 @@ object CorpusPipeline {
         .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
       Dedup.appendToWinnowIndexOf(widx, batchInLive)
       Dedup.appendToCorpusIndexOf(idx, batchInLive)
-    } finally checkpointed.foreach(df =>
-      df.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(false)))
+    } finally checkpointed.foreach(graft.TransientCache.unpersistCheckpoint)
     graft.TransientCache.drain()
     log.toSeq
   }
@@ -453,10 +450,12 @@ object CorpusPipeline {
     * reseeded by [[refreshFull]]) instead of re-tokenizing the corpus
     * every night. Counts are exact integers, so the maintained path is
     * bit-identical to a recompute ([[TextOps.sourceDriftFromCounts]]).
-    * On a warehouse that has never seeded the table, this falls back to
-    * the direct corpus tokenize (keeping the probe itself stateless);
-    * every load-bearing caller ([[refineIncrementalGated]],
-    * [[graft.streaming.StreamingDrift]]) seeds first.
+    * On a warehouse where the table is absent, this falls back to the
+    * direct corpus tokenize — keeping the probe itself STATELESS, which
+    * is what lets [[graft.streaming.StreamingDrift]] tick concurrently
+    * with [[refreshFull]]'s retire-and-reseed window without racing it.
+    * Seeding belongs to the SERIAL ingest lanes
+    * ([[refineIncremental]]/[[refineIncrementalGated]]/[[refreshFull]]).
     */
   def batchDrift(wh: Warehouse, batch: DataFrame): DataFrame = {
     val batchCounts = TextOps.tokenCountsOf(batch.select(col("text")))
@@ -567,9 +566,7 @@ object CorpusPipeline {
         lit("review_refused").as("reason"))
     if (refused.isEmpty) Fs.delete(spark, s"${wh.root}/corpus_quarantine")
     else wh.write("corpus_quarantine", refused)
-    admitted.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+    graft.TransientCache.unpersistCheckpoint(admitted)
     graft.TransientCache.drain()
     StageCount("quarantine_review", nIn, nAdmit) +: log
   }

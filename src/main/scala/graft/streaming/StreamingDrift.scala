@@ -13,11 +13,20 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * the dashboard feed an ingest operator watches BETWEEN refine cycles.
   *
   * Unlike the dedup/winnow/ANN twins this loop advances NO shared
-  * state: the probe reads the maintained `live_token_counts`
-  * distribution (seeding it once if absent — the one-time bill the
-  * index builds also pay) and appends only to its own log, so it
-  * composes with [[StreamingRefine]] (or the nightly batch cycle)
-  * without entering their crash contracts. Exactly-once for the
+  * state: the probe READS the maintained `live_token_counts`
+  * distribution when the ingest lanes have seeded it (the normal
+  * case — O(batch tokens + live vocab) per tick) and falls back to a
+  * direct corpus tokenize when the table is absent, but never WRITES
+  * it — seeding here would race [[graft.pipelines.CorpusPipeline
+  * .refreshFull]]'s retire-and-reseed window (a tick landing between
+  * the delete and the reseed would re-seed from the PRE-refresh
+  * corpus and the refresh's own guard would then skip, leaving the
+  * distribution permanently stale — the exact "missing, never stale"
+  * violation the retire ordering exists to prevent; a review-pass
+  * finding). Seeding stays with the SERIAL ingest lanes; the monitor
+  * appends only to its own log and composes with [[StreamingRefine]]
+  * (or the nightly batch cycle) without entering their crash
+  * contracts. Exactly-once for the
   * log itself comes from keying on `(batch_id, source)` — the
   * foreachBatch epoch id is stable across checkpoint replays, so a
   * redelivered micro-batch recomputes the same rows and the keyed
@@ -40,10 +49,6 @@ object StreamingDrift {
       "StreamingDrift needs a refined base — run refine() first")
     if (!wh.exists("corpus_live"))
       wh.write("corpus_live", wh.read("corpus_clean"))
-    // seed the maintained distribution so every micro-batch reading is
-    // O(batch tokens + live vocab) — without this, a monitor ticking
-    // every few minutes would re-tokenize the whole corpus per tick
-    CorpusPipeline.seedTokenCounts(wh)
     val drift = CorpusPipeline.batchDrift(wh, batch)
       .select(lit(batchId).as("batch_id"), col("source"),
         col("l1_drift"), col("n_tokens"))

@@ -149,13 +149,19 @@ class EventOpsSpec extends SparkSpec {
       ev(5, 70, "purchase"),
       // u6: steps out of order never chain (purchase before click)
       ev(6, 0, "view"), ev(6, 10, "purchase"), ev(6, 20, "click"),
+      // u8: the documented greedy-vs-ClickHouse divergence case — a
+      // second view while the first chain is LIVE does not restart, so
+      // the click past the FIRST start's window cannot chain: depth 1
+      // (ClickHouse's per-level re-stamping would read 2)
+      ev(8, 0, "view"), ev(8, 100, "view"),
+      ev(8, Sessions.FunnelWindowSec + 50, "click"),
       // u7: only non-funnel events — absent from the output
       (7L, new java.sql.Timestamp(base * 1000L), "error"))
       .toDF("user_id", "ts", "event_type")
     val got = Sessions.windowFunnelOf(rows).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 3L, 5L -> 3L,
-      6L -> 2L), got.toString)
+      6L -> 2L, 8L -> 1L), got.toString)
   }
 
   test("KMV estimate is close on a known universe and exact-count sane") {

@@ -725,9 +725,17 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("text")).as[DocRow].collect().toSeq
 
     val stream = MemoryStream[DocRow](spark)
+    // epoch 0 ticks with NO maintained table — the stateless fallback
+    // path (the monitor must never seed shared state itself: the
+    // refreshFull-race review finding)
     stream.addData(night(8): _*)
     StreamingDrift.driftSink(stream.toDF(), wh, s"$tmp/ckpt")
       .start().awaitTermination()
+    assert(!wh.exists("live_token_counts"),
+      "the monitor must not write the maintained distribution")
+    // the serial ingest lane seeds; epoch 1 reads the maintained table
+    // — bit-identical readings either way (the exact-integer identity)
+    CorpusPipeline.seedTokenCounts(wh)
     stream.addData(night(9): _*)
     StreamingDrift.driftSink(stream.toDF(), wh, s"$tmp/ckpt")
       .start().awaitTermination()
