@@ -31,15 +31,31 @@ import org.apache.spark.sql.Dataset
   */
 object TransientCache {
   private val frames = scala.collection.mutable.ArrayBuffer[Dataset[_]]()
+  private val ckpts = scala.collection.mutable.ArrayBuffer[Dataset[_]]()
 
   /** Register an already-`.cache()`d frame for the next [[drain]]. */
   def register[T <: Dataset[_]](df: T): T = synchronized { frames += df; df }
 
+  /** Register a `localCheckpoint`ed frame whose pinned RDD blocks should
+    * be reclaimed at the next [[drain]] — the session-leak valve for
+    * iterative operators whose FINAL frame is checkpoint-rooted
+    * (pageRank past its truncation cadence): the caller reads the
+    * result, the harness drains, the blocks go. Stricter contract than
+    * [[register]]: a drained `.cache()` frame silently recomputes on
+    * reuse, a drained checkpoint frame FAILS hard (truncated lineage
+    * cannot rebuild) — so only frames the per-query drain convention
+    * already covers belong here.
+    */
+  def registerCheckpoint[T <: Dataset[_]](df: T): T =
+    synchronized { ckpts += df; df }
+
   /** Unpersist every registered frame; returns how many were evicted. */
   def drain(): Int = synchronized {
-    val n = frames.size
+    val n = frames.size + ckpts.size
     frames.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    ckpts.foreach(df => try unpersistCheckpoint(df) catch { case _: Throwable => () })
     frames.clear()
+    ckpts.clear()
     n
   }
 

@@ -489,6 +489,17 @@ object Graph {
         r = c
       }
     }
+    // the FINAL live checkpoint roots the returned frame's truncated
+    // lineage: its blocks stay pinned while the caller consumes the
+    // result, then the harness drain reclaims them (registerCheckpoint —
+    // an r11 review finding: deep-budget calls otherwise leak pinned RDD
+    // blocks per call with no caller-visible handle). The q91 default
+    // (iters=3 < cadence) never checkpoints, so registry plans and the
+    // per-query drain pins are untouched. The BPE deep chain deliberately
+    // does NOT take this: its per-round winner caches root truncated
+    // lineage in superseded checkpoints, so reclaiming them would turn a
+    // cache eviction into a hard failure (documented at bpeDeepRound).
+    if (liveCkpt != null) graft.TransientCache.registerCheckpoint(liveCkpt)
     r
   }
 

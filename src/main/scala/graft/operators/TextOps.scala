@@ -1328,6 +1328,10 @@ object TextOps {
     val uni = graft.TransientCache.register(
       bigramCounts(spark, dir)
         .groupBy(col("cur").as("w")).agg(sum(col("c2")).as("c1")).cache())
+    // eager fill (the sibling-consumer rule): both probe joins AND the
+    // 1-row total broadcast read `uni` inside the final job — cold, the
+    // bigram-model subplan would run once per racing consumer
+    uni.count()
     val total = uni.agg(sum(col("c1")).as("total"))
     pairs
       .join(uni.select(col("w").as("a"), col("c1").as("ca")), Seq("a"))

@@ -178,9 +178,11 @@ object CorpusPipeline {
     * any replay converge to the clean run's state:
     *
     *  1. `live_token_counts` += the NEW docs' token counts (keyed by
-    *     the doc-set hash, BEFORE the corpus_live append — see the
-    *     in-body ordering argument), then `corpus_live` += the same
-    *     pinned doc set (doc_id anti-join guard);
+    *     the NIGHT — the input batch's doc-set hash — with a
+    *     (batch_key, tok) anti-join guard, BEFORE the corpus_live
+    *     append — see the in-body ordering argument), then
+    *     `corpus_live` += the same pinned doc set (doc_id anti-join
+    *     guard);
     *  2. `live_keys`   += the batch's novel keys (key anti-join guard);
     *  3. both index advances read the batch's docs back FROM the
     *     at-rest `corpus_live` — not from the screen's in-memory
@@ -312,18 +314,38 @@ object CorpusPipeline {
       // mid-append
       val toAdd = ckpt(w.join(wh.read("corpus_live").select(col("doc_id")),
         Seq("doc_id"), "left_anti"))
-      // maintained-distribution delta FIRST, corpus_live append second:
-      // a crash between them replays with toAdd unchanged (docs still
-      // absent from corpus_live) and re-appends BYTE-IDENTICAL delta
-      // rows — same doc set, same batch_key, same counts — which the
-      // liveTokenCounts read collapses; the reverse order would replay
-      // with toAdd EMPTY and lose the delta forever. Same serial-nights
-      // contract as every other guarded append: a crashed night is
-      // replayed to convergence before the next batch is offered.
+      // maintained-distribution delta FIRST, corpus_live append second,
+      // keyed by the NIGHT (the deduped INPUT batch's doc-set hash — a
+      // pure function of what was offered, so every replay of the night
+      // lands on the same key no matter which appends committed), and
+      // row-level guarded by a (batch_key, tok) anti-join. The crash
+      // windows (an r11 advice finding — the doc-set-of-toAdd key was
+      // the repo's one SET-level guard, and a PARTIAL corpus_live
+      // commit would hand the replay a smaller toAdd, a different key,
+      // and a permanent overcount):
+      //   · crash during the delta append → corpus_live untouched →
+      //     the replay's toAdd and rows are byte-identical and the
+      //     anti-join appends exactly the missing (batch_key, tok) rows;
+      //   · crash during the corpus_live append (complete OR partial
+      //     file set visible) → the delta committed whole first (the
+      //     appends are sequential jobs) → the replay's toAdd shrinks
+      //     to the uncommitted remainder, whose token set is a SUBSET
+      //     of the committed delta's, so the anti-join appends nothing
+      //     and the doc_id-guarded corpus_live append lands the
+      //     remainder — delta and corpus converge to the clean night.
+      // The reverse order would replay with toAdd EMPTY and lose the
+      // delta forever. Same serial-nights contract as every other
+      // guarded append: a crashed night is replayed to convergence
+      // before the next batch is offered.
+      val nightKey = docSetKey(
+        batch.select(col("doc_id")).dropDuplicates("doc_id"))
       wh.append("live_token_counts",
         TextOps.tokenCountsOf(toAdd)
-          .crossJoin(broadcast(docSetKey(toAdd)))
-          .select(col("batch_key"), col("tok"), col("cnt")))
+          .crossJoin(broadcast(nightKey))
+          .select(col("batch_key"), col("tok"), col("cnt"))
+          .join(wh.read("live_token_counts")
+              .select(col("batch_key"), col("tok")),
+            Seq("batch_key", "tok"), "left_anti"))
       wh.append("corpus_live", toAdd)
       wh.append("live_keys",
         novel.select(col("k"))
@@ -383,6 +405,15 @@ object CorpusPipeline {
     // index deletes below ride. This is also what collapses the
     // accumulated nightly deltas back to a single seed.
     Fs.delete(spark, s"${wh.root}/live_token_counts")
+    // gate decisions are relative to the distribution being retired: a
+    // doc set refused under the OLD distribution and re-offered after
+    // the refresh must be RE-EVALUATED, not replayed from a stale row
+    // (the r11 "what's missing" note). Deleting alongside the
+    // token-count retire keeps the same missing-never-stale shape — a
+    // crash between leaves no gate_log, and the next gated night simply
+    // re-derives its decision. This also bounds the log's growth the
+    // way the refresh collapses the delta table.
+    Fs.delete(spark, s"${wh.root}/gate_log")
     wh.write("corpus_live", wh.read("corpus_clean"))
     wh.write("live_keys",
       Dedup.exactDedupOf(wh.read("corpus_live")).select(col("k")))
@@ -474,15 +505,19 @@ object CorpusPipeline {
     *
     * At-rest layout: `live_token_counts` holds `(batch_key, tok, cnt)`
     * DELTA rows — the seed (key 0) plus one vocab-bounded delta per
-    * night, keyed by a deterministic hash of the night's appended doc
-    * set. The read collapses replayed/partially-committed appends by
-    * `(batch_key, tok)` (a replay writes byte-identical rows — same doc
-    * set, same key, same counts) and then sums: counts are ADDITIVE, so
-    * the sum of deltas IS the corpus distribution. Row growth is
-    * nights × vocab between refreshes; [[refreshFull]] collapses the
-    * table back to a single seed, and [[Warehouse.compactIfFragmented]]
-    * bounds the file count in between (content-preserving — the
-    * batch_key rows survive verbatim, so replay dedup still works).
+    * night, keyed by the NIGHT: a deterministic hash of the deduped
+    * INPUT batch's doc set (stable across replays no matter which
+    * appends committed — the appended-set key was set-level and broke
+    * under a partial corpus_live commit, an r11 advice finding), with
+    * the append row-level guarded by a `(batch_key, tok)` anti-join.
+    * The read still collapses any duplicate keyed rows defensively (a
+    * replay's rows are byte-identical) and then sums: counts are
+    * ADDITIVE, so the sum of deltas IS the corpus distribution. Row
+    * growth is nights × vocab between refreshes; [[refreshFull]]
+    * collapses the table back to a single seed, and
+    * [[Warehouse.compactIfFragmented]] bounds the file count in between
+    * (content-preserving — the batch_key rows survive verbatim, so
+    * replay dedup still works).
     */
   def liveTokenCounts(wh: Warehouse): DataFrame =
     wh.read("live_token_counts")
@@ -628,6 +663,9 @@ object CorpusPipeline {
       val adm = reading <= maxDrift
       wh.append("gate_log",
         Seq((key, adm, reading)).toDF("batch_key", "admitted", "l1_drift"))
+      // one 1-row file lands per gated night — the same small-files
+      // cadence every append-only table rides
+      wh.compactIfFragmented("gate_log")
       adm
     }
     if (admitted) refineIncremental(wh, batch)

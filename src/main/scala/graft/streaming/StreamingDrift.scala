@@ -38,10 +38,22 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   */
 object StreamingDrift {
 
+  /** Default retention for the in-loop cadence: epochs kept in
+    * `drift_log` when a sink is wired with retention on. 0 = unbounded
+    * (the spec-replay default — deterministic row sets need no cut).
+    */
+  val RetainEpochsDefault = 0
+
   /** One micro-batch of the monitor — also the replay unit the spec
     * drives directly. `batch` is documents-shaped (needs `text`).
+    * `retain` > 0 runs the [[retainEpochs]] cut after the append — from
+    * INSIDE the foreachBatch thread, which is what makes the cut safe
+    * against its own read-then-swap window (single-writer-per-table:
+    * the monitor is drift_log's only writer, and the cut runs serialized
+    * between its appends).
     */
-  def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit = {
+  def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long,
+                   retain: Int = RetainEpochsDefault): Unit = {
     // same base contract as the ingest entry points: require a refined
     // warehouse and idempotently seed corpus_live, instead of dying on
     // a raw path error the first time a sink is wired before refine()
@@ -61,6 +73,7 @@ object StreamingDrift {
     // one tiny parquet lands per epoch — the small-files bill every
     // append-only table in the repo pays via the same cadence
     wh.compactIfFragmented("drift_log")
+    if (retain > 0) retainEpochs(wh, retain)
     graft.TransientCache.drain()
     ()
   }
@@ -72,12 +85,24 @@ object StreamingDrift {
     * old log intact. The epoch set is bounded (one row group per epoch),
     * so the newest-N cut plans as a `TakeOrderedAndProject` + semi-join
     * — no full sort. Idempotent: re-cutting at the same setting keeps
-    * the same rows.
+    * the same rows; when nothing exceeds the retention the call is a
+    * read-only count, not a rewrite.
+    *
+    * SERIALIZATION CONTRACT (single-writer-per-table, an r11 advice
+    * note): the cut is a read-then-swap — a monitor tick appending
+    * BETWEEN the read and the swap would lose that epoch's rows, and
+    * the keyed exactly-once append would not restore them (the epoch is
+    * already checkpointed as processed). Call this either (a) with the
+    * monitor stopped, or (b) via [[processBatch]]'s `retain` cadence,
+    * which runs it on the foreachBatch thread between ticks — the
+    * race-free wiring, the way `compactIfFragmented` rides every append
+    * helper.
     */
   def retainEpochs(wh: Warehouse, keepEpochs: Int): Unit = {
     require(keepEpochs > 0, "keepEpochs must be positive")
     if (!wh.exists("drift_log")) return
     val log = wh.read("drift_log")
+    if (log.select(col("batch_id")).distinct().count() <= keepEpochs) return
     val cut = log.select(col("batch_id")).distinct()
       .orderBy(col("batch_id").desc).limit(keepEpochs)
     wh.write("drift_log", log.join(cut, Seq("batch_id"), "left_semi"))
@@ -88,12 +113,13 @@ object StreamingDrift {
     * exactly-once effect.
     */
   def driftSink(docsStream: DataFrame, wh: Warehouse,
-                checkpointDir: String): DataStreamWriter[Row] =
+                checkpointDir: String,
+                retain: Int = RetainEpochsDefault): DataStreamWriter[Row] =
     docsStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(wh, batch, id)
+        processBatch(wh, batch, id, retain)
       }
 }

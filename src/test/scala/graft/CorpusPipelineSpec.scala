@@ -456,6 +456,53 @@ class CorpusPipelineSpec extends SparkSpec {
     TransientCache.drain()
   }
 
+  test("gate_log lifecycle: refusals replay as recorded until refreshFull retires them, then re-evaluate") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh-gl").toString)
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    wh.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
+    wh.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
+      col("source") =!= CorpusPipeline.BenchSource))
+    val night9 = docs.filter(col("doc_id") % 10 === 9)
+
+    // an in-distribution night refused under an absurdly strict gate:
+    // the decision is a WAL row, so a replay under the DEFAULT gate
+    // re-takes the RECORDED branch even though a re-reading would admit
+    val g1 = CorpusPipeline.refineIncrementalGated(wh, night9, maxDrift = 0.0)
+    TransientCache.drain()
+    assert(g1.head.stage == "live_drift_gate", s"strict gate must refuse, got $g1")
+    assert(wh.read("gate_log").count() == 1)
+    val liveBefore = wh.read("corpus_live").count()
+    val g2 = CorpusPipeline.refineIncrementalGated(wh, night9)
+    TransientCache.drain()
+    assert(g2.head.stage == "live_drift_gate",
+      s"pre-refresh replay must honor the recorded refusal, got $g2")
+    assert(wh.read("gate_log").count() == 1, "a replay derives no second decision")
+    assert(wh.read("corpus_live").count() == liveBefore)
+
+    // refreshFull retires the log with the distribution it was relative
+    // to (missing, never stale) ...
+    CorpusPipeline.refreshFull(wh)
+    TransientCache.drain()
+    assert(!wh.exists("gate_log"),
+      "refreshFull must retire gate_log alongside the token-count retire")
+    // the refresh re-refines corpus_raw through the FULL chain, so the
+    // post-refresh corpus is the new admission baseline
+    val liveRefreshed = wh.read("corpus_live").count()
+
+    // ... so the SAME doc set re-offered is RE-EVALUATED: under the
+    // default gate the in-distribution night now admits and refines in
+    val g3 = CorpusPipeline.refineIncrementalGated(wh, night9)
+    TransientCache.drain()
+    assert(g3.exists(_.stage == "live_quality"),
+      s"post-refresh re-offer must re-evaluate (and here admit), got $g3")
+    assert(wh.read("gate_log").count() == 1 &&
+      wh.read("gate_log").filter(col("admitted")).count() == 1,
+      "the re-offer derives one fresh decision")
+    assert(wh.read("corpus_live").count() > liveRefreshed,
+      "the admitted re-offer must refine into the live corpus")
+  }
+
   test("quarantine review: admit-all == never gated at every boundary; partial admits retain refusals") {
     import spark.implicits._
     def seed(tag: String): Warehouse = {
@@ -639,10 +686,12 @@ class CorpusPipelineSpec extends SparkSpec {
     wh.append("live_token_counts", dup)
     assert(maintained() == recount(), "replayed delta rows must collapse at read")
 
-    // the worst crash window: the token delta committed, the corpus_live
-    // append did NOT. Replaying the night must converge — toAdd is
-    // recomputed over the un-advanced corpus, lands the same doc set,
-    // same batch_key, same rows, and the read collapses the pair.
+    // crash window: the token delta committed, the corpus_live append
+    // did NOT start. Replaying the night must converge — toAdd is
+    // recomputed over the un-advanced corpus, lands the same doc set
+    // under the same night key, and the (batch_key, tok) guard appends
+    // nothing new (the partial-commit twin of this window has its own
+    // test below).
     val whC = new Warehouse(spark, Files.createTempDirectory("graft-wh-tc-crash").toString)
     whC.write("corpus_raw", docs.filter(col("doc_id") % 10 < 8))
     whC.write("corpus_clean", docs.filter(col("doc_id") % 10 < 8 &&
@@ -699,6 +748,71 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(wh.read("live_token_counts").select(col("batch_key")).distinct().count() == 1,
       "refreshFull must collapse the delta table to a single seed")
     TransientCache.drain()
+  }
+
+  test("r11 advice: a PARTIAL corpus_live commit must not double-count the night's token delta") {
+    // The worst window of the worst case: the night's delta committed
+    // whole (the appends are sequential jobs), the corpus_live append
+    // crashed mid-commit with only PART of toAdd's files visible. The
+    // replay's toAdd shrinks to the remainder — under the old
+    // set-of-toAdd keying that minted a NEW batch_key and a second
+    // delta covering the remainder (a permanent overcount until
+    // refreshFull). The night-keyed (batch_key, tok) anti-join guard
+    // must append nothing and converge both tables to the clean run.
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 === 8)
+
+    // clean-run warehouse: the ground truth the replay must converge to
+    val whA = new Warehouse(spark, Files.createTempDirectory("graft-wh-pc-a").toString)
+    whA.write("corpus_raw", base)
+    whA.write("corpus_clean", base.filter(col("source") =!= CorpusPipeline.BenchSource))
+    CorpusPipeline.refineIncremental(whA, batch)
+    TransientCache.drain()
+    val nightDelta = whA.read("live_token_counts")
+      .filter(col("batch_key") =!= 0L).localCheckpoint(true)
+    val added = whA.read("corpus_live")
+      .join(whA.read("corpus_clean").select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    assert(added.count() > 2, "non-vacuous: the night must add several docs")
+
+    // crash-state warehouse, reconstructed exactly: pre-night seeds and
+    // indexes (the index advance is LAST — it had not run), the batch in
+    // corpus_raw (its append precedes the delta), the delta committed
+    // whole, and HALF of toAdd visible in corpus_live
+    val whB = new Warehouse(spark, Files.createTempDirectory("graft-wh-pc-b").toString)
+    whB.write("corpus_raw", base)
+    whB.write("corpus_clean", base.filter(col("source") =!= CorpusPipeline.BenchSource))
+    whB.write("corpus_live", whB.read("corpus_clean"))
+    whB.write("live_keys",
+      Dedup.exactDedupOf(whB.read("corpus_live")).select(col("k")))
+    CorpusPipeline.seedTokenCounts(whB)
+    Dedup.corpusIndexAt(spark, s"${whB.root}/live_index", whB.read("corpus_live"))
+    Dedup.winnowIndexAt(spark, s"${whB.root}/live_winnow", whB.read("corpus_live"))
+    whB.append("corpus_raw",
+      batch.join(whB.read("corpus_raw").select(col("doc_id")),
+        Seq("doc_id"), "left_anti"))
+    whB.append("live_token_counts", nightDelta)
+    // half the added docs (they all end in 8 — split on the tens digit)
+    val half = added.filter(col("doc_id") % 20 === 8)
+    assert(half.count() > 0 && half.count() < added.count(),
+      "the injected commit must be genuinely partial")
+    whB.append("corpus_live", half)
+    TransientCache.drain()
+
+    // the replay: must land the remaining docs, append NO delta rows,
+    // and restore maintained == recompute bit-for-bit
+    CorpusPipeline.refineIncremental(whB, batch)
+    TransientCache.drain()
+    assert(rowsOf(whB.read("corpus_live")) == rowsOf(whA.read("corpus_live")),
+      "replay must converge corpus_live to the clean night")
+    assert(rowsOf(CorpusPipeline.liveTokenCounts(whB)) ==
+      rowsOf(TextOps.tokenCountsOf(whB.read("corpus_live"))),
+      "partial-commit replay must not overcount the maintained distribution")
+    assert(rowsOf(whB.read("live_token_counts")) == rowsOf({
+      whA.read("live_token_counts")
+    }), "the delta table itself must converge to the clean run's rows")
   }
 
   test("batchDrift: the nightly off-distribution alarm orders by separation") {

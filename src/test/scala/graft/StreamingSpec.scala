@@ -770,5 +770,13 @@ class StreamingSpec extends SparkSpec {
     assert(keys() == Set((1L, "batch"), (1L, "corpus_live")))
     StreamingDrift.retainEpochs(wh, 10)
     assert(wh.read("drift_log").count() == 2)
+
+    // the in-loop cadence (r11 advice: single-writer serialization —
+    // the cut runs on the foreachBatch thread between ticks, never
+    // racing an append): a new epoch processed with retain=1 leaves
+    // exactly itself
+    StreamingDrift.processBatch(wh, night(8).toDF(), 2L, retain = 1)
+    assert(keys() == Set((2L, "batch"), (2L, "corpus_live")),
+      s"retain cadence must cut to the newest epoch, got ${keys()}")
   }
 }

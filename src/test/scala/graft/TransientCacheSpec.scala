@@ -118,6 +118,21 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(graft.operators.Graph.supplierPartRank(spark, dir), 3)
   }
 
+  test("deep-budget pageRank's final lineage checkpoint drains (r11 advice)") {
+    // 12 iterations crosses the truncation cadence twice: the superseded
+    // checkpoint is dropped inline, the FINAL one (round 10) stays pinned
+    // for the caller and must be reclaimed by the harness drain — 3
+    // cached transients + 1 registered checkpoint
+    import org.apache.spark.sql.functions.col
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").cast("long").as("s"),
+        col("l_partkey").cast("long").as("p"))
+    checkDrains(
+      graft.operators.Graph.pageRankImpl(edges, "s", "p",
+        iters = 12, orderedFold = false, assumeDeduped = false),
+      4)
+  }
+
   test("q95 bpeMerges transients (vocab chain + winners) drain") {
     // v0 + 4 winner frames + 3 intermediate merged vocabs
     checkDrains(TextOps.bpeMerges(spark, dir), 8)
