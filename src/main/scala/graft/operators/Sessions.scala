@@ -372,6 +372,68 @@ object Sessions {
       .orderBy(col("user_id"))
   }
 
+  /** q103 — the funnel's WHALE-USER production path (an r11 graded
+    * task: the per-user `collect_list` above is bounded by user
+    * activity, which a bot/scraper account can blow past any executor's
+    * row budget). Same packed-integer chain fold, run as a SECONDARY
+    * SORT instead of an in-row array: repartition on the user key, sort
+    * (user, packed event) WITHIN partitions — an in-partition sort, not
+    * a second exchange — and stream a carry fold over the run of each
+    * user's rows. No per-user array ever materializes, so per-user
+    * state is one long regardless of activity: a 10-million-event whale
+    * costs sort spill, never executor OOM. This is the repo's one
+    * deliberate `mapPartitions` tier beside media decode — the
+    * documented last resort, taken because an order-dependent fold over
+    * UNBOUNDED per-key sequences is exactly what neither aggregates
+    * (commutativity) nor window functions (bounded frames) express with
+    * bounded memory; the q12 balance fold escapes this only because its
+    * state algebra is subtractable. Bit-identical to [[windowFunnelOf]]
+    * by construction — same integer transition, same (time, step)
+    * total order (equal packed values are interchangeable in the fold)
+    * — and differential-spec'd on the fixture plus a synthetic whale.
+    */
+  def windowFunnelProd(spark: SparkSession, dir: String): DataFrame =
+    windowFunnelProdOf(Tables.events(spark, dir))
+
+  private[graft] def windowFunnelProdOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = FunnelWindowSec
+    val folded = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("long").as("_1"),
+        (unix_timestamp(col("ts")) * 8 +
+          when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .otherwise(3)).as("_2"))
+      .as[(Long, Long)]
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[(Long, Long)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, Long) = {
+            val u = it.head._1
+            var acc = 0L
+            while (it.hasNext && it.head._1 == u) {
+              val x = it.next()._2
+              val d = (acc / B36) % 16
+              val best = acc / B40
+              val start = acc % B36
+              if (x % 8 == d + 1 && (d == 0 || x / 8 - start <= w))
+                acc = math.max(best, d + 1) * B40 + (d + 1) * B36 +
+                  (if (d == 0) x / 8 else start)
+              else if (x % 8 == 1 && d > 0 && x / 8 - start > w)
+                acc = math.max(best, 1L) * B40 + B36 + x / 8
+            }
+            (u, acc / B40)
+          }
+        }
+      }
+    folded.toDF("user_id", "funnel_depth").orderBy(col("user_id"))
+  }
+
   /** Oracle: the identical packed-integer fold, expressed as a
     * RECURSIVE-CTE walk over the per-user position-numbered event list
     * (the q45 recursion precedent) rather than `list_reduce` — DuckDB

@@ -598,15 +598,32 @@ class CorpusPipelineSpec extends SparkSpec {
         s.relation.location.rootPaths.map(_.toString)
     }.flatten
 
-  test("pipeline-lane lint: no cartesian product anywhere in a gated two-night + refresh cycle") {
+  /** Per-phase pins for the lane lint below: (total ShuffleExchange
+    * nodes across the phase's executions, max shuffles in any single
+    * execution, BroadcastNestedLoopJoin instances, executions scanning
+    * corpus text). The BNLJ instances are all the q77-discipline 1-row
+    * broadcasts (the night's doc-set key + the gate's token total; the
+    * refresh chain's mixture totals/normalizers) — none grows with the
+    * corpus. The text-scan pin is the "corpus_live's text never rides a
+    * plan that only needs doc_ids" ceiling made exact: the screens, the
+    * index advances and the refresh rebuilds legitimately read text;
+    * the gate, the key ledger, the toAdd anti-joins and the metric
+    * counts must not — a new plan hauling `text` bumps the count and
+    * fails here for a conscious repin.
+    */
+  private case class LanePins(shuffles: Int, maxPerExec: Int,
+                              bnlj: Int, textScans: Int)
+
+  test("pipeline-lane lint: registry-grade pins (shuffle budgets, BNLJ whitelist, corpus-text scans) over the gated cycle") {
     import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.QueryExecution
-    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.util.QueryExecutionListener
-    // capture EVERY SQL execution the production lanes issue — writes,
+    // capture EVERY SQL execution each production lane issues — writes,
     // counts, collects — and walk their final adaptive plans: the
-    // nightly/refresh path is audited by machine, not only the query
-    // registry PlanLintSpec covers
+    // nightly/refresh path gets the registry PlanLintSpec treatment
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -624,36 +641,93 @@ class CorpusPipelineSpec extends SparkSpec {
     val spam = spark.range(9500L, 9520L)
       .select(col("id").as("doc_id"), lit("spamnet").as("source"),
         lit("qqzz wvwv qqzz kjkj").as("text"))
-    spark.listenerManager.register(listener)
-    try {
-      CorpusPipeline.refineIncrementalGated(wh, docs.filter(col("doc_id") % 10 === 8))
-      TransientCache.drain()
-      CorpusPipeline.refineIncrementalGated(wh, spam) // the quarantine lane too
-      TransientCache.drain()
-      CorpusPipeline.refineIncrementalGated(wh, docs.filter(col("doc_id") % 10 === 9))
-      TransientCache.drain()
-      CorpusPipeline.reviewQuarantine(wh)
-      TransientCache.drain()
-      CorpusPipeline.refreshFull(wh)
-      TransientCache.drain()
+
+    def settle(): Unit = {
       // listener delivery is async on the bus: poll until the capture
       // count is stable
-      var last = -1
-      var stable = 0
-      var waited = 0
+      var last = -1; var stable = 0; var waited = 0
       while (stable < 3 && waited < 20000) {
         Thread.sleep(250); waited += 250
         val n = captured.size()
         if (n == last) stable += 1 else { stable = 0; last = n }
       }
+    }
+    val phases = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[QueryExecution])]
+    def phase(name: String)(body: => Unit): Unit = {
+      captured.clear()
+      body
+      TransientCache.drain()
+      settle()
+      phases += name -> captured.asScala.toSeq
+    }
+    spark.listenerManager.register(listener)
+    try {
+      phase("night_seeded")(
+        CorpusPipeline.refineIncrementalGated(wh, docs.filter(col("doc_id") % 10 === 8)))
+      phase("night_gated")(CorpusPipeline.refineIncrementalGated(wh, spam))
+      phase("night_warm")(
+        CorpusPipeline.refineIncrementalGated(wh, docs.filter(col("doc_id") % 10 === 9)))
+      phase("review_drain")(CorpusPipeline.reviewQuarantine(wh))
+      phase("refresh_full")(CorpusPipeline.refreshFull(wh))
     } finally spark.listenerManager.unregister(listener)
-    val plans = captured.asScala.toSeq
-    assert(plans.size > 40,
-      s"non-vacuous: the cycle must register many executions, saw ${plans.size}")
-    val cartesians = plans.filter(qe =>
-      planNodes(qe.executedPlan).exists(_.isInstanceOf[CartesianProductExec]))
-    assert(cartesians.isEmpty,
-      s"cartesian product in a pipeline lane:\n${cartesians.map(_.executedPlan.toString.take(2000)).mkString("\n---\n")}")
+
+    val whBase = new java.io.File(wh.root).getName
+    def corpusTables(s: FileSourceScanExec): Seq[String] =
+      s.relation.location.rootPaths.map(_.toString)
+        .filter(_.contains(whBase)).map(_.split('/').last)
+    def stats(qes: Seq[QueryExecution]): LanePins = {
+      val walks = qes.map(qe => planNodes(qe.executedPlan))
+      val sh = walks.map(_.count(_.isInstanceOf[ShuffleExchangeExec]))
+      LanePins(
+        sh.sum, if (sh.isEmpty) 0 else sh.max,
+        walks.map(_.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])).sum,
+        walks.count(_.exists {
+          case s: FileSourceScanExec =>
+            corpusTables(s).exists(Set("corpus_live", "corpus_raw")) &&
+              s.requiredSchema.fieldNames.contains("text")
+          case _ => false
+        }))
+    }
+    val observed = phases.map { case (n, qes) => n -> stats(qes) }.toMap
+
+    // no cartesian anywhere, in any phase — the absolute rule
+    phases.foreach { case (name, qes) =>
+      val cart = qes.filter(qe =>
+        planNodes(qe.executedPlan).exists(_.isInstanceOf[CartesianProductExec]))
+      assert(cart.isEmpty, s"cartesian product in lane phase $name:\n" +
+        cart.map(_.executedPlan.toString.take(2000)).mkString("\n---\n"))
+    }
+    assert(phases.map(_._2.size).sum > 40,
+      s"non-vacuous: the cycle must register many executions, saw ${phases.map(_._2.size).sum}")
+
+    // the registry-grade pins (r11 judge task #1). Regenerate by
+    // running this test — the failure message prints paste-able lines.
+    val pinned = Map(
+      // first night pays the one-time seeds (live_keys hash, token-count
+      // seed tokenize, both index builds) — 8 text scans, two 1-row
+      // BNLJ broadcasts (night key + gate total)
+      "night_seeded" -> LanePins(106, 14, 2, 8),
+      // a refused night touches NO live state: the gate reading (1-row
+      // total broadcast) + the quarantine append — zero text scans
+      "night_gated" -> LanePins(15, 8, 1, 0),
+      // the steady-state night: screens + guarded appends + both index
+      // advances; text rides ONLY the screens' batch frames and the
+      // batchInLive index reads (2)
+      "night_warm" -> LanePins(88, 15, 2, 2),
+      // admit-all review re-offers through the warm-night body, but the
+      // quarantined spam never reaches corpus_live (every screen drops
+      // it pre-index), so no corpus text scan at all
+      "review_drain" -> LanePins(11, 1, 0, 0),
+      // refresh: the full refine chain over corpus_raw + live reseeds;
+      // the three BNLJ are the q78 mixture 1-row totals/normalizers
+      "refresh_full" -> LanePins(38, 4, 3, 7))
+    val drift = phases.map(_._1).filterNot(n => pinned.get(n).contains(observed(n)))
+      .map(n => s"""      "$n" -> ${observed(n)},""")
+    assert(drift.isEmpty,
+      "lane plan drift — more shuffles/BNLJ/text-scans is a regression (fix the plan), " +
+        "fewer is an improvement (re-pin consciously). Observed lines to paste:\n" +
+        drift.mkString("\n"))
   }
 
   test("maintained token distribution == recompute across nights, replayed deltas, and refresh; the gate scans no corpus text") {

@@ -73,7 +73,11 @@ class DeterminismSweepSpec extends SparkSpec {
     "q101_window_funnel",
     // basket-pair top-k cut by a double lift over exact integer counts
     // — the (lift, pa, pb) total order at the boundary (q102)
-    "q102_basket_lift")
+    "q102_basket_lift",
+    // the secondary-sort carry fold must not depend on partition count
+    // or row arrival order — the in-partition (user, x) sort is the
+    // only order source (q103)
+    "q103_funnel_prod")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -164,6 +164,53 @@ class EventOpsSpec extends SparkSpec {
       6L -> 2L, 8L -> 1L), got.toString)
   }
 
+  test("q103 secondary-sort funnel == in-array funnel on the fixture, the edge cases, and a whale") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // fixture-wide differential: every user, both strategies, bit-equal
+    val a = Sessions.windowFunnel(spark, dir).collect().map(_.mkString("|")).toSeq
+    val b = Sessions.windowFunnelProd(spark, dir).collect().map(_.mkString("|")).toSeq
+    assert(a == b && a.nonEmpty, "prod fold diverged on the fixture")
+
+    // the hand edge cases (window bound, expiry restart, mid-chain view,
+    // greedy divergence) through the prod seam too
+    val base = 1700000000L
+    def ev(u: Long, offSec: Long, t: String): (Long, java.sql.Timestamp, String) =
+      (u, new java.sql.Timestamp((base + offSec) * 1000L), t)
+    val edge = Seq(
+      ev(2, 0, "view"), ev(2, 10, "click"),
+      ev(2, Sessions.FunnelWindowSec, "purchase"),
+      ev(3, 0, "view"), ev(3, 10, "click"),
+      ev(3, Sessions.FunnelWindowSec + 1, "purchase"),
+      ev(4, 0, "view"), ev(4, Sessions.FunnelWindowSec + 100, "view"),
+      ev(4, Sessions.FunnelWindowSec + 200, "click"),
+      ev(4, Sessions.FunnelWindowSec + 300, "purchase"),
+      ev(8, 0, "view"), ev(8, 100, "view"),
+      ev(8, Sessions.FunnelWindowSec + 50, "click"))
+      .toDF("user_id", "ts", "event_type")
+    assert(Sessions.windowFunnelProdOf(edge).collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(2L -> 3L, 3L -> 2L, 4L -> 3L, 8L -> 1L))
+
+    // the whale: one user with 60k funnel events (2k full chains + a
+    // spam tail) riding alongside a normal user — the in-array fold is
+    // the oracle here, the prod fold must match it exactly while never
+    // materializing the 60k-row array
+    val whale = spark.range(0, 60000L).select(
+      lit(99L).as("user_id"),
+      to_timestamp(from_unixtime(lit(base) + col("id") * 40)).as("ts"),
+      when(col("id") % 30 === 0, "view")
+        .when(col("id") % 30 === 1, "click")
+        .when(col("id") % 30 === 2, "purchase")
+        .otherwise("view").as("event_type"))
+    val mixed = whale.unionByName(
+      Seq(ev(1, 0, "view"), ev(1, 100, "click"), ev(1, 200, "purchase"))
+        .toDF("user_id", "ts", "event_type"))
+    val ref = Sessions.windowFunnelOf(mixed).collect().map(_.mkString("|")).toSeq
+    val prod = Sessions.windowFunnelProdOf(mixed).collect().map(_.mkString("|")).toSeq
+    assert(prod == ref && prod.size == 2, "prod fold diverged on the whale")
+  }
+
   test("KMV estimate is close on a known universe and exact-count sane") {
     // 5000 distinct strings through the production hash; k = 64
     val n = 5000

@@ -233,6 +233,9 @@ class PlanLintSpec extends SparkSpec {
     "q101_window_funnel" -> 2, // ONE user-key hash-agg (collect + sort feed the
                                // in-array integer fold — no per-event window,
                                // no self-join) + the presentation sort
+    "q103_funnel_prod" -> 2, // the whale path: ONE user-key repartition (the
+                             // secondary sort is in-partition, not an
+                             // exchange) + the presentation sort
     "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
                            // the SHARED bigram model build when cold (its own
                            // corpus pass — warm sessions hit the vocab-bounded
