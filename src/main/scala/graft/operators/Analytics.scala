@@ -557,14 +557,21 @@ object Analytics {
     basketLiftOf(spark, dir, BasketBlockCap)
 
   private[graft] def basketLiftOf(spark: SparkSession, dir: String,
-                                  cap: Int): DataFrame = {
+                                  cap: Int): DataFrame =
+    basketLiftFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), cap)
+
+  /** The lift engine over an explicit `(o, p)` line frame — the seam the
+    * scale probe drives with blown-up order sets (the plan must be
+    * invariant in order count).
+    */
+  private[graft] def basketLiftFrom(lines: DataFrame, cap: Int): DataFrame = {
     val dec = "decimal(38,0)"
     // eager fill: the self-join consumes BOTH gridded sides of `op`
     // inside one job while the order-total broadcast materializes from
     // it too
     val op = graft.TransientCache.register(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      lines
         .distinct()
         .withColumn("nb", greatest(lit(1L),
           ceil(count(lit(1)).over(Window.partitionBy(col("o")))

@@ -1314,8 +1314,23 @@ object TextOps {
     * (lift desc, a, b).
     */
   def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val uni = graft.TransientCache.register(
+      bigramCounts(spark, dir)
+        .groupBy(col("cur").as("w")).agg(sum(col("c2")).as("c1")).cache())
+    // eager fill (the sibling-consumer rule): both probe joins AND the
+    // 1-row total broadcast read `uni` inside the final job — cold, the
+    // bigram-model subplan would run once per racing consumer
+    uni.count()
+    cooccurrenceOf(Tables.spread(Tables.documents(spark, dir)), uni)
+  }
+
+  /** The co-occurrence engine over explicit documents + unigram frames —
+    * the seam the scale probe drives with blown-up corpora (the plan
+    * must keep the pair stream in-array at any data size).
+    */
+  private[graft] def cooccurrenceOf(docs: DataFrame, uni: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val pairs = Tables.spread(Tables.documents(spark, dir))
+    val pairs = docs
       .select(toks(col("text")).as("t"))
       .select(explode(expr(
         s"flatten(transform(t, (x, i) -> transform(slice(t, i + 2, $CoocWindow), " +
@@ -1325,13 +1340,6 @@ object TextOps {
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= CoocMinCount)
-    val uni = graft.TransientCache.register(
-      bigramCounts(spark, dir)
-        .groupBy(col("cur").as("w")).agg(sum(col("c2")).as("c1")).cache())
-    // eager fill (the sibling-consumer rule): both probe joins AND the
-    // 1-row total broadcast read `uni` inside the final job — cold, the
-    // bigram-model subplan would run once per racing consumer
-    uni.count()
     val total = uni.agg(sum(col("c1")).as("total"))
     pairs
       .join(uni.select(col("w").as("a"), col("c1").as("ca")), Seq("a"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, Stock, TextOps}
+import graft.operators.{Analytics, Graph, Stock, TextOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,68 @@ class ScaleProbeSpec extends SparkSpec {
       s"degree orientation must bound wedge work, got $degWedges")
     assert(idWedges / math.max(degWedges, 1L) > 50,
       s"expected orders-of-magnitude collapse: $idWedges vs $degWedges")
+  }
+
+  test("q100 co-occurrence keeps the pair stream in-array — plan invariant at 10x") {
+    withAqeOff {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      def blow(f: Int): DataFrame = docs
+        .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("doc_id") * f + col("__s")).as("doc_id"), col("text"))
+      // a fixed vocab-bounded unigram frame: the corpus side is what
+      // scales; the model side is the shared tier at any SF
+      val uni = TextOps.bigramCounts(spark, dir)
+        .groupBy(col("cur").as("w")).agg(sum(col("c2")).as("c1"))
+      val p1 = planOf(TextOps.cooccurrenceOf(blow(1), uni))
+      val p10 = planOf(TextOps.cooccurrenceOf(blow(10), uni))
+      // the window-pair generator must stay a generate-in-scan: one
+      // pair hash-agg, NO positional self-join added at any size
+      assert(shuffleCount(p1) == shuffleCount(p10), s"1x=$p1\n10x=$p10")
+      assert(!p10.contains("CartesianProduct"))
+      assert(p10.contains("Generate"), "pair stream must be generated in-array")
+      TransientCache.drain()
+    }
+  }
+
+  test("q102 basket lift plan is invariant in order count at 10x") {
+    withAqeOff {
+      val lines = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      def blow(f: Int): DataFrame = lines
+        .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("o") * f + col("__s")).as("o"),
+          (col("p") * f + col("__s")).as("p"))
+      // disjoint order copies: orders AND parts scale, basket sizes stay
+      // business-bounded — the shape of 10x more customers, not a
+      // hotter basket (the mega-basket shape has its own live guard,
+      // spec'd in AnalyticsSpec)
+      val p1 = planOf(Analytics.basketLiftFrom(blow(1), Analytics.BasketBlockCap))
+      val p10 = planOf(Analytics.basketLiftFrom(blow(10), Analytics.BasketBlockCap))
+      assert(shuffleCount(p1) == shuffleCount(p10), s"1x=$p1\n10x=$p10")
+      assert(!p10.contains("CartesianProduct"))
+      TransientCache.drain()
+    }
+  }
+
+  test("q99 triangle plan shape is invariant in edge count at 10x") {
+    withAqeOff {
+      val sql = spark.sqlContext
+      import sql.implicits._
+      // disjoint relabeled copies of a fixed community graph: edges and
+      // nodes scale, degrees stay constant (the hub-degree blowup is the
+      // separate wedge-work probe above)
+      val base = (0 until 40).flatMap(i =>
+        Seq((i.toLong, (i + 1) % 40L), (i.toLong, (i + 2) % 40L)))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      def blow(f: Int): DataFrame = (0 until f).flatMap(s =>
+        base.map { case (a, b) => (a * f + s, b * f + s) })
+        .toDF("da", "db")
+      val p1 = planOf(Graph.triangleCountsOf(blow(1)))
+      val p10 = planOf(Graph.triangleCountsOf(blow(10)))
+      assert(shuffleCount(p1) == shuffleCount(p10), s"1x=$p1\n10x=$p10")
+      assert(!p10.contains("CartesianProduct"))
+      TransientCache.drain()
+    }
   }
 
   test("10x running balance stays within a loose linear-runtime envelope") {
