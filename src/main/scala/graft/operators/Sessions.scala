@@ -297,8 +297,27 @@ object Sessions {
     */
   val FunnelWindowSec = 86400L
 
-  private val B36 = 68719476736L   // 2^36 — the start-ts field
-  private val B40 = 1099511627776L // 2^40 — the best-depth field
+  private[graft] val B36 = 68719476736L   // 2^36 — the start-ts field
+  private[graft] val B40 = 1099511627776L // 2^40 — the best-depth field
+
+  /** ONE transition of the funnel chain fold — the packed-long automaton
+    * shared verbatim by the secondary-sort path ([[windowFunnelProdOf]])
+    * and the streaming twin ([[graft.streaming.StreamingFunnel]]), and
+    * mirrored term-for-term by the in-array SQL fold and the DuckDB
+    * recursive-CTE oracle. All 64-bit integer DIV/MOD/compare — the
+    * bit-compatibility contract lives in this one function.
+    */
+  private[graft] def funnelStep(acc: Long, x: Long): Long = {
+    val d = (acc / B36) % 16
+    val best = acc / B40
+    val start = acc % B36
+    if (x % 8 == d + 1 && (d == 0 || x / 8 - start <= FunnelWindowSec))
+      math.max(best, d + 1) * B40 + (d + 1) * B36 +
+        (if (d == 0) x / 8 else start)
+    else if (x % 8 == 1 && d > 0 && x / 8 - start > FunnelWindowSec)
+      math.max(best, 1L) * B40 + B36 + x / 8
+    else acc
+  }
 
   /** q101 — window funnel: per user, the deepest prefix of the
     * view → click → purchase funnel completed with every step inside
@@ -398,7 +417,6 @@ object Sessions {
   private[graft] def windowFunnelProdOf(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val w = FunnelWindowSec
     val folded = events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id").cast("long").as("_1"),
@@ -416,17 +434,8 @@ object Sessions {
           def next(): (Long, Long) = {
             val u = it.head._1
             var acc = 0L
-            while (it.hasNext && it.head._1 == u) {
-              val x = it.next()._2
-              val d = (acc / B36) % 16
-              val best = acc / B40
-              val start = acc % B36
-              if (x % 8 == d + 1 && (d == 0 || x / 8 - start <= w))
-                acc = math.max(best, d + 1) * B40 + (d + 1) * B36 +
-                  (if (d == 0) x / 8 else start)
-              else if (x % 8 == 1 && d > 0 && x / 8 - start > w)
-                acc = math.max(best, 1L) * B40 + B36 + x / 8
-            }
+            while (it.hasNext && it.head._1 == u)
+              acc = funnelStep(acc, it.next()._2)
             (u, acc / B40)
           }
         }

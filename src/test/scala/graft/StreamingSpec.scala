@@ -712,6 +712,65 @@ class StreamingSpec extends SparkSpec {
     TransientCache.drain()
   }
 
+  test("streaming funnel: micro-batches == batch fold; an open chain survives a restart") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEv
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val tmp = Files.createTempDirectory("graft-sfunnel").toString
+    val base = 1700000000L
+    def pack(offSec: Long, step: Long): Long = (base + offSec) * 8 + step
+
+    val stream = MemoryStream[FunnelEv](spark)
+    // foreachBatch sink: unlike the memory sink it supports restarting
+    // from the checkpoint — the point of this test
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def run(): Unit = {
+      val q = StreamingFunnel(stream.toDS())
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingFunnel.FunnelRow], _: Long) =>
+          batch.collect().foreach(r => emitted.add(r.user_id -> r.funnel_depth))
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: u1 view+click (chain OPEN at depth 2); u2 full chain
+    stream.addData(
+      FunnelEv(1L, pack(0, 1)), FunnelEv(1L, pack(100, 2)),
+      FunnelEv(2L, pack(0, 1)), FunnelEv(2L, pack(10, 2)), FunnelEv(2L, pack(20, 3)))
+    run()
+    // RESTART (new query, same checkpoint): u1's purchase arrives inside
+    // the window of the chain opened BEFORE the restart — the packed
+    // state must carry (best, depth, start) across and complete to 3;
+    // u3's purchase alone never chains
+    stream.addData(FunnelEv(1L, pack(200, 3)), FunnelEv(3L, pack(0, 3)))
+    run()
+
+    import scala.jdk.CollectionConverters._
+    val emits = emitted.asScala.toArray
+    // running emissions: u1 reads 2 after batch 1, then 3 after batch 2
+    assert(emits.filter(_._1 == 1L).toSeq == Seq((1L, 2L), (1L, 3L)), emits.toSeq.toString)
+    val last = emits.zipWithIndex.groupBy(_._1._1)
+      .map { case (u, es) => u -> es.maxBy(_._2)._1._2 }
+    // final per-user depth == the batch fold over the concatenated input
+    val all = Seq(
+      (1L, new java.sql.Timestamp((base + 0) * 1000L), "view"),
+      (1L, new java.sql.Timestamp((base + 100) * 1000L), "click"),
+      (1L, new java.sql.Timestamp((base + 200) * 1000L), "purchase"),
+      (2L, new java.sql.Timestamp((base + 0) * 1000L), "view"),
+      (2L, new java.sql.Timestamp((base + 10) * 1000L), "click"),
+      (2L, new java.sql.Timestamp((base + 20) * 1000L), "purchase"),
+      (3L, new java.sql.Timestamp((base + 0) * 1000L), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val batch = graft.operators.Sessions.windowFunnelOf(all).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last == batch && batch == Map(1L -> 3L, 2L -> 3L, 3L -> 0L),
+      s"streamed $last vs batch $batch")
+  }
+
   test("streaming drift monitor: per-epoch readings; keyed replay is a no-op") {
     val sql = spark.sqlContext
     import sql.implicits._
