@@ -443,6 +443,131 @@ object Sessions {
     folded.toDF("user_id", "funnel_depth").orderBy(col("user_id"))
   }
 
+  /** q104 — weekly retention cohorts: users cohorted by the week of
+    * their FIRST event; for every (cohort, week-offset) cell, how many
+    * of the cohort's users were active — the canonical product-health
+    * triangle every event pipeline reports. Everything stays in exact
+    * integer space until the one final division: days are
+    * `unix_timestamp DIV 86400`, cohorts `first_day DIV 7`, offsets
+    * `(day − first_day) DIV 7` — floor-division on nonnegative longs,
+    * identical in both engines (the q48 epoch-alignment discipline; no
+    * engine week-truncation, whose week-start conventions differ).
+    *
+    * Plan: one user-key agg for first days; the activity join shuffles
+    * on the SAME user key (the agg's partitioning reused on one side);
+    * distinct (user, cohort, offset) collapses per-user weekly activity
+    * BEFORE the cell counts, so the (cohort, offset) agg sees user-week
+    * rows, not raw events; cohort sizes are the offset-0 slice of the
+    * same frame (every user is active in their own first week by
+    * construction — no separate cohort scan); the final size join is
+    * |cohorts|-bounded. No windows, no self-joins — at 100 TB this is
+    * two keyed aggs and a dimension join.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsOf(Tables.events(spark, dir))
+
+  private[graft] def retentionCohortsOf(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+      expr("unix_timestamp(ts) DIV 86400").as("day"))
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+    val act = days.join(first, Seq("user_id"))
+      .select(col("user_id"), expr("fd DIV 7").as("cohort_week"),
+        expr("(day - fd) DIV 7").as("week_offset"))
+      .distinct()
+    val cells = act.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = act.filter(col("week_offset") === 0)
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
+    cells.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Oracle: same day/cohort/offset integer arithmetic (`//` is DuckDB's
+    * floor division — equal to Spark's DIV on the nonnegative epoch
+    * values here), same distinct user-week collapse, one division.
+    */
+  val retentionCohortsSql: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT d.user_id, f.fd // 7 AS cohort_week,
+      |    (d.day - f.fd) // 7 AS week_offset
+      |  FROM d JOIN f ON d.user_id = f.user_id),
+      |c AS (SELECT cohort_week, week_offset, count(*) AS n_active
+      |      FROM a GROUP BY 1, 2),
+      |s AS (SELECT cohort_week, count(*) AS n_cohort
+      |      FROM a WHERE week_offset = 0 GROUP BY 1)
+      |SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
+      |  CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+      |FROM c JOIN s ON c.cohort_week = s.cohort_week
+      |ORDER BY c.cohort_week, c.week_offset""".stripMargin
+
+  /** q105 — session transition matrix: the first-order Markov model of
+    * in-session behavior — for every (from, to) event-type pair, how
+    * often `to` directly follows `from` WITHIN a session (the q36 gap
+    * rule: a >6 h gap breaks the chain), and the row-normalized
+    * transition probability. The path-analysis summary a product
+    * pipeline derives before anything fancier (and the event-tier
+    * analog of q92's bigram model — same numerator/denominator
+    * discipline, one final division).
+    *
+    * Plan: ONE (user) window (the q36 shape — lag of ts AND type ride
+    * the same WindowExec, so session-boundary detection adds no second
+    * shuffle), then a hash-agg on the (from, to) pair key; the
+    * row-marginal reaggregates the |types|²-bounded pair frame, so the
+    * normalizing join touches a MODEL-sized table, never the corpus.
+    */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame =
+    sessionTransitionsOf(Tables.events(spark, dir))
+
+  private[graft] def sessionTransitionsOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_ts").isNotNull &&
+        col("ts") <= col("prev_ts") + expr(GapSql))
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val cells = tr.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val from = cells.groupBy(col("from_type")).agg(sum(col("n_trans")).as("n_from"))
+    cells.join(from, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+        (col("n_trans").cast("double") / col("n_from").cast("double"))
+          .as("p_trans"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Oracle: the same one-window lag pair (DuckDB sums to HUGEINT — cast
+    * the marginal back to BIGINT, the q37 lesson), same single division.
+    */
+  val sessionTransitionsSql: String =
+    s"""WITH lagged AS (
+      |  SELECT *,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS from_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT from_type, event_type AS to_type
+      |  FROM lagged
+      |  WHERE prev_ts IS NOT NULL AND ts <= prev_ts + $GapSql),
+      |c AS (SELECT from_type, to_type, count(*) AS n_trans
+      |      FROM tr GROUP BY 1, 2),
+      |f AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      |      FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n_trans, f.n_from,
+      |  CAST(c.n_trans AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p_trans
+      |FROM c JOIN f ON c.from_type = f.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
   /** Oracle: the identical packed-integer fold, expressed as a
     * RECURSIVE-CTE walk over the per-user position-numbered event list
     * (the q45 recursion precedent) rather than `list_reduce` — DuckDB

@@ -77,7 +77,12 @@ class DeterminismSweepSpec extends SparkSpec {
     // the secondary-sort carry fold must not depend on partition count
     // or row arrival order — the in-partition (user, x) sort is the
     // only order source (q103)
-    "q103_funnel_prod")
+    "q103_funnel_prod",
+    // double retention/probability at the sort boundary is a ratio of
+    // exact integers — identical under any partitioning; the keys are
+    // total orders (q104/q105)
+    "q104_retention_cohorts",
+    "q105_session_transitions")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -211,6 +211,75 @@ class EventOpsSpec extends SparkSpec {
     assert(prod == ref && prod.size == 2, "prod fold diverged on the whale")
   }
 
+  test("q104 retention cohorts: driver-side triangle recompute; offset-0 rows are exactly 1.0") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Sessions.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got.nonEmpty)
+    // independent reference from the raw rows
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400))
+    val fd = ev.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val act = ev.map { case (u, d) => (u, fd(u) / 7, (d - fd(u)) / 7) }.distinct
+    val cells = act.groupBy(a => (a._2, a._3)).map { case (k, as) => k -> as.size.toLong }
+    val sizes = act.filter(_._3 == 0L).groupBy(_._2).map { case (c, as) => c -> as.size.toLong }
+    val expect = cells.toSeq.map { case ((c, o), n) =>
+      (c, o, n, sizes(c), n.toDouble / sizes(c).toDouble) }
+      .sortBy(x => (x._1, x._2))
+    assert(got == expect, s"engine:\n$got\nvs reference:\n$expect")
+    // every user is active in their own first week: the triangle's
+    // leading edge is EXACTLY 1.0 (integer identity, not approximation)
+    assert(got.filter(_._2 == 0L).forall(r => r._3 == r._4 && r._5 == 1.0))
+  }
+
+  test("q105 session transitions: gap breaks the chain; rows normalize to 1; fixture recompute") {
+    import spark.implicits._
+    val base = 1700000000L
+    def ev(id: Long, u: Long, offSec: Long, t: String) =
+      (id, u, new java.sql.Timestamp((base + offSec) * 1000L), t)
+    // u1: view->click->view in one session, then a >6h gap (chain broken:
+    // view after the gap pairs with nothing), then purchase 10s later
+    val rows = Seq(
+      ev(1, 1, 0, "view"), ev(2, 1, 100, "click"), ev(3, 1, 200, "view"),
+      ev(4, 1, 200 + 6 * 3600 + 1, "view"), ev(5, 1, 200 + 6 * 3600 + 11, "purchase"),
+      // u2: a single transition
+      ev(6, 2, 0, "view"), ev(7, 2, 50, "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessions.sessionTransitionsOf(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got == Seq(
+      ("click", "view", 1L, 1L, 1.0),
+      ("view", "click", 1L, 3L, 1.0 / 3.0),
+      ("view", "purchase", 1L, 3L, 1.0 / 3.0),
+      ("view", "view", 1L, 3L, 1.0 / 3.0)), got.toString)
+
+    // fixture: row-normalized probabilities sum to 1 per from_type
+    // (exact ratio algebra) and totals match a driver recompute
+    val dir = "/root/testdata/sf0.001"
+    val fx = Sessions.sessionTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(fx.nonEmpty)
+    fx.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, "marginal must equal the pair sum")
+    }
+    // microsecond epochs: fixture timestamps carry sub-second fractions,
+    // and the engine orders/compares at full precision (the q47 lesson)
+    val raw = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("es"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expectPairs = raw.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Array(a, b) if b._2 - a._2 <= 6L * 3600 * 1000000 => (a._4, b._4)
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(fx.map(r => (r._1, r._2) -> r._3).toMap == expectPairs,
+      "fixture pair counts must match the driver recompute")
+  }
+
   test("KMV estimate is close on a known universe and exact-count sane") {
     // 5000 distinct strings through the production hash; k = 64
     val n = 5000

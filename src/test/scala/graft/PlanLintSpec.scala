@@ -236,6 +236,13 @@ class PlanLintSpec extends SparkSpec {
     "q103_funnel_prod" -> 2, // the whale path: ONE user-key repartition (the
                              // secondary sort is in-partition, not an
                              // exchange) + the presentation sort
+    "q104_retention_cohorts" -> 6, // user first-day agg + activity join +
+                                   // (user, cohort, offset) distinct +
+                                   // cell agg + offset-0 size agg + sort;
+                                   // the size join broadcasts at fixture
+    "q105_session_transitions" -> 4, // ONE (user) window (both lags ride it)
+                                     // + pair agg + the |types|-row marginal
+                                     // agg + sort
     "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
                            // the SHARED bigram model build when cold (its own
                            // corpus pass — warm sessions hit the vocab-bounded
