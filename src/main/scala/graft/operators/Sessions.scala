@@ -509,6 +509,92 @@ object Sessions {
       |FROM c JOIN s ON c.cohort_week = s.cohort_week
       |ORDER BY c.cohort_week, c.week_offset""".stripMargin
 
+  /** q106 — UNBOUNDED sequence conversion (the sequenceMatch family,
+    * where q101 is the windowFunnel family): did the user EVER complete
+    * view → click → purchase in order, with no time bound — and for
+    * converters, how long the first completed chain took. The classic
+    * relational formulation, deliberately different machinery from
+    * q101's fold: t1 = min ts(view), t2 = min ts(click AFTER t1),
+    * t3 = min ts(purchase AFTER t2) — three user-key min-aggs chained
+    * by keyed joins (each reusing the user partitioning), no windows,
+    * no per-user arrays, trivially whale-proof. The earliest-chain
+    * greedy is OPTIMAL here (no window to outlive): t1..t3 exist iff
+    * ANY ordered triple exists, so depth is exact subsequence
+    * containment. Conversion stats are exact integers (epoch seconds;
+    * min/max; mean as one sum/count division); depth-0 rows are the
+    * funnel-typed users whose first view never happened (e.g.
+    * purchase-only), untyped users are absent as in q101.
+    */
+  def sequenceConvert(spark: SparkSession, dir: String): DataFrame =
+    sequenceConvertOf(Tables.events(spark, dir))
+
+  private[graft] def sequenceConvertOf(events: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_type"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("es")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id")).filter(col("es") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("es")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id")).filter(col("es") > col("t2"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("es")).as("t3"))
+    val perUser = e.select(col("user_id")).distinct()
+      .join(t1.select(col("user_id"), col("t1")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), lit(1).as("has2")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L)
+          .when(col("has2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L).as("funnel_depth"),
+        (col("t3") - col("t1")).as("conv"))
+    perUser.groupBy(col("funnel_depth"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("conv")).as("min_convert_s"),
+        max(col("conv")).as("max_convert_s"),
+        (sum(col("conv")).cast("double") / count(col("conv")))
+          .as("mean_convert_s"))
+      .orderBy(col("funnel_depth"))
+  }
+
+  /** Oracle: the same three chained min-aggs (DuckDB sums to HUGEINT —
+    * cast back, the q37 lesson; NULL/0 is NULL in both engines for the
+    * convert-less depths).
+    */
+  val sequenceConvertSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |t1 AS (SELECT user_id, min(es) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, t1.t1, min(es) AS t2 FROM e
+      |       JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE event_type = 'click' AND es > t1.t1
+      |       GROUP BY e.user_id, t1.t1),
+      |t3 AS (SELECT e.user_id, t2.t1, min(es) AS t3 FROM e
+      |       JOIN t2 ON e.user_id = t2.user_id
+      |       WHERE event_type = 'purchase' AND es > t2.t2
+      |       GROUP BY e.user_id, t2.t1),
+      |pu AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN t3.t3 IS NOT NULL THEN 3
+      |         WHEN t2.user_id IS NOT NULL THEN 2
+      |         WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+      |    t3.t3 - t3.t1 AS conv
+      |  FROM (SELECT DISTINCT user_id FROM e) u
+      |  LEFT JOIN t1 ON u.user_id = t1.user_id
+      |  LEFT JOIN t2 ON u.user_id = t2.user_id
+      |  LEFT JOIN t3 ON u.user_id = t3.user_id)
+      |SELECT CAST(funnel_depth AS BIGINT) AS funnel_depth,
+      |  count(*) AS n_users,
+      |  min(conv) AS min_convert_s, max(conv) AS max_convert_s,
+      |  CAST(CAST(sum(conv) AS BIGINT) AS DOUBLE) / count(conv)
+      |    AS mean_convert_s
+      |FROM pu GROUP BY funnel_depth ORDER BY funnel_depth""".stripMargin
+
   /** q105 — session transition matrix: the first-order Markov model of
     * in-session behavior — for every (from, to) event-type pair, how
     * often `to` directly follows `from` WITHIN a session (the q36 gap

@@ -82,7 +82,9 @@ class DeterminismSweepSpec extends SparkSpec {
     // exact integers — identical under any partitioning; the keys are
     // total orders (q104/q105)
     "q104_retention_cohorts",
-    "q105_session_transitions")
+    "q105_session_transitions",
+    // chained min-aggs and one ratio — partition-count invariant (q106)
+    "q106_sequence_convert")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -280,6 +280,35 @@ class EventOpsSpec extends SparkSpec {
       "fixture pair counts must match the driver recompute")
   }
 
+  test("q106 sequence conversion: every depth, ordering strictness, unbounded window") {
+    import spark.implicits._
+    val base = 1700000000L
+    def ev(u: Long, offSec: Long, t: String): (Long, java.sql.Timestamp, String) =
+      (u, new java.sql.Timestamp((base + offSec) * 1000L), t)
+    val rows = Seq(
+      // u1: full chain — and FAR outside q101's 24h window (unbounded)
+      ev(1, 0, "view"), ev(1, 10 * 86400, "click"), ev(1, 20 * 86400, "purchase"),
+      // u2: click BEFORE the first view never chains; no later click
+      ev(2, 0, "click"), ev(2, 10, "view"), ev(2, 20, "purchase"),
+      // u3: view then purchase, no click — depth 1 (strict order)
+      ev(3, 0, "view"), ev(3, 100, "purchase"),
+      // u4: purchase-only — depth 0 (funnel-typed but viewless)
+      ev(4, 0, "purchase"),
+      // u5: view+click, purchase BEFORE the click — depth 2
+      ev(5, 0, "view"), ev(5, 5, "purchase"), ev(5, 10, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Sessions.sequenceConvertOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // depths: u4=0, u2=1 (its view converts nothing), u3=1, u5=2, u1=3
+    assert(got == Seq((0L, 1L, -1L), (1L, 2L, -1L), (2L, 1L, -1L),
+      (3L, 1L, 20L * 86400)), got.toString)
+    // the depth-3 conversion time is first-view -> first valid purchase
+    val conv = Sessions.sequenceConvertOf(rows)
+      .filter(col("funnel_depth") === 3).collect().head
+    assert(conv.getLong(3) == 20L * 86400 && conv.getDouble(4) == 20.0 * 86400)
+  }
+
   test("KMV estimate is close on a known universe and exact-count sane") {
     // 5000 distinct strings through the production hash; k = 64
     val n = 5000

@@ -243,6 +243,10 @@ class PlanLintSpec extends SparkSpec {
     "q105_session_transitions" -> 4, // ONE (user) window (both lags ride it)
                                      // + pair agg + the |types|-row marginal
                                      // agg + sort
+    "q106_sequence_convert" -> 6, // three chained user-key min-aggs (each
+                                  // join reuses the user partitioning) +
+                                  // the distinct user base + depth agg +
+                                  // 4-row sort
     "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
                            // the SHARED bigram model build when cold (its own
                            // corpus pass — warm sessions hit the vocab-bounded
