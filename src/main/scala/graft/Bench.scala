@@ -138,7 +138,8 @@ object Bench {
         () => operators.Ledger.unionLedger(spark, sfDir).count(): Unit),
       ("stock", Set("q13", "q14", "q54"),
         () => operators.Stock.stockPoints(spark, sfDir).count(): Unit),
-      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80", "q84", "q87", "q98"),
+      ("shingle", Set("q19", "q21", "q22", "q35", "q40", "q61", "q72", "q80",
+        "q84", "q87", "q98", "q108", "q109"),
         () => operators.Dedup.shingleIndex(spark, sfDir).count(): Unit),
       // the vocab-bounded bigram MODEL shared by the LM and collocation
       // tiers (cache the model, never the exploded corpus stream)

@@ -654,6 +654,110 @@ object Sessions {
       |FROM c JOIN f ON c.from_type = f.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  /** q107 — peak session concurrency per day: how many sessions are
+    * open simultaneously, sampled at session-boundary instants — the
+    * capacity-planning number every event pipeline reports (live-user
+    * peaks, connection-pool sizing). Sessions come from the q36 gap
+    * chain; each contributes a +1 boundary at its start and a −1 at its
+    * end (CLOSED intervals: at an instant where one session ends and
+    * another starts, both count — pinned by sorting +1 before −1 at
+    * equal timestamps, which also keeps a singleton session's own peak
+    * at ≥ 1).
+    *
+    * The interesting part is the SCALE shape of the running sum. A
+    * prefix sum over all boundaries is a GLOBAL total order — the naive
+    * plan is a single-partition window, the one shape that cannot
+    * scale out (the oracle below runs exactly that, which is fine on
+    * one node). This runs the two-tier distributed cumsum instead (the
+    * q68 shard-offset discipline): boundaries bucket by HOUR, a
+    * model-sized per-hour ledger (one row per distinct hour — bounded
+    * by the calendar, not the corpus) takes the only global-order
+    * window, and each hour's interior prefix sum runs under a
+    * (hour)-partitioned window with the ledger's carry-in added
+    * row-locally after a broadcast join. Equivalence to the global scan
+    * is exact: (ts, delta DESC) ordering refines hour order, so a
+    * row's global prefix = its in-hour prefix + the carry of all
+    * earlier hours. Determinism under ties: all +1s at an instant sort
+    * before all −1s, and permutations WITHIN an equal-delta run
+    * produce the same multiset of partial sums, so the daily max is
+    * well-defined without a unique tiebreak. Days with zero
+    * boundaries don't report (concurrency is sampled where it can
+    * change); all-integer output, no doubles anywhere.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    peakConcurrencyOf(Tables.events(spark, dir))
+
+  private[graft] def peakConcurrencyOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(GapSql), 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(unix_timestamp(min(col("ts"))).as("ss"),
+        unix_timestamp(max(col("ts"))).as("se"))
+    // cached: the boundary stream feeds the hour ledger AND the tier-2
+    // probe side, and the ledger rides a BROADCAST build that
+    // materializes concurrently with the probe scan in the same job —
+    // the sibling-consumer shape, so the fill is eager (q40/q100 rule);
+    // without it the whole session window chain executes twice
+    val bounds = graft.TransientCache.register(sess
+      .select(explode(array(
+        struct(col("ss").as("ts_s"), lit(1L).as("delta")),
+        struct(col("se").as("ts_s"), lit(-1L).as("delta")))).as("b"))
+      .select(col("b.ts_s").as("ts_s"), col("b.delta").as("delta"),
+        expr("b.ts_s DIV 3600").as("hour"))
+      .cache())
+    bounds.count()
+    // tier 1: the hour ledger — one row per distinct hour, the ONLY
+    // global-order window, over a calendar-bounded frame
+    val wh = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = bounds.groupBy(col("hour")).agg(sum(col("delta")).as("hsum"))
+      .withColumn("carry", sum(col("hsum")).over(wh) - col("hsum"))
+      .select(col("hour"), col("carry"))
+    // tier 2: in-hour prefix sums under a keyed window + the broadcast
+    // carry-in; +1 before −1 at equal instants (delta DESC)
+    val wIn = Window.partitionBy(col("hour"))
+      .orderBy(col("ts_s"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .join(broadcast(carry), Seq("hour"))
+      .withColumn("conc", sum(col("delta")).over(wIn) + col("carry"))
+      .groupBy(expr("ts_s DIV 86400").as("day"))
+      .agg(max(col("conc")).as("peak_concurrent"),
+        count(when(col("delta") === 1L, lit(1))).as("n_starts"),
+        count(when(col("delta") === -1L, lit(1))).as("n_ends"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle: the single-node formulation on purpose — ONE global-order
+    * running sum over all boundaries (what the two-tier plan must equal
+    * exactly), same closed-interval tie rule (delta DESC).
+    */
+  val peakConcurrencySql: String =
+    s"""WITH $sessionizeCtes,
+      |s AS (
+      |  SELECT user_id, session_no,
+      |    CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS ss,
+      |    CAST(FLOOR(epoch(max(ts))) AS BIGINT) AS se
+      |  FROM numbered GROUP BY user_id, session_no),
+      |b AS (SELECT ss AS ts_s, 1 AS delta FROM s
+      |      UNION ALL SELECT se, -1 FROM s),
+      |c AS (
+      |  SELECT ts_s, delta,
+      |    sum(delta) OVER (ORDER BY ts_s, delta DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM b)
+      |SELECT ts_s // 86400 AS day,
+      |  CAST(max(conc) AS BIGINT) AS peak_concurrent,
+      |  count(CASE WHEN delta = 1 THEN 1 END) AS n_starts,
+      |  count(CASE WHEN delta = -1 THEN 1 END) AS n_ends
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracle: the identical packed-integer fold, expressed as a
     * RECURSIVE-CTE walk over the per-user position-numbered event list
     * (the q45 recursion precedent) rather than `list_reduce` — DuckDB

@@ -71,6 +71,262 @@ object Sketch {
       |FROM est""".stripMargin
   }
 
+  // --------------------------------------------------- HLL registers
+
+  /** q108's register count (2^8 — the standard-error knob: 1.04/√m ≈ 6.5%). */
+  val HllM = 256
+
+  /** q108 — HyperLogLog distinct-count over the SAME shingle universe as
+    * q40's KMV, so the two sketches are directly comparable. This is the
+    * production cardinality sketch (Flajolet et al. 2007) expressed
+    * relationally and kept ENGINE-PORTABLE — the property Spark's own
+    * `approx_count_distinct` (also HLL) gives up:
+    *
+    *   - register = low 8 hash bits, rank ρ = position of the leftmost
+    *     1-bit in the remaining 52 (computed EXACTLY as
+    *     `53 − length(bin(hq))` — a string-length identity for
+    *     ⌊log2⌋+1, immune to the float-log2 boundary bugs; all-zero
+    *     window ⇒ the standard w+1 sentinel 53);
+    *   - the m register maxima come from ONE hash-agg over the
+    *     NON-distinct hash stream — max is idempotent, so HLL never
+    *     needs the distinct exchange KMV's top-k rides (the whole point
+    *     of the sketch at 100 TB: partial-agg map-side max into 256
+    *     cells, merge = element-wise max — the same union-by-max
+    *     algebra as a multi-shard sketch merge);
+    *   - the harmonic mean stays EXACT until one double op: Σ 2^−Mj is
+    *     carried scaled by 2^53 — `1 << (53−Mj)` summed as BIGINT over
+    *     the present registers plus an arithmetic (m − n_present)·2^53
+    *     term for the absent ones (max 256·2^53 < 2^63, never rounds;
+    *     see [[hllEstimate]]) — so both engines divide the same exact
+    *     integer into the same double-literal alpha·m²·2^53 (forced
+    *     DOUBLE with exponent notation: a bare `0.7213` parses as
+    *     DECIMAL in BOTH engines and decimal-mixed arithmetic drifts
+    *     ~4e-9 off the IEEE value — caught by the driver-recompute
+    *     spec). The small-range linear-counting branch
+    *     (E ≤ 2.5m with zero registers) needs ln(), whose last ulp is
+    *     not engine-portable — deliberately out of the checked output
+    *     (this universe sits far above it); n_zero_regs is reported so
+    *     a caller can apply it.
+    *
+    * One summary row: m, nonzero registers, the exact scaled harmonic
+    * sum, the raw HLL estimate, the exact count (fixture-scale accuracy
+    * check, as in q40), relative error.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    // shared cached shingle index feeds both the register pass (non-
+    // distinct) and the exact-count pass (distinct) — no extra cache tier
+    hllOf(shingleHashes(spark, dir))
+
+  /** The sparse (register, max-rank) frame over any non-distinct `sh_h`
+    * stream — ONE partial-aggregated hash-agg into ≤ m cells; also the
+    * at-rest row format of the q109 incremental index (max-merge is the
+    * sketch's union algebra, so `registersOf(a ∪ b)` ≡ element-wise max
+    * of `registersOf(a)` and `registersOf(b)` — the identity both the
+    * delta query and its oracle check lean on).
+    */
+  private[graft] def registersOf(h: DataFrame): DataFrame = h
+    .select(expr(s"sh_h % $HllM").as("reg"), expr(s"sh_h DIV $HllM").as("hq"))
+    .select(col("reg"),
+      when(col("hq") > 0, lit(53) - length(bin(col("hq"))))
+        .otherwise(lit(53)).as("rk"))
+    .groupBy(col("reg")).agg(max(col("rk")).as("mj"))
+
+  /** The exact scaled harmonic sum + the one double division: 1 row
+    * (m, n_nonzero_regs, sum_scaled, hll_estimate) from a sparse
+    * register frame. Registers ABSENT from the sparse frame are
+    * accounted arithmetically — each contributes exactly 2^53 to the
+    * scaled sum and a present register always has rank ≥ 1, so
+    * n_nonzero = n_present and sum = Σ_present 2^(53−Mj) +
+    * (m − n_present)·2^53 — no densify join, no 256-row dimension
+    * frame: the whole estimate tail is ONE aggregation over ≤ m rows
+    * (the first formulation joined a range frame and cost two join
+    * exchanges for nothing; the oracle deliberately keeps the densify
+    * formulation as the independent machinery).
+    */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame =
+    regs.agg(
+      count(lit(1)).as("n_present"),
+      expr("sum(shiftleft(CAST(1 AS BIGINT), 53 - mj))").as("s_present"))
+      .select(lit(HllM.toLong).as("m"),
+        col("n_present").as("n_nonzero_regs"),
+        (coalesce(col("s_present"), lit(0L)) +
+          (lit(HllM.toLong) - col("n_present")) * lit(9007199254740992L))
+          .as("sum_scaled"))
+      .withColumn("hll_estimate",
+        expr("0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0" +
+          " * 9007199254740992.0e0 / CAST(sum_scaled AS DOUBLE)"))
+
+  /** The register/estimate chain over any non-distinct `sh_h` stream. */
+  private[graft] def hllOf(h: DataFrame): DataFrame = {
+    val exact = h.distinct().agg(count(lit(1)).as("n_exact"))
+    hllEstimate(registersOf(h)).crossJoin(exact)
+      .withColumn("rel_err",
+        abs(col("hll_estimate") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"))
+  }
+
+  /** Oracle: identical register/rank arithmetic (DuckDB's `bin`/`<<`
+    * match Spark's bit-for-bit on BIGINT), identical constant-folded
+    * alpha expression — the one double division lands on the same exact
+    * integer in both engines.
+    */
+  val hllDistinctSql: String = {
+    import graft.functions.TextFns._
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest($shingles3AllSql) AS s FROM toks),
+      |h AS (SELECT ${hash60Sql("s")} AS sh_h FROM sh),
+      |r AS (
+      |  SELECT sh_h % $HllM AS reg,
+      |    CASE WHEN sh_h // $HllM > 0
+      |         THEN 53 - length(bin(sh_h // $HllM)) ELSE 53 END AS rk
+      |  FROM h),
+      |regs AS (SELECT reg, max(rk) AS mj FROM r GROUP BY reg),
+      |dense AS (
+      |  SELECT COALESCE(regs.mj, 0) AS mj
+      |  FROM range(0, $HllM) t(reg) LEFT JOIN regs ON t.reg = regs.reg),
+      |s AS (
+      |  SELECT count(CASE WHEN mj = 0 THEN 1 END) AS n_zero,
+      |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INT)) AS BIGINT)
+      |      AS sum_scaled
+      |  FROM dense),
+      |e AS (SELECT count(*) AS n_exact FROM (SELECT DISTINCT sh_h FROM h)),
+      |est AS (
+      |  SELECT CAST($HllM AS BIGINT) AS m,
+      |    CAST($HllM - n_zero AS BIGINT) AS n_nonzero_regs, sum_scaled,
+      |    0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0
+      |      * 9007199254740992.0e0 / CAST(sum_scaled AS DOUBLE)
+      |      AS hll_estimate,
+      |    n_exact
+      |  FROM s, e)
+      |SELECT m, n_nonzero_regs, sum_scaled, hll_estimate, n_exact,
+      |  abs(hll_estimate - CAST(n_exact AS DOUBLE))
+      |    / CAST(n_exact AS DOUBLE) AS rel_err
+      |FROM est""".stripMargin
+  }
+
+  // ------------------------------------ q109: incremental HLL at rest
+
+  private val hllIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String, String), String]
+  private val hllCreatedRoots = scala.collection.mutable.Set.empty[String]
+
+  /** Build-or-open the at-rest register table at `root` (the
+    * winnowIndexAt discipline: existing tables re-open as-is, so the
+    * nightly loop resumes where the last process stopped).
+    */
+  private[graft] def hllIndexAt(spark: SparkSession, root: String,
+                                corpusHashes: => DataFrame): DataFrame = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    if (!wh.exists("hll_regs"))
+      wh.write("hll_regs", registersOf(corpusHashes))
+    wh.read("hll_regs")
+  }
+
+  /** The corpus-side register table as an at-rest parquet index,
+    * memoized per (context, dir, hash mode) like the winnow index.
+    */
+  private[graft] def hllIndexAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
+    val root = hllIndexMemo.get(key).getOrElse {
+      val fresh = java.nio.file.Files.createTempDirectory("graft_hllidx_").toString
+      hllIndexAt(spark, fresh, Dedup.shingleIndex(spark, dir)
+        .filter(col("doc_id") % 10 < 8).select(col("sh_h")))
+      hllIndexMemo.putIfAbsent(key, fresh) match {
+        case Some(winner) =>
+          graft.pipelines.Fs.delete(spark, fresh); winner
+        case None =>
+          hllCreatedRoots.synchronized { hllCreatedRoots += fresh }; fresh
+      }
+    }
+    new graft.pipelines.Warehouse(spark, root).read("hll_regs")
+  }
+
+  /** Test seam — inject a register table root (the poisoned-index
+    * discipline: the q109 spec proves the screen reads the table).
+    */
+  private[graft] def installHllIndex(spark: SparkSession, dir: String,
+                                     root: String): Unit =
+    hllIndexMemo.put(
+      (spark.sparkContext, dir, graft.functions.TextFns.hashMode), root)
+
+  /** Drop this context's memoized HLL indexes; owned roots deleted. */
+  def clearHllIndex(spark: SparkSession): Unit =
+    hllIndexMemo.keys.filter(_._1 eq spark.sparkContext).foreach { k =>
+      hllIndexMemo.remove(k).foreach { root =>
+        val owned = hllCreatedRoots.synchronized { hllCreatedRoots.remove(root) }
+        if (owned) graft.pipelines.Fs.delete(spark, root)
+      }
+    }
+
+  /** Advance the at-rest registers with a batch — union + element-wise
+    * max through the tmp-swap write. Max-merge makes the advance
+    * IDEMPOTENT with no key ledger at all: a replayed batch maxes
+    * against registers that already absorbed it, so at-least-once
+    * delivery gives exactly-once effect for free (the property the
+    * additive q74/q88 indexes need doc-manifest anti-join guards to
+    * buy; spec'd: advance-replay is bit-identical a no-op).
+    */
+  private[graft] def appendToHllIndex(spark: SparkSession, root: String,
+                                      batchHashes: DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    wh.write("hll_regs",
+      wh.read("hll_regs").unionByName(registersOf(batchHashes))
+        .groupBy(col("reg")).agg(max(col("mj")).as("mj")))
+  }
+
+  /** q109 — incremental cardinality (the delta-family slot the q61/q74/
+    * q84/q88/q89 screens left open): "how many distinct shingles does
+    * corpus + tonight's batch hold" WITHOUT rescanning the corpus. The
+    * corpus side is the at-rest (reg, mj) table — ≤ m rows, a bare
+    * file scan at any corpus size (the 256-row analog of q84's 256 KB
+    * bitset); the batch side is one register hash-agg over the batch's
+    * shingle stream; merge = element-wise max. The HLL union algebra
+    * IS the correctness proof, and the oracle makes it a checked one:
+    * the DuckDB twin recomputes the registers from the FULL corpus ∪
+    * batch stream from scratch, so the hash compare passes iff
+    * incremental ≡ rebuild bit-for-bit. At 100 TB the nightly
+    * cardinality bill drops from a corpus scan to |batch| + m rows —
+    * and the advance needs no manifest: max is idempotent (see
+    * [[appendToHllIndex]]).
+    */
+  def deltaHll(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = hllIndexAtRest(spark, dir)
+    val batch = registersOf(Dedup.shingleIndex(spark, dir)
+      .filter(col("doc_id") % 10 >= 8).select(col("sh_h")))
+    hllEstimate(corpus.unionByName(batch)
+      .groupBy(col("reg")).agg(max(col("mj")).as("mj")))
+  }
+
+  /** Oracle: the full-rebuild formulation over corpus ∪ batch (= every
+    * document — the fixture's delta split), deliberately scanning what
+    * the incremental path must never touch.
+    */
+  val deltaHllSql: String = {
+    import graft.functions.TextFns._
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest($shingles3AllSql) AS s FROM toks),
+      |h AS (SELECT ${hash60Sql("s")} AS sh_h FROM sh),
+      |r AS (
+      |  SELECT sh_h % $HllM AS reg,
+      |    CASE WHEN sh_h // $HllM > 0
+      |         THEN 53 - length(bin(sh_h // $HllM)) ELSE 53 END AS rk
+      |  FROM h),
+      |regs AS (SELECT reg, max(rk) AS mj FROM r GROUP BY reg),
+      |dense AS (
+      |  SELECT COALESCE(regs.mj, 0) AS mj
+      |  FROM range(0, $HllM) t(reg) LEFT JOIN regs ON t.reg = regs.reg)
+      |SELECT CAST($HllM AS BIGINT) AS m,
+      |  CAST($HllM - count(CASE WHEN mj = 0 THEN 1 END) AS BIGINT)
+      |    AS n_nonzero_regs,
+      |  CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INT)) AS BIGINT)
+      |    AS sum_scaled,
+      |  0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0
+      |    * 9007199254740992.0e0
+      |    / CAST(CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INT))
+      |           AS BIGINT) AS DOUBLE) AS hll_estimate
+      |FROM dense""".stripMargin
+  }
+
   // --------------------------------------------------- CMS heavy hitters
 
   /** q82's sketch geometry and the absolute hot-token cut (the fixture

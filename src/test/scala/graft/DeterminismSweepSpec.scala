@@ -84,7 +84,15 @@ class DeterminismSweepSpec extends SparkSpec {
     "q104_retention_cohorts",
     "q105_session_transitions",
     // chained min-aggs and one ratio — partition-count invariant (q106)
-    "q106_sequence_convert")
+    "q106_sequence_convert",
+    // all-integer running sums; the tie multiset argument makes the daily
+    // max partition- and order-invariant (q107)
+    "q107_peak_concurrency",
+    // register maxima are idempotent/commutative; one exact-integer
+    // division target (q108); the delta merge is the same max algebra
+    // over an at-rest side (q109)
+    "q108_hll_distinct",
+    "q109_delta_hll")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself
@@ -94,6 +102,7 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Dedup.clearCorpusIndex(spark)
     graft.operators.Dedup.clearWinnowIndexAtRest(spark)
     graft.operators.Dedup.clearCorpusBloom(spark)
+    graft.operators.Sketch.clearHllIndex(spark)
     // CacheManager matches by logical plan, so a cached winnow index
     // built under one partition count would serve the other verbatim —
     // evict it so q85/q86 genuinely recompute (unpersist resolves the

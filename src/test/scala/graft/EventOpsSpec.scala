@@ -309,6 +309,60 @@ class EventOpsSpec extends SparkSpec {
     assert(conv.getLong(3) == 20L * 86400 && conv.getDouble(4) == 20.0 * 86400)
   }
 
+  test("q107 peak concurrency: closed-interval ties, singleton, hour carry, day split") {
+    // base lands at second 80000 of its day and second 800 of its hour —
+    // the t=0..6399 boundaries are one day, t>=6400 the next
+    val base = 1700000000L
+    val day0 = base / 86400 // 19675
+    def ev(u: Long, offSec: Long): (Long, Long, java.sql.Timestamp, String) =
+      (u * 1000 + offSec, u, new java.sql.Timestamp((base + offSec) * 1000L), "view")
+    val rows = Seq(
+      ev(1, 0), ev(1, 3600),      // session A = [0, 3600]
+      ev(2, 1800),                // singleton B = [1800, 1800]
+      ev(3, 3600), ev(3, 7200),   // C = [3600, 7200] — starts AS A ends
+      ev(4, 0), ev(4, 18000))     // D = [0, 18000] — spans 5 hour buckets
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessions.peakConcurrencyOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    TransientCache.drain()
+    // global running sum over (0:+A +D, 1800:+B -B, 3600:+C -A, 7200:-C,
+    // 18000:-D) = 1,2,3,2,3,2,1,0 — the closed-interval rule keeps the
+    // singleton at >=1 and counts A and C together at t=3600; D's -1
+    // five hours later must see the carry from hour 0
+    assert(got == Seq((day0, 3L, 4L, 2L), (day0 + 1, 1L, 0L, 2L)), got.toString)
+  }
+
+  test("q107 two-tier cumsum == a driver-side global scan on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Sessions.peakConcurrency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    TransientCache.drain()
+    // independent recompute: sessionize in driver memory, then ONE global
+    // ordered scan (what the distributed two-tier plan must equal exactly)
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 6L * 3600
+    val bounds = evs.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      val sess = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var (ss, se) = (sorted.head, sorted.head)
+      sorted.tail.foreach { t =>
+        if (t > se + gap) { sess += ((ss, se)); ss = t; se = t } else se = t
+      }
+      sess += ((ss, se))
+      sess.flatMap { case (a, b) => Seq((a, 1L), (b, -1L)) }
+    }
+    var run = 0L
+    val conc = bounds.sortBy { case (t, d) => (t, -d) }
+      .map { case (t, d) => run += d; (t / 86400, run, d) }
+    val want = conc.groupBy(_._1).toSeq.sortBy(_._1).map { case (day, rs) =>
+      (day, rs.map(_._2).max, rs.count(_._3 == 1L).toLong,
+        rs.count(_._3 == -1L).toLong)
+    }
+    assert(got == want, s"two-tier ${got.take(5)} vs global ${want.take(5)}")
+  }
+
   test("KMV estimate is close on a known universe and exact-count sane") {
     // 5000 distinct strings through the production hash; k = 64
     val n = 5000

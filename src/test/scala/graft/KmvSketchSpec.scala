@@ -41,6 +41,114 @@ class KmvSketchSpec extends SparkSpec {
     assert(rel == agg)
   }
 
+  // ----------------------------------- q108: HLL register-space sketch
+
+  test("q108 HLL: estimate within the m=256 error envelope on a known universe") {
+    // 20k distinct strings through the PRODUCTION hash — unlike KMV
+    // (which only needs uniform values), HLL reads bit patterns, so an
+    // evenly-SPACED synthetic stream has degenerate leading-zero runs
+    // and estimates garbage (observed: rel_err 0.98). The standard
+    // error at m=256 is 1.04/16 = 6.5%; allow 4 sigma
+    val n = 20000L
+    val h = spark.range(n).select(graft.functions.TextFns.hash60(
+      concat(lit("hll:"), col("id").cast("string"))).as("sh_h"))
+    val row = Sketch.hllOf(h).head()
+    assert(row.getLong(0) == 256L)
+    assert(row.getLong(4) == n, "exact distinct must be exact")
+    assert(row.getDouble(5) < 0.26, s"rel_err ${row.getDouble(5)}")
+  }
+
+  test("q108 HLL: output is invariant under duplication and repartitioning") {
+    // max is idempotent and merge-order-free: the sketch of a stream
+    // union its own shuffle must be BIT-identical — the union-by-max
+    // algebra a multi-shard merge relies on
+    val vals = (1L to 5000L).map(i => i * 230584300921369L + 7L)
+    val base = Sketch.hllOf(vals.toDF("sh_h").repartition(1)).collect()
+    val dup = Sketch.hllOf(
+      (vals ++ new scala.util.Random(5).shuffle(vals).take(2345))
+        .toDF("sh_h").repartition(17)).collect()
+    assert(base.toSeq == dup.toSeq)
+  }
+
+  test("q108 HLL: register maxima and scaled sum match a driver recompute on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val row = Sketch.hllDistinct(spark, dir).head()
+    val hashes = Sketch.shingleHashes(spark, dir).as[Long].collect()
+    val regs = Array.fill(256)(0)
+    hashes.foreach { h =>
+      val hq = h / 256
+      val rk = if (hq > 0) 53 - (64 - java.lang.Long.numberOfLeadingZeros(hq)) else 53
+      val r = (h % 256).toInt
+      if (rk > regs(r)) regs(r) = rk
+    }
+    val sumScaled = regs.map(m => 1L << (53 - m)).sum
+    val est = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 /
+      sumScaled.toDouble
+    assert(row.getLong(1) == regs.count(_ > 0).toLong, "nonzero registers")
+    assert(row.getLong(2) == sumScaled, "scaled harmonic sum (exact integer)")
+    assert(row.getDouble(3) == est, "the one double division is bit-identical")
+    assert(row.getLong(4) == hashes.distinct.length.toLong)
+  }
+
+  // ------------------------------ q109: incremental HLL (at-rest regs)
+
+  test("q109 delta HLL == full rebuild bit-for-bit (the union-by-max algebra)") {
+    val dir = "/root/testdata/sf0.001"
+    Sketch.clearHllIndex(spark)
+    val delta = Sketch.deltaHll(spark, dir).collect().toSeq
+    val full = Sketch.hllOf(Sketch.shingleHashes(spark, dir))
+      .select(col("m"), col("n_nonzero_regs"), col("sum_scaled"),
+        col("hll_estimate")).collect().toSeq
+    TransientCache.drain()
+    assert(delta == full,
+      s"incremental must equal rebuild exactly: $delta vs $full")
+  }
+
+  test("q109 reads the at-rest table: a poisoned register index changes the estimate") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_hllpoison_").toString
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    // every register claims a max-rank 53 observation — an estimate no
+    // real corpus side produces
+    wh.write("hll_regs", spark.range(256)
+      .select(col("id").as("reg"), lit(53).as("mj")))
+    Sketch.clearHllIndex(spark)
+    Sketch.installHllIndex(spark, dir, root)
+    try {
+      val poisoned = Sketch.deltaHll(spark, dir).select(col("n_nonzero_regs"))
+        .head().getLong(0)
+      assert(poisoned == 256L,
+        "all 256 poisoned registers must surface through the merge — " +
+          "if not, the query is not reading the at-rest table")
+    } finally {
+      Sketch.clearHllIndex(spark)
+      graft.pipelines.Fs.delete(spark, root)
+    }
+  }
+
+  test("q109 advance: append == rebuild registers; a replayed batch is a no-op (no ledger needed)") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_hlladv_").toString
+    try {
+      val sh = graft.operators.Dedup.shingleIndex(spark, dir)
+      val corpus = sh.filter(col("doc_id") % 10 < 8).select(col("sh_h"))
+      val batch = sh.filter(col("doc_id") % 10 >= 8).select(col("sh_h"))
+      Sketch.hllIndexAt(spark, root, corpus)
+      Sketch.appendToHllIndex(spark, root, batch)
+      val wh = new graft.pipelines.Warehouse(spark, root)
+      def regsNow(): Seq[(Long, Int)] = wh.read("hll_regs").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val advanced = regsNow()
+      val rebuilt = Sketch.registersOf(sh.select(col("sh_h"))).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(advanced == rebuilt, "advance-then-read != rebuild-from-scratch")
+      // at-least-once delivery: the replay maxes against registers that
+      // already absorbed the batch — idempotent WITHOUT a doc manifest
+      Sketch.appendToHllIndex(spark, root, batch)
+      assert(regsNow() == advanced, "replayed advance must be a no-op")
+    } finally graft.pipelines.Fs.delete(spark, root)
+  }
+
   // ------------------------- q90: value-carrying KMV quantile estimate
 
   test("q90 sample quantiles: estimates bracket the true corpus ranks (DKW)") {

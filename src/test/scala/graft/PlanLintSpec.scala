@@ -66,7 +66,9 @@ class PlanLintSpec extends SparkSpec {
       "three vocab-merge rounds (TextOps.bpeMerges; round 4's winner is output only)")),
     "q96_source_drift" -> (1 -> "1-row corpus token total (the q77 discipline)"),
     "q97_bpe_segment" -> (4 -> ("1-row best-pair winner broadcast per merge round; "
-      + "the apply path also merges round 4 (TextOps.bpeSegmentOf)")))
+      + "the apply path also merges round 4 (TextOps.bpeSegmentOf)")),
+    "q108_hll_distinct" -> (1 -> ("1-row register summary x 1-row exact count "
+      + "(Sketch.hllOf crossJoin — the q40 shape)")))
 
   /** Unpartitioned-window whitelist: query → (max instances, the bounded
     * frame). A whitelisted frame must be driver-tiny BY CONSTRUCTION —
@@ -75,7 +77,11 @@ class PlanLintSpec extends SparkSpec {
   private val unpartWindowAllowed: Map[String, (Int, String)] = Map(
     "q68_shard_assign" -> (1 -> ("|buckets|-row shard-offset cumsum over the " +
       "per-bucket totals (TextOps.scala:858-864); bucket count is the " +
-      "fixed shard fan-out — adjudicated r6–r9")))
+      "fixed shard fan-out — adjudicated r6–r9")),
+    "q107_peak_concurrency" -> (1 -> ("hour-ledger carry cumsum: one row per " +
+      "DISTINCT HOUR (calendar-bounded, not corpus-bounded) — the same " +
+      "shard-offset discipline as q68; the corpus-scale prefix sums run " +
+      "under the (hour)-partitioned window (Sessions.peakConcurrencyOf)")))
 
   private def descend(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -247,6 +253,20 @@ class PlanLintSpec extends SparkSpec {
                                   // join reuses the user partitioning) +
                                   // the distinct user base + depth agg +
                                   // 4-row sort
+    "q107_peak_concurrency" -> 6, // session window + boundary-cache build
+                                  // + hour ledger agg + ledger cumsum +
+                                  // (hour)-window + day agg + |days| sort
+                                  // (provisional — re-pin from the lint)
+    "q108_hll_distinct" -> 6,     // register hash-agg + estimate agg +
+                                  // distinct exact count + its 1-row agg,
+                                  // plus the shared shingle tier build (2)
+                                  // counted by the cold walk; absent
+                                  // registers are ARITHMETIC, not a densify
+                                  // join (the join shape cost 2 more)
+    "q109_delta_hll" -> 5,        // batch register agg + union max-merge +
+                                  // estimate agg, plus the shingle tier
+                                  // build (2); the corpus side is a
+                                  // <=256-row bare file scan
     "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
                            // the SHARED bigram model build when cold (its own
                            // corpus pass — warm sessions hit the vocab-bounded

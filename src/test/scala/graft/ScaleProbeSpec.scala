@@ -221,6 +221,54 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("event-tier q103–q107 plan shapes are invariant in user count at 10x") {
+    withAqeOff {
+      val events = Tables.events(spark, "/root/testdata/sf0.001")
+      // disjoint user copies: users and events scale, per-user activity
+      // stays constant — the shape of 10x more customers, not a hotter
+      // user (the whale shape has its own differential spec in
+      // EventOpsSpec, and q103 IS the whale-proof path)
+      def blow(f: Int): DataFrame = events
+        .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+        .withColumn("user_id", col("user_id") * f + col("__s"))
+        .withColumn("event_id", col("event_id") * f + col("__s"))
+        .drop("__s")
+      import graft.operators.Sessions
+      val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+        ("q103 funnel fold", Sessions.windowFunnelProdOf),
+        ("q104 retention", Sessions.retentionCohortsOf),
+        ("q105 transitions", Sessions.sessionTransitionsOf),
+        ("q106 seq convert", Sessions.sequenceConvertOf),
+        ("q107 concurrency", Sessions.peakConcurrencyOf))
+      ops.foreach { case (name, op) =>
+        val p1 = planOf(op(blow(1)))
+        val p10 = planOf(op(blow(10)))
+        assert(shuffleCount(p1) == shuffleCount(p10),
+          s"$name grew shuffles at 10x:\n1x=$p1\n10x=$p10")
+        assert(!p10.contains("CartesianProduct"), name)
+        TransientCache.drain()
+      }
+    }
+  }
+
+  test("q108 HLL register pass carries partial aggregation (map-side max) at any size") {
+    withAqeOff {
+      import graft.operators.Sketch
+      def hashes(f: Int): DataFrame =
+        spark.range(1000L * f).select(
+          (col("id") * 115292150460684L + 17L).as("sh_h"))
+      val p1 = planOf(Sketch.hllOf(hashes(1)))
+      val p10 = planOf(Sketch.hllOf(hashes(10)))
+      assert(shuffleCount(p1) == shuffleCount(p10), s"1x=$p1\n10x=$p10")
+      // the register agg must run partial (map-side max into <= 256
+      // cells) — the property that makes the sketch a one-pass merge at
+      // 100 TB; a plan that shuffles raw hashes to final-only aggs lost it
+      assert(p10.contains("partial_max") || p10.contains("partial_"),
+        s"register agg lost map-side partial aggregation:\n$p10")
+      assert(!p10.contains("CartesianProduct"))
+    }
+  }
+
   test("10x running balance stays within a loose linear-runtime envelope") {
     val ledger = Tables.ledger(spark, dir).cache()
     ledger.count()

@@ -771,6 +771,68 @@ class StreamingSpec extends SparkSpec {
       s"streamed $last vs batch $batch")
   }
 
+  test("streaming transitions: pairs across a batch boundary; aggregated == batch matrix") {
+    import graft.streaming.StreamingTransitions
+    import graft.streaming.StreamingTransitions.{TransEv, TransRow}
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val tmp = Files.createTempDirectory("graft-strans").toString
+    val base = 1700000000L
+    def us(offSec: Long): Long = (base + offSec) * 1000000L
+    def code(t: String): Int = StreamingTransitions.Types.indexOf(t) + 1
+
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Int)]()
+    val stream = MemoryStream[TransEv](spark)
+    def run(): Unit = {
+      val q = StreamingTransitions(stream.toDS())
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[TransRow], _: Long) =>
+          batch.collect().foreach(r =>
+            emitted.add((r.user_id, r.from_code, r.to_code)))
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: u1 view->click inside the gap; u2 one event (no pair yet)
+    stream.addData(
+      TransEv(1L, us(0), 1L, code("view")),
+      TransEv(1L, us(100), 2L, code("click")),
+      TransEv(2L, us(0), 3L, code("view")))
+    run()
+    // RESTART from checkpoint: u1's purchase chains off the click CARRIED
+    // in state; u2's next event is PAST the 6 h gap — the chain breaks
+    // exactly as q105's window filter drops the pair
+    stream.addData(
+      TransEv(1L, us(200), 4L, code("purchase")),
+      TransEv(2L, us(7L * 3600), 5L, code("view")))
+    run()
+
+    import scala.jdk.CollectionConverters._
+    val got = emitted.asScala.toSeq.sorted
+    assert(got == Seq(
+      (1L, code("view"), code("click")),
+      (1L, code("click"), code("purchase"))).sorted, got.toString)
+
+    // aggregated emitted pairs == the batch q105 matrix numerators over
+    // the concatenated input (pair counts are additive across batches)
+    val all = Seq(
+      (1L, new java.sql.Timestamp(us(0) / 1000), 1L, "view"),
+      (1L, new java.sql.Timestamp(us(100) / 1000), 2L, "click"),
+      (1L, new java.sql.Timestamp(us(200) / 1000), 4L, "purchase"),
+      (2L, new java.sql.Timestamp(us(0) / 1000), 3L, "view"),
+      (2L, new java.sql.Timestamp(us(7L * 3600) / 1000), 5L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val batchCells = graft.operators.Sessions.sessionTransitionsOf(all)
+      .collect().map(r => ((code(r.getString(0)), code(r.getString(1))), r.getLong(2))).toMap
+    val streamedCells = got.groupBy(p => (p._2, p._3))
+      .map { case (k, vs) => k -> vs.size.toLong }
+    assert(streamedCells == batchCells,
+      s"streamed $streamedCells vs batch $batchCells")
+  }
+
   test("streaming drift monitor: per-epoch readings; keyed replay is a no-op") {
     val sql = spark.sqlContext
     import sql.implicits._

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Contamination, Dedup, Graph, Sketch, TextOps}
+import graft.operators.{Contamination, Dedup, Graph, Sessions, Sketch, TextOps}
 
 /** Eviction hygiene for per-query transient caches: after a query is
   * materialized and [[TransientCache.drain]] runs, none of its cached
@@ -68,6 +68,10 @@ class TransientCacheSpec extends SparkSpec {
 
   test("q40 kmvDistinct transient (distinct hash frame) drains") {
     checkDrains(Sketch.kmvDistinct(spark, dir), 1)
+  }
+
+  test("q107 peakConcurrency transient (boundary stream) drains") {
+    checkDrains(Sessions.peakConcurrency(spark, dir), 1)
   }
 
   test("q22 minhashLsh transients (cand, docSets) drain") {
