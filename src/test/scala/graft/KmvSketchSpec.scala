@@ -90,6 +90,21 @@ class KmvSketchSpec extends SparkSpec {
     assert(row.getLong(4) == hashes.distinct.length.toLong)
   }
 
+  test("HllSketch: typed registers and estimate match relational q108 bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val typed = Sketch.shingleHashes(spark, dir).as[Long]
+      .select(graft.functions.HllSketch.registers(Sketch.HllM)).head()
+    // relational sparse registers, densified driver-side
+    val dense = new Array[Int](Sketch.HllM)
+    Sketch.registersOf(Sketch.shingleHashes(spark, dir)).collect()
+      .foreach(r => dense(r.getLong(0).toInt) = r.getInt(1))
+    assert(typed.toSeq == dense.toSeq,
+      "typed Aggregator registers != relational hash-agg registers")
+    val rel = Sketch.hllDistinct(spark, dir).head().getDouble(3)
+    assert(graft.functions.HllSketch.estimate(typed) == rel,
+      "typed estimate must be bit-identical to the relational division")
+  }
+
   // ------------------------------ q109: incremental HLL (at-rest regs)
 
   test("q109 delta HLL == full rebuild bit-for-bit (the union-by-max algebra)") {

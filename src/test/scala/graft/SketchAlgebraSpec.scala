@@ -124,6 +124,24 @@ class SketchAlgebraSpec extends AnyFunSuite {
     })
   }
 
+  private def hllOf(xs: Seq[Long]): Array[Int] = {
+    val agg = new graft.functions.HllSketch(64)
+    xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+  }
+
+  test("HLL: merge is associative/commutative/IDEMPOTENT with zero identity, equals the fold") {
+    val agg = new graft.functions.HllSketch(64)
+    run("hll", Prop.forAll(hashes, hashes, hashes) { (a, b, c) =>
+      def m(x: Array[Int], y: Array[Int]) = agg.merge(x.clone(), y.clone())
+      val (sa, sb, sc) = (hllOf(a), hllOf(b), hllOf(c))
+      m(m(sa, sb), sc).sameElements(m(sa, m(sb, sc))) &&
+      m(sa, sb).sameElements(m(sb, sa)) &&
+      m(sa, agg.zero).sameElements(sa) &&
+      m(sa, sa).sameElements(sa) && // idempotent: the q109 replay guard
+      m(sa, sb).sameElements(hllOf(a ++ b))
+    })
+  }
+
   test("CMS/Bloom point guarantees hold under any merge order") {
     run("guarantees", Prop.forAll(hashes, hashes) { (a, b) =>
       val cms = new CmsSketch(4, 64)
