@@ -152,7 +152,7 @@ object Bench {
       // the winnow twin of bandidx
       ("winidx", Set("q88"),
         () => operators.Dedup.winnowIndexAtRest(spark, sfDir): Unit),
-      ("simhash", Set("q23", "q24", "q45", "q62", "q99"),
+      ("simhash", Set("q23", "q24", "q45", "q62", "q99", "q110"),
         () => operators.Dedup.simhashSig(spark, sfDir).count(): Unit),
       // at-rest corpus band+shingle index (q74's incremental corpus side):
       // the build writes the parquet tables eagerly and memoizes the reads

@@ -361,6 +361,101 @@ object Graph {
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- k-core (q110)
+
+  /** q110's core order and peel-round budget. The fixture's near-dup
+    * graph reaches its 3-core fixpoint in 4–5 peels; 12 is the bounded
+    * contract BOTH sides compute (see [[kCoreOf]] — equality with the
+    * oracle holds whether or not the fixpoint lands inside the budget).
+    */
+  val KCoreK = 3
+  val KCoreRounds = 12
+
+  /** q110 — k-core of the near-dup pair graph: iteratively peel nodes of
+    * degree < k until nothing changes; what survives is the maximal
+    * subgraph of minimum degree k — the DENSE template-farm tier of the
+    * duplicate graph (q45's components find connectivity, q99's
+    * triangles find local density; the k-core finds the globally dense
+    * nucleus a crawl pipeline deduplicates most aggressively).
+    *
+    * The operator's CONTRACT is "peel at most [[KCoreRounds]] rounds,
+    * stopping early at the fixpoint" — bounded-budget semantics chosen
+    * so the oracle can be an UNROLLED 12-round SQL chain and equality is
+    * structural either way: if the fixpoint lands at round f ≤ 12, every
+    * later unrolled round is a no-op and round-12 ≡ round-f (what the
+    * early stop returns); if it doesn't, both sides compute exactly 12
+    * peels. Adversarial peel depth is real (a k=2 path graph peels two
+    * ends per round — O(n) rounds), so production callers pass their own
+    * budget exactly like [[pageRank]]/[[connectedComponentsWithRounds]],
+    * and the round budget IS the job count at 100 TB.
+    *
+    * Iteration discipline: each peel is one degree hash-agg + two
+    * semi-joins, eagerly `localCheckpoint`ed (the CC/pageRank lineage
+    * rule) with the superseded round dropped — only the edge chain
+    * roots in it; the FINAL checkpoint registers with TransientCache so
+    * the harness drain reclaims its blocks (the q91 r11 finding).
+    * Fixpoint detection is the edge COUNT (peels only remove, so count
+    * equality ⇔ set equality) read off the already-materialized
+    * checkpoint — no extra job.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    kCoreOf(Dedup.simhashPairsUnsorted(spark, dir).select(col("da"), col("db")),
+      KCoreK, KCoreRounds)
+      .orderBy(col("doc_id"))
+
+  private[graft] def kCoreOf(edges: DataFrame, k: Int,
+                             maxRounds: Int): DataFrame = {
+    var alive = edges.select(col("da"), col("db")).localCheckpoint(true)
+    var n = alive.count()
+    var fixed = false
+    var r = 0
+    while (!fixed && r < maxRounds) {
+      val deg = alive.select(explode(array(col("da"), col("db"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("v"))
+      val next = alive
+        .join(keep.select(col("v").as("da")), Seq("da"), "left_semi")
+        .join(keep.select(col("v").as("db")), Seq("db"), "left_semi")
+        .localCheckpoint(true)
+      val m = next.count()
+      r += 1
+      if (m == n) { fixed = true; graft.TransientCache.unpersistCheckpoint(next) }
+      else { graft.TransientCache.unpersistCheckpoint(alive); alive = next; n = m }
+    }
+    graft.TransientCache.registerCheckpoint(alive)
+    alive.select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Oracle: the same peel UNROLLED to the full [[KCoreRounds]] budget —
+    * no recursion (recursive-CTE aggregation over the recursive term is
+    * not portable SQL), every round a pair of CTEs (degree-keep, edge
+    * restriction); rounds past the fixpoint are no-ops by construction.
+    * Every round CTE is MATERIALIZED: each is referenced 2–3 times, and
+    * DuckDB's default inlining re-expands the whole upstream chain per
+    * reference — 12 unrolled rounds of that exhausted the process fd
+    * limit re-opening the parquet scan (observed; materialization makes
+    * the chain evaluate once per round, the shape the Spark side runs).
+    */
+  val kCoreSql: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+        |  SELECT v FROM (SELECT unnest([da, db]) AS v FROM a${i - 1})
+        |  GROUP BY v HAVING count(*) >= $KCoreK),
+        |a$i AS MATERIALIZED (
+        |  SELECT da, db FROM a${i - 1}
+        |  WHERE da IN (SELECT v FROM k$i) AND db IN (SELECT v FROM k$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.simhashPairsCtes},
+      |a0 AS MATERIALIZED (
+      |  SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+      |$rounds
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS core_degree
+      |FROM (SELECT unnest([da, db]) AS doc_id FROM a$KCoreRounds)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------- PageRank (q91)
 
   /** Fixed iteration count for the q91 oracle query. Three power

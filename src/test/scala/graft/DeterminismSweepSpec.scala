@@ -92,7 +92,10 @@ class DeterminismSweepSpec extends SparkSpec {
     // division target (q108); the delta merge is the same max algebra
     // over an at-rest side (q109)
     "q108_hll_distinct",
-    "q109_delta_hll")
+    "q109_delta_hll",
+    // peel is a monotone set fixpoint — partition-order free; counts are
+    // exact integers (q110)
+    "q110_kcore")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -188,4 +188,63 @@ class GraphSpec extends SparkSpec {
     j.unpersist()
     graft.TransientCache.drain()
   }
+
+  // ------------------------------------------------------ q110: k-core
+
+  private def kcore(edges: Seq[(Long, Long)], k: Int,
+                    rounds: Int = Graph.KCoreRounds): Map[Long, Long] = {
+    val got = Graph.kCoreOf(edges.toDF("da", "db"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TransientCache.drain()
+    got
+  }
+
+  test("k-core: K4 survives its own 3-core, pendants and rings do not") {
+    // K4 on 1..4, a pendant 4-5, and a separate hexagon (all degree 2)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val hex = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (15L, 10L))
+    val got = kcore(k4 ++ Seq((4L, 5L)) ++ hex, 3)
+    // the pendant peels first, then nothing else can: K4 is 3-regular;
+    // the hexagon is 2-regular so its 3-core is empty
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("k-core: the bounded budget is the contract — a capped peel stops mid-cascade") {
+    // k=2 on a 9-node path: each round peels both current endpoints, so
+    // the full fixpoint (empty) needs 4 peels; a budget of 2 must stop
+    // with the 5-node middle segment intact — the same prefix the
+    // oracle's unrolled chain computes at that depth
+    val path = (1L to 8L).map(i => (i, i + 1))
+    assert(kcore(path, 2).isEmpty, "a path has no 2-core")
+    val capped = kcore(path, 2, rounds = 2)
+    assert(capped == Map(3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 1L),
+      capped.toString)
+  }
+
+  test("k-core: randomized differential against a driver-side peel") {
+    val rnd = new scala.util.Random(12)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = (0 until 120).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val got = kcore(edges, 3)
+      // driver peel to fixpoint (well under the 12-round budget at n=40)
+      var alive = edges.toSet
+      var stable = false
+      while (!stable) {
+        val deg = alive.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= 3).keySet
+        val nxt = alive.filter(p => keep(p._1) && keep(p._2))
+        stable = nxt.size == alive.size
+        alive = nxt
+      }
+      val want = alive.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
 }

@@ -267,6 +267,11 @@ class PlanLintSpec extends SparkSpec {
                                   // estimate agg, plus the shingle tier
                                   // build (2); the corpus side is a
                                   // <=256-row bare file scan
+    "q110_kcore" -> 2,            // the final plan reads the LAST peel
+                                  // checkpoint RDD: degree agg + sort; the
+                                  // per-round peel jobs run eagerly during
+                                  // construction (round budget = job count)
+                                  // (provisional — re-pin from the lint)
     "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
                            // the SHARED bigram model build when cold (its own
                            // corpus pass — warm sessions hit the vocab-bounded
