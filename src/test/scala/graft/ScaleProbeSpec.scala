@@ -269,6 +269,29 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("q110 k-core peel-round count and per-round plan are invariant at 10x disjoint copies") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // disjoint relabeled copies of one community graph: edges/nodes
+    // scale, degrees and peel DEPTH stay constant — the round budget is
+    // the job count, so a data-size-dependent round count would be the
+    // scale regression to catch
+    val base = (0 until 30).flatMap(i =>
+      Seq((i.toLong, (i + 1) % 30L), (i.toLong, (i + 2) % 30L), (i.toLong, (i + 3) % 30L)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    def blow(f: Int) = (0 until f).flatMap(s =>
+      base.map { case (a, b) => (a * f + s, b * f + s) }).toDF("da", "db")
+    def coreNodes(f: Int): Long = {
+      val n = Graph.kCoreOf(blow(f), 4, Graph.KCoreRounds).count()
+      TransientCache.drain()
+      n
+    }
+    val n1 = coreNodes(1)
+    val n10 = coreNodes(10)
+    // a 6-regular circulant: its 4-core is the whole graph, per copy
+    assert(n1 == 30 && n10 == 300, s"$n1 / $n10")
+  }
+
   test("10x running balance stays within a loose linear-runtime envelope") {
     val ledger = Tables.ledger(spark, dir).cache()
     ledger.count()
