@@ -642,24 +642,27 @@ class CorpusPipelineSpec extends SparkSpec {
       .select(col("id").as("doc_id"), lit("spamnet").as("source"),
         lit("qqzz wvwv qqzz kjkj").as("text"))
 
-    def settle(): Unit = {
-      // listener delivery is async on the bus: poll until the capture
-      // count is stable
-      var last = -1; var stable = 0; var waited = 0
-      while (stable < 3 && waited < 20000) {
-        Thread.sleep(250); waited += 250
-        val n = captured.size()
-        if (n == last) stable += 1 else { stable = 0; last = n }
-      }
-    }
     val phases = scala.collection.mutable.ArrayBuffer
       .empty[(String, Seq[QueryExecution])]
+    // Phase boundaries must be EXACT: listener delivery is async, and a
+    // quiet-poll settle window (750 ms stable) proved racy under
+    // full-suite load — a straggling event from one phase's last job
+    // landed in the next phase's capture (+1/−1 pin flakes, observed
+    // twice). The bus is FIFO per queue, so a MARKER execution posted
+    // after the body flushes deterministically: once the marker's event
+    // arrives, every event from the body has arrived before it.
     def phase(name: String)(body: => Unit): Unit = {
       captured.clear()
       body
       TransientCache.drain()
-      settle()
-      phases += name -> captured.asScala.toSeq
+      spark.range(1).select(lit("__lane_marker__").as("m")).collect()
+      def hasMarker = captured.asScala.exists(
+        _.executedPlan.toString.contains("__lane_marker__"))
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!hasMarker && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(hasMarker, s"phase $name: listener bus never delivered the marker")
+      phases += name -> captured.asScala.toSeq.filterNot(
+        _.executedPlan.toString.contains("__lane_marker__"))
     }
     // the walk must see ORDER-INDEPENDENT plans (the registry lint's
     // rule, verbatim): a cached fragment left behind by an earlier test
@@ -736,12 +739,26 @@ class CorpusPipelineSpec extends SparkSpec {
       // refresh: the full refine chain over corpus_raw + live reseeds;
       // the three BNLJ are the q78 mixture 1-row totals/normalizers
       "refresh_full" -> LanePins(38, 4, 3, 7))
-    val drift = phases.map(_._1).filterNot(n => pinned.get(n).contains(observed(n)))
-      .map(n => s"""      "$n" -> ${observed(n)},""")
+    val driftNames = phases.map(_._1)
+      .filterNot(n => pinned.get(n).contains(observed(n)))
+    val drift = driftNames.map(n => s"""      "$n" -> ${observed(n)},""")
+    // on drift, print the per-execution shuffle breakdown so a one-off
+    // extra execution (listener-bus stragglers, suite-order artifacts)
+    // is distinguishable from a real plan regression without a rerun
+    lazy val breakdown = phases.filter(p => driftNames.contains(p._1))
+      .map { case (n, qes) =>
+        s"$n:\n" + qes.map { qe =>
+          val sh = planNodes(qe.executedPlan)
+            .count(_.isInstanceOf[ShuffleExchangeExec])
+          val head = qe.executedPlan.toString.linesIterator
+            .find(_.trim.nonEmpty).getOrElse("?").take(120)
+          f"  $sh%3d  $head"
+        }.mkString("\n")
+      }.mkString("\n")
     assert(drift.isEmpty,
       "lane plan drift — more shuffles/BNLJ/text-scans is a regression (fix the plan), " +
         "fewer is an improvement (re-pin consciously). Observed lines to paste:\n" +
-        drift.mkString("\n"))
+        drift.mkString("\n") + "\nper-execution shuffle breakdown:\n" + breakdown)
   }
 
   test("maintained token distribution == recompute across nights, replayed deltas, and refresh; the gate scans no corpus text") {

@@ -833,6 +833,47 @@ class StreamingSpec extends SparkSpec {
       s"streamed $streamedCells vs batch $batchCells")
   }
 
+  test("streaming cardinality: register advance across batches + restart; replay is an algebraic no-op") {
+    import graft.streaming.StreamingCardinality
+    import graft.operators.Sketch
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-scard").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def night(m: Int): Seq[DocRow] =
+      docs.filter(col("doc_id") % 10 === m).as[DocRow].collect().toSeq
+
+    val stream = MemoryStream[DocRow](spark)
+    // batch 0 seeds (cold warehouse — the first batch IS the seed)
+    stream.addData(night(0): _*)
+    StreamingCardinality.sink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    // RESTART (new query, same checkpoint): batch 1 advances the table
+    // the first query left behind
+    stream.addData(night(1): _*)
+    StreamingCardinality.sink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+
+    def regs(): Seq[(Long, Int)] = wh.read("hll_regs").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // streamed ≡ batch rebuild over the concatenated nights
+    val want = Sketch.registersOf(StreamingCardinality.batchHashes(
+      docs.filter(col("doc_id") % 10 <= 1))).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val streamed = regs()
+    assert(streamed == want, "streamed registers != batch rebuild")
+    assert(wh.read("hll_log").count() == 2, "one estimate reading per batch")
+
+    // at-least-once: a DIRECT replay of batch 1 (same id) cannot move
+    // the registers (max absorbs it) and the keyed log append drops it
+    StreamingCardinality.processBatch(wh,
+      docs.filter(col("doc_id") % 10 === 1), 1L)
+    assert(regs() == streamed, "replayed advance must be a no-op")
+    assert(wh.read("hll_log").count() == 2, "replayed reading must not re-log")
+  }
+
   test("streaming drift monitor: per-epoch readings; keyed replay is a no-op") {
     val sql = spark.sqlContext
     import sql.implicits._
