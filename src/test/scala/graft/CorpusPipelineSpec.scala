@@ -571,7 +571,18 @@ class CorpusPipelineSpec extends SparkSpec {
     * walk, reused here for the pipeline-lane questions: what does the
     * nightly gate READ, and does any lane plan go quadratic?
     */
-  private def planNodes(root: org.apache.spark.sql.execution.SparkPlan)
+  /** Walk every reachable node. `staticWalk = true` descends adaptive
+    * roots into their PRE-AQE `initialPlan` instead of the executed one
+    * — the lane lint's shuffle budgets count THAT shape, because one
+    * seeded-night execution proved to flip an AQE join decision (6 ↔ 7
+    * exchanges) with SESSION HISTORY at identical code and data
+    * (isolated-cold vs full-suite order, both deterministic) — the
+    * static shape is the structural claim and is order-independent.
+    * Cartesian/BNLJ/text-scan checks stay on the executed walk: what
+    * actually ran is the safety claim.
+    */
+  private def planNodes(root: org.apache.spark.sql.execution.SparkPlan,
+                        staticWalk: Boolean = false)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -586,6 +597,13 @@ class CorpusPipelineSpec extends SparkSpec {
       case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
       case other => other.children
     }
+    def goStatic(p: SparkPlan): Seq[SparkPlan] =
+      if (!seen.add(p)) Nil
+      else p +: (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case other => descend(other)
+      }).flatMap(goStatic) // subqueries skipped: static counts only
+    if (staticWalk) return goStatic(root)
     def go(p: SparkPlan): Seq[SparkPlan] =
       if (!seen.add(p)) Nil else p +: (descend(p) ++ p.subqueries).flatMap(go)
     go(root)
@@ -695,7 +713,11 @@ class CorpusPipelineSpec extends SparkSpec {
         .filter(_.contains(whBase)).map(_.split('/').last)
     def stats(qes: Seq[QueryExecution]): LanePins = {
       val walks = qes.map(qe => planNodes(qe.executedPlan))
-      val sh = walks.map(_.count(_.isInstanceOf[ShuffleExchangeExec]))
+      // shuffle budgets pin the STATIC shape (see planNodes) — the
+      // executed walk stays the source for the safety checks below
+      val sh = qes.map(qe =>
+        planNodes(qe.executedPlan, staticWalk = true)
+          .count(_.isInstanceOf[ShuffleExchangeExec]))
       LanePins(
         sh.sum, if (sh.isEmpty) 0 else sh.max,
         walks.map(_.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])).sum,
@@ -707,6 +729,14 @@ class CorpusPipelineSpec extends SparkSpec {
         }))
     }
     val observed = phases.map { case (n, qes) => n -> stats(qes) }.toMap
+    // diffing aid for pin investigations: per-execution shuffle counts
+    // even when the pins pass (GRAFT_LANE_DEBUG=1 in the env)
+    if (sys.env.contains("GRAFT_LANE_DEBUG"))
+      println(phases.map { case (n, qes) =>
+        s"LANEDEBUG $n: " + qes.map(qe =>
+          planNodes(qe.executedPlan, staticWalk = true)
+            .count(_.isInstanceOf[ShuffleExchangeExec])).mkString(",")
+      }.mkString("\n"))
 
     // no cartesian anywhere, in any phase — the absolute rule
     phases.foreach { case (name, qes) =>
@@ -720,25 +750,32 @@ class CorpusPipelineSpec extends SparkSpec {
 
     // the registry-grade pins (r11 judge task #1). Regenerate by
     // running this test — the failure message prints paste-able lines.
+    // shuffle totals/maxima below are STATIC-plan counts (see planNodes):
+    // higher than what AQE executes (runtime join flips and empty-
+    // relation propagation remove exchanges) but order-independent —
+    // the executed totals proved session-history-sensitive at identical
+    // code and data (one seeded-night AQE join re-decision, 6 ↔ 7)
     val pinned = Map(
       // first night pays the one-time seeds (live_keys hash, token-count
       // seed tokenize, both index builds) — 8 text scans, two 1-row
       // BNLJ broadcasts (night key + gate total)
-      "night_seeded" -> LanePins(106, 14, 2, 8),
+      "night_seeded" -> LanePins(129, 18, 2, 8),
       // a refused night touches NO live state: the gate reading (1-row
       // total broadcast) + the quarantine append — zero text scans
       "night_gated" -> LanePins(15, 8, 1, 0),
       // the steady-state night: screens + guarded appends + both index
       // advances; text rides ONLY the screens' batch frames and the
       // batchInLive index reads (2)
-      "night_warm" -> LanePins(88, 15, 2, 2),
+      "night_warm" -> LanePins(120, 18, 2, 2),
       // admit-all review re-offers through the warm-night body, but the
       // quarantined spam never reaches corpus_live (every screen drops
-      // it pre-index), so no corpus text scan at all
-      "review_drain" -> LanePins(11, 1, 0, 0),
+      // it pre-index), so no corpus text scan at all; the static total
+      // is far above the executed one here — AQE's empty-relation
+      // propagation collapses most of the re-offer screens at runtime
+      "review_drain" -> LanePins(91, 18, 0, 0),
       // refresh: the full refine chain over corpus_raw + live reseeds;
       // the three BNLJ are the q78 mixture 1-row totals/normalizers
-      "refresh_full" -> LanePins(38, 4, 3, 7))
+      "refresh_full" -> LanePins(49, 11, 3, 7))
     val driftNames = phases.map(_._1)
       .filterNot(n => pinned.get(n).contains(observed(n)))
     val drift = driftNames.map(n => s"""      "$n" -> ${observed(n)},""")
@@ -748,7 +785,7 @@ class CorpusPipelineSpec extends SparkSpec {
     lazy val breakdown = phases.filter(p => driftNames.contains(p._1))
       .map { case (n, qes) =>
         s"$n:\n" + qes.map { qe =>
-          val sh = planNodes(qe.executedPlan)
+          val sh = planNodes(qe.executedPlan, staticWalk = true)
             .count(_.isInstanceOf[ShuffleExchangeExec])
           val head = qe.executedPlan.toString.linesIterator
             .find(_.trim.nonEmpty).getOrElse("?").take(120)
