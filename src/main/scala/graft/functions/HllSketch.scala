@@ -33,6 +33,12 @@ class HllSketch(m: Int) extends Aggregator[Long, Array[Int], Array[Int]] {
   override def zero: Array[Int] = new Array[Int](m)
 
   override def reduce(b: Array[Int], h: Long): Array[Int] = {
+    // The 60-bit contract enforced at the seam: a raw 64-bit (possibly
+    // negative) hash would make (h % m) negative and throw an opaque
+    // array exception mid-job — fail fast with the contract instead.
+    require(h >= 0 && h < (1L << 60),
+      s"HllSketch expects nonnegative sub-2^60 hashes (the registersOf " +
+        s"contract: hash64 & ((1<<60)-1)); got $h")
     val reg = (h % m).toInt
     val hq = h / m
     val rk =

@@ -405,6 +405,9 @@ object Graph {
 
   private[graft] def kCoreOf(edges: DataFrame, k: Int,
                              maxRounds: Int): DataFrame = {
+    require(k >= 1 && maxRounds >= 1,
+      s"kCoreOf needs k >= 1 and maxRounds >= 1 (got k=$k, " +
+        s"maxRounds=$maxRounds): rounds=0 would label raw degrees a k-core")
     var alive = edges.select(col("da"), col("db")).localCheckpoint(true)
     var n = alive.count()
     var fixed = false

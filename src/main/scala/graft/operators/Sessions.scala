@@ -16,9 +16,14 @@ object Sessions {
 
   /** Session gap: a new session starts when a user is idle longer than
     * this. The fixture averages ~2 events/user/day, so 6 h yields a real
-    * mix of singleton and multi-event sessions.
+    * mix of singleton and multi-event sessions. `GapHours` is the single
+    * source of truth — `GapSql` (batch + oracle SQL) and the streaming
+    * twins' `StreamingTransitions.GapUs` both derive from it, so retuning
+    * the gap cannot desynchronize the streamed ≡ batch contract.
     */
-  val GapSql = "INTERVAL 6 HOURS"
+  val GapHours = 6
+  val GapSec: Long = GapHours * 3600L
+  val GapSql = s"INTERVAL $GapHours HOURS"
 
   /** q36 — gap-based sessionization: per user, chronological events split
     * into sessions at >6 h gaps; one output row per session.
@@ -687,7 +692,13 @@ object Sessions {
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
     peakConcurrencyOf(Tables.events(spark, dir))
 
-  private[graft] def peakConcurrencyOf(events: DataFrame): DataFrame = {
+  /** The q107 boundary stream — (ts_s, delta, hour) per session start
+    * (+1) and end (−1). Exposed `private[graft]` so the scale probe can
+    * assert the hour ledger's calendar bound (its row count = this
+    * frame's distinct hours ≤ the events' wall-clock hour span) against
+    * the SAME frame the production plan aggregates, not a re-derivation.
+    */
+  private[graft] def sessionBoundsOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = events
@@ -699,18 +710,21 @@ object Sessions {
       .groupBy(col("user_id"), col("session_no"))
       .agg(unix_timestamp(min(col("ts"))).as("ss"),
         unix_timestamp(max(col("ts"))).as("se"))
-    // cached: the boundary stream feeds the hour ledger AND the tier-2
-    // probe side, and the ledger rides a BROADCAST build that
-    // materializes concurrently with the probe scan in the same job —
-    // the sibling-consumer shape, so the fill is eager (q40/q100 rule);
-    // without it the whole session window chain executes twice
-    val bounds = graft.TransientCache.register(sess
+    sess
       .select(explode(array(
         struct(col("ss").as("ts_s"), lit(1L).as("delta")),
         struct(col("se").as("ts_s"), lit(-1L).as("delta")))).as("b"))
       .select(col("b.ts_s").as("ts_s"), col("b.delta").as("delta"),
         expr("b.ts_s DIV 3600").as("hour"))
-      .cache())
+  }
+
+  private[graft] def peakConcurrencyOf(events: DataFrame): DataFrame = {
+    // cached: the boundary stream feeds the hour ledger AND the tier-2
+    // probe side, and the ledger rides a BROADCAST build that
+    // materializes concurrently with the probe scan in the same job —
+    // the sibling-consumer shape, so the fill is eager (q40/q100 rule);
+    // without it the whole session window chain executes twice
+    val bounds = graft.TransientCache.register(sessionBoundsOf(events).cache())
     bounds.count()
     // tier 1: the hour ledger — one row per distinct hour, the ONLY
     // global-order window, over a calendar-bounded frame

@@ -18,7 +18,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingSessions {
 
-  val GapUs: Long = 6L * 3600 * 1000 * 1000
+  /** Derived from the batch tier's single gap constant (q36's rule). */
+  val GapUs: Long = graft.operators.Sessions.GapSec * 1000000L
 
   final case class SessEv(event_id: Long, user_id: Long,
                           ts: java.sql.Timestamp, event_type: String)

@@ -28,8 +28,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingTransitions {
 
-  /** 6 h in epoch microseconds — q105's gap at the lag's precision. */
-  val GapUs: Long = 6L * 3600 * 1000000
+  /** q105's gap at the lag's precision, derived from the batch tier's
+    * single gap constant — retuning [[graft.operators.Sessions.GapHours]]
+    * moves both sides of the streamed ≡ batch contract together.
+    */
+  val GapUs: Long = graft.operators.Sessions.GapSec * 1000000L
 
   final case class TransEv(user_id: Long, us: Long, event_id: Long, code: Int)
   final case class TransState(us: Long, code: Int)

@@ -199,6 +199,13 @@ class GraphSpec extends SparkSpec {
     got
   }
 
+  test("k-core: out-of-contract k or budget fails fast (rounds=0 would mislabel raw degrees)") {
+    val e = Seq((1L, 2L)).toDF("da", "db")
+    intercept[IllegalArgumentException](Graph.kCoreOf(e, 0, 3))
+    intercept[IllegalArgumentException](Graph.kCoreOf(e, 2, 0))
+    intercept[IllegalArgumentException](Graph.kCoreOf(e, 2, -1))
+  }
+
   test("k-core: K4 survives its own 3-core, pendants and rings do not") {
     // K4 on 1..4, a pendant 4-5, and a separate hexagon (all degree 2)
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))

@@ -256,7 +256,8 @@ class PlanLintSpec extends SparkSpec {
     "q107_peak_concurrency" -> 6, // session window + boundary-cache build
                                   // + hour ledger agg + ledger cumsum +
                                   // (hour)-window + day agg + |days| sort
-                                  // (provisional — re-pin from the lint)
+                                  // (confirmed against the lint's
+                                  // observed count, r13)
     "q108_hll_distinct" -> 6,     // register hash-agg + estimate agg +
                                   // distinct exact count + its 1-row agg,
                                   // plus the shared shingle tier build (2)
@@ -271,7 +272,8 @@ class PlanLintSpec extends SparkSpec {
                                   // checkpoint RDD: degree agg + sort; the
                                   // per-round peel jobs run eagerly during
                                   // construction (round budget = job count)
-                                  // (provisional — re-pin from the lint)
+                                  // (confirmed against the lint's
+                                  // observed count, r13)
     "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
                            // the SHARED bigram model build when cold (its own
                            // corpus pass — warm sessions hit the vocab-bounded

@@ -251,6 +251,31 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("q107 hour ledger is calendar-bounded: <= the events' hour span, invariant at 10x users") {
+    import graft.operators.Sessions
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    def blow(f: Int): DataFrame = events
+      .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+      .withColumn("user_id", col("user_id") * f + col("__s"))
+      .withColumn("event_id", col("event_id") * f + col("__s"))
+      .drop("__s")
+    // ledger rows = distinct boundary hours of the SAME frame the
+    // production plan aggregates (sessionBoundsOf feeds peakConcurrencyOf)
+    def ledgerRows(f: Int): Long =
+      Sessions.sessionBoundsOf(blow(f)).select(col("hour")).distinct().count()
+    val span = events.agg(
+        (max(unix_timestamp(col("ts"))) / 3600 -
+          min(unix_timestamp(col("ts"))) / 3600 + 1).cast("long").as("h"))
+      .head().getLong(0)
+    val r1 = ledgerRows(1)
+    // the two-tier cumsum's only global-order window runs over this
+    // ledger: its size must be the CALENDAR's, never the corpus's
+    assert(r1 <= span, s"ledger $r1 rows > $span calendar hours")
+    // 10x disjoint users add boundary ROWS, not HOURS — the blow-up
+    // preserves timestamps, so the ledger must not grow at all
+    assert(ledgerRows(10) == r1, s"ledger grew with data size at 10x")
+  }
+
   test("q108 HLL register pass carries partial aggregation (map-side max) at any size") {
     withAqeOff {
       import graft.operators.Sketch

@@ -19,7 +19,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SketchAlgebraSpec extends AnyFunSuite {
 
   private val hashes: Gen[List[Long]] =
-    Gen.listOf(Gen.choose(0L, 1L << 60)).map(_.take(200))
+    Gen.listOf(Gen.choose(0L, (1L << 60) - 1)).map(_.take(200))
 
   private def run(name: String, p: Prop): Unit = {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
@@ -140,6 +140,14 @@ class SketchAlgebraSpec extends AnyFunSuite {
       m(sa, sa).sameElements(sa) && // idempotent: the q109 replay guard
       m(sa, sb).sameElements(hllOf(a ++ b))
     })
+  }
+
+  test("HLL: out-of-contract hashes fail fast at the seam, not mid-array") {
+    val agg = new graft.functions.HllSketch(64)
+    for (bad <- Seq(-1L, Long.MinValue, 1L << 60)) {
+      val e = intercept[IllegalArgumentException](agg.reduce(agg.zero, bad))
+      assert(e.getMessage.contains("sub-2^60"), s"for $bad: ${e.getMessage}")
+    }
   }
 
   test("CMS/Bloom point guarantees hold under any merge order") {
