@@ -1,0 +1,88 @@
+#!/bin/bash
+# Canonical solo-probe ledger (PLANS r13 policy): isolated FRESH-JVM
+# bench probes for the top marginal queries, repeat=3, one query per
+# JVM, written to PROBES.json. Round-over-round perf comparison is
+# SOLO-TO-SOLO against this ledger; the driver full sweep is a sanity
+# total only — sweep-to-sweep deltas proved unadjudicatable three
+# rounds running (residency/host drift inflates whole sweeps 15-25%
+# with zero plan changes; PLANS r10-r12 adjudications).
+#
+# Usage: dev/run_probes.sh <round> [sfDir] [outFile] [queries...]
+#   dev/run_probes.sh 13                      # top-15 list, sf0.1
+#   dev/run_probes.sh 13 /root/testdata/sf0.1 PROBES.json q91 q88
+#
+# Refresh rule: re-run each round on the round's final tree (quiet
+# host, no concurrent JVMs — check `ps` first); the TOP15 list below
+# tracks the driver bench's top marginals and grows as new heavy
+# queries land.
+set -e
+cd /root/repo
+ROUND=${1:?round number (e.g. 13)}
+SF=${2:-/root/testdata/sf0.1}
+OUT=${3:-PROBES.json}
+shift || true; shift || true; shift || true
+# top-15 by BENCH_r12 driver marginal (the r13 base selection)
+TOP15="q91 q88 q102 q99 q110 q98 q66 q74 q76 q97 q72 q22 q95 q51 q87"
+QUERIES=${*:-$TOP15}
+
+if pgrep -f "^java .*graft\.(Bench|Verify)" >/dev/null; then
+  echo "another bench/verify JVM is running — refusing to probe" >&2; exit 1
+fi
+
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+for q in $QUERIES; do
+  echo "probe $q ..." >&2
+  SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPEAT=3 \
+  SPARK_GRAFT_ONLY=$q \
+    java $ADD_OPENS -Xmx24g -Xms24g -cp "$CP" \
+      -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      graft.Bench 2>/dev/null | grep '"metric"' > "$TMP/$q.json"
+done
+
+python3 - "$ROUND" "$SF" "$OUT" "$TMP" $QUERIES <<'EOF'
+import json, sys, os
+round_n, sf, out, tmp = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+queries = sys.argv[5:]
+prev = {}
+if os.path.exists(out):
+    with open(out) as f:
+        prev = json.load(f).get("probes", {})
+probes = {}
+for q in queries:
+    with open(f"{tmp}/{q}.json") as f:
+        b = json.loads(f.read().strip())
+    probes[q] = {
+        "sec": b["queries"][q] / 100.0,          # min of 3 sweeps, fresh JVM
+        "calib": b["calib"],                      # ~0.40 = clean host
+        "cache_sec": {k: v / 100.0 for k, v in b.get("cache", {}).items()},
+        "prev_sec": prev.get(q, {}).get("sec"),   # last round's solo number
+    }
+doc = {
+    "round": round_n,
+    "sf": os.path.basename(sf),
+    "method": ("per-query isolated probe: fresh JVM, SPARK_GRAFT_ONLY=<q>, "
+               "repeat=3 interleaved sweeps (min), CPUS=32, 24g fixed heap, "
+               "quiet host (calib ~0.40); shared caches the query consumes "
+               "are built first and billed to cache_sec, so sec is the "
+               "query's MARGINAL cost"),
+    "policy": ("round-over-round comparison is solo-to-solo against this "
+               "ledger (prev_sec carries the last refresh); the driver "
+               "full-sweep BENCH_r*.json is a sanity total only"),
+    "probes": probes,
+}
+with open(out, "w") as f:
+    json.dump(doc, f, indent=1, sort_keys=False)
+    f.write("\n")
+print(f"wrote {out}: " + ", ".join(f"{q}={probes[q]['sec']:.2f}s" for q in queries))
+EOF

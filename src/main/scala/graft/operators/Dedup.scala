@@ -374,8 +374,16 @@ object Dedup {
     * c²/2 pairs) is inherent to LSH; the pair explosion happens after the
     * heavy lineage, on (band, sig, ids) rows only.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandsOf(shingleIndex(spark, dir))
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(shingleIndex(spark, dir))
+
+  /** The q22 pipeline over an explicit `(doc_id, sh_h)` shingle frame —
+    * the seam the runtime-envelope probe drives with disjoint blown-up
+    * corpora (production passes the shared cached [[shingleIndex]];
+    * the logical plan is identical).
+    */
+  private[graft] def minhashLshFrom(sh: DataFrame): DataFrame = {
+    val bands = bandsOf(sh)
     val cand = graft.TransientCache.register(candidatePairsOf(bands)
       // consumed twice (candidate-doc restriction + final verify join):
       // caching a few hundred pairs skips a second minhash/bucket pass;
@@ -392,7 +400,7 @@ object Dedup {
     // candidates are threshold-bounded, not corpus-bounded.
     val candDocs = cand
       .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
-    val docSets = graft.TransientCache.register(shingleIndex(spark, dir)
+    val docSets = graft.TransientCache.register(sh
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_list(col("sh_h")).as("sh"))
       // consumed by both sides of the pair join (self-joins duplicate the

@@ -25,6 +25,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * guaranteed when the source replays whole ingest windows, as the
   * reference's nightly extraction does; out-of-order delivery ACROSS
   * batches needs the watermarking ingest upstream.
+  *
+  * In-batch memory bound (the twin's contract, stated like
+  * [[StatefulBalance]]'s): `evs.toArray` materializes the user's slice
+  * of ONE micro-batch for the sort above — CROSS-batch state is the
+  * single long, so per-user memory is bounded by the trigger size, not
+  * by history, but a whale whose events land in the same micro-batch
+  * still builds that batch's array (the shape q103's secondary sort
+  * exists to avoid in batch). At scale, cap the trigger
+  * (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`) so one user's
+  * in-batch slice fits an executor; the nightly-replay sources this
+  * twin mirrors batch by ingest window, which does exactly that. The
+  * same bound applies to [[StreamingTransitions]], [[StreamingSessions]]
+  * and [[StreamingSequence]], whose folds sort the same way.
   */
 object StreamingFunnel {
 

@@ -317,6 +317,89 @@ class ScaleProbeSpec extends SparkSpec {
     assert(n1 == 30 && n10 == 300, s"$n1 / $n10")
   }
 
+  test("runtime envelopes: the five heaviest queries scale ~linearly from 10x to 30x disjoint copies") {
+    import graft.operators.{Analytics, Dedup, Graph, TextOps}
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // disjoint corpus copies: every TOKEN carries the copy salt, so
+    // copies never cross-match (same per-copy dup/df structure as the
+    // base corpus — plain doc_id relabeling would make each doc a
+    // near-dup of its f−1 copies and blow the pair tiers quadratically,
+    // which is a different experiment)
+    def blowDocs(f: Int): DataFrame = docs
+      .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+      .select(col("doc_id").as("orig"),
+        (col("doc_id") * f + col("__s")).as("doc_id"),
+        array_join(transform(split(lower(col("text")), "\\s+"),
+          t => concat(lit("c"), col("__s"), lit("_"), t)), " ").as("text"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s0"), col("l_partkey").as("p0"),
+        col("l_orderkey").as("o0"))
+    def blowEdges(f: Int): DataFrame = li.select(col("s0"), col("p0")).distinct()
+      .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+      .select(((col("s0") * 2) * f + col("__s")).as("a"),
+        ((col("p0") * 2 + 1) * f + col("__s")).as("b"))
+    def blowLines(f: Int): DataFrame = li
+      .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+      .select((col("o0") * f + col("__s")).as("o"),
+        (col("p0") * f + col("__s")).as("p"))
+
+    def rmRf(root: String): Unit = {
+      import java.nio.file._
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(root)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    // q88's corpus side is the at-rest index — built per factor UNTIMED
+    // (the driver bench bills it to the cache tier, not q88's marginal)
+    val roots = scala.collection.mutable.ArrayBuffer.empty[String]
+    def winIdx(f: Int): Dedup.WinnowIndex = {
+      val root = java.nio.file.Files.createTempDirectory("graft_env_widx_").toString
+      roots += root
+      Dedup.winnowIndexAt(spark, root,
+        blowDocs(f).filter(col("orig") % 10 < 8).select(col("doc_id"), col("text")))
+    }
+
+    def timeIt(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      TransientCache.drain()
+      dt
+    }
+
+    try {
+      val idx10 = winIdx(10); val idx30 = winIdx(30)
+      val probes: Seq[(String, Int => DataFrame)] = Seq(
+        ("q91 pagerank", f => Graph.pageRankProd(blowEdges(f), "a", "b")),
+        ("q88 delta winnow", f => Dedup.screenWinnowAgainstIndexOf(
+          if (f == 30) idx30 else idx10,
+          blowDocs(f).filter(col("orig") % 10 >= 8).select(col("doc_id"), col("text")))),
+        ("q102 basket lift", f => Analytics.basketLiftFrom(blowLines(f),
+          Analytics.BasketBlockCap)),
+        ("q22 minhash lsh", f => Dedup.minhashLshFrom(
+          Dedup.shingleRowsOf(blowDocs(f).select(col("doc_id"), col("text"))))),
+        ("q76 span dedup", f => TextOps.spanCleanOf(
+          blowDocs(f).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), md5(col("clean_text")).as("m"))))
+      probes.foreach { case (name, build) =>
+        timeIt(build(1)) // unmeasured warmup: JIT/codegen/scan init
+        val t10 = timeIt(build(10))
+        val t30 = timeIt(build(30))
+        val slope = t30 / t10
+        info(f"$name: t10=$t10%.2fs t30=$t30%.2fs slope=$slope%.2f (linear = 3.0)")
+        // generous: catches superlinear blow-ups (slope >> 3 with real
+        // magnitudes), ignores fixed-overhead noise on small inputs
+        assert(t30 <= 6.0 * t10 + 3.0,
+          f"$name superlinear: t10=$t10%.2fs t30=$t30%.2fs (slope $slope%.2f)")
+      }
+    } finally {
+      Dedup.clearWinnowIndexAtRest(spark)
+      roots.foreach(rmRf)
+      TransientCache.drain()
+    }
+  }
+
   test("10x running balance stays within a loose linear-runtime envelope") {
     val ledger = Tables.ledger(spark, dir).cache()
     ledger.count()

@@ -833,6 +833,76 @@ class StreamingSpec extends SparkSpec {
       s"streamed $streamedCells vs batch $batchCells")
   }
 
+  test("streaming sequence: triple state across a restart; finals aggregate to the batch q106 distribution") {
+    import graft.streaming.StreamingSequence
+    import graft.streaming.StreamingSequence.{SeqEv, SeqRow}
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val tmp = Files.createTempDirectory("graft-sseq").toString
+    val base = 1700000000L
+
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Option[Long])]()
+    val stream = MemoryStream[SeqEv](spark)
+    def run(): Unit = {
+      val q = StreamingSequence(stream.toDS())
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[SeqRow], _: Long) =>
+          batch.collect().foreach(r => emitted.add((r.user_id, r.funnel_depth, r.conv)))
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: u1 opens view+click (depth 2); u2 full chain IN-batch with
+    // a click-before-view reordering inside the batch (the sort handles
+    // it: click@10 precedes view@20 and must NOT count, click@30 does);
+    // u5 view+click at the SAME second (strict > keeps depth 1)
+    stream.addData(
+      SeqEv(1L, base + 0, 1), SeqEv(1L, base + 100, 2),
+      SeqEv(2L, base + 10, 2), SeqEv(2L, base + 20, 1),
+      SeqEv(2L, base + 30, 2), SeqEv(2L, base + 40, 3),
+      SeqEv(5L, base + 50, 1), SeqEv(5L, base + 50, 2))
+    run()
+    // RESTART (new query, same checkpoint): u1's purchase completes the
+    // chain opened BEFORE the restart — conv must span it (t3 − t1 =
+    // 200); u3 is purchase-only (depth 0)
+    stream.addData(SeqEv(1L, base + 200, 3), SeqEv(3L, base + 5, 3))
+    run()
+
+    import scala.jdk.CollectionConverters._
+    val emits = emitted.asScala.toArray
+    // running emissions: u1 reads depth 2 after batch 1, then (3, conv=200)
+    assert(emits.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 2L, None), (1L, 3L, Some(200L))), emits.toSeq.toString)
+    val last = emits.zipWithIndex.groupBy(_._1._1)
+      .map { case (u, es) => val f = es.maxBy(_._2)._1; u -> (f._2, f._3) }
+    assert(last == Map(1L -> (3L, Some(200L)), 2L -> (3L, Some(20L)),
+      3L -> (0L, None), 5L -> (1L, None)), last.toString)
+
+    // final per-user rows aggregate to the batch q106 distribution over
+    // the concatenated input (same depth counts and conv stats)
+    def t(off: Long) = new java.sql.Timestamp((base + off) * 1000L)
+    val all = Seq(
+      (1L, t(0), "view"), (1L, t(100), "click"), (1L, t(200), "purchase"),
+      (2L, t(10), "click"), (2L, t(20), "view"), (2L, t(30), "click"),
+      (2L, t(40), "purchase"),
+      (3L, t(5), "purchase"),
+      (5L, t(50), "view"), (5L, t(50), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val batch = graft.operators.Sessions.sequenceConvertOf(all).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val streamedDist = last.groupBy(_._2._1).map { case (d, us) =>
+      d -> (us.size.toLong, us.flatMap(_._2._2).minOption) }
+    batch.foreach { case (d, (n, mn)) =>
+      assert(streamedDist(d) == ((n, mn)),
+        s"depth $d: streamed ${streamedDist(d)} vs batch ${(n, mn)}")
+    }
+    assert(batch.keySet == streamedDist.keySet)
+  }
+
   test("streaming cardinality: register advance across batches + restart; replay is an algebraic no-op") {
     import graft.streaming.StreamingCardinality
     import graft.operators.Sketch
