@@ -11,8 +11,11 @@
 #   dev/run_probes.sh 13                      # top-15 list, sf0.1
 #   dev/run_probes.sh 13 /root/testdata/sf0.1 PROBES.json q91 q88
 #
-# Refresh rule: re-run each round on the round's final tree (quiet
-# host, no concurrent JVMs — check `ps` first); the TOP15 list below
+# Refresh rule: run TWICE per round on the round's final tree (quiet
+# host, no concurrent JVMs — check `ps` first); same-round re-runs
+# merge by per-query MIN across passes, because single-thread calib
+# cannot see 32-way host throttling (r13: clean 0.38 calib alongside
+# 2-4x inflated parallel readings in one pass). The TOP15 list below
 # tracks the driver bench's top marginals and grows as new heavy
 # queries land.
 set -e
@@ -54,20 +57,35 @@ python3 - "$ROUND" "$SF" "$OUT" "$TMP" $QUERIES <<'EOF'
 import json, sys, os
 round_n, sf, out, tmp = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
 queries = sys.argv[5:]
-prev = {}
+prev_doc = {}
 if os.path.exists(out):
     with open(out) as f:
-        prev = json.load(f).get("probes", {})
+        prev_doc = json.load(f)
+prev = prev_doc.get("probes", {})
+same_round = prev_doc.get("round") == round_n
 probes = {}
 for q in queries:
     with open(f"{tmp}/{q}.json") as f:
         b = json.loads(f.read().strip())
-    probes[q] = {
-        "sec": b["queries"][q] / 100.0,          # min of 3 sweeps, fresh JVM
-        "calib": b["calib"],                      # ~0.40 = clean host
+    sec = b["queries"][q] / 100.0                 # min of 3 sweeps, fresh JVM
+    p = {
+        "sec": sec,
+        "calib": b["calib"],                      # ~0.40 = clean single-thread
         "cache_sec": {k: v / 100.0 for k, v in b.get("cache", {}).items()},
-        "prev_sec": prev.get(q, {}).get("sec"),   # last round's solo number
+        "prev_sec": prev.get(q, {}).get("prev_sec") if same_round
+                    else prev.get(q, {}).get("sec"),
     }
+    # Same-round re-run: keep the MIN across fresh-JVM ledger passes.
+    # Single-thread calib cannot see 32-way host throttling (a clean
+    # 0.38 calib coexisted with 2-4x inflated parallel readings, r13),
+    # so the refresh protocol is: run the ledger TWICE per round; a
+    # query whose two passes disagree >1.5x was throttled in one of
+    # them and the min is the clean reading.
+    if same_round and q in prev and prev[q].get("sec", 1e9) < sec:
+        p["sec"] = prev[q]["sec"]
+        p["calib"] = prev[q]["calib"]
+        p["cache_sec"] = prev[q]["cache_sec"]
+    probes[q] = p
 doc = {
     "round": round_n,
     "sf": os.path.basename(sf),

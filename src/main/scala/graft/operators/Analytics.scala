@@ -624,4 +624,214 @@ object Analytics {
       |CROSS JOIN tt
       |WHERE pairs.n_ab >= $BasketMinSupport
       |ORDER BY lift DESC, pairs.pa, pairs.pb LIMIT $BasketK""".stripMargin
+
+  /** q111 — RFM customer segmentation: the canonical retail scoring the
+    * reference's warehouse feeds downstream (recency of last order,
+    * order frequency, monetary total — each scored 1–5 by corpus-wide
+    * quintile, the classic marketing segmentation). Everything exact
+    * and engine-portable: days are `unix_timestamp DIV 86400` integers
+    * (q104 discipline), money sums in DECIMAL(18,2) (the q01 money
+    * rule — double-sum order dependence would break the hash), and the
+    * quintile CUTS use pure-integer rank arithmetic — k_p =
+    * `(p·10·n + 9) DIV 10`, the exact `ceil(p·n)` — because float rank
+    * arithmetic is the cross-engine hazard class this repo already
+    * banned for constants (a bare `0.2` parses DECIMAL in DuckDB and
+    * DOUBLE in Spark `expr`; the q108 alpha lesson). The integer form
+    * is provably `ceil(n·p)` for p = k/5 (spec'd as an identity sweep),
+    * so neither engine ever evaluates a float near a rank boundary.
+    *
+    * Scale shape — deliberately NOT `ntile`: a global ntile both
+    * total-orders the customer frame AND ties scores to row order at
+    * the quintile seams (engine-dependent). Instead the 12 boundary
+    * VALUES (4 cuts × 3 metrics) are computed once and broadcast as a
+    * 1-row model; every customer scores by VALUE comparison — ties get
+    * equal scores by construction, and the per-customer pass is one
+    * broadcast nested-loop over a 1-row frame.
+    *
+    * The boundary build is the q107 two-tier discipline moved from
+    * TIME to VALUE space, because "the k-th smallest of n" is a global
+    * rank and the naive plan (one unpartitioned window over the
+    * customer frame — exactly what the oracle runs single-node) is the
+    * one shape that cannot scale out. Per-metric min/max (one 3-row agg)
+    * → value-range bucket index (monotone in v — double arithmetic is
+    * safe here because IEEE rounding preserves weak monotonicity, and
+    * the bucket function need only be monotone, not cross-engine
+    * identical; the ORACLE never sees buckets) — and all three metrics
+    * ride ONE pass keyed by a `stack`-unpivoted metric column, so the
+    * model costs one build's job chain, not three → ties COLLAPSE first
+    * into a distributed (bucket, value) hash-agg — so the metric whose
+    * skew is guaranteed (frequency: most customers share tiny order
+    * counts) shrinks to its distinct-value support instead of piling
+    * one bucket into one window task → a ≤[[RfmBuckets]]-row-per-metric
+    * bucket histogram takes the carry cumsum under a metric-PARTITIONED
+    * window (the q68/q107 shard-offset shape, config-bounded — no
+    * unpartitioned window anywhere) → only the ≤ 4 CANDIDATE
+    * buckets that actually contain a rank boundary re-rank, under a
+    * (bucket)-keyed cumsum over their distinct values + the broadcast
+    * carry = the exact global count of elements ≤ v → cut = min(v)
+    * with count ≥ k_p (the k_p-th smallest value; tie-class interior
+    * order provably never moves a cut). The windowed frame is bounded
+    * by the candidate buckets' distinct-value count — large only when
+    * an outlier stretches the range so one bucket holds many DISTINCT
+    * values; the production response is the same two-tier build
+    * recursed inside that bucket (documented contract, like q110's
+    * peel budget — the refinement is this function re-applied to the
+    * candidate slice with its own min/max). Money compares in exact
+    * integer CENTS (`DECIMAL(18,2) · 100`), so all three metrics ride
+    * one integer ranking engine.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmOf(Tables.orders(spark, dir))
+
+  /** Value-histogram bucket fan-out for the two-tier exact ranking —
+    * a config constant (the carry ledger's row bound), never a data
+    * function.
+    */
+  val RfmBuckets = 1024
+
+  /** The 12 quintile cut VALUES (k_p-th smallest per metric, k_p =
+    * `(2p·n + 9) DIV 10`) as a 1-row model frame, via the two-tier
+    * grouped ranking described on [[rfmSegments]]. `vals` must carry
+    * (metric, v, n): all three metrics ride ONE pass keyed by
+    * `metric` — one tie-collapse agg, one histogram, one carry window
+    * (metric-PARTITIONED, ≤[[RfmBuckets]] rows per metric — no
+    * unpartitioned window anywhere), one candidate probe, one cuts
+    * agg — instead of three sequential per-metric model builds (the
+    * job-count bill, measured 6.2 s → this shape, at fixture scale).
+    */
+  private def rankCutsOf(vals: DataFrame): DataFrame = {
+    val stats = vals.groupBy(col("metric")).agg(min(col("v")).as("lo"),
+      max(col("v")).as("hi"), max(col("n")).as("n"))
+    // tie-collapsed value histogram: one row per DISTINCT
+    // (metric, bucket, value), a plain partial-aggregated hash-agg — the
+    // skew (tie mass) collapses here, never reaching a window task.
+    // Consumed by the bucket histogram AND the candidate-bucket probe
+    // inside ONE job (the model broadcast) — sibling consumers, so the
+    // fill is eager.
+    val vh = graft.TransientCache.register(vals
+      .join(broadcast(stats.select(col("metric"), col("lo"), col("hi"))),
+        Seq("metric"))
+      .withColumn("idx", least(lit(RfmBuckets - 1L),
+        floor((col("v") - col("lo")).cast("double") * RfmBuckets /
+          (col("hi") - col("lo") + 1).cast("double")).cast("long")))
+      .groupBy(col("metric"), col("idx"), col("v"))
+      .agg(count(lit(1)).as("nv"))
+      .cache())
+    vh.count()
+    val hist = vh.groupBy(col("metric"), col("idx")).agg(sum(col("nv")).as("nb"))
+    val wB = Window.partitionBy(col("metric")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ks = stats.select(col("metric") +: Seq(2, 4, 6, 8).map(t =>
+      expr(s"($t * n + 9) DIV 10").as(s"k$t")): _*)
+    // the ≤ 4 buckets per metric that contain a rank boundary — the only
+    // rows the in-bucket ranking ever sees
+    val cand = hist.withColumn("carry", sum(col("nb")).over(wB) - col("nb"))
+      .join(broadcast(ks), Seq("metric"))
+      .where(Seq(2, 4, 6, 8).map(t =>
+        col(s"k$t") > col("carry") && col(s"k$t") <= col("carry") + col("nb"))
+        .reduce(_ || _))
+      .select(col("metric"), col("idx"), col("carry"),
+        col("k2"), col("k4"), col("k6"), col("k8"))
+    val wIn = Window.partitionBy(col("metric"), col("idx")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry + in-bucket cumsum = the exact global count of that metric's
+    // elements ≤ v (buckets are value-monotone), so across all candidate
+    // buckets min(v | count ≥ k) IS the k-th smallest value
+    val cum = vh.join(broadcast(cand), Seq("metric", "idx"))
+      .withColumn("cum", sum(col("nv")).over(wIn) + col("carry"))
+    val cutCols = Seq(2, 4, 6, 8).map(t =>
+      min(when(col("cum") >= col(s"k$t"), col("v"))).as(s"c$t"))
+    val cuts = cum.groupBy(col("metric")).agg(cutCols.head, cutCols.tail: _*)
+    // 3 rows → the 1-row 12-column model
+    val modelCols = for (m <- Seq("r", "f", "mc"); t <- Seq(2, 4, 6, 8))
+      yield max(when(col("metric") === m, col(s"c$t"))).as(s"$m$t")
+    cuts.agg(modelCols.head, modelCols.tail: _*)
+  }
+
+  private[graft] def rfmOf(orders: DataFrame): DataFrame = {
+    val cust = orders.select(col("o_custkey").as("c"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("tp"))
+      .groupBy(col("c"))
+      .agg(max(col("day")).as("ld"), count(lit(1)).as("f"),
+        sum(col("tp")).cast("decimal(18,2)").as("m"))
+    // anchor day + n ride one 1-row agg; base's consumers are strictly
+    // SEQUENTIAL jobs (the vh fill, then the scoring pass — the model
+    // broadcast reads the vh cache, not base), so the fill is lazy and
+    // rides the vh job (the eager-fill rule: eager only for sibling
+    // consumers racing inside one job)
+    val base = graft.TransientCache.register(cust
+      .crossJoin(broadcast(cust.agg(max(col("ld")).as("anchor"),
+        count(lit(1)).as("n"))))
+      .select(col("c"), (col("anchor") - col("ld")).as("r"),
+        col("f"), col("m"), expr("CAST(m * 100 AS BIGINT)").as("mc"),
+        col("n"))
+      .cache())
+    // unpivot to (metric, v, n): all three metrics ride one grouped
+    // ranking pass (r/f/mc are all BIGINT — money ranks in exact cents)
+    val vals = base.selectExpr(
+      "stack(3, 'r', r, 'f', f, 'mc', mc) AS (metric, v)", "n")
+    val model = broadcast(rankCutsOf(vals))
+    def scoreUp(v: String): org.apache.spark.sql.Column =
+      lit(1L) + Seq(2, 4, 6, 8).map(t =>
+        when(col(v) > col(s"$v$t"), 1L).otherwise(0L)).reduce(_ + _)
+    val rScore = lit(1L) + Seq(2, 4, 6, 8).map(t =>
+      when(col("r") < col(s"r$t"), 1L).otherwise(0L)).reduce(_ + _)
+    base.crossJoin(model)
+      .select(col("c").as("custkey"), col("r").as("recency_days"),
+        col("f").as("frequency"), col("m").as("monetary"),
+        rScore.as("r_score"), scoreUp("f").as("f_score"),
+        scoreUp("mc").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Oracle: identical integer rank arithmetic and value-comparison
+    * scoring, single-node formulation (one ranked CTE per metric).
+    */
+  val rfmSegmentsSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS c,
+      |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+      |  FROM orders),
+      |cust AS (
+      |  SELECT c, max(day) AS ld, count(*) AS f,
+      |    CAST(sum(tp) AS DECIMAL(18,2)) AS m
+      |  FROM o GROUP BY c),
+      |base AS (
+      |  SELECT c, (SELECT max(ld) FROM cust) - ld AS r, f, m,
+      |    (SELECT count(*) FROM cust) AS n
+      |  FROM cust),
+      |rr AS (SELECT r AS v, n, row_number() OVER (ORDER BY r, c) AS rn FROM base),
+      |rf AS (SELECT f AS v, n, row_number() OVER (ORDER BY f, c) AS rn FROM base),
+      |rm AS (SELECT m AS v, n, row_number() OVER (ORDER BY m, c) AS rn FROM base),
+      |br AS (SELECT max(CASE WHEN rn <= (2*n+9)//10 THEN v END) AS r2,
+      |              max(CASE WHEN rn <= (4*n+9)//10 THEN v END) AS r4,
+      |              max(CASE WHEN rn <= (6*n+9)//10 THEN v END) AS r6,
+      |              max(CASE WHEN rn <= (8*n+9)//10 THEN v END) AS r8 FROM rr),
+      |bf AS (SELECT max(CASE WHEN rn <= (2*n+9)//10 THEN v END) AS f2,
+      |              max(CASE WHEN rn <= (4*n+9)//10 THEN v END) AS f4,
+      |              max(CASE WHEN rn <= (6*n+9)//10 THEN v END) AS f6,
+      |              max(CASE WHEN rn <= (8*n+9)//10 THEN v END) AS f8 FROM rf),
+      |bm AS (SELECT max(CASE WHEN rn <= (2*n+9)//10 THEN v END) AS m2,
+      |              max(CASE WHEN rn <= (4*n+9)//10 THEN v END) AS m4,
+      |              max(CASE WHEN rn <= (6*n+9)//10 THEN v END) AS m6,
+      |              max(CASE WHEN rn <= (8*n+9)//10 THEN v END) AS m8 FROM rm)
+      |SELECT c AS custkey, r AS recency_days, f AS frequency, m AS monetary,
+      |  1 + (r < r2)::BIGINT + (r < r4)::BIGINT + (r < r6)::BIGINT
+      |    + (r < r8)::BIGINT AS r_score,
+      |  1 + (f > f2)::BIGINT + (f > f4)::BIGINT + (f > f6)::BIGINT
+      |    + (f > f8)::BIGINT AS f_score,
+      |  1 + (m > m2)::BIGINT + (m > m4)::BIGINT + (m > m6)::BIGINT
+      |    + (m > m8)::BIGINT AS m_score,
+      |  (1 + (r < r2)::BIGINT + (r < r4)::BIGINT + (r < r6)::BIGINT
+      |     + (r < r8)::BIGINT) * 100 +
+      |  (1 + (f > f2)::BIGINT + (f > f4)::BIGINT + (f > f6)::BIGINT
+      |     + (f > f8)::BIGINT) * 10 +
+      |  (1 + (m > m2)::BIGINT + (m > m4)::BIGINT + (m > m6)::BIGINT
+      |     + (m > m8)::BIGINT) AS rfm
+      |FROM base CROSS JOIN br CROSS JOIN bf CROSS JOIN bm
+      |ORDER BY custkey""".stripMargin
 }

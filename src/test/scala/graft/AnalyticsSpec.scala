@@ -242,4 +242,84 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("rfm: quintile cuts by integer rank arithmetic; scores match a driver recompute") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // 10 customers, distinct metric profiles: customer i places i+1
+    // orders of 100.00 each on consecutive days ending day0+i — so
+    // r = 9−i, f = i+1, m = 100·(i+1): r strictly descending in i, f/m
+    // strictly ascending, every quintile has exactly two customers
+    val day0 = 19700L
+    val rows = for {
+      i <- 0 until 10
+      j <- 0 to i
+    } yield (100L + i, new java.sql.Timestamp((day0 + i - j) * 86400 * 1000L), 100.0)
+    val orders = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.operators.Analytics.rfmOf(orders)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    TransientCache.drain()
+    // driver recompute: n=10 → cuts at ranks (2n+9)/10=2, 4, 6, 8;
+    // ascending f values 1..10 → boundaries f=(2,4,6,8); score =
+    // 1 + #boundaries strictly beaten
+    for (i <- 0 until 10) {
+      val f = i + 1
+      val fScore = 1L + Seq(2, 4, 6, 8).count(f > _)
+      val r = 9 - i
+      val rBounds = Seq(2, 4, 6, 8).map(k => k - 1) // sorted r = 0..9
+      val rScore = 1L + rBounds.count(r < _)
+      val want = (rScore, fScore, fScore, rScore * 100 + fScore * 10 + fScore)
+      assert(got(100L + i) == want, s"cust ${100 + i}: ${got(100L + i)} vs $want")
+    }
+    // the integer cut IS ceil(p·n) by definition — the smallest k with
+    // k ≥ t·n/10 — for every quintile at any n; both engines evaluate
+    // it float-free (bare 0.2 parses DECIMAL in DuckDB, DOUBLE in
+    // Spark expr — the banned constant class)
+    for (n <- 1 to 10000; t <- Seq(2, 4, 6, 8)) {
+      val k = (t * n + 9) / 10
+      assert(10 * k >= t * n && 10 * (k - 1) < t * n, s"n=$n t=$t k=$k")
+    }
+  }
+
+  test("rfm: tie-heavy randomized differential vs a naive driver quantile") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // the skew the two-tier build exists for: 60% of customers place
+    // exactly ONE order, so the frequency tie class spans multiple
+    // quintile boundaries (f2 = f4 = 1) and the tie-collapsed histogram
+    // puts the whole class in one (bucket, value) row
+    val rng = new scala.util.Random(111L)
+    val day0 = 19700L
+    val rows = for {
+      i <- 0 until 200
+      nOrd = if (i < 120) 1 else 1 + rng.nextInt(20)
+      _ <- 0 until nOrd
+    } yield (1000L + i, new java.sql.Timestamp((day0 + rng.nextInt(60)) * 86400 * 1000L),
+      (1 + rng.nextInt(1000000)) / 100.0)
+    val got = graft.operators.Analytics.rfmOf(
+        rows.toDF("o_custkey", "o_orderdate", "o_totalprice"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    TransientCache.drain()
+    // naive driver recompute: sort each metric, index the k-th smallest
+    val byCust = rows.groupBy(_._1)
+    val ld = byCust.view.mapValues(_.map(_._2.getTime / 86400000L).max).toMap
+    val anchor = ld.values.max
+    val r = ld.view.mapValues(anchor - _).toMap
+    val f = byCust.view.mapValues(_.size.toLong).toMap
+    val mc = byCust.view.mapValues(_.map(o => math.round(o._3 * 100)).sum).toMap
+    val n = byCust.size
+    def cuts(vs: Iterable[Long]) = {
+      val s = vs.toSeq.sorted
+      Seq(2, 4, 6, 8).map(t => s((t * n + 9) / 10 - 1))
+    }
+    val (rc, fc, mcc) = (cuts(r.values), cuts(f.values), cuts(mc.values))
+    assert(fc.take(2) == Seq(1L, 1L), s"fixture lost its tie span: $fc")
+    for (c <- byCust.keys) {
+      val want = (1L + rc.count(r(c) < _), 1L + fc.count(f(c) > _),
+        1L + mcc.count(mc(c) > _))
+      assert(got(c) == want, s"cust $c: ${got(c)} vs $want")
+    }
+  }
 }

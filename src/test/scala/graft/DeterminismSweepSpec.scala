@@ -95,7 +95,10 @@ class DeterminismSweepSpec extends SparkSpec {
     "q109_delta_hll",
     // peel is a monotone set fixpoint — partition-order free; counts are
     // exact integers (q110)
-    "q110_kcore")
+    "q110_kcore",
+    // boundary VALUES are rank-selected (tie-permutation invariant) and
+    // scores compare values, never row order; money in DECIMAL (q111)
+    "q111_rfm_segments")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

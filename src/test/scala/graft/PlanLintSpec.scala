@@ -68,7 +68,12 @@ class PlanLintSpec extends SparkSpec {
     "q97_bpe_segment" -> (4 -> ("1-row best-pair winner broadcast per merge round; "
       + "the apply path also merges round 4 (TextOps.bpeSegmentOf)")),
     "q108_hll_distinct" -> (1 -> ("1-row register summary x 1-row exact count "
-      + "(Sketch.hllOf crossJoin — the q40 shape)")))
+      + "(Sketch.hllOf crossJoin — the q40 shape)")),
+    "q111_rfm_segments" -> (2 -> ("both 1-row broadcasts, enumerated: the "
+      + "anchor/n agg into the customer base (1) and the 12-value cut "
+      + "model into the scoring pass (1); the stats/k-rank lookups are "
+      + "metric-KEYED broadcast hash joins, not products "
+      + "(Analytics.rfmOf)")))
 
   /** Unpartitioned-window whitelist: query → (max instances, the bounded
     * frame). A whitelisted frame must be driver-tiny BY CONSTRUCTION —
@@ -274,6 +279,17 @@ class PlanLintSpec extends SparkSpec {
                                   // construction (round budget = job count)
                                   // (confirmed against the lint's
                                   // observed count, r13)
+    "q111_rfm_segments" -> 12,    // ONE stacked-metric rank pass: customer
+                                  // base build (groupBy + anchor agg) +
+                                  // stats agg + vh tie-collapse hash-agg +
+                                  // bucket histogram + metric-keyed carry
+                                  // cumsum + candidate (metric,bucket)
+                                  // value cumsum + 3-row cuts agg + 1-row
+                                  // model agg + the presentation sort —
+                                  // only the base groupBy and the vh
+                                  // hash-agg touch customer-scale data
+                                  // (was 25 as three per-metric builds;
+                                  // re-pinned with the stack unpivot)
     "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
                            // the SHARED bigram model build when cold (its own
                            // corpus pass — warm sessions hit the vocab-bounded

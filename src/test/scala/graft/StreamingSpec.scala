@@ -903,6 +903,68 @@ class StreamingSpec extends SparkSpec {
     assert(batch.keySet == streamedDist.keySet)
   }
 
+  test("streaming retention: one emission per user-week across a restart; aggregated == batch q104 cells") {
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.{RetEv, RetRow}
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val tmp = Files.createTempDirectory("graft-sret").toString
+    val day0 = 19700L // an arbitrary epoch day; cohort = day0 DIV 7
+
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val stream = MemoryStream[RetEv](spark)
+    def run(): Unit = {
+      val q = StreamingRetention(stream.toDS())
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[RetRow], _: Long) =>
+          batch.collect().foreach(r =>
+            emitted.add((r.user_id, r.cohort_week, r.week_offset)))
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: u1 active twice in week 0 (ONE activation) + once in
+    // week 1; u2 active in its own week 0 only
+    stream.addData(
+      RetEv(1L, day0), RetEv(1L, day0 + 2), RetEv(1L, day0 + 8),
+      RetEv(2L, day0 + 1))
+    run()
+    // RESTART from checkpoint: u1 returns in week 3 (cohort pinned by
+    // the CARRIED first_day) twice — the second activation dedup'd by
+    // the carried seen set; u2's week-1 return lands in u1's cohort
+    // (different fd, same fd DIV 7); u3 starts a new cohort
+    stream.addData(
+      RetEv(1L, day0 + 22), RetEv(1L, day0 + 23),
+      RetEv(2L, day0 + 9), RetEv(3L, day0 + 14))
+    run()
+
+    import scala.jdk.CollectionConverters._
+    val got = emitted.asScala.toSeq
+    assert(got.size == got.distinct.size, s"duplicate activations: $got")
+    // u1's cohort never moves across the restart
+    assert(got.filter(_._1 == 1L).map(_._2).distinct == Seq(day0 / 7))
+
+    // aggregated activations == the batch q104 cells over the
+    // concatenated input (n_active per (cohort, offset); sizes = the
+    // offset-0 slice)
+    def t(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
+    val all = Seq(
+      (1L, t(day0)), (1L, t(day0 + 2)), (1L, t(day0 + 8)),
+      (1L, t(day0 + 22)), (1L, t(day0 + 23)),
+      (2L, t(day0 + 1)), (2L, t(day0 + 9)),
+      (3L, t(day0 + 14)))
+      .toDF("user_id", "ts")
+    val batchCells = graft.operators.Sessions.retentionCohortsOf(all)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val streamedCells = got.groupBy(e => (e._2, e._3))
+      .map { case (k, vs) => k -> vs.size.toLong }
+    assert(streamedCells == batchCells,
+      s"streamed $streamedCells vs batch $batchCells")
+  }
+
   test("streaming cardinality: register advance across batches + restart; replay is an algebraic no-op") {
     import graft.streaming.StreamingCardinality
     import graft.operators.Sketch

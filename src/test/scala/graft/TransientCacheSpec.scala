@@ -70,6 +70,10 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(Sketch.kmvDistinct(spark, dir), 1)
   }
 
+  test("q111 rfmSegments transients (customer base + stacked value histogram) drain") {
+    checkDrains(graft.operators.Analytics.rfmSegments(spark, dir), 2)
+  }
+
   test("q107 peakConcurrency transient (boundary stream) drains") {
     checkDrains(Sessions.peakConcurrency(spark, dir), 1)
   }
