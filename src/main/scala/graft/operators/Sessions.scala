@@ -815,4 +815,161 @@ object Sessions {
       |SELECT r.user_id, CAST(r.acc // $B40 AS BIGINT) AS funnel_depth
       |FROM r JOIN n ON n.user_id = r.user_id AND r.i = n.cnt
       |ORDER BY r.user_id""".stripMargin
+
+  // ------------- q113: incremental retention (the event tier's delta slot)
+
+  private val retIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), (String, Long)]
+  private val retCreatedRoots = scala.collection.mutable.Set.empty[String]
+
+  private def eventDays(events: DataFrame): DataFrame =
+    events.select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+
+  /** Seed the at-rest retention index at `root` from a corpus events
+    * frame (idempotent): `ret_user` = (user_id, fd) — each user's first
+    * active day — and `ret_weeks` = (user_id, week_offset) — the
+    * DISTINCT user-week activations. These are q104's two aggregations
+    * as tables: user-weeks collapse ALL within-week activity, so the
+    * at-rest side is orders of magnitude smaller than the raw event
+    * log, and the full cohort triangle is one join + one agg away.
+    */
+  private[graft] def retentionIndexAt(spark: SparkSession, root: String,
+                                      events: => DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    if (!wh.exists("ret_user")) {
+      val days = eventDays(events)
+      val first = days.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+      wh.write("ret_user", first)
+      wh.write("ret_weeks", days.join(first, Seq("user_id"))
+        .select(col("user_id"), expr("(day - fd) DIV 7").as("week_offset"))
+        .distinct())
+    }
+  }
+
+  /** Nightly advance: fold one batch of events into the at-rest index.
+    *
+    * Contract (the same in-order-per-user nightly contract the §2.9
+    * ingest watermark lane provides, and [[graft.streaming.StreamingRetention]]
+    * assumes): a night's batch never carries a day EARLIER than a day
+    * already committed for that user, so a known user's `fd` is final
+    * at first commit and new offsets are pure additions.
+    *
+    * Exactly-once effect under at-least-once delivery with NO manifest:
+    * both appends are row-level anti-join guarded, so a replayed night
+    * (the §2.9 replay contract: same batch) re-derives byte-identical
+    * candidate rows and the anti-joins drop whatever already committed.
+    * Crash windows: (1) mid/after the `ret_user` append but before
+    * `ret_weeks` — the replay's user anti-join re-appends only the
+    * missing users (fd is deterministic from the replayed batch), the
+    * offset pass re-reads `ret_user` AT REST so committed and
+    * re-appended users rank alike; (2) a partial `ret_weeks` file set —
+    * the (user, offset) anti-join re-appends only missing activations.
+    * Order matters: `ret_user` commits FIRST because fd is the basis
+    * the offsets are computed relative to.
+    */
+  private[graft] def advanceRetentionIndex(spark: SparkSession, root: String,
+                                           batch: DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    // in-batch redelivery guard (the at-rest guards only know committed
+    // rows — the InBatchRedeliverySpec discipline)
+    val bdays = eventDays(batch).dropDuplicates("user_id", "day")
+    val bfd = bdays.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+    wh.append("ret_user",
+      bfd.join(wh.read("ret_user"), Seq("user_id"), "left_anti"))
+    wh.compactIfFragmented("ret_user")
+    val fds = wh.read("ret_user")
+    val offs = bdays.join(fds, Seq("user_id"))
+      .select(col("user_id"), expr("(day - fd) DIV 7").as("week_offset"))
+      .distinct()
+    wh.append("ret_weeks",
+      offs.join(wh.read("ret_weeks"), Seq("user_id", "week_offset"), "left_anti"))
+    wh.compactIfFragmented("ret_weeks")
+  }
+
+  /** The fixture's at-rest index (memoized per context+dir like the HLL
+    * index): corpus = events STRICTLY BEFORE the 80%-of-range split day
+    * — a TIME split, not a hash split, because the delta contract here
+    * is temporal (in-order per user). Returns (root, splitDay).
+    */
+  private[graft] def retentionIndexAtRest(spark: SparkSession,
+                                          dir: String): (String, Long) = {
+    val key = (spark.sparkContext, dir)
+    val v = retIndexMemo.get(key).getOrElse {
+      val r = eventDays(Tables.events(spark, dir))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+      val split = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 4 / 5
+      val fresh = java.nio.file.Files.createTempDirectory("graft_retidx_").toString
+      retentionIndexAt(spark, fresh, Tables.events(spark, dir)
+        .filter(expr("unix_timestamp(ts) DIV 86400") < split))
+      retIndexMemo.putIfAbsent(key, (fresh, split)) match {
+        case Some(winner) =>
+          graft.pipelines.Fs.delete(spark, fresh); winner
+        case None =>
+          retCreatedRoots.synchronized { retCreatedRoots += fresh }
+          (fresh, split)
+      }
+    }
+    v
+  }
+
+  /** Test seam — inject an index root + split (the poisoned-index
+    * discipline: the spec proves the query reads the tables).
+    */
+  private[graft] def installRetentionIndex(spark: SparkSession, dir: String,
+                                           root: String, split: Long): Unit =
+    retIndexMemo.put((spark.sparkContext, dir), (root, split))
+
+  /** Drop this context's memoized retention indexes; owned roots deleted. */
+  def clearRetentionIndex(spark: SparkSession): Unit =
+    retIndexMemo.keys.filter(_._1 eq spark.sparkContext).foreach { k =>
+      retIndexMemo.remove(k).foreach { case (root, _) =>
+        val owned = retCreatedRoots.synchronized { retCreatedRoots.remove(root) }
+        if (owned) graft.pipelines.Fs.delete(spark, root)
+      }
+    }
+
+  /** q113 — the q104 cohort triangle over corpus + tonight's batch
+    * WITHOUT rescanning the corpus event log: the corpus side is the
+    * at-rest (user, fd) + (user, week_offset) pair of tables — the
+    * collapsed user-week space, orders of magnitude below raw events —
+    * and the batch side is one night of events. First days merge by
+    * "at-rest wins" (under the in-order contract the at-rest fd IS the
+    * min over corpus ∪ batch for known users; batch-new users take the
+    * batch min), activations union-distinct, and the triangle is one
+    * (cohort, offset) agg. The oracle is q104's full-scan SQL verbatim
+    * over ALL events — so the hash compare passes iff
+    * incremental ≡ rebuild bit-for-bit (the q109 discipline).
+    */
+  def deltaRetention(spark: SparkSession, dir: String): DataFrame = {
+    val (root, split) = retentionIndexAtRest(spark, dir)
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    val batch = Tables.events(spark, dir)
+      .filter(expr("unix_timestamp(ts) DIV 86400") >= split)
+    val bdays = eventDays(batch).dropDuplicates("user_id", "day")
+    val atUser = wh.read("ret_user")
+    val fds = atUser.unionByName(
+      bdays.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+        .join(atUser, Seq("user_id"), "left_anti"))
+    val acts = wh.read("ret_weeks").unionByName(
+        bdays.join(fds, Seq("user_id"))
+          .select(col("user_id"), expr("(day - fd) DIV 7").as("week_offset")))
+      .distinct()
+    val withCohort = acts.join(fds, Seq("user_id"))
+      .select(expr("fd DIV 7").as("cohort_week"), col("week_offset"))
+    val cells = withCohort.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = withCohort.filter(col("week_offset") === 0)
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
+    cells.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Oracle: q104's full-scan formulation — deliberately scanning the
+    * whole event log the incremental path must never touch.
+    */
+  val deltaRetentionSql: String = retentionCohortsSql
 }

@@ -98,7 +98,14 @@ class DeterminismSweepSpec extends SparkSpec {
     "q110_kcore",
     // boundary VALUES are rank-selected (tie-permutation invariant) and
     // scores compare values, never row order; money in DECIMAL (q111)
-    "q111_rfm_segments")
+    "q111_rfm_segments",
+    // membership is a value comparison against a rank-selected threshold
+    // over a UNIQUE (hash, doc_id) key — no tie to permute (q112)
+    "q112_quota_sample",
+    // at-rest ∪ batch merge: min-agg first days, distinct activations,
+    // exact integer cells — the q104 determinism argument over the
+    // incremental physical shape (q113)
+    "q113_delta_retention")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself
@@ -109,6 +116,7 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Dedup.clearWinnowIndexAtRest(spark)
     graft.operators.Dedup.clearCorpusBloom(spark)
     graft.operators.Sketch.clearHllIndex(spark)
+    graft.operators.Sessions.clearRetentionIndex(spark)
     // CacheManager matches by logical plan, so a cached winnow index
     // built under one partition count would serve the other verbatim —
     // evict it so q85/q86 genuinely recompute (unpersist resolves the

@@ -382,4 +382,93 @@ class EventOpsSpec extends SparkSpec {
       .repartition(7).orderBy("doc_id").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  // ---------------- q113: incremental retention (at-rest user-weeks)
+
+  test("q113 delta retention == q104 full rebuild bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    Sessions.clearRetentionIndex(spark)
+    val delta = Sessions.deltaRetention(spark, dir).collect().toSeq
+    val full = Sessions.retentionCohorts(spark, dir).collect().toSeq
+    assert(delta == full,
+      s"incremental must equal rebuild exactly (delta rows ${delta.size})")
+  }
+
+  test("q113 reads the at-rest tables: a poisoned index changes the cells") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_retpoison_").toString
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    // one phantom user with an fd far before any real event and a week-0
+    // activation — a cohort no real corpus produces
+    wh.write("ret_user", Seq((-1L, 0L)).toDF("user_id", "fd"))
+    wh.write("ret_weeks", Seq((-1L, 0L)).toDF("user_id", "week_offset"))
+    Sessions.clearRetentionIndex(spark)
+    // split below any real day: the whole event log becomes the batch,
+    // so every true cell must still emerge PLUS the phantom cohort
+    Sessions.installRetentionIndex(spark, dir, root, 0L)
+    try {
+      val got = Sessions.deltaRetention(spark, dir).collect()
+      assert(got.exists(r => r.getLong(0) == 0L && r.getLong(1) == 0L &&
+          r.getLong(3) == 1L),
+        "the phantom cohort must surface — if not, the query is not " +
+          "reading the at-rest tables")
+    } finally {
+      Sessions.clearRetentionIndex(spark)
+      graft.pipelines.Fs.delete(spark, root)
+    }
+  }
+
+  test("q113 advance: nightly appends == rebuild at every night boundary; replay and crash windows converge") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_retadv_").toString
+    try {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"),
+          expr("unix_timestamp(ts) DIV 86400").as("day"))
+      val bounds = ev.agg(min(col("day")), max(col("day"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      val corpus = ev.filter(col("day") < cut1)
+      val night1 = ev.filter(col("day") >= cut1 && col("day") < cut2)
+      val night2 = ev.filter(col("day") >= cut2)
+      val wh = new graft.pipelines.Warehouse(spark, root)
+      def stateNow(): (Seq[(Long, Long)], Seq[(Long, Long)]) = (
+        wh.read("ret_user").collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sorted.toSeq,
+        wh.read("ret_weeks").collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sorted.toSeq)
+      def rebuilt(upTo: org.apache.spark.sql.DataFrame)
+          : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+        val r2 = java.nio.file.Files.createTempDirectory("graft_retrb_").toString
+        Sessions.retentionIndexAt(spark, r2, upTo)
+        val w2 = new graft.pipelines.Warehouse(spark, r2)
+        val out = (
+          w2.read("ret_user").collect().map(r => (r.getLong(0), r.getLong(1)))
+            .sorted.toSeq,
+          w2.read("ret_weeks").collect().map(r => (r.getLong(0), r.getLong(1)))
+            .sorted.toSeq)
+        graft.pipelines.Fs.delete(spark, r2)
+        out
+      }
+      Sessions.retentionIndexAt(spark, root, corpus)
+      Sessions.advanceRetentionIndex(spark, root, night1)
+      assert(stateNow() == rebuilt(ev.filter(col("day") < cut2)),
+        "night-1 advance != rebuild")
+      // crash window 1: ret_user committed for night 2, ret_weeks not —
+      // simulate by appending night 2's new users only, then REPLAY the
+      // whole night
+      val n2days = night2.select(col("user_id"), col("day"))
+        .dropDuplicates("user_id", "day")
+      wh.append("ret_user",
+        n2days.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+          .join(wh.read("ret_user"), Seq("user_id"), "left_anti"))
+      Sessions.advanceRetentionIndex(spark, root, night2)
+      val advanced = stateNow()
+      assert(advanced == rebuilt(ev), "crash-window replay != rebuild")
+      // at-least-once: a replayed night is a no-op (row-level anti-joins)
+      Sessions.advanceRetentionIndex(spark, root, night2)
+      assert(stateNow() == advanced, "replayed advance must be a no-op")
+    } finally graft.pipelines.Fs.delete(spark, root)
+  }
 }

@@ -290,6 +290,20 @@ class PlanLintSpec extends SparkSpec {
                                   // hash-agg touch customer-scale data
                                   // (was 25 as three per-metric builds;
                                   // re-pinned with the stack unpivot)
+    "q112_quota_sample" -> 5,     // base (source, doc_id, h, bucket) hash-agg
+                                  // tiers: quota agg + bucket histogram +
+                                  // source-keyed carry cumsum + candidate
+                                  // (source,bucket) rank window + the
+                                  // presentation sort; the membership
+                                  // filter rides the cached base with a
+                                  // broadcast threshold — no extra exchange
+    "q113_delta_retention" -> 6,  // batch (user, day) dedup + batch min-fd
+                                  // agg + the fd union's user-key join +
+                                  // activation distinct + cell agg +
+                                  // cohort-size agg; the at-rest tables
+                                  // are bare file scans (the index build
+                                  // runs eagerly OUTSIDE this plan, like
+                                  // q109's register table)
     "q100_cooc_lift" -> 6, // in-array window-pair generator + pair hash-agg +
                            // the SHARED bigram model build when cold (its own
                            // corpus pass — warm sessions hit the vocab-bounded
