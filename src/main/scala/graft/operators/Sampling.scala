@@ -69,27 +69,47 @@ object Sampling {
   private[graft] def quotaSampleOf(docs: DataFrame, stratum: Column,
                                         tenths: Int): DataFrame = {
     require(tenths >= 1 && tenths <= 10, s"tenths must be 1..10: $tenths")
-    val h = graft.functions.TextFns.hash60(
-      concat(lit("samp|"), col("doc_id").cast("string")))
-    // one 2-column scan + the hash, consumed by the quota agg, the
-    // bucket histogram, the threshold ranking and the membership filter
-    // (all but the last are broadcast builds racing inside the final
-    // job) — sibling consumers, eager fill
+    val base = saltedBase(docs, stratum, "samp|")
+    val quota = base.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      .select(col("source"), expr(s"($tenths * ns + 9) DIV 10").as("ks"))
+    sampleByQuota(base, quota)
+  }
+
+  /** The salted-hash rank frame the draw engine runs over: one
+    * 2-column scan + the hash + the known-range bucket index, consumed
+    * by the quota derivation, the bucket histogram, the threshold
+    * ranking and the membership filter (all but the last are broadcast
+    * builds racing inside the final job) — sibling consumers, eager
+    * fill. The salt decorrelates each sampler from every other
+    * doc_id-keyed hash (q34 split, q68 shards, each other).
+    */
+  private def saltedBase(docs: DataFrame, stratum: Column,
+                         salt: String): DataFrame = {
     val base = graft.TransientCache.register(docs
       .select(stratum.as("source"), col("doc_id"))
-      .withColumn("h", h)
+      .withColumn("h", graft.functions.TextFns.hash60(
+        concat(lit(salt), col("doc_id").cast("string"))))
       .withColumn("idx", shiftrightunsigned(col("h"), BucketShift))
       .cache())
     base.count()
-    val quota = base.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-      .select(col("source"), expr(s"($tenths * ns + 9) DIV 10").as("ks"))
+    base
+  }
+
+  /** The shared draw engine: exactly `ks` rows per stratum (smallest
+    * (h, doc_id) first) for ANY per-stratum quota frame — q112 passes
+    * ceil(r·n_s), q114 passes the apportioned mix. A stratum with
+    * ks = 0 (or absent from `quotas`) yields no candidate bucket and
+    * drops out entirely; ks is assumed ≤ n_s (callers cap).
+    */
+  private[graft] def sampleByQuota(base: DataFrame,
+                                   quotas: DataFrame): DataFrame = {
     val wB = Window.partitionBy(col("source")).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the ONE bucket per stratum containing the quota boundary
     val cand = base.groupBy(col("source"), col("idx"))
       .agg(count(lit(1)).as("nb"))
       .withColumn("carry", sum(col("nb")).over(wB) - col("nb"))
-      .join(broadcast(quota), Seq("source"))
+      .join(broadcast(quotas), Seq("source"))
       .where(col("ks") > col("carry") && col("ks") <= col("carry") + col("nb"))
       .select(col("source"), col("idx"), col("carry"), col("ks"))
     // rank ONLY the candidate bucket's rows (≈ n_s/1024, uniform by
@@ -124,6 +144,96 @@ object Sampling {
       |      FROM b)
       |SELECT r.doc_id, r.source
       |FROM r JOIN k USING (source) WHERE r.rn <= k.ks
+      |ORDER BY r.source, r.doc_id""".stripMargin
+  }
+
+  /** Mix budget as a fraction of the corpus: N = total DIV [[MixDiv]]. */
+  val MixDiv = 5
+
+  /** q114 — the TRAINING-MIX sampler: draw a fixed budget
+    * N = total/[[MixDiv]] apportioned across sources by q78's
+    * temperature-scaled weights, exactly. This is the op the q78 model
+    * exists FOR — turning "source s deserves weight w_s" into an
+    * actual drawn document set — and it composes the repo's own
+    * pieces: q78's weights (bit-identical across engines, oracle-
+    * checked there), LARGEST-REMAINDER apportionment (the house-seats
+    * algorithm: floor(N·w_s) each, the L = N − Σfloor leftovers go to
+    * the largest fractional parts, (frac DESC, source) total order —
+    * so Σ quotas = N exactly, in integer arithmetic over bit-portable
+    * doubles), and the [[sampleByQuota]] draw engine with its own
+    * salt ("mix|"), so the mix draw is independent of the q112
+    * carve-out. Quotas cap at n_s (an up-weighted tiny source can be
+    * apportioned more docs than it has — a REAL mix oversamples by
+    * replication, q69; a without-replacement draw takes all of the
+    * source): one-round apportionment, the capped shortfall is
+    * reported by construction (Σ output < N) rather than silently
+    * redistributed — production reruns apportionment on the uncapped
+    * remainder (documented contract; the cap path is spec-forced).
+    * The apportionment rank runs over the |sources|-row model frame
+    * (the q68/q78 bounded-model discipline).
+    */
+  def mixQuotaSample(spark: SparkSession, dir: String): DataFrame =
+    mixQuotaSampleOf(Tables.documents(spark, dir))
+      .orderBy(col("source"), col("doc_id"))
+
+  private[graft] def mixQuotaSampleOf(docs: DataFrame): DataFrame = {
+    // the whole apportionment rides the |sources|-row model frame in
+    // TWO window stages (budget total, then rank + leftover in ONE
+    // ordered window) — no scalar-agg crossJoins, so the q78 weight
+    // chain executes exactly once (the model is 4 rows at the fixture
+    // and thousands at worst — the q68/q78 bounded-model discipline)
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wR = Window.orderBy(col("frac").desc, col("source"))
+    val quotas = TextOps.mixtureWeightsOf(docs)
+      .select(col("source"), col("n_docs"), col("weight"))
+      .withColumn("tot", sum(col("n_docs")).over(full))
+      .withColumn("bn", expr(s"tot DIV $MixDiv"))
+      .withColumn("raw", col("weight") * col("bn"))
+      .withColumn("fl", floor(col("raw")))
+      .withColumn("frac", col("raw") - col("fl"))
+      .withColumn("rk", row_number().over(wR))
+      .withColumn("lv", col("bn") - sum(col("fl")).over(
+        wR.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source"),
+        least(col("fl") +
+          when(col("rk") <= col("lv"), 1L).otherwise(0L),
+          col("n_docs")).as("ks"))
+    sampleByQuota(saltedBase(docs, col("source"), "mix|"), quotas)
+  }
+
+  /** Oracle: q78's weight CTEs verbatim, the same integer largest-
+    * remainder apportionment, and the single-node per-stratum sort.
+    */
+  val mixQuotaSampleSql: String = {
+    import graft.functions.TextFns.hash60Sql
+    val h = hash60Sql("('mix|' || CAST(doc_id AS VARCHAR))")
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+      |w AS (SELECT source, n_docs, total,
+      |    sqrt(CAST(n_docs AS DOUBLE) / total) AS w
+      |  FROM c CROSS JOIN tt),
+      |nm AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+      |    (a, b) -> a + b) AS norm FROM w),
+      |ap AS (SELECT source, n_docs,
+      |    (w / norm) * (total // $MixDiv) AS raw,
+      |    CAST(FLOOR((w / norm) * (total // $MixDiv)) AS BIGINT) AS fl,
+      |    total // $MixDiv AS bn
+      |  FROM w CROSS JOIN nm),
+      |lv AS (SELECT max(bn) - sum(fl) AS lv FROM ap),
+      |k AS (SELECT source,
+      |    CASE WHEN row_number() OVER (ORDER BY raw - fl DESC, source)
+      |           <= (SELECT lv FROM lv)
+      |         THEN fl + 1 ELSE fl END AS ks0, n_docs
+      |  FROM ap),
+      |kk AS (SELECT source,
+      |    CASE WHEN ks0 < n_docs THEN ks0 ELSE n_docs END AS ks FROM k),
+      |b AS (SELECT doc_id, source, $h AS h FROM documents),
+      |r AS (SELECT b.*,
+      |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      |      FROM b)
+      |SELECT r.doc_id, r.source
+      |FROM r JOIN kk USING (source) WHERE r.rn <= kk.ks
       |ORDER BY r.source, r.doc_id""".stripMargin
   }
 }

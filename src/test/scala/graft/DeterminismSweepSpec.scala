@@ -105,7 +105,10 @@ class DeterminismSweepSpec extends SparkSpec {
     // at-rest ∪ batch merge: min-agg first days, distinct activations,
     // exact integer cells — the q104 determinism argument over the
     // incremental physical shape (q113)
-    "q113_delta_retention")
+    "q113_delta_retention",
+    // the q112 argument plus: apportionment ranks a |sources|-row frame
+    // by (frac, source) total order over bit-stable doubles (q114)
+    "q114_mix_quota_sample")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -73,7 +73,11 @@ class PlanLintSpec extends SparkSpec {
       + "anchor/n agg into the customer base (1) and the 12-value cut "
       + "model into the scoring pass (1); the stats/k-rank lookups are "
       + "metric-KEYED broadcast hash joins, not products "
-      + "(Analytics.rfmOf)")))
+      + "(Analytics.rfmOf)")),
+    "q114_mix_quota_sample" -> (3 -> ("q78's own whitelisted trio riding "
+      + "inside the quota model build (1-row corpus total x2 consumers + "
+      + "1-row norm fold — TextOps.mixtureWeightsOf, executed ONCE: the "
+      + "apportionment layer itself is window-only, zero crossJoins)")))
 
   /** Unpartitioned-window whitelist: query → (max instances, the bounded
     * frame). A whitelisted frame must be driver-tiny BY CONSTRUCTION —
@@ -86,7 +90,12 @@ class PlanLintSpec extends SparkSpec {
     "q107_peak_concurrency" -> (1 -> ("hour-ledger carry cumsum: one row per " +
       "DISTINCT HOUR (calendar-bounded, not corpus-bounded) — the same " +
       "shard-offset discipline as q68; the corpus-scale prefix sums run " +
-      "under the (hour)-partitioned window (Sessions.peakConcurrencyOf)")))
+      "under the (hour)-partitioned window (Sessions.peakConcurrencyOf)")),
+    "q114_mix_quota_sample" -> (2 -> ("the apportionment's two window "
+      + "stages over the |sources|-row weight model (budget total, then "
+      + "rank + leftover sharing ONE ordered window) — the q68/q78 "
+      + "bounded-model discipline; the corpus-scale machinery is the "
+      + "q112 draw engine, source-partitioned (Sampling.mixQuotaSampleOf)")))
 
   private def descend(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -297,6 +306,13 @@ class PlanLintSpec extends SparkSpec {
                                   // presentation sort; the membership
                                   // filter rides the cached base with a
                                   // broadcast threshold — no extra exchange
+    "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
+                                  // agg + norm collect fold) + two
+                                  // |sources|-row window sorts + the q112
+                                  // draw engine's histogram/carry/rank
+                                  // tiers + the presentation sort — only
+                                  // the counts agg and the salted base
+                                  // hash-agg touch corpus-scale data
     "q113_delta_retention" -> 6,  // batch (user, day) dedup + batch min-fd
                                   // agg + the fd union's user-key join +
                                   // activation distinct + cell agg +

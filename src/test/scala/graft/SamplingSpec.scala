@@ -68,6 +68,67 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mix sample: per-source counts equal a driver-side largest-remainder apportionment") {
+    val docs = Tables.documents(spark, dir)
+    val ns = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.mixQuotaSample(spark, dir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    TransientCache.drain()
+    // driver recompute in the exact same IEEE op order: sqrt shares,
+    // source-ordered norm fold, weight*budget, floor + largest-remainder
+    val total = ns.values.sum
+    val w = ns.view.mapValues(n => math.sqrt(n.toDouble / total)).toMap
+    val norm = w.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    val bn = total / Sampling.MixDiv
+    val ap = ns.keys.toSeq.sorted.map { s =>
+      val raw = (w(s) / norm) * bn
+      val fl = math.floor(raw).toLong
+      (s, fl, raw - fl)
+    }
+    val lv = bn - ap.map(_._2).sum
+    val bump = ap.sortBy { case (s, _, frac) => (-frac, s) }
+      .take(lv.toInt).map(_._1).toSet
+    val want = ap.map { case (s, fl, _) =>
+      s -> math.min(fl + (if (bump(s)) 1L else 0L), ns(s))
+    }.toMap
+    assert(want.values.sum <= bn)
+    assert(got == want.filter(_._2 > 0L), s"$got vs $want")
+  }
+
+  test("mix sample: an up-weighted tiny source caps at its own size (forced cap path)") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // A: 1000 docs, B: 4 docs. alpha=0.5 up-weights B far past 4 docs'
+    // worth of a 200-doc budget, so B's quota must cap at 4 and the
+    // drawn total must fall short of the budget by the shortfall
+    val docs = ((1 to 1000).map(i => (i.toLong, "A")) ++
+      (2001 to 2004).map(i => (i.toLong, "B")))
+      .toDF("doc_id", "source")
+    val got = Sampling.mixQuotaSampleOf(docs).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    TransientCache.drain()
+    val total = 1004L
+    val bn = total / Sampling.MixDiv // 200
+    val wA = math.sqrt(1000.0 / total); val wB = math.sqrt(4.0 / total)
+    val norm = wA + wB
+    val rawB = wB / norm * bn
+    assert(rawB > 4.0, s"fixture must force the cap: rawB=$rawB")
+    assert(got("B") == 4L, s"B must cap at its 4 docs: $got")
+    assert(got("A") + got("B") < bn,
+      "the capped shortfall must surface as a short draw, not be " +
+        "silently redistributed")
+    // A's quota is its own apportionment, unaffected by B's cap
+    val rawA = wA / norm * bn
+    val flA = math.floor(rawA).toLong; val flB = math.floor(rawB).toLong
+    val lv = bn - flA - flB
+    val fracA = rawA - flA; val fracB = rawB - flB
+    // two sources: A bumps if two leftovers exist, or one and A ranks
+    // first under (frac DESC, source ASC)
+    val bumpA = lv >= 2 || (lv == 1 && fracA >= fracB)
+    assert(got("A") == flA + (if (bumpA) 1L else 0L), s"$got")
+  }
+
   test("quota sample: rejects a rate outside (0, 1]") {
     intercept[IllegalArgumentException] {
       Sampling.quotaSampleOf(Tables.documents(spark, dir),

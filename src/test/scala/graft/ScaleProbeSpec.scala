@@ -200,6 +200,38 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("q111/q112 rank-engine plans are invariant in row count at 10x") {
+    withAqeOff {
+      // disjoint doc copies: strata sizes AND distinct rank keys scale,
+      // the bucket fan-out stays the 1024 config constant — candidate
+      // buckets rank ~n_s/1024 rows whatever n_s is
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      def blow(f: Int): DataFrame = docs
+        .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("doc_id") * f + col("__s")).as("doc_id"), col("source"))
+      val s1 = planOf(graft.operators.Sampling.quotaSampleOf(
+        blow(1), col("source"), 3))
+      val s10 = planOf(graft.operators.Sampling.quotaSampleOf(
+        blow(10), col("source"), 3))
+      assert(shuffleCount(s1) == shuffleCount(s10), s"1x=$s1\n10x=$s10")
+      assert(!s10.contains("CartesianProduct"))
+      TransientCache.drain()
+      // the q111 cut build rides the same engine in value space: customer
+      // count scales, RfmBuckets stays the config bound
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      def blowO(f: Int): DataFrame = orders
+        .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("o_custkey") * f + col("__s")).as("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val r1 = planOf(graft.operators.Analytics.rfmOf(blowO(1)))
+      val r10 = planOf(graft.operators.Analytics.rfmOf(blowO(10)))
+      assert(shuffleCount(r1) == shuffleCount(r10), s"1x=$r1\n10x=$r10")
+      assert(!r10.contains("CartesianProduct"))
+      TransientCache.drain()
+    }
+  }
+
   test("q99 triangle plan shape is invariant in edge count at 10x") {
     withAqeOff {
       val sql = spark.sqlContext

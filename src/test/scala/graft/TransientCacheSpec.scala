@@ -74,6 +74,14 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(graft.operators.Analytics.rfmSegments(spark, dir), 2)
   }
 
+  test("q112 quotaSample transient (salted rank base) drains") {
+    checkDrains(graft.operators.Sampling.quotaSample(spark, dir), 1)
+  }
+
+  test("q114 mixQuotaSample transients (weight counts + salted rank base) drain") {
+    checkDrains(graft.operators.Sampling.mixQuotaSample(spark, dir), 2)
+  }
+
   test("q107 peakConcurrency transient (boundary stream) drains") {
     checkDrains(Sessions.peakConcurrency(spark, dir), 1)
   }
