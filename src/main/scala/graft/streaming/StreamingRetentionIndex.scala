@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.operators.Sessions
+import graft.pipelines.Warehouse
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Structured-Streaming twin of the q113 incremental-retention loop: an
+  * events stream advances the at-rest `ret_user` / `ret_weeks` tables
+  * micro-batch by micro-batch ([[Sessions.advanceRetentionIndex]]) —
+  * the FIFTH index family with a streaming twin (fuzzy / winnow / ANN
+  * screens, cardinality registers, now the retention user-weeks).
+  *
+  * The event tier's retention now has BOTH streaming forms, mirroring
+  * the batch pair: [[StreamingRetention]] streams the METRIC (per-user
+  * activation emissions via `flatMapGroupsWithState`, for a live
+  * dashboard), this twin streams the INDEX (the at-rest tables the
+  * nightly q113 triangle reads, durable across restarts).
+  *
+  * Exactly-once effect under at-least-once delivery: the advance's two
+  * appends are row-level anti-join guarded, so a replayed micro-batch
+  * re-derives byte-identical candidate rows and appends nothing — the
+  * anti-join key IS the ledger (contrast max-merge's algebraic guard in
+  * [[StreamingCardinality]] and the doc-manifest guards in
+  * [[StreamingDedup]]). Ordering contract: in-order per user ACROSS
+  * micro-batches (the §2.9 ingest-watermark contract, the same one the
+  * batch advance and [[StreamingRetention]] state) — a known user's
+  * first_day is final at first commit.
+  *
+  * Cold start: a missing `ret_user` means the stream opened an unseeded
+  * warehouse — the first batch IS the seed ([[Sessions.retentionIndexAt]];
+  * its tmp-swap writes leave a crashed seed MISSING, never stale, and
+  * the replay re-seeds identically). Durability follows the tables:
+  * across a process restart the checkpoint resumes the stream and the
+  * warehouse remembers every previously streamed batch.
+  */
+object StreamingRetentionIndex {
+
+  final case class IdxEv(user_id: Long, ts: java.sql.Timestamp)
+
+  /** One micro-batch: seed-or-advance the at-rest user-week tables. */
+  def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit =
+    if (!wh.exists("ret_user"))
+      Sessions.retentionIndexAt(wh.spark, wh.root, batch)
+    else
+      Sessions.advanceRetentionIndex(wh.spark, wh.root, batch)
+
+  /** foreachBatch sink wiring: checkpointed, available-now triggered —
+    * the [[StreamingDedup.sink]] convention.
+    */
+  def sink(eventsStream: DataFrame, wh: Warehouse,
+           checkpoint: String): DataStreamWriter[Row] =
+    eventsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(wh, batch, id)
+      }
+}

@@ -965,6 +965,59 @@ class StreamingSpec extends SparkSpec {
       s"streamed $streamedCells vs batch $batchCells")
   }
 
+  test("streaming retention index: user-week advance across batches + restart; replay is an anti-join no-op") {
+    import graft.streaming.StreamingRetentionIndex
+    import graft.streaming.StreamingRetentionIndex.IdxEv
+    import graft.operators.Sessions
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-sretidx").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+    val bounds = ev.agg(min(col("day")), max(col("day"))).head()
+    val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    // TIME-split nights (the in-order-per-user contract), not hash splits
+    def night(pred: org.apache.spark.sql.Column): Seq[IdxEv] =
+      ev.filter(pred).select(col("user_id"), col("ts")).as[IdxEv]
+        .collect().toSeq
+
+    val stream = MemoryStream[IdxEv](spark)
+    // batch 0 seeds (cold warehouse — the first batch IS the seed)
+    stream.addData(night(col("day") < cut): _*)
+    StreamingRetentionIndex.sink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    // RESTART (new query, same checkpoint): batch 1 advances the tables
+    stream.addData(night(col("day") >= cut): _*)
+    StreamingRetentionIndex.sink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+
+    def tables(): (Seq[(Long, Long)], Seq[(Long, Long)]) = (
+      wh.read("ret_user").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq,
+      wh.read("ret_weeks").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq)
+    // streamed ≡ batch rebuild over the full event log
+    val rb = Files.createTempDirectory("graft-sretidx-rb").toString
+    Sessions.retentionIndexAt(spark, rb, Tables.events(spark, dir))
+    val w2 = new Warehouse(spark, rb)
+    val want = (
+      w2.read("ret_user").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq,
+      w2.read("ret_weeks").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq)
+    val streamed = tables()
+    assert(streamed == want, "streamed index != batch rebuild")
+
+    // at-least-once: a DIRECT replay of batch 1 appends nothing — the
+    // row-level anti-joins are the ledger
+    StreamingRetentionIndex.processBatch(wh,
+      ev.filter(col("day") >= cut).select(col("user_id"), col("ts")), 1L)
+    assert(tables() == streamed, "replayed advance must be a no-op")
+  }
+
   test("streaming cardinality: register advance across batches + restart; replay is an algebraic no-op") {
     import graft.streaming.StreamingCardinality
     import graft.operators.Sketch
