@@ -349,7 +349,7 @@ class ScaleProbeSpec extends SparkSpec {
     assert(n1 == 30 && n10 == 300, s"$n1 / $n10")
   }
 
-  test("runtime envelopes: the five heaviest queries scale ~linearly from 10x to 30x disjoint copies") {
+  test("runtime envelopes: the six heaviest queries scale ~linearly from 10x to 30x disjoint copies") {
     import graft.operators.{Analytics, Dedup, Graph, TextOps}
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // disjoint corpus copies: every TOKEN carries the copy salt, so
@@ -366,6 +366,12 @@ class ScaleProbeSpec extends SparkSpec {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_suppkey").as("s0"), col("l_partkey").as("p0"),
         col("l_orderkey").as("o0"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    def blowOrders(f: Int): DataFrame = ord
+      .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+      .select((col("o_custkey") * f + col("__s")).as("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
     def blowEdges(f: Int): DataFrame = li.select(col("s0"), col("p0")).distinct()
       .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
       .select(((col("s0") * 2) * f + col("__s")).as("a"),
@@ -413,7 +419,10 @@ class ScaleProbeSpec extends SparkSpec {
           Dedup.shingleRowsOf(blowDocs(f).select(col("doc_id"), col("text"))))),
         ("q76 span dedup", f => TextOps.spanCleanOf(
           blowDocs(f).select(col("doc_id"), col("text")))
-          .select(col("doc_id"), md5(col("clean_text")).as("m"))))
+          .select(col("doc_id"), md5(col("clean_text")).as("m"))),
+        // r13 newcomer to the heavy tier: customers AND distinct rank
+        // keys scale, RfmBuckets stays the config bound
+        ("q111 rfm segments", f => Analytics.rfmOf(blowOrders(f))))
       probes.foreach { case (name, build) =>
         timeIt(build(1)) // unmeasured warmup: JIT/codegen/scan init
         val t10 = timeIt(build(10))
