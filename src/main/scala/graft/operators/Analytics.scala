@@ -670,15 +670,18 @@ object Analytics {
     * (bucket)-keyed cumsum over their distinct values + the broadcast
     * carry = the exact global count of elements ≤ v → cut = min(v)
     * with count ≥ k_p (the k_p-th smallest value; tie-class interior
-    * order provably never moves a cut). The windowed frame is bounded
-    * by the candidate buckets' distinct-value count — large only when
-    * an outlier stretches the range so one bucket holds many DISTINCT
-    * values; the production response is the same two-tier build
-    * recursed inside that bucket (documented contract, like q110's
-    * peel budget — the refinement is this function re-applied to the
-    * candidate slice with its own min/max). Money compares in exact
-    * integer CENTS (`DECIMAL(18,2) · 100`), so all three metrics ride
-    * one integer ranking engine.
+    * order provably never moves a cut). The outlier-stretch case — one
+    * bucket holding most DISTINCT values because an outlier stretched
+    * the range — is guarded by a LIVE second bucketing level: the
+    * histogram/carry/candidate step re-runs on a 1024²-cell grid
+    * inside the candidate buckets (pure arithmetic off the same
+    * min/max, no extra stats pass), so the final value cumsum is
+    * bounded by a candidate SUB-bucket's distinct values (spec-forced
+    * with a range-stretching whale fixture); only a fractal
+    * double-stretch inside the sub-bucket remains a documented
+    * recursion contract. Money compares in exact integer CENTS
+    * (`DECIMAL(18,2) · 100`), so all three metrics ride one integer
+    * ranking engine.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame =
     rfmOf(Tables.orders(spark, dir))
@@ -708,13 +711,22 @@ object Analytics {
     // Consumed by the bucket histogram AND the candidate-bucket probe
     // inside ONE job (the model broadcast) — sibling consumers, so the
     // fill is eager.
+    // both bucket levels derive from the SAME min/max — idx2 is the
+    // finer 1024²-cell grid (monotone in v like idx: IEEE multiply/
+    // divide/floor by positive constants are order-preserving, and the
+    // levels need no exact nesting — idx2 only ever orders WITHIN one
+    // idx). Clamped for the pathological round-up at v = hi.
+    val fine = RfmBuckets.toLong * RfmBuckets
     val vh = graft.TransientCache.register(vals
       .join(broadcast(stats.select(col("metric"), col("lo"), col("hi"))),
         Seq("metric"))
       .withColumn("idx", least(lit(RfmBuckets - 1L),
         floor((col("v") - col("lo")).cast("double") * RfmBuckets /
           (col("hi") - col("lo") + 1).cast("double")).cast("long")))
-      .groupBy(col("metric"), col("idx"), col("v"))
+      .withColumn("idx2", least(lit(fine - 1L),
+        floor((col("v") - col("lo")).cast("double") * fine /
+          (col("hi") - col("lo") + 1).cast("double")).cast("long")))
+      .groupBy(col("metric"), col("idx"), col("idx2"), col("v"))
       .agg(count(lit(1)).as("nv"))
       .cache())
     vh.count()
@@ -723,8 +735,7 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ks = stats.select(col("metric") +: Seq(2, 4, 6, 8).map(t =>
       expr(s"($t * n + 9) DIV 10").as(s"k$t")): _*)
-    // the ≤ 4 buckets per metric that contain a rank boundary — the only
-    // rows the in-bucket ranking ever sees
+    // level 1: the ≤ 4 buckets per metric that contain a rank boundary
     val cand = hist.withColumn("carry", sum(col("nb")).over(wB) - col("nb"))
       .join(broadcast(ks), Seq("metric"))
       .where(Seq(2, 4, 6, 8).map(t =>
@@ -732,12 +743,38 @@ object Analytics {
         .reduce(_ || _))
       .select(col("metric"), col("idx"), col("carry"),
         col("k2"), col("k4"), col("k6"), col("k8"))
-    val wIn = Window.partitionBy(col("metric"), col("idx")).orderBy(col("v"))
+    // level 2 — the outlier-stretch guard, LIVE (not a documented
+    // contract): if an outlier stretches the value range until one
+    // level-1 bucket holds most of the distinct values, the same
+    // histogram/carry/candidate step re-runs on the 1024²-cell grid
+    // INSIDE the candidate buckets (one hash-agg over candidate rows
+    // only, one ≤~1024-row (metric, idx)-partitioned cumsum), so the
+    // final value cumsum sees a candidate SUB-bucket — 1/1024² of the
+    // range — not the stretched bucket. A double-stretch inside the
+    // sub-bucket (a fractal distribution) recurses the same step again;
+    // that residual stays a documented contract.
+    val wB2 = Window.partitionBy(col("metric"), col("idx")).orderBy(col("idx2"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // carry + in-bucket cumsum = the exact global count of that metric's
-    // elements ≤ v (buckets are value-monotone), so across all candidate
-    // buckets min(v | count ≥ k) IS the k-th smallest value
-    val cum = vh.join(broadcast(cand), Seq("metric", "idx"))
+    val cand2 = vh.join(broadcast(cand), Seq("metric", "idx"))
+      .groupBy(col("metric"), col("idx"), col("idx2"))
+      .agg(sum(col("nv")).as("nb2"), max(col("carry")).as("c1"),
+        max(col("k2")).as("k2"), max(col("k4")).as("k4"),
+        max(col("k6")).as("k6"), max(col("k8")).as("k8"))
+      .withColumn("carry",
+        col("c1") + sum(col("nb2")).over(wB2) - col("nb2"))
+      .where(Seq(2, 4, 6, 8).map(t =>
+        col(s"k$t") > col("carry") && col(s"k$t") <= col("carry") + col("nb2"))
+        .reduce(_ || _))
+      .select(col("metric"), col("idx"), col("idx2"), col("carry"),
+        col("k2"), col("k4"), col("k6"), col("k8"))
+    val wIn = Window.partitionBy(col("metric"), col("idx"), col("idx2"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry + in-sub-bucket cumsum = the exact global count of that
+    // metric's elements ≤ v (both bucket levels are value-monotone), so
+    // across all candidate sub-buckets min(v | count ≥ k) IS the k-th
+    // smallest value
+    val cum = vh.join(broadcast(cand2), Seq("metric", "idx", "idx2"))
       .withColumn("cum", sum(col("nv")).over(wIn) + col("carry"))
     val cutCols = Seq(2, 4, 6, 8).map(t =>
       min(when(col("cum") >= col(s"k$t"), col("v"))).as(s"c$t"))

@@ -972,4 +972,188 @@ object Sessions {
     * whole event log the incremental path must never touch.
     */
   val deltaRetentionSql: String = retentionCohortsSql
+
+  // ---------- q115: incremental transitions (the ADDITIVE delta slot)
+
+  private val trIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), (String, Long)]
+  private val trCreatedRoots = scala.collection.mutable.Set.empty[String]
+
+  /** Deterministic key of a night's event batch — a pure function of
+    * the event-id set (the Corpus `docSetKey` discipline), so every
+    * replay of the night lands on the same key regardless of which
+    * writes committed.
+    */
+  private[graft] def eventSetKey(batch: DataFrame): DataFrame =
+    batch.agg(
+      coalesce(bit_xor(xxhash64(col("event_id"))), lit(0L)).as("h"),
+      count(lit(1)).as("ne"))
+      .select(xxhash64(col("h"), col("ne")).as("batch_key"))
+
+  /** The night's NEW transition pairs: the q105 lag window over the
+    * batch with each user's carried last event prepended (the carry can
+    * only ever be a FROM — boundary pairs spanning the night break the
+    * same 6 h gap rule as in-batch pairs). Deterministic given
+    * (carry, batch): the replay-stability the delta guard needs.
+    */
+  private[graft] def transitionDelta(carry: Option[DataFrame],
+                              batch: DataFrame): DataFrame = {
+    val ev = batch.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), lit(false).as("is_carry"))
+    val all = carry match {
+      case Some(c) => ev.unionByName(c.select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), lit(true).as("is_carry")))
+      case None => ev
+    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    all
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(!col("is_carry") && col("prev_ts").isNotNull &&
+        col("ts") <= col("prev_ts") + expr(GapSql))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The post-night last event per user: carry ∪ batch, max by
+    * (ts, event_id) — idempotent (a replay computes the same maxima).
+    */
+  private def nextLast(carry: Option[DataFrame], batch: DataFrame,
+                       key: DataFrame): DataFrame = {
+    val ev = batch.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"))
+    val all = carry match {
+      case Some(c) => ev.unionByName(
+        c.select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+      case None => ev
+    }
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+      .crossJoin(broadcast(key.select(col("batch_key").as("night_key"))))
+  }
+
+  /** Nightly advance for the transition-matrix index — the ADDITIVE
+    * member of the delta family, with a crash contract of its own
+    * flavor (the taxonomy so far: q74/q88 doc-manifest anti-joins,
+    * q109 idempotent max-algebra, q113 the-key-is-the-row anti-join;
+    * here: a night MARKER riding the atomically swapped state table):
+    *
+    *   1. key = [[eventSetKey]] (pure function of the offered batch);
+    *   2. if `tr_last` already carries `night_key` = key, the night
+    *      COMPLETED — full no-op (the marker commits in the same
+    *      tmp-swap as the state it stamps, so it cannot lie);
+    *   3. else `tr_last` is still the PREVIOUS night's state, so the
+    *      delta rows are byte-identical on every replay — append to
+    *      `tr_deltas` under a row-level (batch_key, from, to)
+    *      anti-join (a partial delta file set replays to convergence);
+    *   4. swap `tr_last` (stamped with the key) — the atomic commit
+    *      point of the night.
+    *
+    * Crash before 4 → replay re-derives the identical delta (carry
+    * unchanged), the anti-join lands only missing rows, the swap
+    * completes; crash after 4 → step 2 no-ops. The cells table is
+    * never stored: reads aggregate `tr_deltas` — |nights|·|types|²
+    * rows, compacted on cadence — so the additive state needs no
+    * rewrite-and-double-count window at all. Same serial-nights
+    * contract as every guarded append.
+    */
+  private[graft] def advanceTransitionsIndex(spark: SparkSession, root: String,
+                                             batch: DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    val key = eventSetKey(batch)
+    val keyVal = key.head().getLong(0)
+    val cold = !wh.exists("tr_last")
+    if (!cold &&
+        wh.read("tr_last").select(col("night_key")).head().getLong(0) == keyVal)
+      return // the night completed; replay is a no-op
+    val carry = if (cold) None else Some(wh.read("tr_last"))
+    val delta = transitionDelta(carry, batch)
+      .crossJoin(broadcast(key))
+      .select(col("batch_key"), col("from_type"), col("to_type"), col("n"))
+    val guarded =
+      if (!wh.exists("tr_deltas")) delta
+      else delta.join(wh.read("tr_deltas")
+          .select(col("batch_key"), col("from_type"), col("to_type")),
+        Seq("batch_key", "from_type", "to_type"), "left_anti")
+    if (!wh.exists("tr_deltas")) wh.write("tr_deltas", guarded)
+    else wh.append("tr_deltas", guarded)
+    wh.compactIfFragmented("tr_deltas")
+    wh.write("tr_last", nextLast(carry, batch, key)) // atomic commit point
+  }
+
+  /** The fixture's at-rest transitions index (memoized per context+dir,
+    * the q113 time-split discipline): corpus = events strictly before
+    * the 80%-of-range split day, seeded through the SAME advance path
+    * (a cold warehouse's first night is the seed). Returns (root, split).
+    */
+  private[graft] def transitionsIndexAtRest(spark: SparkSession,
+                                            dir: String): (String, Long) = {
+    val key = (spark.sparkContext, dir)
+    val v = trIndexMemo.get(key).getOrElse {
+      val r = eventDays(Tables.events(spark, dir))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+      val split = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 4 / 5
+      val fresh = java.nio.file.Files.createTempDirectory("graft_tridx_").toString
+      advanceTransitionsIndex(spark, fresh, Tables.events(spark, dir)
+        .filter(expr("unix_timestamp(ts) DIV 86400") < split))
+      trIndexMemo.putIfAbsent(key, (fresh, split)) match {
+        case Some(winner) =>
+          graft.pipelines.Fs.delete(spark, fresh); winner
+        case None =>
+          trCreatedRoots.synchronized { trCreatedRoots += fresh }
+          (fresh, split)
+      }
+    }
+    v
+  }
+
+  /** Test seam — inject an index root + split. */
+  private[graft] def installTransitionsIndex(spark: SparkSession, dir: String,
+                                             root: String, split: Long): Unit =
+    trIndexMemo.put((spark.sparkContext, dir), (root, split))
+
+  /** Drop this context's memoized transitions indexes; owned roots deleted. */
+  def clearTransitionsIndex(spark: SparkSession): Unit =
+    trIndexMemo.keys.filter(_._1 eq spark.sparkContext).foreach { k =>
+      trIndexMemo.remove(k).foreach { case (root, _) =>
+        val owned = trCreatedRoots.synchronized { trCreatedRoots.remove(root) }
+        if (owned) graft.pipelines.Fs.delete(spark, root)
+      }
+    }
+
+  /** q115 — the q105 transition matrix over corpus + tonight's batch
+    * WITHOUT rescanning the corpus event log: the corpus side is the
+    * at-rest delta ledger (|nights|·|types|² rows) plus the per-user
+    * last-event carry, the batch side is one night, and the boundary
+    * pairs spanning the split ride the carry. Query-time merge: at-rest
+    * cells + the night's uncommitted delta, one |types|²-bounded agg,
+    * the q105 normalization. Oracle = q105's full-scan SQL VERBATIM —
+    * the hash compare proves incremental ≡ rebuild bit-for-bit (the
+    * q109/q113 discipline, now for the ADDITIVE state flavor).
+    */
+  def deltaTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val (root, split) = transitionsIndexAtRest(spark, dir)
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    val batch = Tables.events(spark, dir)
+      .filter(expr("unix_timestamp(ts) DIV 86400") >= split)
+    val atRest = wh.read("tr_deltas")
+      .select(col("from_type"), col("to_type"), col("n"))
+    val cells = atRest.unionByName(
+        transitionDelta(Some(wh.read("tr_last")), batch))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).as("n_trans"))
+    val from = cells.groupBy(col("from_type")).agg(sum(col("n_trans")).as("n_from"))
+    cells.join(from, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+        (col("n_trans").cast("double") / col("n_from").cast("double"))
+          .as("p_trans"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Oracle: q105's full-scan formulation — deliberately scanning the
+    * whole event log the incremental path must never touch.
+    */
+  val deltaTransitionsSql: String = sessionTransitionsSql
 }

@@ -282,6 +282,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rfm: a range-stretching whale forces the level-2 sub-bucket guard and stays exact") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // 400 customers with DISTINCT monetary values packed into [1, 400]
+    // dollars, plus one whale at 10^9 dollars: the whale stretches the
+    // monetary range so ALL non-whale values land in level-1 bucket 0
+    // (400/10^9 of the range << 1/1024) with NO tie collapse available
+    // (every value distinct) — the exact case the level-2 grid exists
+    // for. Level 2 splits bucket 0 into 1024 sub-cells of ~977k dollars
+    // ... still one sub-cell for [1,400]; the guard's bound is 1/1024²
+    // of the range = ~954 dollars, so the dense cluster spans ~1
+    // sub-cell — the cumsum partition is the cluster, not the corpus,
+    // and a production third level would recurse (documented). What
+    // MUST hold regardless: the cuts are exact.
+    val day0 = 19700L
+    val rows = (0 until 400).map(i =>
+      (3000L + i, new java.sql.Timestamp((day0 + i % 50) * 86400 * 1000L),
+        (i + 1).toDouble)) :+
+      (3999L, new java.sql.Timestamp(day0 * 86400 * 1000L), 1.0e9)
+    val got = graft.operators.Analytics.rfmOf(
+        rows.toDF("o_custkey", "o_orderdate", "o_totalprice"))
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    TransientCache.drain()
+    // driver recompute of the monetary quintile cuts over the 401
+    // distinct cents values
+    val mc = rows.map(r => r._1 -> math.round(r._3 * 100)).toMap
+    val n = mc.size
+    val sorted = mc.values.toSeq.sorted
+    val cuts = Seq(2, 4, 6, 8).map(t => sorted((t * n + 9) / 10 - 1))
+    for ((c, v) <- mc) {
+      val want = 1L + cuts.count(v > _)
+      assert(got(c) == want, s"cust $c m_score: ${got(c)} vs $want")
+    }
+  }
+
   test("rfm: tie-heavy randomized differential vs a naive driver quantile") {
     val sql = spark.sqlContext
     import sql.implicits._

@@ -108,7 +108,11 @@ class DeterminismSweepSpec extends SparkSpec {
     "q113_delta_retention",
     // the q112 argument plus: apportionment ranks a |sources|-row frame
     // by (frac, source) total order over bit-stable doubles (q114)
-    "q114_mix_quota_sample")
+    "q114_mix_quota_sample",
+    // at-rest delta ledger + carry-prepended lag window: exact integer
+    // cells, (ts, event_id) total order — the q105 argument over the
+    // incremental shape (q115)
+    "q115_delta_transitions")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself
@@ -120,6 +124,7 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Dedup.clearCorpusBloom(spark)
     graft.operators.Sketch.clearHllIndex(spark)
     graft.operators.Sessions.clearRetentionIndex(spark)
+    graft.operators.Sessions.clearTransitionsIndex(spark)
     // CacheManager matches by logical plan, so a cached winnow index
     // built under one partition count would serve the other verbatim —
     // evict it so q85/q86 genuinely recompute (unpersist resolves the

@@ -471,4 +471,103 @@ class EventOpsSpec extends SparkSpec {
       assert(stateNow() == advanced, "replayed advance must be a no-op")
     } finally graft.pipelines.Fs.delete(spark, root)
   }
+
+  // ------------- q115: incremental transitions (additive delta ledger)
+
+  test("q115 delta transitions == q105 full rebuild bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    Sessions.clearTransitionsIndex(spark)
+    val delta = Sessions.deltaTransitions(spark, dir).collect().toSeq
+    val full = Sessions.sessionTransitions(spark, dir).collect().toSeq
+    assert(delta == full,
+      s"incremental must equal rebuild exactly (delta rows ${delta.size})")
+  }
+
+  test("q115 reads the at-rest ledger: a poisoned delta row changes the matrix") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_trpoison_").toString
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    // a transition pair no real event log produces, plus an empty carry
+    // stamped with an impossible night key
+    wh.write("tr_deltas",
+      Seq((0L, "zz_from", "zz_to", 7L))
+        .toDF("batch_key", "from_type", "to_type", "n"))
+    wh.write("tr_last",
+      spark.emptyDataFrame.select(lit(0L).as("user_id"),
+          current_timestamp().as("ts"), lit(0L).as("event_id"),
+          lit("x").as("event_type"), lit(0L).as("night_key"))
+        .limit(0))
+    Sessions.clearTransitionsIndex(spark)
+    Sessions.installTransitionsIndex(spark, dir, root, 0L)
+    try {
+      val got = Sessions.deltaTransitions(spark, dir).collect()
+      assert(got.exists(r => r.getString(0) == "zz_from" &&
+          r.getString(1) == "zz_to" && r.getLong(2) == 7L),
+        "the poisoned cell must surface — if not, the query is not " +
+          "reading the at-rest ledger")
+    } finally {
+      Sessions.clearTransitionsIndex(spark)
+      graft.pipelines.Fs.delete(spark, root)
+    }
+  }
+
+  test("q115 advance: nightly deltas == rebuild at every boundary; marker, partial-append and pre-swap crash windows converge") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_tradv_").toString
+    try {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          expr("unix_timestamp(ts) DIV 86400").as("day"))
+      val bounds = ev.agg(min(col("day")), max(col("day"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      def slice(p: org.apache.spark.sql.Column) = ev.filter(p)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val wh = new graft.pipelines.Warehouse(spark, root)
+      def cellsNow(): Map[(String, String), Long] =
+        wh.read("tr_deltas").groupBy(col("from_type"), col("to_type"))
+          .agg(sum(col("n")).as("n")).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      def rebuilt(p: org.apache.spark.sql.Column): Map[(String, String), Long] =
+        Sessions.sessionTransitionsOf(ev.filter(p)).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+      Sessions.advanceTransitionsIndex(spark, root, slice(col("day") < cut1))
+      Sessions.advanceTransitionsIndex(spark, root,
+        slice(col("day") >= cut1 && col("day") < cut2))
+      assert(cellsNow() == rebuilt(col("day") < cut2),
+        "night-1 advance != rebuild (boundary pairs must ride the carry)")
+
+      // crash window A (mid step 3): a PARTIAL delta file set for night 2
+      // — simulate by appending a strict subset of night 2's delta rows
+      // under the true night key, then REPLAY the whole advance
+      val night2 = slice(col("day") >= cut2)
+      val carry = wh.read("tr_last")
+      val lastBefore = carry.collect().map(_.toString).sorted.toSeq
+      val d2 = Sessions.transitionDelta(Some(carry), night2)
+      val k2 = Sessions.eventSetKey(night2)
+      assert(d2.count() >= 2, "fixture too small to split a delta")
+      wh.append("tr_deltas", d2.limit(1).crossJoin(broadcast(k2))
+        .select(col("batch_key"), col("from_type"), col("to_type"), col("n")))
+      Sessions.advanceTransitionsIndex(spark, root, night2)
+      val advanced = cellsNow()
+      assert(advanced == rebuilt(lit(true)),
+        "partial-append replay != rebuild")
+
+      // crash window B would be "delta complete, tr_last not swapped" —
+      // covered by construction: window A's replay ran the whole step-3
+      // anti-join against a half-committed ledger and then swapped.
+      // Marker: a DIRECT replay of the completed night 2 is a full no-op
+      // (step 2 short-circuits on the stamped key)
+      val lastAfter = wh.read("tr_last").collect().map(_.toString).sorted.toSeq
+      Sessions.advanceTransitionsIndex(spark, root, night2)
+      assert(cellsNow() == advanced, "replayed completed night moved cells")
+      assert(wh.read("tr_last").collect().map(_.toString).sorted.toSeq ==
+        lastAfter, "replayed completed night moved the carry")
+      assert(lastBefore != lastAfter, "night 2 must have advanced the carry")
+    } finally {
+      graft.pipelines.Fs.delete(spark, root)
+    }
+  }
 }

@@ -288,17 +288,20 @@ class PlanLintSpec extends SparkSpec {
                                   // construction (round budget = job count)
                                   // (confirmed against the lint's
                                   // observed count, r13)
-    "q111_rfm_segments" -> 12,    // ONE stacked-metric rank pass: customer
+    "q111_rfm_segments" -> 14,    // ONE stacked-metric rank pass: customer
                                   // base build (groupBy + anchor agg) +
                                   // stats agg + vh tie-collapse hash-agg +
                                   // bucket histogram + metric-keyed carry
-                                  // cumsum + candidate (metric,bucket)
-                                  // value cumsum + 3-row cuts agg + 1-row
-                                  // model agg + the presentation sort —
-                                  // only the base groupBy and the vh
-                                  // hash-agg touch customer-scale data
-                                  // (was 25 as three per-metric builds;
-                                  // re-pinned with the stack unpivot)
+                                  // cumsum + the LIVE level-2 stretch
+                                  // guard (candidate sub-grid agg + its
+                                  // bounded carry window, +2 over the
+                                  // level-1-only plan) + candidate
+                                  // sub-bucket value cumsum + 3-row cuts
+                                  // agg + 1-row model agg + presentation
+                                  // sort — only the base groupBy and the
+                                  // vh hash-agg touch customer-scale data
+                                  // (25 as three per-metric builds → 12
+                                  // stacked → 14 with the live guard)
     "q112_quota_sample" -> 5,     // base (source, doc_id, h, bucket) hash-agg
                                   // tiers: quota agg + bucket histogram +
                                   // source-keyed carry cumsum + candidate
@@ -313,6 +316,12 @@ class PlanLintSpec extends SparkSpec {
                                   // tiers + the presentation sort — only
                                   // the counts agg and the salted base
                                   // hash-agg touch corpus-scale data
+    "q115_delta_transitions" -> 5, // carry ∪ batch user-key lag window +
+                                  // pair agg + the at-rest ledger union's
+                                  // cell agg + the |types|-row marginal
+                                  // agg + sort; tr_deltas/tr_last are
+                                  // bare file scans (builds run eagerly
+                                  // outside the plan, the q109 shape)
     "q113_delta_retention" -> 6,  // batch (user, day) dedup + batch min-fd
                                   // agg + the fd union's user-key join +
                                   // activation distinct + cell agg +
