@@ -1018,6 +1018,56 @@ class StreamingSpec extends SparkSpec {
     assert(tables() == streamed, "replayed advance must be a no-op")
   }
 
+  test("streaming transitions index: ledger advance across batches + restart; replayed batch no-ops on the marker") {
+    import graft.streaming.StreamingTransitionsIndex
+    import graft.streaming.StreamingTransitionsIndex.TrEv
+    import graft.operators.Sessions
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stridx").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+    val bounds = ev.agg(min(col("day")), max(col("day"))).head()
+    val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    def night(pred: org.apache.spark.sql.Column): Seq[TrEv] =
+      ev.filter(pred)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[TrEv].collect().toSeq
+
+    val stream = MemoryStream[TrEv](spark)
+    stream.addData(night(col("day") < cut): _*)
+    StreamingTransitionsIndex.sink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    // RESTART (new query, same checkpoint): batch 1 advances
+    stream.addData(night(col("day") >= cut): _*)
+    StreamingTransitionsIndex.sink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+
+    def cells(): Map[(String, String), Long] =
+      wh.read("tr_deltas").groupBy(col("from_type"), col("to_type"))
+        .agg(sum(col("n")).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // streamed ledger ≡ the batch q105 matrix over the full event log
+    // (boundary pairs spanning the micro-batch split ride the carry)
+    val want = Sessions.sessionTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = cells()
+    assert(streamed == want, "streamed ledger != batch matrix")
+
+    // at-least-once: a DIRECT replay of batch 1 no-ops on the night
+    // marker (tr_last is stamped with its key)
+    val lastBefore = wh.read("tr_last").collect().map(_.toString).sorted.toSeq
+    StreamingTransitionsIndex.processBatch(wh,
+      ev.filter(col("day") >= cut)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")), 1L)
+    assert(cells() == streamed, "replayed batch moved the ledger")
+    assert(wh.read("tr_last").collect().map(_.toString).sorted.toSeq ==
+      lastBefore, "replayed batch moved the carry")
+  }
+
   test("streaming cardinality: register advance across batches + restart; replay is an algebraic no-op") {
     import graft.streaming.StreamingCardinality
     import graft.operators.Sketch
