@@ -833,10 +833,22 @@ object Sessions {
     * at-rest side is orders of magnitude smaller than the raw event
     * log, and the full cohort triangle is one join + one agg away.
     */
+  /** True iff BOTH index tables committed. Guarding the seed (and the
+    * streaming twin's routing) on both matters: a crash between the two
+    * seed writes leaves `ret_user` committed and `ret_weeks` missing,
+    * and a ret_user-only guard would route every replay to the advance
+    * path, which reads `ret_weeks` and fails forever. Re-seeding is
+    * safe — both writes are tmp-swap, so re-writing an
+    * already-committed `ret_user` from the same seed batch is a
+    * byte-identical replace, never an append-double-count.
+    */
+  private[graft] def retentionIndexSeeded(wh: graft.pipelines.Warehouse): Boolean =
+    wh.exists("ret_user") && wh.exists("ret_weeks")
+
   private[graft] def retentionIndexAt(spark: SparkSession, root: String,
                                       events: => DataFrame): Unit = {
     val wh = new graft.pipelines.Warehouse(spark, root)
-    if (!wh.exists("ret_user")) {
+    if (!retentionIndexSeeded(wh)) {
       val days = eventDays(events)
       val first = days.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
       wh.write("ret_user", first)
@@ -1060,13 +1072,25 @@ object Sessions {
     * contract as every guarded append.
     */
   private[graft] def advanceTransitionsIndex(spark: SparkSession, root: String,
-                                             batch: DataFrame): Unit = {
+                                             rawBatch: DataFrame): Unit = {
     val wh = new graft.pipelines.Warehouse(spark, root)
+    // in-batch redelivery guard (the InBatchRedeliverySpec discipline,
+    // the q113 advance's sibling): an event row redelivered WITHIN one
+    // micro-batch would (a) create an adjacent duplicate under the lag
+    // window — a spurious X→X self-transition — and (b) xor-cancel its
+    // own hash out of eventSetKey, so the dirty night's key would never
+    // reconcile with a clean replay's. Dedup BEFORE the key.
+    val batch = rawBatch.dropDuplicates("event_id")
     val key = eventSetKey(batch)
     val keyVal = key.head().getLong(0)
     val cold = !wh.exists("tr_last")
-    if (!cold &&
-        wh.read("tr_last").select(col("night_key")).head().getLong(0) == keyVal)
+    // headOption, not head(): a cold warehouse seeded with an EMPTY
+    // first batch commits a zero-row tr_last — that's "no carry, no
+    // completed night", not an error.
+    val marker =
+      if (cold) None
+      else wh.read("tr_last").select(col("night_key")).head(1).headOption
+    if (marker.exists(_.getLong(0) == keyVal))
       return // the night completed; replay is a no-op
     val carry = if (cold) None else Some(wh.read("tr_last"))
     val delta = transitionDelta(carry, batch)

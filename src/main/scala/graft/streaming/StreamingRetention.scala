@@ -33,6 +33,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingRetention {
 
   final case class RetEv(user_id: Long, day: Long)
+  // seen is kept SORTED (TreeSet round-trip below) — the stored state is
+  // deterministic and membership probes are O(log weeks), so a batch
+  // slice costs O(events·log weeks), not the O(weeks²) a linear
+  // `Seq.contains` + append would (calendar-bounded either way, but the
+  // quadratic term is free to remove).
   final case class RetState(fd: Long, seen: Seq[Long]) // fd = −1: unset
   final case class RetRow(user_id: Long, cohort_week: Long, week_offset: Long)
 
@@ -43,17 +48,17 @@ object StreamingRetention {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, evs: Iterator[RetEv], state: GroupState[RetState]) => {
-          var s = state.getOption.getOrElse(RetState(-1L, Seq.empty))
+          val s0 = state.getOption.getOrElse(RetState(-1L, Seq.empty))
+          var fd = s0.fd
+          val seen = scala.collection.mutable.TreeSet.empty[Long] ++ s0.seen
           val out = Seq.newBuilder[RetRow]
           evs.toArray.sortBy(_.day).foreach { e =>
-            if (s.fd < 0) s = s.copy(fd = e.day)
-            val off = (e.day - s.fd) / 7
-            if (!s.seen.contains(off)) {
-              s = s.copy(seen = s.seen :+ off)
-              out += RetRow(user, s.fd / 7, off)
-            }
+            if (fd < 0) fd = e.day
+            val off = (e.day - fd) / 7
+            if (seen.add(off))
+              out += RetRow(user, fd / 7, off)
           }
-          state.update(s)
+          state.update(RetState(fd, seen.toSeq))
           out.result().iterator
         })
   }

@@ -27,10 +27,13 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * batch advance and [[StreamingRetention]] state) — a known user's
   * first_day is final at first commit.
   *
-  * Cold start: a missing `ret_user` means the stream opened an unseeded
-  * warehouse — the first batch IS the seed ([[Sessions.retentionIndexAt]];
-  * its tmp-swap writes leave a crashed seed MISSING, never stale, and
-  * the replay re-seeds identically). Durability follows the tables:
+  * Cold start: a missing index table (EITHER of the two — the seed's
+  * two tmp-swap writes can crash between them, leaving `ret_user`
+  * committed and `ret_weeks` missing) means the warehouse is unseeded —
+  * the first batch IS the seed ([[Sessions.retentionIndexAt]]; tmp-swap
+  * writes leave a crashed table MISSING, never stale, and the replay
+  * re-seeds identically, re-writing a committed `ret_user` as a
+  * byte-identical replace). Durability follows the tables:
   * across a process restart the checkpoint resumes the stream and the
   * warehouse remembers every previously streamed batch.
   */
@@ -38,9 +41,16 @@ object StreamingRetentionIndex {
 
   final case class IdxEv(user_id: Long, ts: java.sql.Timestamp)
 
-  /** One micro-batch: seed-or-advance the at-rest user-week tables. */
+  /** One micro-batch: seed-or-advance the at-rest user-week tables.
+    * Routing guards on BOTH tables ([[Sessions.retentionIndexSeeded]]):
+    * a crash between the two seed writes leaves `ret_user` committed
+    * and `ret_weeks` missing, and a ret_user-only guard would send the
+    * replay down the advance path, which reads `ret_weeks` and fails
+    * forever; the both-table guard re-seeds instead (tmp-swap writes
+    * make the ret_user re-write a byte-identical replace).
+    */
   def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit =
-    if (!wh.exists("ret_user"))
+    if (!Sessions.retentionIndexSeeded(wh))
       Sessions.retentionIndexAt(wh.spark, wh.root, batch)
     else
       Sessions.advanceRetentionIndex(wh.spark, wh.root, batch)

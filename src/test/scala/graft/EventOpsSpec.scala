@@ -570,4 +570,60 @@ class EventOpsSpec extends SparkSpec {
       graft.pipelines.Fs.delete(spark, root)
     }
   }
+
+  test("q113 seed crash window: ret_user committed, ret_weeks missing — the replay re-seeds (never wedges on the advance path)") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_retseedcrash_").toString
+    val rb = java.nio.file.Files.createTempDirectory("graft_retseedclean_").toString
+    try {
+      val batch = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+      val wh = new graft.pipelines.Warehouse(spark, root)
+      // simulate the crash BETWEEN the seed's two writes: commit the
+      // first table only
+      wh.write("ret_user", batch
+        .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("fd")))
+      assert(wh.exists("ret_user") && !wh.exists("ret_weeks"))
+      assert(!Sessions.retentionIndexSeeded(wh),
+        "a half-committed seed must read as UNSEEDED")
+      // the streaming twin's replay must route to the SEED path (a
+      // ret_user-only guard would take the advance path and die on the
+      // missing ret_weeks read forever)
+      graft.streaming.StreamingRetentionIndex.processBatch(wh, batch, 0L)
+      Sessions.retentionIndexAt(spark, rb, batch)
+      val w2 = new graft.pipelines.Warehouse(spark, rb)
+      def tbl(w: graft.pipelines.Warehouse, t: String): Seq[(Long, Long)] =
+        w.read(t).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(tbl(wh, "ret_user") == tbl(w2, "ret_user") &&
+        tbl(wh, "ret_weeks") == tbl(w2, "ret_weeks"),
+        "the re-seed must equal a clean seed on both tables")
+    } finally {
+      graft.pipelines.Fs.delete(spark, root)
+      graft.pipelines.Fs.delete(spark, rb)
+    }
+  }
+
+  test("q115 advance: a cold warehouse seeded by an EMPTY first batch does not wedge the marker read") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_trempty_").toString
+    try {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // empty first micro-batch on a cold warehouse: commits a zero-row
+      // tr_last — the marker read must treat it as "no carry, no
+      // completed night", not throw
+      Sessions.advanceTransitionsIndex(spark, root, ev.limit(0))
+      val wh = new graft.pipelines.Warehouse(spark, root)
+      assert(wh.exists("tr_last") && wh.read("tr_last").isEmpty,
+        "the empty seed commits an empty carry")
+      // the NEXT advance must work and converge to the rebuild
+      Sessions.advanceTransitionsIndex(spark, root, ev)
+      val cells = wh.read("tr_deltas").groupBy(col("from_type"), col("to_type"))
+        .agg(sum(col("n")).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val full = Sessions.sessionTransitionsOf(ev).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(cells == full, "advance after an empty seed != rebuild")
+    } finally graft.pipelines.Fs.delete(spark, root)
+  }
 }

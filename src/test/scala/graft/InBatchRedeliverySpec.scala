@@ -120,4 +120,34 @@ class InBatchRedeliverySpec extends SparkSpec {
     tables.foreach(t => assert(bag(whB.read(t)) == bag(whA.read(t)),
       s"duplicated-batch night must equal clean night at $t"))
   }
+
+  test("transitions tier: a night with a redelivered event == the clean night on ledger, carry AND night key") {
+    // an event redelivered WITHIN one night would (a) form an adjacent
+    // duplicate under the lag window — a spurious X→X self-transition —
+    // and (b) xor-cancel its own hash out of eventSetKey, so the dirty
+    // night's marker could never reconcile a later clean replay
+    import graft.operators.Sessions
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val corpus = ev.filter(col("event_id") % 10 < 8)
+    val night = ev.filter(col("event_id") % 10 >= 8)
+    def run(batch: DataFrame): (Seq[String], Seq[String], Warehouse) = {
+      val wh = new Warehouse(spark,
+        Files.createTempDirectory("graft_rdl_tr_").toString)
+      Sessions.advanceTransitionsIndex(spark, wh.root, corpus)
+      Sessions.advanceTransitionsIndex(spark, wh.root, batch)
+      (bag(wh.read("tr_deltas")), bag(wh.read("tr_last")), wh)
+    }
+    val (cleanLedger, cleanLast, _) = run(night)
+    val (dupLedger, dupLast, whDup) = run(night.union(night.limit(3)))
+    assert(dupLedger == cleanLedger,
+      "redelivered-event night must commit the clean ledger rows")
+    assert(dupLast == cleanLast,
+      "redelivered-event night must stamp the CLEAN night key")
+    // the marker parity matters operationally: a later CLEAN replay of
+    // the same night must short-circuit, not double-append
+    Sessions.advanceTransitionsIndex(spark, whDup.root, night)
+    assert(bag(whDup.read("tr_deltas")) == cleanLedger,
+      "clean replay after a dirty night must be a no-op")
+  }
 }
