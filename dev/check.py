@@ -63,6 +63,12 @@ def cmp_cell(a, b):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    # Oracle-engine version, ALWAYS printed: the one hash mismatch this
+    # harness could not reproduce locally (r13 q111) was most plausibly a
+    # driver-vs-local DuckDB version difference — make the skew visible
+    # on every run. docs/PLANS.md lists the dialect constructs the
+    # oracles avoid because they are version-sensitive.
+    print(f"[oracle] duckdb {duckdb.__version__} sf={sf} out={out}")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"

@@ -631,8 +631,12 @@ object Analytics {
     * quintile, the classic marketing segmentation). Everything exact
     * and engine-portable: days are `unix_timestamp DIV 86400` integers
     * (q104 discipline), money sums in DECIMAL(18,2) (the q01 money
-    * rule — double-sum order dependence would break the hash), and the
-    * quintile CUTS use pure-integer rank arithmetic — k_p =
+    * rule — double-sum order dependence would break the hash) but
+    * EMITS as exact integer cents BIGINT — the hashed surface carries
+    * no decimal at all, so no engine-version decimal-canonicalization
+    * difference can touch the compare (the q104 integer-space
+    * discipline, adopted after r13's driver-only q111 hash miss) — and
+    * the quintile CUTS use pure-integer rank arithmetic — k_p =
     * `(p·10·n + 9) DIV 10`, the exact `ceil(p·n)` — because float rank
     * arithmetic is the cross-engine hazard class this repo already
     * banned for constants (a bare `0.2` parses DECIMAL in DuckDB and
@@ -801,7 +805,7 @@ object Analytics {
       .crossJoin(broadcast(cust.agg(max(col("ld")).as("anchor"),
         count(lit(1)).as("n"))))
       .select(col("c"), (col("anchor") - col("ld")).as("r"),
-        col("f"), col("m"), expr("CAST(m * 100 AS BIGINT)").as("mc"),
+        col("f"), expr("CAST(m * 100 AS BIGINT)").as("mc"),
         col("n"))
       .cache())
     // unpivot to (metric, v, n): all three metrics ride one grouped
@@ -816,7 +820,7 @@ object Analytics {
       when(col("r") < col(s"r$t"), 1L).otherwise(0L)).reduce(_ + _)
     base.crossJoin(model)
       .select(col("c").as("custkey"), col("r").as("recency_days"),
-        col("f").as("frequency"), col("m").as("monetary"),
+        col("f").as("frequency"), col("mc").as("monetary_cents"),
         rScore.as("r_score"), scoreUp("f").as("f_score"),
         scoreUp("mc").as("m_score"))
       .withColumn("rfm",
@@ -826,6 +830,12 @@ object Analytics {
 
   /** Oracle: identical integer rank arithmetic and value-comparison
     * scoring, single-node formulation (one ranked CTE per metric).
+    * House dialect ONLY — r13's driver-only hash miss was adjudicated
+    * to dialect surfaces unique to this oracle among all 115, so it now
+    * uses `CASE WHEN` (never `(expr)::BIGINT` boolean casts), a CROSS
+    * JOIN'd 1-row model CTE (never correlated scalar subqueries), and
+    * ranks/emits money as integer CENTS (no DECIMAL reaches the hashed
+    * surface; the dialect blacklist lives in docs/PLANS.md).
     */
   val rfmSegmentsSql: String =
     """WITH o AS (
@@ -835,15 +845,15 @@ object Analytics {
       |  FROM orders),
       |cust AS (
       |  SELECT c, max(day) AS ld, count(*) AS f,
-      |    CAST(sum(tp) AS DECIMAL(18,2)) AS m
+      |    CAST(CAST(sum(tp) AS DECIMAL(18,2)) * 100 AS BIGINT) AS mc
       |  FROM o GROUP BY c),
+      |model AS (SELECT max(ld) AS anchor, count(*) AS n FROM cust),
       |base AS (
-      |  SELECT c, (SELECT max(ld) FROM cust) - ld AS r, f, m,
-      |    (SELECT count(*) FROM cust) AS n
-      |  FROM cust),
+      |  SELECT c, anchor - ld AS r, f, mc, n
+      |  FROM cust CROSS JOIN model),
       |rr AS (SELECT r AS v, n, row_number() OVER (ORDER BY r, c) AS rn FROM base),
       |rf AS (SELECT f AS v, n, row_number() OVER (ORDER BY f, c) AS rn FROM base),
-      |rm AS (SELECT m AS v, n, row_number() OVER (ORDER BY m, c) AS rn FROM base),
+      |rm AS (SELECT mc AS v, n, row_number() OVER (ORDER BY mc, c) AS rn FROM base),
       |br AS (SELECT max(CASE WHEN rn <= (2*n+9)//10 THEN v END) AS r2,
       |              max(CASE WHEN rn <= (4*n+9)//10 THEN v END) AS r4,
       |              max(CASE WHEN rn <= (6*n+9)//10 THEN v END) AS r6,
@@ -855,20 +865,25 @@ object Analytics {
       |bm AS (SELECT max(CASE WHEN rn <= (2*n+9)//10 THEN v END) AS m2,
       |              max(CASE WHEN rn <= (4*n+9)//10 THEN v END) AS m4,
       |              max(CASE WHEN rn <= (6*n+9)//10 THEN v END) AS m6,
-      |              max(CASE WHEN rn <= (8*n+9)//10 THEN v END) AS m8 FROM rm)
-      |SELECT c AS custkey, r AS recency_days, f AS frequency, m AS monetary,
-      |  1 + (r < r2)::BIGINT + (r < r4)::BIGINT + (r < r6)::BIGINT
-      |    + (r < r8)::BIGINT AS r_score,
-      |  1 + (f > f2)::BIGINT + (f > f4)::BIGINT + (f > f6)::BIGINT
-      |    + (f > f8)::BIGINT AS f_score,
-      |  1 + (m > m2)::BIGINT + (m > m4)::BIGINT + (m > m6)::BIGINT
-      |    + (m > m8)::BIGINT AS m_score,
-      |  (1 + (r < r2)::BIGINT + (r < r4)::BIGINT + (r < r6)::BIGINT
-      |     + (r < r8)::BIGINT) * 100 +
-      |  (1 + (f > f2)::BIGINT + (f > f4)::BIGINT + (f > f6)::BIGINT
-      |     + (f > f8)::BIGINT) * 10 +
-      |  (1 + (m > m2)::BIGINT + (m > m4)::BIGINT + (m > m6)::BIGINT
-      |     + (m > m8)::BIGINT) AS rfm
-      |FROM base CROSS JOIN br CROSS JOIN bf CROSS JOIN bm
+      |              max(CASE WHEN rn <= (8*n+9)//10 THEN v END) AS m8 FROM rm),
+      |scored AS (
+      |  SELECT c, r, f, mc,
+      |    CAST(1 + CASE WHEN r < r2 THEN 1 ELSE 0 END
+      |           + CASE WHEN r < r4 THEN 1 ELSE 0 END
+      |           + CASE WHEN r < r6 THEN 1 ELSE 0 END
+      |           + CASE WHEN r < r8 THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+      |    CAST(1 + CASE WHEN f > f2 THEN 1 ELSE 0 END
+      |           + CASE WHEN f > f4 THEN 1 ELSE 0 END
+      |           + CASE WHEN f > f6 THEN 1 ELSE 0 END
+      |           + CASE WHEN f > f8 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+      |    CAST(1 + CASE WHEN mc > m2 THEN 1 ELSE 0 END
+      |           + CASE WHEN mc > m4 THEN 1 ELSE 0 END
+      |           + CASE WHEN mc > m6 THEN 1 ELSE 0 END
+      |           + CASE WHEN mc > m8 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+      |  FROM base CROSS JOIN br CROSS JOIN bf CROSS JOIN bm)
+      |SELECT c AS custkey, r AS recency_days, f AS frequency,
+      |  mc AS monetary_cents, r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm
+      |FROM scored
       |ORDER BY custkey""".stripMargin
 }

@@ -97,7 +97,8 @@ class DeterminismSweepSpec extends SparkSpec {
     // exact integers (q110)
     "q110_kcore",
     // boundary VALUES are rank-selected (tie-permutation invariant) and
-    // scores compare values, never row order; money in DECIMAL (q111)
+    // scores compare values, never row order; money in exact integer
+    // cents end-to-end (q111)
     "q111_rfm_segments",
     // membership is a value comparison against a rank-selected threshold
     // over a UNIQUE (hash, doc_id) key — no tie to permute (q112)
