@@ -755,8 +755,17 @@ object Analytics {
     // only, one ≤~1024-row (metric, idx)-partitioned cumsum), so the
     // final value cumsum sees a candidate SUB-bucket — 1/1024² of the
     // range — not the stretched bucket. A double-stretch inside the
-    // sub-bucket (a fractal distribution) recurses the same step again;
-    // that residual stays a documented contract.
+    // sub-bucket (a fractal distribution) would recurse the same step
+    // again; that residual is MACHINE-BOUNDED rather than live code:
+    // the spec constructs the double-stretch (sub-whale inside the
+    // whale bucket) and asserts (a) the cuts stay EXACT — the final
+    // cumsum window is exact at any partition size — and (b) the
+    // partition size equals the stretched cluster's distinct count,
+    // the precise quantity a third level would shrink. Exactness never
+    // depends on the level count; only window-task memory does, and a
+    // cluster of distinct values that overflows an executor at level 2
+    // (≥ ~10^8 distinct doubles in 1/2^20 of the range) is the
+    // signature of an adversarial, not commercial, distribution.
     val wB2 = Window.partitionBy(col("metric"), col("idx")).orderBy(col("idx2"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cand2 = vh.join(broadcast(cand), Seq("metric", "idx"))

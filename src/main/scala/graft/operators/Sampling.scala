@@ -150,6 +150,18 @@ object Sampling {
   /** Mix budget as a fraction of the corpus: N = total DIV [[MixDiv]]. */
   val MixDiv = 5
 
+  /** Re-apportionment round bound. The fixpoint loop saturates ≥ 1
+    * source per round, so rounds-needed ≤ capped-sources + 1; real
+    * mixes cap at most a couple of tiny up-weighted sources, and the
+    * Spark side `require`s fixpoint within this bound (LOUD failure)
+    * because the oracle unrolls exactly this many rounds — past the
+    * fixpoint an apportionment round is idempotent (same unsaturated
+    * set + same budget → same quotas), so the unrolled form IS the
+    * fixpoint whenever the bound holds, and can never silently
+    * diverge from the loop.
+    */
+  val MixRounds = 4
+
   /** q114 — the TRAINING-MIX sampler: draw a fixed budget
     * N = total/[[MixDiv]] apportioned across sources by q78's
     * temperature-scaled weights, exactly. This is the op the q78 model
@@ -162,72 +174,139 @@ object Sampling {
     * so Σ quotas = N exactly, in integer arithmetic over bit-portable
     * doubles), and the [[sampleByQuota]] draw engine with its own
     * salt ("mix|"), so the mix draw is independent of the q112
-    * carve-out. Quotas cap at n_s (an up-weighted tiny source can be
-    * apportioned more docs than it has — a REAL mix oversamples by
-    * replication, q69; a without-replacement draw takes all of the
-    * source): one-round apportionment, the capped shortfall is
-    * reported by construction (Σ output < N) rather than silently
-    * redistributed — production reruns apportionment on the uncapped
-    * remainder (documented contract; the cap path is spec-forced).
-    * The apportionment rank runs over the |sources|-row model frame
-    * (the q68/q78 bounded-model discipline).
+    * carve-out.
+    *
+    * An up-weighted tiny source can be apportioned more docs than it
+    * HAS (a REAL mix oversamples by replication, q69; a without-
+    * replacement draw takes all of the source). [[mixQuotasOf]] runs
+    * re-apportionment to FIXPOINT: saturated sources freeze at
+    * ks = n_s, their weight leaves the normalizer, and the leftover
+    * budget re-apportions over the uncapped remainder — so
+    * Σ ks = N exactly whenever N ≤ corpus size (always, N = total/5),
+    * never a silent shortfall (spec-forced on a 1000-vs-4-doc
+    * fixture). Every round rides the |sources|-row model frame (the
+    * q68/q78 bounded-model discipline; the per-round 1-row
+    * convergence read is the checkpoint-read precedent class).
     */
   def mixQuotaSample(spark: SparkSession, dir: String): DataFrame =
     mixQuotaSampleOf(Tables.documents(spark, dir))
       .orderBy(col("source"), col("doc_id"))
 
-  private[graft] def mixQuotaSampleOf(docs: DataFrame): DataFrame = {
-    // the whole apportionment rides the |sources|-row model frame in
-    // TWO window stages (budget total, then rank + leftover in ONE
-    // ordered window) — no scalar-agg crossJoins, so the q78 weight
-    // chain executes exactly once (the model is 4 rows at the fixture
-    // and thousands at worst — the q68/q78 bounded-model discipline)
-    val full = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+  private[graft] def mixQuotaSampleOf(docs: DataFrame): DataFrame =
+    sampleByQuota(saltedBase(docs, col("source"), "mix|"),
+      mixQuotasOf(docs))
+
+  /** One largest-remainder apportionment round over the unsaturated
+    * model frame: renormalize the RAW sqrt-share weights by the q78
+    * source-ordered fold (partition-order-free double sum), floor the
+    * shares of `budget`, hand the leftover to the largest fractional
+    * parts under the (frac DESC, source) total order. Bit-portable:
+    * the oracle runs the same ops in the same order.
+    */
+  private def apportionOnce(un: DataFrame, budget: Long): DataFrame = {
+    val norm = un.agg(collect_list(struct(col("source"), col("w"))).as("ws"))
+      .select(aggregate(transform(array_sort(col("ws")), s => s.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("norm"))
     val wR = Window.orderBy(col("frac").desc, col("source"))
-    val quotas = TextOps.mixtureWeightsOf(docs)
-      .select(col("source"), col("n_docs"), col("weight"))
-      .withColumn("tot", sum(col("n_docs")).over(full))
-      .withColumn("bn", expr(s"tot DIV $MixDiv"))
-      .withColumn("raw", col("weight") * col("bn"))
+    un.crossJoin(broadcast(norm))
+      .withColumn("raw", col("w") / col("norm") * lit(budget))
       .withColumn("fl", floor(col("raw")))
       .withColumn("frac", col("raw") - col("fl"))
       .withColumn("rk", row_number().over(wR))
-      .withColumn("lv", col("bn") - sum(col("fl")).over(
+      .withColumn("lv", lit(budget) - sum(col("fl")).over(
         wR.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("source"),
-        least(col("fl") +
-          when(col("rk") <= col("lv"), 1L).otherwise(0L),
-          col("n_docs")).as("ks"))
-    sampleByQuota(saltedBase(docs, col("source"), "mix|"), quotas)
+      .select(col("source"), col("n_docs"), col("w"),
+        (col("fl") + when(col("rk") <= col("lv"), 1L).otherwise(0L)).as("q"))
   }
 
-  /** Oracle: q78's weight CTEs verbatim, the same integer largest-
-    * remainder apportionment, and the single-node per-stratum sort.
+  /** The fixpoint quotas: apportion, freeze any source whose quota
+    * exceeds its size at ks = n_s, re-apportion the remaining budget
+    * over the rest; stop when no new source saturates. Terminates in
+    * ≤ |sources| rounds (each non-final round saturates ≥ 1 source)
+    * and the remaining budget always fits the remaining sources
+    * (N ≤ Σ n_s ⇒ N − Σ_sat n_s ≤ Σ_unsat n_s), so the fixpoint draw
+    * is exactly N. `require`-bounded at [[MixRounds]] — the bound the
+    * oracle unrolls to.
+    */
+  private[graft] def mixQuotasOf(docs: DataFrame): DataFrame = {
+    // the model frame is consumed TWICE per round (the norm fold and
+    // the apportionment projection) plus the budget read — uncached,
+    // the whole q78 weight chain would appear once per consumer in the
+    // final plan (probed: 7 BNLJ / 14 shuffles vs 4/11 cached). The
+    // budget read below is the first consumer (a strictly earlier job),
+    // so the fill rides it — the eager-fill rule's sequential case
+    val model = graft.TransientCache.register(TextOps.mixtureWeightsOf(docs)
+      .select(col("source"), col("n_docs"), sqrt(col("share")).as("w"))
+      .cache())
+    var budget = model.agg(sum(col("n_docs"))).head().getLong(0) / MixDiv
+    var un = model
+    var satParts = List.empty[DataFrame]
+    var result: DataFrame = null
+    var rounds = 0
+    while (result == null) {
+      rounds += 1
+      require(rounds <= MixRounds,
+        s"mix re-apportionment did not reach fixpoint in $MixRounds rounds " +
+          "— raise MixRounds AND unroll the oracle to match")
+      val q = apportionOnce(un, budget)
+      val over = q.filter(col("q") > col("n_docs"))
+      val o = over.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("sz")).head()
+      if (o.getLong(0) == 0L)
+        result = satParts.foldLeft(q.select(col("source"), col("q").as("ks")))(
+          _ unionByName _)
+      else {
+        satParts ::= over.select(col("source"), col("n_docs").as("ks"))
+        un = q.filter(col("q") <= col("n_docs"))
+          .select(col("source"), col("n_docs"), col("w"))
+        budget -= o.getLong(1)
+      }
+    }
+    result
+  }
+
+  /** Oracle: q78's weight arithmetic verbatim, the same integer
+    * largest-remainder apportionment UNROLLED to [[MixRounds]] rounds
+    * (generated, one CTE block per round — apportionment is idempotent
+    * past the fixpoint, so the unrolled form equals the Spark loop
+    * whenever the loop's `require` bound holds; see the dialect
+    * blacklist in PLANS.md for why not a recursive CTE), and the
+    * single-node per-stratum sort for the draw.
     */
   val mixQuotaSampleSql: String = {
     import graft.functions.TextFns.hash60Sql
     val h = hash60Sql("('mix|' || CAST(doc_id AS VARCHAR))")
+    val rounds = (1 to MixRounds).map { k =>
+      val entry =
+        if (k == 1)
+          s"""u1 AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE) / total) AS w
+             |  FROM c CROSS JOIN tt),
+             |b1 AS (SELECT total // $MixDiv AS b FROM tt),""".stripMargin
+        else
+          s"""s$k AS (SELECT source, n_docs AS ks FROM q${k - 1} WHERE q > n_docs),
+             |o$k AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS osum
+             |  FROM q${k - 1} WHERE q > n_docs),
+             |u$k AS (SELECT source, n_docs, w FROM q${k - 1} WHERE q <= n_docs),
+             |b$k AS (SELECT CAST(b - osum AS BIGINT) AS b
+             |  FROM b${k - 1} CROSS JOIN o$k),""".stripMargin
+      entry + "\n" +
+        s"""n$k AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+           |    (a, b) -> a + b) AS norm FROM u$k),
+           |a$k AS (SELECT source, n_docs, w, b, (w / norm) * b AS raw,
+           |    CAST(FLOOR((w / norm) * b) AS BIGINT) AS fl
+           |  FROM u$k CROSS JOIN n$k CROSS JOIN b$k),
+           |q$k AS (SELECT source, n_docs, w, b,
+           |    fl + CASE WHEN row_number() OVER (ORDER BY raw - fl DESC, source)
+           |                <= b - sum(fl) OVER () THEN 1 ELSE 0 END AS q
+           |  FROM a$k),""".stripMargin
+    }.mkString("\n")
+    val sat = (2 to MixRounds)
+      .map(k => s"SELECT source, ks FROM s$k").mkString("\n  UNION ALL ")
     s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
       |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
-      |w AS (SELECT source, n_docs, total,
-      |    sqrt(CAST(n_docs AS DOUBLE) / total) AS w
-      |  FROM c CROSS JOIN tt),
-      |nm AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
-      |    (a, b) -> a + b) AS norm FROM w),
-      |ap AS (SELECT source, n_docs,
-      |    (w / norm) * (total // $MixDiv) AS raw,
-      |    CAST(FLOOR((w / norm) * (total // $MixDiv)) AS BIGINT) AS fl,
-      |    total // $MixDiv AS bn
-      |  FROM w CROSS JOIN nm),
-      |lv AS (SELECT max(bn) - sum(fl) AS lv FROM ap),
-      |k AS (SELECT source,
-      |    CASE WHEN row_number() OVER (ORDER BY raw - fl DESC, source)
-      |           <= (SELECT lv FROM lv)
-      |         THEN fl + 1 ELSE fl END AS ks0, n_docs
-      |  FROM ap),
-      |kk AS (SELECT source,
-      |    CASE WHEN ks0 < n_docs THEN ks0 ELSE n_docs END AS ks FROM k),
+      |$rounds
+      |kk AS ($sat
+      |  UNION ALL SELECT source, q AS ks FROM q$MixRounds),
       |b AS (SELECT doc_id, source, $h AS h FROM documents),
       |r AS (SELECT b.*,
       |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn

@@ -317,6 +317,61 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rfm: a FRACTAL double-stretch (sub-whale inside the whale bucket) stays exact; the residual bound is machine-measured") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // the documented level-3 residual, constructed: the 10^9-dollar
+    // whale stretches the monetary range so the [1,400]-dollar cluster
+    // AND a 5·10^5-dollar SUB-whale all land in level-1 bucket 0; the
+    // sub-whale then stretches bucket 0's level-2 split so the cluster
+    // collapses into ONE 1024²-grid sub-cell (width ≈ range/1024² ≈
+    // 954 dollars ≫ the 400-dollar cluster span). The engine's
+    // correctness contract must hold anyway — the final cumsum window
+    // is EXACT at any partition size; only its SIZE degrades, and that
+    // bound is asserted below (= the cluster's distinct count, the
+    // quantity a level-3 recursion would shrink)
+    val day0 = 19700L
+    val rows = (0 until 400).map(i =>
+      (5000L + i, new java.sql.Timestamp((day0 + i % 50) * 86400 * 1000L),
+        (i + 1).toDouble)) :+
+      (5998L, new java.sql.Timestamp(day0 * 86400 * 1000L), 5.0e5) :+
+      (5999L, new java.sql.Timestamp(day0 * 86400 * 1000L), 1.0e9)
+    val got = graft.operators.Analytics.rfmOf(
+        rows.toDF("o_custkey", "o_orderdate", "o_totalprice"))
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    TransientCache.drain()
+    // driver recompute of the monetary quintile cuts over the 402
+    // distinct cents values — exactness first
+    val mc = rows.map(r => r._1 -> math.round(r._3 * 100)).toMap
+    val n = mc.size
+    val sorted = mc.values.toSeq.sorted
+    val cuts = Seq(2, 4, 6, 8).map(t => sorted((t * n + 9) / 10 - 1))
+    for ((c, v) <- mc) {
+      val want = 1L + cuts.count(v > _)
+      assert(got(c) == want, s"cust $c m_score: ${got(c)} vs $want")
+    }
+    // now PROVE the fixture is the double-stretch it claims to be, and
+    // measure the residual: replicate the engine's two bucket levels
+    val b = graft.operators.Analytics.RfmBuckets.toLong
+    val fine = b * b
+    val (lo, hi) = (sorted.head, sorted.last)
+    val w = (hi - lo + 1).toDouble
+    def idx(v: Long) = math.min(b - 1, math.floor((v - lo).toDouble * b / w).toLong)
+    def idx2(v: Long) = math.min(fine - 1, math.floor((v - lo).toDouble * fine / w).toLong)
+    val cells = mc.values.toSeq.distinct.groupBy(v => (idx(v), idx2(v)))
+    val cluster = cells((0L, 0L)).size
+    assert(cluster == 400,
+      s"fixture lost its double-stretch: cell (0,0) holds $cluster of 400")
+    assert(idx(mc(5998L)) == 0L && idx2(mc(5998L)) > 0L,
+      "sub-whale must stretch INSIDE level-1 bucket 0")
+    // the machine-asserted residual bound: the largest final-window
+    // partition equals the cluster's distinct count — window-safe here
+    // and at any cluster that fits an executor; a THIRD level would
+    // shrink exactly this number (documented contract at rankCutsOf)
+    assert(cells.values.map(_.size).max == cluster,
+      "the level-2 guard must confine the stretch to one sub-cell")
+  }
+
   test("rfm: tie-heavy randomized differential vs a naive driver quantile") {
     val sql = spark.sqlContext
     import sql.implicits._

@@ -74,10 +74,12 @@ class PlanLintSpec extends SparkSpec {
       + "model into the scoring pass (1); the stats/k-rank lookups are "
       + "metric-KEYED broadcast hash joins, not products "
       + "(Analytics.rfmOf)")),
-    "q114_mix_quota_sample" -> (3 -> ("q78's own whitelisted trio riding "
-      + "inside the quota model build (1-row corpus total x2 consumers + "
-      + "1-row norm fold — TextOps.mixtureWeightsOf, executed ONCE: the "
-      + "apportionment layer itself is window-only, zero crossJoins)")))
+    "q114_mix_quota_sample" -> (4 -> ("q78's own whitelisted trio riding "
+      + "inside the cached weight model build (1-row corpus total x2 "
+      + "consumers + 1-row norm fold — TextOps.mixtureWeightsOf, executed "
+      + "ONCE) + the re-apportionment round's own 1-row norm fold into "
+      + "the |sources|-row model (Sampling.apportionOnce; one per round, "
+      + "and the fixpoint plan carries exactly one round)")))
 
   /** Unpartitioned-window whitelist: query → (max instances, the bounded
     * frame). A whitelisted frame must be driver-tiny BY CONSTRUCTION —
@@ -91,11 +93,12 @@ class PlanLintSpec extends SparkSpec {
       "DISTINCT HOUR (calendar-bounded, not corpus-bounded) — the same " +
       "shard-offset discipline as q68; the corpus-scale prefix sums run " +
       "under the (hour)-partitioned window (Sessions.peakConcurrencyOf)")),
-    "q114_mix_quota_sample" -> (2 -> ("the apportionment's two window "
-      + "stages over the |sources|-row weight model (budget total, then "
-      + "rank + leftover sharing ONE ordered window) — the q68/q78 "
-      + "bounded-model discipline; the corpus-scale machinery is the "
-      + "q112 draw engine, source-partitioned (Sampling.mixQuotaSampleOf)")))
+    "q114_mix_quota_sample" -> (2 -> ("the apportionment round's rank + "
+      + "leftover windows over the |sources|-row weight model (the "
+      + "budget total moved to a 1-row driver read when the fixpoint "
+      + "loop landed) — the q68/q78 bounded-model discipline; the "
+      + "corpus-scale machinery is the q112 draw engine, "
+      + "source-partitioned (Sampling.apportionOnce)")))
 
   private def descend(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -309,8 +312,9 @@ class PlanLintSpec extends SparkSpec {
                                   // presentation sort; the membership
                                   // filter rides the cached base with a
                                   // broadcast threshold — no extra exchange
-    "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
-                                  // agg + norm collect fold) + two
+    "q114_mix_quota_sample" -> 11, // the q78 weight model build (counts
+                                  // agg + norm collect fold) + the
+                                  // apportionment round's norm fold +
                                   // |sources|-row window sorts + the q112
                                   // draw engine's histogram/carry/rank
                                   // tiers + the presentation sort — only

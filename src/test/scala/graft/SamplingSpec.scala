@@ -90,18 +90,24 @@ class SamplingSpec extends SparkSpec {
     val bump = ap.sortBy { case (s, _, frac) => (-frac, s) }
       .take(lv.toInt).map(_._1).toSet
     val want = ap.map { case (s, fl, _) =>
-      s -> math.min(fl + (if (bump(s)) 1L else 0L), ns(s))
+      s -> (fl + (if (bump(s)) 1L else 0L))
     }.toMap
-    assert(want.values.sum <= bn)
+    // at this data no source saturates, so round 1 IS the fixpoint and
+    // the budget is drawn exactly (the cap path is forced in the next
+    // test)
+    assert(want.forall { case (s, k) => k <= ns(s) },
+      "fixture drifted: a capped source makes this one-round recompute stale")
+    assert(want.values.sum == bn, "the fixpoint draw must be exactly N")
     assert(got == want.filter(_._2 > 0L), s"$got vs $want")
   }
 
-  test("mix sample: an up-weighted tiny source caps at its own size (forced cap path)") {
+  test("mix sample: an up-weighted tiny source caps at its own size; the leftover re-apportions to fixpoint (forced cap path)") {
     val sql = spark.sqlContext
     import sql.implicits._
     // A: 1000 docs, B: 4 docs. alpha=0.5 up-weights B far past 4 docs'
-    // worth of a 200-doc budget, so B's quota must cap at 4 and the
-    // drawn total must fall short of the budget by the shortfall
+    // worth of a 200-doc budget, so B saturates at 4 in round 1 and the
+    // 196-doc leftover re-apportions over {A} in round 2 — the draw is
+    // exactly N, never a silent shortfall
     val docs = ((1 to 1000).map(i => (i.toLong, "A")) ++
       (2001 to 2004).map(i => (i.toLong, "B")))
       .toDF("doc_id", "source")
@@ -111,22 +117,14 @@ class SamplingSpec extends SparkSpec {
     val total = 1004L
     val bn = total / Sampling.MixDiv // 200
     val wA = math.sqrt(1000.0 / total); val wB = math.sqrt(4.0 / total)
-    val norm = wA + wB
-    val rawB = wB / norm * bn
+    val rawB = wB / (wA + wB) * bn
     assert(rawB > 4.0, s"fixture must force the cap: rawB=$rawB")
-    assert(got("B") == 4L, s"B must cap at its 4 docs: $got")
-    assert(got("A") + got("B") < bn,
-      "the capped shortfall must surface as a short draw, not be " +
-        "silently redistributed")
-    // A's quota is its own apportionment, unaffected by B's cap
-    val rawA = wA / norm * bn
-    val flA = math.floor(rawA).toLong; val flB = math.floor(rawB).toLong
-    val lv = bn - flA - flB
-    val fracA = rawA - flA; val fracB = rawB - flB
-    // two sources: A bumps if two leftovers exist, or one and A ranks
-    // first under (frac DESC, source ASC)
-    val bumpA = lv >= 2 || (lv == 1 && fracA >= fracB)
-    assert(got("A") == flA + (if (bumpA) 1L else 0L), s"$got")
+    assert(got("B") == 4L, s"B must saturate at its 4 docs: $got")
+    // round 2 over {A} alone: norm = wA, raw = (wA/wA)·196 = 196 exact
+    assert(got("A") == bn - 4L,
+      s"the capped leftover must re-apportion to A: $got")
+    assert(got("A") + got("B") == bn,
+      "fixpoint re-apportionment must draw the budget exactly")
   }
 
   test("quota sample: rejects a rate outside (0, 1]") {

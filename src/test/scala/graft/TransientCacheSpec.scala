@@ -78,8 +78,8 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(graft.operators.Sampling.quotaSample(spark, dir), 1)
   }
 
-  test("q114 mixQuotaSample transients (weight counts + salted rank base) drain") {
-    checkDrains(graft.operators.Sampling.mixQuotaSample(spark, dir), 2)
+  test("q114 mixQuotaSample transients (weight counts + weight model + salted rank base) drain") {
+    checkDrains(graft.operators.Sampling.mixQuotaSample(spark, dir), 3)
   }
 
   test("q107 peakConcurrency transient (boundary stream) drains") {
