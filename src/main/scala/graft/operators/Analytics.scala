@@ -696,19 +696,26 @@ object Analytics {
     */
   val RfmBuckets = 1024
 
-  /** The 12 quintile cut VALUES (k_p-th smallest per metric, k_p =
-    * `(2p·n + 9) DIV 10`) as a 1-row model frame, via the two-tier
-    * grouped ranking described on [[rfmSegments]]. `vals` must carry
-    * (metric, v, n): all three metrics ride ONE pass keyed by
-    * `metric` — one tie-collapse agg, one histogram, one carry window
-    * (metric-PARTITIONED, ≤[[RfmBuckets]] rows per metric — no
-    * unpartitioned window anywhere), one candidate probe, one cuts
-    * agg — instead of three sequential per-metric model builds (the
-    * job-count bill, measured 6.2 s → this shape, at fixture scale).
+  /** The GENERIC two-tier exact grouped order statistics: for every
+    * group `g` and every requested rank (an integer expression of the
+    * group's row count `n`, 1-based, each with an output column name),
+    * the rank-th smallest `v` — at UNBOUNDED group cardinality and
+    * unbounded group size, because no group is ever fully sorted: the
+    * tie-collapse hash-agg, the ≤[[RfmBuckets]]-row-per-group bucket
+    * histogram with its group-partitioned carry cumsum, the ≤4-per-rank
+    * candidate probe and the level-2 sub-bucket guard are exactly the
+    * [[rfmSegments]] machinery with `metric` abstracted to any group
+    * column. Input: (`g`, v) rows. Output: one row per group —
+    * (`g`, <rank names>, n). Contract: rank expressions must land in
+    * 1..n, and `g` must be non-null (the engine JOINS on it; callers
+    * with nullable keys encode a sentinel).
     */
-  private def rankCutsOf(vals: DataFrame): DataFrame = {
-    val stats = vals.groupBy(col("metric")).agg(min(col("v")).as("lo"),
-      max(col("v")).as("hi"), max(col("n")).as("n"))
+  private[graft] def rankCutsBy(vals: DataFrame, g: String,
+      ks: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)])
+      : DataFrame = {
+    val kN = ks.map("k_" + _._1)
+    val stats = vals.groupBy(col(g)).agg(min(col("v")).as("lo"),
+      max(col("v")).as("hi"), count(lit(1)).as("n"))
     // tie-collapsed value histogram: one row per DISTINCT
     // (metric, bucket, value), a plain partial-aggregated hash-agg — the
     // skew (tie mass) collapses here, never reaching a window task.
@@ -722,31 +729,30 @@ object Analytics {
     // idx). Clamped for the pathological round-up at v = hi.
     val fine = RfmBuckets.toLong * RfmBuckets
     val vh = graft.TransientCache.register(vals
-      .join(broadcast(stats.select(col("metric"), col("lo"), col("hi"))),
-        Seq("metric"))
+      .join(broadcast(stats.select(col(g), col("lo"), col("hi"))), Seq(g))
       .withColumn("idx", least(lit(RfmBuckets - 1L),
         floor((col("v") - col("lo")).cast("double") * RfmBuckets /
           (col("hi") - col("lo") + 1).cast("double")).cast("long")))
       .withColumn("idx2", least(lit(fine - 1L),
         floor((col("v") - col("lo")).cast("double") * fine /
           (col("hi") - col("lo") + 1).cast("double")).cast("long")))
-      .groupBy(col("metric"), col("idx"), col("idx2"), col("v"))
+      .groupBy(col(g), col("idx"), col("idx2"), col("v"))
       .agg(count(lit(1)).as("nv"))
       .cache())
     vh.count()
-    val hist = vh.groupBy(col("metric"), col("idx")).agg(sum(col("nv")).as("nb"))
-    val wB = Window.partitionBy(col("metric")).orderBy(col("idx"))
+    val hist = vh.groupBy(col(g), col("idx")).agg(sum(col("nv")).as("nb"))
+    val wB = Window.partitionBy(col(g)).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ks = stats.select(col("metric") +: Seq(2, 4, 6, 8).map(t =>
-      expr(s"($t * n + 9) DIV 10").as(s"k$t")): _*)
-    // level 1: the ≤ 4 buckets per metric that contain a rank boundary
+    val ksDf = stats.select(col(g) +: (ks.map { case (nm, f) =>
+      f(col("n")).as(s"k_$nm") } :+ col("n")): _*)
+    // level 1: the ≤ |ranks| buckets per group that contain a boundary
     val cand = hist.withColumn("carry", sum(col("nb")).over(wB) - col("nb"))
-      .join(broadcast(ks), Seq("metric"))
-      .where(Seq(2, 4, 6, 8).map(t =>
-        col(s"k$t") > col("carry") && col(s"k$t") <= col("carry") + col("nb"))
+      .join(broadcast(ksDf), Seq(g))
+      .where(kN.map(k =>
+        col(k) > col("carry") && col(k) <= col("carry") + col("nb"))
         .reduce(_ || _))
-      .select(col("metric"), col("idx"), col("carry"),
-        col("k2"), col("k4"), col("k6"), col("k8"))
+      .select(col(g) +: col("idx") +: col("carry") +:
+        (kN.map(col) :+ col("n")): _*)
     // level 2 — the outlier-stretch guard, LIVE (not a documented
     // contract): if an outlier stretches the value range until one
     // level-1 bucket holds most of the distinct values, the same
@@ -766,32 +772,48 @@ object Analytics {
     // cluster of distinct values that overflows an executor at level 2
     // (≥ ~10^8 distinct doubles in 1/2^20 of the range) is the
     // signature of an adversarial, not commercial, distribution.
-    val wB2 = Window.partitionBy(col("metric"), col("idx")).orderBy(col("idx2"))
+    val wB2 = Window.partitionBy(col(g), col("idx")).orderBy(col("idx2"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cand2 = vh.join(broadcast(cand), Seq("metric", "idx"))
-      .groupBy(col("metric"), col("idx"), col("idx2"))
-      .agg(sum(col("nv")).as("nb2"), max(col("carry")).as("c1"),
-        max(col("k2")).as("k2"), max(col("k4")).as("k4"),
-        max(col("k6")).as("k6"), max(col("k8")).as("k8"))
+    val aggs2 = (sum(col("nv")).as("nb2") +: max(col("carry")).as("c1") +:
+      kN.map(k => max(col(k)).as(k))) :+ max(col("n")).as("n")
+    val cand2 = vh.join(broadcast(cand), Seq(g, "idx"))
+      .groupBy(col(g), col("idx"), col("idx2"))
+      .agg(aggs2.head, aggs2.tail: _*)
       .withColumn("carry",
         col("c1") + sum(col("nb2")).over(wB2) - col("nb2"))
-      .where(Seq(2, 4, 6, 8).map(t =>
-        col(s"k$t") > col("carry") && col(s"k$t") <= col("carry") + col("nb2"))
+      .where(kN.map(k =>
+        col(k) > col("carry") && col(k) <= col("carry") + col("nb2"))
         .reduce(_ || _))
-      .select(col("metric"), col("idx"), col("idx2"), col("carry"),
-        col("k2"), col("k4"), col("k6"), col("k8"))
-    val wIn = Window.partitionBy(col("metric"), col("idx"), col("idx2"))
+      .select(col(g) +: col("idx") +: col("idx2") +: col("carry") +:
+        (kN.map(col) :+ col("n")): _*)
+    val wIn = Window.partitionBy(col(g), col("idx"), col("idx2"))
       .orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry + in-sub-bucket cumsum = the exact global count of that
-    // metric's elements ≤ v (both bucket levels are value-monotone), so
+    // group's elements ≤ v (both bucket levels are value-monotone), so
     // across all candidate sub-buckets min(v | count ≥ k) IS the k-th
     // smallest value
-    val cum = vh.join(broadcast(cand2), Seq("metric", "idx", "idx2"))
+    val cum = vh.join(broadcast(cand2), Seq(g, "idx", "idx2"))
       .withColumn("cum", sum(col("nv")).over(wIn) + col("carry"))
-    val cutCols = Seq(2, 4, 6, 8).map(t =>
-      min(when(col("cum") >= col(s"k$t"), col("v"))).as(s"c$t"))
-    val cuts = cum.groupBy(col("metric")).agg(cutCols.head, cutCols.tail: _*)
+    val cutCols = ks.map { case (nm, _) =>
+      min(when(col("cum") >= col(s"k_$nm"), col("v"))).as(nm) } :+
+      max(col("n")).as("n")
+    cum.groupBy(col(g)).agg(cutCols.head, cutCols.tail: _*)
+  }
+
+  /** The 12 quintile cut VALUES (k_p-th smallest per metric, k_p =
+    * `(2p·n + 9) DIV 10`) as a 1-row model frame: [[rankCutsBy]] keyed
+    * by the stacked `metric` column — all three metrics ride ONE pass
+    * (one tie-collapse agg, one histogram, one metric-partitioned carry
+    * window, one candidate probe, one cuts agg) instead of three
+    * sequential per-metric builds (the job-count bill, measured
+    * 6.2 s → this shape at fixture scale) — then the 3-row cuts frame
+    * pivots to the 1-row 12-column scoring model.
+    */
+  private def rankCutsOf(vals: DataFrame): DataFrame = {
+    val cuts = rankCutsBy(vals, "metric", Seq(2, 4, 6, 8).map(t =>
+      s"c$t" -> ((n: org.apache.spark.sql.Column) =>
+        expr(s"($t * n + 9) DIV 10"))))
     // 3 rows → the 1-row 12-column model
     val modelCols = for (m <- Seq("r", "f", "mc"); t <- Seq(2, 4, 6, 8))
       yield max(when(col("metric") === m, col(s"c$t"))).as(s"$m$t")
@@ -805,22 +827,21 @@ object Analytics {
       .groupBy(col("c"))
       .agg(max(col("day")).as("ld"), count(lit(1)).as("f"),
         sum(col("tp")).cast("decimal(18,2)").as("m"))
-    // anchor day + n ride one 1-row agg; base's consumers are strictly
+    // the anchor day rides a 1-row agg; base's consumers are strictly
     // SEQUENTIAL jobs (the vh fill, then the scoring pass — the model
     // broadcast reads the vh cache, not base), so the fill is lazy and
     // rides the vh job (the eager-fill rule: eager only for sibling
     // consumers racing inside one job)
     val base = graft.TransientCache.register(cust
-      .crossJoin(broadcast(cust.agg(max(col("ld")).as("anchor"),
-        count(lit(1)).as("n"))))
+      .crossJoin(broadcast(cust.agg(max(col("ld")).as("anchor"))))
       .select(col("c"), (col("anchor") - col("ld")).as("r"),
-        col("f"), expr("CAST(m * 100 AS BIGINT)").as("mc"),
-        col("n"))
+        col("f"), expr("CAST(m * 100 AS BIGINT)").as("mc"))
       .cache())
-    // unpivot to (metric, v, n): all three metrics ride one grouped
-    // ranking pass (r/f/mc are all BIGINT — money ranks in exact cents)
+    // unpivot to (metric, v): all three metrics ride one grouped
+    // ranking pass (r/f/mc are all BIGINT — money ranks in exact
+    // cents; the engine counts n per group itself)
     val vals = base.selectExpr(
-      "stack(3, 'r', r, 'f', f, 'mc', mc) AS (metric, v)", "n")
+      "stack(3, 'r', r, 'f', f, 'mc', mc) AS (metric, v)")
     val model = broadcast(rankCutsOf(vals))
     def scoreUp(v: String): org.apache.spark.sql.Column =
       lit(1L) + Seq(2, 4, 6, 8).map(t =>
@@ -895,4 +916,38 @@ object Analytics {
       |  r_score * 100 + f_score * 10 + m_score AS rfm
       |FROM scored
       |ORDER BY custkey""".stripMargin
+
+  /** q116 — q41's exact grouped quantiles (same discrete lower-value
+    * rank convention, same output) re-expressed on the [[rankCutsBy]]
+    * two-tier engine: where q41's per-group sort window is the right
+    * shape for BOUNDED groups (≤ thousands of rows each), this form
+    * holds at unbounded group cardinality AND unbounded group SIZE —
+    * no group is ever fully sorted; ties collapse into the distributed
+    * hash-agg, the per-group work above the value scan is a
+    * ≤[[RfmBuckets]]-row histogram, and only the ≤3 candidate
+    * sub-buckets per group rank values. The rank expression is q41's
+    * exactly — `floor((n−1)·q) + 1` with q a DOUBLE literal — so the
+    * oracle IS q41's formulation verbatim and the hash compare proves
+    * engine ≡ per-group sort. The nullable group key rides the
+    * sentinel contract ([[rankCutsBy]] joins on the key; NUL never
+    * collides with a real lang code).
+    */
+  def groupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.documents(spark, dir)
+      .select(coalesce(col("lang"), lit(" ")).as("g"),
+        size(toks(col("text"))).cast("long").as("v"))
+    val cuts = rankCutsBy(vals, "g",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).map { case (nm, q) =>
+        nm -> ((n: org.apache.spark.sql.Column) =>
+          floor((n - 1) * lit(q)).cast("long") + lit(1L))
+      })
+    cuts.select(
+        when(col("g") === lit(" "), lit(null).cast("string"))
+          .otherwise(col("g")).as("lang"),
+        col("p50"), col("p90"), col("p99"), col("n").as("n_docs"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  /** Oracle: q41's per-group sort formulation, verbatim by reference. */
+  val groupedQuantilesSql: String = tokenQuantilesSql
 }

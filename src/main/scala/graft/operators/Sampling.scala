@@ -197,25 +197,38 @@ object Sampling {
       mixQuotasOf(docs))
 
   /** One largest-remainder apportionment round over the unsaturated
-    * model frame: renormalize the RAW sqrt-share weights by the q78
-    * source-ordered fold (partition-order-free double sum), floor the
-    * shares of `budget`, hand the leftover to the largest fractional
-    * parts under the (frac DESC, source) total order. Bit-portable:
-    * the oracle runs the same ops in the same order.
+    * model frame `un` = (source, n_docs, weight, b): floor each
+    * source's share of the budget `b`, hand the leftover to the
+    * largest fractional parts under the (frac DESC, source) total
+    * order. Round 1 uses q78's already-normalized `weight` DIRECTLY —
+    * the normalizer over the full source set is q78's own fold, so the
+    * common no-cap path pays zero extra jobs over the one-round plan.
+    * Rounds ≥ 2 (`renorm`) re-fold `weight` over the unsaturated
+    * subset (the q78 source-ordered fold — partition-order-free).
+    * Bit-portable: the oracle runs the same ops in the same order per
+    * round.
     */
-  private def apportionOnce(un: DataFrame, budget: Long): DataFrame = {
-    val norm = un.agg(collect_list(struct(col("source"), col("w"))).as("ws"))
-      .select(aggregate(transform(array_sort(col("ws")), s => s.getField("w")),
-        lit(0.0), (acc, x) => acc + x).as("norm"))
+  private def apportionOnce(un: DataFrame, renorm: Boolean): DataFrame = {
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wR = Window.orderBy(col("frac").desc, col("source"))
-    un.crossJoin(broadcast(norm))
-      .withColumn("raw", col("w") / col("norm") * lit(budget))
+    val base =
+      if (!renorm) un.withColumn("nw", col("weight"))
+      else {
+        val rn = un
+          .agg(collect_list(struct(col("source"), col("weight"))).as("ws"))
+          .select(aggregate(
+            transform(array_sort(col("ws")), s => s.getField("weight")),
+            lit(0.0), (acc, x) => acc + x).as("rn"))
+        un.crossJoin(broadcast(rn)).withColumn("nw", col("weight") / col("rn"))
+      }
+    base
+      .withColumn("raw", col("nw") * col("b"))
       .withColumn("fl", floor(col("raw")))
       .withColumn("frac", col("raw") - col("fl"))
       .withColumn("rk", row_number().over(wR))
-      .withColumn("lv", lit(budget) - sum(col("fl")).over(
-        wR.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("source"), col("n_docs"), col("w"),
+      .withColumn("lv", col("b") - sum(col("fl")).over(full))
+      .select(col("source"), col("n_docs"), col("weight"), col("b"),
         (col("fl") + when(col("rk") <= col("lv"), 1L).otherwise(0L)).as("q"))
   }
 
@@ -227,19 +240,22 @@ object Sampling {
     * (N ≤ Σ n_s ⇒ N − Σ_sat n_s ≤ Σ_unsat n_s), so the fixpoint draw
     * is exactly N. `require`-bounded at [[MixRounds]] — the bound the
     * oracle unrolls to.
+    *
+    * Job accounting (the fixture-scale bill): each round's quota frame
+    * is a cached transient whose fill rides the 1-row convergence read
+    * (its first consumer; the draw reads pure cache), the budget is a
+    * window column (never a driver read), and round 1 skips the norm
+    * fold — so the common no-cap path costs the r13 one-round plan
+    * plus exactly one |sources|-frame control job.
     */
   private[graft] def mixQuotasOf(docs: DataFrame): DataFrame = {
-    // the model frame is consumed TWICE per round (the norm fold and
-    // the apportionment projection) plus the budget read — uncached,
-    // the whole q78 weight chain would appear once per consumer in the
-    // final plan (probed: 7 BNLJ / 14 shuffles vs 4/11 cached). The
-    // budget read below is the first consumer (a strictly earlier job),
-    // so the fill rides it — the eager-fill rule's sequential case
-    val model = graft.TransientCache.register(TextOps.mixtureWeightsOf(docs)
-      .select(col("source"), col("n_docs"), sqrt(col("share")).as("w"))
-      .cache())
-    var budget = model.agg(sum(col("n_docs"))).head().getLong(0) / MixDiv
-    var un = model
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    var un = TextOps.mixtureWeightsOf(docs)
+      .select(col("source"), col("n_docs"), col("weight"))
+      .withColumn("tot", sum(col("n_docs")).over(full))
+      .withColumn("b", expr(s"tot DIV $MixDiv"))
+      .drop("tot")
     var satParts = List.empty[DataFrame]
     var result: DataFrame = null
     var rounds = 0
@@ -248,18 +264,21 @@ object Sampling {
       require(rounds <= MixRounds,
         s"mix re-apportionment did not reach fixpoint in $MixRounds rounds " +
           "— raise MixRounds AND unroll the oracle to match")
-      val q = apportionOnce(un, budget)
-      val over = q.filter(col("q") > col("n_docs"))
-      val o = over.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("n_docs")), lit(0L)).as("sz")).head()
+      val q = graft.TransientCache.register(
+        apportionOnce(un, renorm = rounds > 1).cache())
+      val o = q.agg(
+        count(when(col("q") > col("n_docs"), lit(1))).as("n"),
+        coalesce(sum(when(col("q") > col("n_docs"), col("n_docs"))),
+          lit(0L)).as("sz")).head()
       if (o.getLong(0) == 0L)
         result = satParts.foldLeft(q.select(col("source"), col("q").as("ks")))(
           _ unionByName _)
       else {
-        satParts ::= over.select(col("source"), col("n_docs").as("ks"))
+        satParts ::= q.filter(col("q") > col("n_docs"))
+          .select(col("source"), col("n_docs").as("ks"))
         un = q.filter(col("q") <= col("n_docs"))
-          .select(col("source"), col("n_docs"), col("w"))
-        budget -= o.getLong(1)
+          .select(col("source"), col("n_docs"), col("weight"),
+            (col("b") - lit(o.getLong(1))).as("b"))
       }
     }
     result
@@ -279,23 +298,25 @@ object Sampling {
     val rounds = (1 to MixRounds).map { k =>
       val entry =
         if (k == 1)
-          s"""u1 AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE) / total) AS w
-             |  FROM c CROSS JOIN tt),
-             |b1 AS (SELECT total // $MixDiv AS b FROM tt),""".stripMargin
+          s"""u1 AS (SELECT source, n_docs, w / norm AS weight,
+             |    total // $MixDiv AS b
+             |  FROM w CROSS JOIN nm),
+             |a1 AS (SELECT source, n_docs, weight, b, weight * b AS raw,
+             |    CAST(FLOOR(weight * b) AS BIGINT) AS fl
+             |  FROM u1),""".stripMargin
         else
           s"""s$k AS (SELECT source, n_docs AS ks FROM q${k - 1} WHERE q > n_docs),
              |o$k AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS osum
              |  FROM q${k - 1} WHERE q > n_docs),
-             |u$k AS (SELECT source, n_docs, w FROM q${k - 1} WHERE q <= n_docs),
-             |b$k AS (SELECT CAST(b - osum AS BIGINT) AS b
-             |  FROM b${k - 1} CROSS JOIN o$k),""".stripMargin
+             |u$k AS (SELECT source, n_docs, weight, CAST(b - osum AS BIGINT) AS b
+             |  FROM q${k - 1} CROSS JOIN o$k WHERE q <= n_docs),
+             |n$k AS (SELECT list_reduce(list_prepend(0.0, list(weight ORDER BY source)),
+             |    (a, b) -> a + b) AS rn FROM u$k),
+             |a$k AS (SELECT source, n_docs, weight, b, (weight / rn) * b AS raw,
+             |    CAST(FLOOR((weight / rn) * b) AS BIGINT) AS fl
+             |  FROM u$k CROSS JOIN n$k),""".stripMargin
       entry + "\n" +
-        s"""n$k AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
-           |    (a, b) -> a + b) AS norm FROM u$k),
-           |a$k AS (SELECT source, n_docs, w, b, (w / norm) * b AS raw,
-           |    CAST(FLOOR((w / norm) * b) AS BIGINT) AS fl
-           |  FROM u$k CROSS JOIN n$k CROSS JOIN b$k),
-           |q$k AS (SELECT source, n_docs, w, b,
+        s"""q$k AS (SELECT source, n_docs, weight, b,
            |    fl + CASE WHEN row_number() OVER (ORDER BY raw - fl DESC, source)
            |                <= b - sum(fl) OVER () THEN 1 ELSE 0 END AS q
            |  FROM a$k),""".stripMargin
@@ -304,6 +325,11 @@ object Sampling {
       .map(k => s"SELECT source, ks FROM s$k").mkString("\n  UNION ALL ")
     s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
       |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+      |w AS (SELECT source, n_docs, total,
+      |    sqrt(CAST(n_docs AS DOUBLE) / total) AS w
+      |  FROM c CROSS JOIN tt),
+      |nm AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+      |    (a, b) -> a + b) AS norm FROM w),
       |$rounds
       |kk AS ($sat
       |  UNION ALL SELECT source, q AS ks FROM q$MixRounds),

@@ -372,6 +372,43 @@ class AnalyticsSpec extends SparkSpec {
       "the level-2 guard must confine the stretch to one sub-cell")
   }
 
+  test("q116 grouped quantiles == q41's per-group sort, bit-for-bit; rank engine handles a giant tie-heavy group") {
+    val dir = "/root/testdata/sf0.001"
+    // the two formulations must agree exactly — q41 is the bounded-group
+    // sort-window shape, q116 the unbounded rank-engine shape
+    val a = graft.operators.Analytics.tokenQuantiles(spark, dir).collect().toSeq
+    val b = graft.operators.Analytics.groupedQuantiles(spark, dir).collect().toSeq
+    TransientCache.drain()
+    assert(a == b, s"engine diverged from the sort formulation")
+    assert(a.nonEmpty)
+    // synthetic: one 20k-row group that is 90% a single tied value
+    // (the tie-collapse case) next to a 10-row group — the cardinality
+    // spread a per-group sort window serves poorly and this engine
+    // exists for
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val rng = new scala.util.Random(42L)
+    val big = (0 until 20000).map(i =>
+      ("big", if (i < 18000) 7L else 100L + rng.nextInt(1000)))
+    val small = (0 until 10).map(i => ("small", i.toLong))
+    val vals = (big ++ small).toDF("g", "v")
+    val got = graft.operators.Analytics.rankCutsBy(vals, "g",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).map { case (nm, q) =>
+        nm -> ((n: org.apache.spark.sql.Column) =>
+          floor((n - 1) * lit(q)).cast("long") + lit(1L))
+      }).collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    TransientCache.drain()
+    def want(vs: Seq[Long]) = {
+      val s = vs.sorted
+      val n = vs.size
+      def pick(q: Double) = s((math.floor((n - 1) * q) + 1).toInt - 1)
+      (pick(0.5), pick(0.9), pick(0.99), n.toLong)
+    }
+    assert(got("big") == want(big.map(_._2)), s"big: ${got("big")}")
+    assert(got("small") == want(small.map(_._2)), s"small: ${got("small")}")
+  }
+
   test("rfm: tie-heavy randomized differential vs a naive driver quantile") {
     val sql = spark.sqlContext
     import sql.implicits._

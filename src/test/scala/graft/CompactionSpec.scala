@@ -27,6 +27,52 @@ class CompactionSpec extends SparkSpec {
   private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq.sorted
 
+  test("event-tier cadence probe: 100 synthetic nights keep tr_deltas files and rows bounded; read path == one full rebuild") {
+    // the q115 ledger grows |types|² rows per night and its advance
+    // rides compactIfFragmented — this measures the small-files bill
+    // for the EVENT tier the way the tests above measure the document
+    // tier, at a probe-tight threshold (same code path the production
+    // 256-file cadence drives, observable inside 100 nights)
+    import spark.implicits._
+    import graft.operators.Sessions
+    val wh = new Warehouse(spark, tmpRoot("trcadence"))
+    val types = Seq("a", "b", "c")
+    val nights = 100
+    val maxFiles = 16
+    var eid = 0L
+    var maxSeen = 0
+    val all = Seq.newBuilder[(Long, java.sql.Timestamp, Long, String)]
+    for (n <- 0 until nights) {
+      val rows = for { u <- 1 to 2; j <- 0 until 3 } yield {
+        eid += 1
+        (u.toLong,
+          new java.sql.Timestamp((86400L * n + u * 3600 + j * 60) * 1000L),
+          eid, types((n + u + j) % types.size))
+      }
+      all ++= rows
+      Sessions.advanceTransitionsIndex(spark, wh.root,
+        rows.toDF("user_id", "ts", "event_id", "event_type"))
+      wh.compactIfFragmented("tr_deltas", maxFiles)
+      maxSeen = math.max(maxSeen, wh.dataFileCount("tr_deltas"))
+    }
+    // the cadence bound: post-cadence file count never runs past the
+    // threshold plus one night's appends
+    assert(maxSeen <= maxFiles + 8, s"file count ran away: $maxSeen")
+    // the ledger row bound: ≤ nights·|types|² (cells per night), never
+    // a function of event count
+    val ledgerRows = wh.read("tr_deltas").count()
+    assert(ledgerRows <= nights.toLong * types.size * types.size,
+      s"ledger rows $ledgerRows exceed the nights x |types|^2 bound")
+    // 100 append+compact cycles must be invisible to the read path
+    val cells = wh.read("tr_deltas").groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = Sessions.sessionTransitionsOf(
+        all.result().toDF("user_id", "ts", "event_id", "event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells == full, "100 compacted nights != one full rebuild")
+  }
+
   test("compact preserves content, shrinks files, and is idempotent") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpRoot("compact"))

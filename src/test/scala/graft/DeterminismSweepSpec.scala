@@ -113,7 +113,10 @@ class DeterminismSweepSpec extends SparkSpec {
     // at-rest delta ledger + carry-prepended lag window: exact integer
     // cells, (ts, event_id) total order — the q105 argument over the
     // incremental shape (q115)
-    "q115_delta_transitions")
+    "q115_delta_transitions",
+    // the q111 argument with lang as the group key: rank-selected
+    // boundary values over tie-collapsed integer counts (q116)
+    "q116_grouped_quantiles")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -74,12 +74,12 @@ class PlanLintSpec extends SparkSpec {
       + "model into the scoring pass (1); the stats/k-rank lookups are "
       + "metric-KEYED broadcast hash joins, not products "
       + "(Analytics.rfmOf)")),
-    "q114_mix_quota_sample" -> (4 -> ("q78's own whitelisted trio riding "
-      + "inside the cached weight model build (1-row corpus total x2 "
-      + "consumers + 1-row norm fold — TextOps.mixtureWeightsOf, executed "
-      + "ONCE) + the re-apportionment round's own 1-row norm fold into "
-      + "the |sources|-row model (Sampling.apportionOnce; one per round, "
-      + "and the fixpoint plan carries exactly one round)")))
+    "q114_mix_quota_sample" -> (3 -> ("q78's own whitelisted trio riding "
+      + "inside the round-1 quota build (1-row corpus total x2 consumers "
+      + "+ 1-row norm fold — TextOps.mixtureWeightsOf, executed ONCE: "
+      + "round 1 apportions by q78's already-normalized weight, so the "
+      + "no-cap fixpoint plan adds ZERO crossJoins; only a cap-path "
+      + "round >= 2 adds its subset re-fold, Sampling.apportionOnce)")))
 
   /** Unpartitioned-window whitelist: query → (max instances, the bounded
     * frame). A whitelisted frame must be driver-tiny BY CONSTRUCTION —
@@ -93,12 +93,13 @@ class PlanLintSpec extends SparkSpec {
       "DISTINCT HOUR (calendar-bounded, not corpus-bounded) — the same " +
       "shard-offset discipline as q68; the corpus-scale prefix sums run " +
       "under the (hour)-partitioned window (Sessions.peakConcurrencyOf)")),
-    "q114_mix_quota_sample" -> (2 -> ("the apportionment round's rank + "
+    "q114_mix_quota_sample" -> (3 -> ("the budget-total, rank and "
       + "leftover windows over the |sources|-row weight model (the "
-      + "budget total moved to a 1-row driver read when the fixpoint "
-      + "loop landed) — the q68/q78 bounded-model discipline; the "
-      + "corpus-scale machinery is the q112 draw engine, "
-      + "source-partitioned (Sampling.apportionOnce)")))
+      + "budget rides a window COLUMN so the fixpoint loop never reads "
+      + "it driver-side; rank and leftover cannot fuse with it — they "
+      + "sit past the floor projection) — the q68/q78 bounded-model "
+      + "discipline; the corpus-scale machinery is the q112 draw "
+      + "engine, source-partitioned (Sampling.apportionOnce)")))
 
   private def descend(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -312,14 +313,25 @@ class PlanLintSpec extends SparkSpec {
                                   // presentation sort; the membership
                                   // filter rides the cached base with a
                                   // broadcast threshold — no extra exchange
-    "q114_mix_quota_sample" -> 11, // the q78 weight model build (counts
-                                  // agg + norm collect fold) + the
-                                  // apportionment round's norm fold +
+    "q116_grouped_quantiles" -> 10, // the generic rank engine, all tiers
+                                  // group-keyed: stats agg + tie-collapse
+                                  // vh agg + bucket histogram agg + carry
+                                  // window + level-2 candidate agg/window
+                                  // + final value window + cuts agg + the
+                                  // presentation sort — zero BNLJ, zero
+                                  // unpartitioned windows (contrast q41's
+                                  // per-group sort: right for bounded
+                                  // groups, this shape for unbounded)
+    "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
+                                  // agg + norm collect fold) +
                                   // |sources|-row window sorts + the q112
                                   // draw engine's histogram/carry/rank
                                   // tiers + the presentation sort — only
                                   // the counts agg and the salted base
                                   // hash-agg touch corpus-scale data
+                                  // (r14: the fixpoint loop's round-1
+                                  // plan IS the r13 one-round plan; the
+                                  // quota frame is a cached transient)
     "q115_delta_transitions" -> 5, // carry ∪ batch user-key lag window +
                                   // pair agg + the at-rest ledger union's
                                   // cell agg + the |types|-row marginal

@@ -78,8 +78,12 @@ class TransientCacheSpec extends SparkSpec {
     checkDrains(graft.operators.Sampling.quotaSample(spark, dir), 1)
   }
 
-  test("q114 mixQuotaSample transients (weight counts + weight model + salted rank base) drain") {
+  test("q114 mixQuotaSample transients (weight counts + round quota frame + salted rank base) drain") {
     checkDrains(graft.operators.Sampling.mixQuotaSample(spark, dir), 3)
+  }
+
+  test("q116 groupedQuantiles transient (tie-collapsed value histogram) drains") {
+    checkDrains(graft.operators.Analytics.groupedQuantiles(spark, dir), 1)
   }
 
   test("q107 peakConcurrency transient (boundary stream) drains") {
