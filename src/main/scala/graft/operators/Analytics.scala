@@ -714,21 +714,30 @@ object Analytics {
       ks: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)])
       : DataFrame = {
     val kN = ks.map("k_" + _._1)
-    val stats = vals.groupBy(col(g)).agg(min(col("v")).as("lo"),
-      max(col("v")).as("hi"), count(lit(1)).as("n"))
-    // tie-collapsed value histogram: one row per DISTINCT
-    // (metric, bucket, value), a plain partial-aggregated hash-agg — the
-    // skew (tie mass) collapses here, never reaching a window task.
-    // Consumed by the bucket histogram AND the candidate-bucket probe
-    // inside ONE job (the model broadcast) — sibling consumers, so the
-    // fill is eager.
+    // tie-collapse FIRST: one row per DISTINCT (g, value), a plain
+    // partial-aggregated hash-agg — the skew (tie mass) collapses here,
+    // never reaching a window task — and the ONLY pass over the raw
+    // vals frame: stats AND both bucket levels derive from this cached
+    // collapsed frame (before r14 stats aggregated raw vals separately,
+    // so an expensive vals projection — q116's tokenizer — ran twice).
+    // Consumed by stats, the bucket histogram and the candidate probes
+    // inside one job chain — sibling broadcast consumers, eager fill.
+    val vh0 = graft.TransientCache.register(vals
+      .groupBy(col(g), col("v")).agg(count(lit(1)).as("nv"))
+      .cache())
+    vh0.count()
+    val stats = vh0.groupBy(col(g)).agg(min(col("v")).as("lo"),
+      max(col("v")).as("hi"), sum(col("nv")).as("n"))
     // both bucket levels derive from the SAME min/max — idx2 is the
     // finer 1024²-cell grid (monotone in v like idx: IEEE multiply/
     // divide/floor by positive constants are order-preserving, and the
     // levels need no exact nesting — idx2 only ever orders WITHIN one
-    // idx). Clamped for the pathological round-up at v = hi.
+    // idx). Clamped for the pathological round-up at v = hi. Cheap by
+    // construction: a projection + 1-row-per-group broadcast join over
+    // the COLLAPSED frame, so re-deriving it per consumer costs no
+    // corpus scan.
     val fine = RfmBuckets.toLong * RfmBuckets
-    val vh = graft.TransientCache.register(vals
+    val vh = vh0
       .join(broadcast(stats.select(col(g), col("lo"), col("hi"))), Seq(g))
       .withColumn("idx", least(lit(RfmBuckets - 1L),
         floor((col("v") - col("lo")).cast("double") * RfmBuckets /
@@ -736,10 +745,6 @@ object Analytics {
       .withColumn("idx2", least(lit(fine - 1L),
         floor((col("v") - col("lo")).cast("double") * fine /
           (col("hi") - col("lo") + 1).cast("double")).cast("long")))
-      .groupBy(col(g), col("idx"), col("idx2"), col("v"))
-      .agg(count(lit(1)).as("nv"))
-      .cache())
-    vh.count()
     val hist = vh.groupBy(col(g), col("idx")).agg(sum(col("nv")).as("nb"))
     val wB = Window.partitionBy(col(g)).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

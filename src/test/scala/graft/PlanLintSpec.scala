@@ -292,7 +292,7 @@ class PlanLintSpec extends SparkSpec {
                                   // construction (round budget = job count)
                                   // (confirmed against the lint's
                                   // observed count, r13)
-    "q111_rfm_segments" -> 14,    // ONE stacked-metric rank pass: customer
+    "q111_rfm_segments" -> 16,    // ONE stacked-metric rank pass: customer
                                   // base build (groupBy + anchor agg) +
                                   // stats agg + vh tie-collapse hash-agg +
                                   // bucket histogram + metric-keyed carry
@@ -305,7 +305,11 @@ class PlanLintSpec extends SparkSpec {
                                   // sort — only the base groupBy and the
                                   // vh hash-agg touch customer-scale data
                                   // (25 as three per-metric builds → 12
-                                  // stacked → 14 with the live guard)
+                                  // stacked → 14 with the live guard →
+                                  // 16 when tie-collapse moved BEFORE the
+                                  // stats join, r14: +2 exchanges over
+                                  // the COLLAPSED frame buy one fewer
+                                  // corpus pass — probed 5.30→4.93 s)
     "q112_quota_sample" -> 5,     // base (source, doc_id, h, bucket) hash-agg
                                   // tiers: quota agg + bucket histogram +
                                   // source-keyed carry cumsum + candidate
@@ -313,7 +317,7 @@ class PlanLintSpec extends SparkSpec {
                                   // presentation sort; the membership
                                   // filter rides the cached base with a
                                   // broadcast threshold — no extra exchange
-    "q116_grouped_quantiles" -> 10, // the generic rank engine, all tiers
+    "q116_grouped_quantiles" -> 12, // the generic rank engine, all tiers
                                   // group-keyed: stats agg + tie-collapse
                                   // vh agg + bucket histogram agg + carry
                                   // window + level-2 candidate agg/window
@@ -321,7 +325,11 @@ class PlanLintSpec extends SparkSpec {
                                   // presentation sort — zero BNLJ, zero
                                   // unpartitioned windows (contrast q41's
                                   // per-group sort: right for bounded
-                                  // groups, this shape for unbounded)
+                                  // groups, this shape for unbounded);
+                                  // 12 not 10 after tie-collapse-first,
+                                  // r14: +2 exchanges over the collapsed
+                                  // frame, ONE tokenizer pass instead of
+                                  // two — probed 3.16→2.83 s
     "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
                                   // agg + norm collect fold) +
                                   // |sources|-row window sorts + the q112
