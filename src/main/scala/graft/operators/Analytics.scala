@@ -713,7 +713,6 @@ object Analytics {
   private[graft] def rankCutsBy(vals: DataFrame, g: String,
       ks: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)])
       : DataFrame = {
-    val kN = ks.map("k_" + _._1)
     // tie-collapse FIRST: one row per DISTINCT (g, value), a plain
     // partial-aggregated hash-agg — the skew (tie mass) collapses here,
     // never reaching a window task — and the ONLY pass over the raw
@@ -726,6 +725,23 @@ object Analytics {
       .groupBy(col(g), col("v")).agg(count(lit(1)).as("nv"))
       .cache())
     vh0.count()
+    rankCutsHist(vh0, g, ks)
+  }
+
+  /** The engine over a PRE-COLLAPSED histogram — `vh0` carries one row
+    * per distinct (`g`, `v`) with its multiplicity `nv`. This is the
+    * seam the histogram-shaped consumers enter through: q118 winsorizes
+    * off the same collapsed frame it ranks, and q119's incremental
+    * index stores exactly this shape at rest, so its read path feeds
+    * the ledger straight in with no raw-value scan at all. Contract:
+    * `vh0` must be MATERIALIZED (cached or at-rest) — stats, both
+    * bucket levels and the candidate probes consume it as sibling
+    * broadcast builds racing inside one job.
+    */
+  private[graft] def rankCutsHist(vh0: DataFrame, g: String,
+      ks: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)])
+      : DataFrame = {
+    val kN = ks.map("k_" + _._1)
     val stats = vh0.groupBy(col(g)).agg(min(col("v")).as("lo"),
       max(col("v")).as("hi"), sum(col("nv")).as("n"))
     // both bucket levels derive from the SAME min/max — idx2 is the
@@ -955,4 +971,78 @@ object Analytics {
 
   /** Oracle: q41's per-group sort formulation, verbatim by reference. */
   val groupedQuantilesSql: String = tokenQuantilesSql
+
+  /** q118 — winsorized per-source token statistics: clip each document's
+    * token count to its source's exact [p05, p95] band (q41's discrete
+    * lower-value rank convention, cuts computed by the two-tier engine),
+    * then aggregate the clipped values — the outlier-robust length
+    * profile a training-data card reports per source, where a plain mean
+    * is one scrape-rot whale away from useless. The whole query runs off
+    * ONE collapsed (source, v) histogram: [[rankCutsHist]] ranks it, and
+    * the winsorized sum re-aggregates THE SAME cached frame as
+    * Σ nv·clip(v) — the raw corpus is tokenized exactly once, and no
+    * stage after the collapse touches more than |distinct (source, v)|
+    * rows. `win_mean` is one IEEE division of two exact BIGINTs
+    * (correctly rounded in both engines — the q104 discipline); the
+    * quantile fractions are double literals on BOTH sides (`0.05e0` —
+    * the r12 bare-literal rule, so neither engine ranks by DECIMAL
+    * arithmetic the other ran in binary).
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.documents(spark, dir)
+      .select(col("source").as("g"),
+        size(toks(col("text"))).cast("long").as("v"))
+    val vh = graft.TransientCache.register(
+      vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("nv")).cache())
+    vh.count()
+    val cuts = rankCutsHist(vh, "g",
+      Seq("p05" -> 0.05, "p95" -> 0.95).map { case (nm, q) =>
+        nm -> ((n: org.apache.spark.sql.Column) =>
+          floor((n - 1) * lit(q)).cast("long") + lit(1L)) })
+    vh.join(broadcast(cuts), Seq("g"))
+      .withColumn("cv",
+        when(col("v") < col("p05"), col("p05"))
+          .when(col("v") > col("p95"), col("p95"))
+          .otherwise(col("v")))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n_docs"), max(col("p05")).as("p05"),
+        max(col("p95")).as("p95"),
+        sum(col("nv") * col("cv")).as("win_sum"))
+      .select(col("g").as("source"), col("n_docs"), col("p05"), col("p95"),
+        col("win_sum"),
+        (col("win_sum").cast("double") / col("n_docs").cast("double"))
+          .as("win_mean"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: per-source sort-window quantiles (q41's formulation), then
+    * the clipped re-aggregate — single-node, deliberately not the
+    * engine's physical shape.
+    */
+  val winsorizedStatsSql: String =
+    s"""WITH counts AS (
+      |  SELECT source AS g, CAST(len($toksSql) AS BIGINT) AS v
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT g, v,
+      |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM counts),
+      |cuts AS (
+      |  SELECT g, CAST(max(n) AS BIGINT) AS n_docs,
+      |    max(CASE WHEN rn = CAST(floor((n-1) * 0.05e0) AS BIGINT) + 1
+      |        THEN v END) AS p05,
+      |    max(CASE WHEN rn = CAST(floor((n-1) * 0.95e0) AS BIGINT) + 1
+      |        THEN v END) AS p95
+      |  FROM ranked GROUP BY g),
+      |clipped AS (
+      |  SELECT c.g, n_docs, p05, p95,
+      |    CASE WHEN v < p05 THEN p05 WHEN v > p95 THEN p95 ELSE v END AS cv
+      |  FROM counts c JOIN cuts USING (g))
+      |SELECT g AS source, n_docs, p05, p95,
+      |  CAST(sum(cv) AS BIGINT) AS win_sum,
+      |  CAST(CAST(sum(cv) AS BIGINT) AS DOUBLE)
+      |    / CAST(n_docs AS DOUBLE) AS win_mean
+      |FROM clipped GROUP BY g, n_docs, p05, p95
+      |ORDER BY source""".stripMargin
 }

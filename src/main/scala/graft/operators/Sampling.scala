@@ -341,4 +341,105 @@ object Sampling {
       |FROM r JOIN kk USING (source) WHERE r.rn <= kk.ks
       |ORDER BY r.source, r.doc_id""".stripMargin
   }
+
+  /** Sampling-interval divisor: m = n_docs DIV [[PpsDiv]] systematic
+    * draws through the cumulative token mass.
+    */
+  val PpsDiv = 20
+
+  /** q117 — PROBABILITY-PROPORTIONAL-TO-SIZE systematic sampling: m
+    * draw thresholds spaced evenly through the corpus's cumulative
+    * TOKEN mass, documents laid out in deterministic salted-hash order
+    * — the "sample by contribution to the training token budget" op.
+    * A document's expected draw count is m·w/W (a 10k-token document
+    * is 100× likelier than a 100-token one), a document heavier than
+    * one stride W/m is drawn MULTIPLE times (`draws` carries the
+    * count), zero-token documents are structurally undrawable, and the
+    * total Σ draws is EXACTLY m (telescoping: the per-doc count is a
+    * difference of floor terms in the cumulative weight) — none of
+    * which Poisson sampling or `TABLESAMPLE` gives. Madow's systematic
+    * PPS, with the midpoint offset W/2 fixed so the whole op is
+    * deterministic pure-INTEGER arithmetic (the q111 rule): doc i with
+    * cumulative (c0, c1] is drawn
+    * (c1·m + W/2) DIV W − (c0·m + W/2) DIV W times.
+    *
+    * Scale shape: the cumulative sum is the q112 two-tier discipline
+    * in WEIGHT space — per-bucket totals (1024 known-range hash
+    * buckets, h ≫ 50) take a ≤1024-row carry cumsum (config-bounded,
+    * the q68 shard-offset shape), and the corpus-scale prefix sum runs
+    * under the (idx)-PARTITIONED window; membership is pure per-row
+    * arithmetic against the broadcast 1-row (W, m) model. No global
+    * sort, no corpus-scale single task anywhere. Contracts: requires
+    * positive total weight (W = 0 divides by zero LOUDLY under ANSI),
+    * and W·m < 2^63 (ANSI overflow is equally loud); past that bound,
+    * shard by a first-level stratum and apportion m per shard (the
+    * q114 loop) — each shard re-enters this operator whole.
+    */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.toks
+    ppsSampleOf(Tables.documents(spark, dir)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("w")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The draw engine over an explicit (doc_id, w) frame: every doc with
+    * draws ≥ 1, Σ draws = count DIV [[PpsDiv]] exactly.
+    */
+  private[graft] def ppsSampleOf(docs: DataFrame): DataFrame = {
+    // one narrow frame feeds the (W, m) model, the bucket totals and
+    // the prefix-sum pass — sibling consumers, eager fill (house rule)
+    val base = graft.TransientCache.register(docs
+      .select(col("doc_id"), col("w"))
+      .withColumn("h", graft.functions.TextFns.hash60(
+        concat(lit("pps|"), col("doc_id").cast("string"))))
+      .withColumn("idx", shiftrightunsigned(col("h"), BucketShift))
+      .cache())
+    base.count()
+    val model = base.agg(sum(col("w")).as("bigw"), count(lit(1)).as("nd"))
+      .select(col("bigw"), expr(s"nd DIV $PpsDiv").as("m"))
+    // two-tier exclusive cumsum in global (h, doc_id) order: idx is a
+    // monotone coarsening of h, so bucket-carry + in-bucket prefix sum
+    // IS the global prefix sum
+    val wIdx = Window.orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = base.groupBy(col("idx")).agg(sum(col("w")).as("bw"))
+      .withColumn("carry", sum(col("bw")).over(wIdx) - col("bw"))
+      .select(col("idx"), col("carry"))
+    val wIn = Window.partitionBy(col("idx")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(carry), Seq("idx"))
+      .withColumn("c1", col("carry") + sum(col("w")).over(wIn))
+      .crossJoin(broadcast(model))
+      .withColumn("draws", expr(
+        "(c1 * m + bigw DIV 2) DIV bigw - ((c1 - w) * m + bigw DIV 2) DIV bigw"))
+      .where(col("draws") > 0)
+      .select(col("doc_id"), col("w").as("tokens"), col("draws"))
+  }
+
+  /** Oracle: the single-node global-order cumulative sum (one window,
+    * deliberately not the two-tier shape), same integer threshold
+    * arithmetic. HUGEINT from DuckDB's sum is cast back to BIGINT at
+    * the compared surface.
+    */
+  val ppsSampleSql: String = {
+    import graft.functions.TextFns.{hash60Sql, toksSql}
+    val h = hash60Sql("('pps|' || CAST(doc_id AS VARCHAR))")
+    s"""WITH b AS (
+      |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w, $h AS h
+      |  FROM documents),
+      |model AS (SELECT CAST(sum(w) AS BIGINT) AS bigw,
+      |                 count(*) // $PpsDiv AS m FROM b),
+      |c AS (SELECT doc_id, w,
+      |        CAST(sum(w) OVER (ORDER BY h, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS c1
+      |      FROM b),
+      |d AS (SELECT doc_id, w AS tokens,
+      |        (c1 * m + bigw // 2) // bigw
+      |          - ((c1 - w) * m + bigw // 2) // bigw AS draws
+      |      FROM c CROSS JOIN model)
+      |SELECT doc_id, tokens, CAST(draws AS BIGINT) AS draws
+      |FROM d WHERE draws > 0
+      |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.operators.QuantileIndex
+import graft.pipelines.Warehouse
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Structured-Streaming twin of the q119 incremental-quantile loop: a
+  * documents stream folds into the at-rest `tq_hist` / `tq_docs`
+  * tables micro-batch by micro-batch ([[QuantileIndex.advance]]) — the
+  * SEVENTH index family with a streaming twin, and the first whose
+  * read path is an exact ORDER STATISTIC (the others screen, count or
+  * cohort; this one feeds `Analytics.rankCutsHist` straight off the
+  * at-rest ledger).
+  *
+  * Exactly-once effect under at-least-once delivery, inherited
+  * verbatim from the batch advance (streamed ≡ batch is an identity of
+  * code, the StreamingSequence rule): in-batch duplicates drop at the
+  * entry, cross-batch redelivery anti-joins away against the swapped
+  * `tq_docs` manifest, a partially appended night's rows anti-join by
+  * (batch_key, g, v), and the manifest swap is the night's atomic
+  * commit — a crashed micro-batch replays to convergence through the
+  * same four windows argued in [[QuantileIndex]].
+  *
+  * Cold start: a cold warehouse's first micro-batch IS the seed (the
+  * advance routes on `tq_docs` existence itself — no separate seed
+  * path, so there is no two-table seed-crash seam to guard). State is
+  * bounded by the value support (|langs| · |distinct token counts| at
+  * rest) plus the doc-id manifest — never by stream length times
+  * anything.
+  */
+object StreamingQuantileIndex {
+
+  /** One micro-batch: fold novel documents into the at-rest histogram. */
+  def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit =
+    QuantileIndex.advance(wh.spark, wh.root, batch)
+
+  /** foreachBatch sink wiring: checkpointed, available-now triggered —
+    * the [[StreamingRetentionIndex.sink]] convention.
+    */
+  def sink(docsStream: DataFrame, wh: Warehouse,
+           checkpoint: String): DataStreamWriter[Row] =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(wh, batch, id)
+      }
+}

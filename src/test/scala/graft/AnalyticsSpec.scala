@@ -449,4 +449,26 @@ class AnalyticsSpec extends SparkSpec {
       assert(got(c) == want, s"cust $c: ${got(c)} vs $want")
     }
   }
+
+  test("winsorized stats: engine clip equals a per-group sort + clip") {
+    import graft.functions.TextFns.toks
+    val vals = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = vals.groupBy(_._1).view.mapValues { rows =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length
+      // the same IEEE double rank arithmetic as both engines
+      def cut(q: Double) = vs(math.floor((n - 1) * q).toLong.toInt)
+      val (p05, p95) = (cut(0.05), cut(0.95))
+      val winSum = vs.map(v => math.max(p05, math.min(p95, v))).sum
+      (n.toLong, p05, p95, winSum, winSum.toDouble / n.toDouble)
+    }.toMap
+    val got = Analytics.winsorizedStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    TransientCache.drain()
+    assert(got.keySet == want.keySet)
+    for ((s, w) <- want) assert(got(s) == w, s"source $s: ${got(s)} vs $w")
+  }
 }

@@ -116,7 +116,19 @@ class DeterminismSweepSpec extends SparkSpec {
     "q115_delta_transitions",
     // the q111 argument with lang as the group key: rank-selected
     // boundary values over tie-collapsed integer counts (q116)
-    "q116_grouped_quantiles")
+    "q116_grouped_quantiles",
+    // two-tier prefix sums over a UNIQUE (hash, doc_id) order + pure
+    // integer threshold arithmetic — the q112 argument in weight space
+    // (q117)
+    "q117_pps_sample",
+    // rank-selected clip bounds over tie-collapsed counts, an exact
+    // integer clipped sum, and one final IEEE division of two exact
+    // BIGINTs (q118)
+    "q118_winsorized_stats",
+    // at-rest histogram ∪ batch delta: additive integer counts into the
+    // q116 argument — the q113 determinism shape for order statistics
+    // (q119)
+    "q119_delta_quantiles")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -74,6 +74,9 @@ class PlanLintSpec extends SparkSpec {
       + "model into the scoring pass (1); the stats/k-rank lookups are "
       + "metric-KEYED broadcast hash joins, not products "
       + "(Analytics.rfmOf)")),
+    "q117_pps_sample" -> (1 -> ("1-row (W, m) model broadcast into the "
+      + "per-row threshold arithmetic (Sampling.ppsSampleOf — the q77 "
+      + "1-row-total discipline)")),
     "q114_mix_quota_sample" -> (3 -> ("q78's own whitelisted trio riding "
       + "inside the round-1 quota build (1-row corpus total x2 consumers "
       + "+ 1-row norm fold — TextOps.mixtureWeightsOf, executed ONCE: "
@@ -93,6 +96,11 @@ class PlanLintSpec extends SparkSpec {
       "DISTINCT HOUR (calendar-bounded, not corpus-bounded) — the same " +
       "shard-offset discipline as q68; the corpus-scale prefix sums run " +
       "under the (hour)-partitioned window (Sessions.peakConcurrencyOf)")),
+    "q117_pps_sample" -> (1 -> ("≤1024-row bucket-carry cumsum over the "
+      + "known-range hash buckets (h ≫ 50 — a config constant, never a "
+      + "corpus function); the corpus-scale prefix sum runs under the "
+      + "(idx)-PARTITIONED window — the q68 shard-offset discipline "
+      + "(Sampling.ppsSampleOf)")),
     "q114_mix_quota_sample" -> (3 -> ("the budget-total, rank and "
       + "leftover windows over the |sources|-row weight model (the "
       + "budget rides a window COLUMN so the fixpoint loop never reads "
@@ -330,6 +338,23 @@ class PlanLintSpec extends SparkSpec {
                                   // r14: +2 exchanges over the collapsed
                                   // frame, ONE tokenizer pass instead of
                                   // two — probed 3.16→2.83 s
+    "q117_pps_sample" -> 5,       // base (doc_id, w, h, bucket) hash-agg
+                                  // tiers: the 1-row (W, m) model agg +
+                                  // bucket-totals agg + the ≤1024-row
+                                  // carry cumsum + the (idx)-partitioned
+                                  // prefix-sum window + the presentation
+                                  // sort; membership is per-row arithmetic
+                                  // on the cached base — no extra exchange
+    "q118_winsorized_stats" -> 13, // the q116 engine (12, group-keyed
+                                  // throughout) + ONE clip-sum re-agg of
+                                  // the same collapsed (source, v) frame —
+                                  // the corpus is tokenized exactly once
+    "q119_delta_quantiles" -> 13, // at-rest ledger ∪ night delta (the
+                                  // batch agg + merge agg) feeding the
+                                  // q116 engine's post-collapse tiers —
+                                  // no corpus rescan: the ledger scan is
+                                  // value-support-bounded, only the one
+                                  // night tokenizes
     "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
                                   // agg + norm collect fold) +
                                   // |sources|-row window sorts + the q112

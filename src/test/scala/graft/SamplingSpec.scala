@@ -137,4 +137,61 @@ class SamplingSpec extends SparkSpec {
         col("source"), 11)
     }
   }
+
+  /** Brute-force systematic-PPS on the engine's own hash values:
+    * single-threaded cumulative sum in (h, doc_id) order + the same
+    * integer threshold arithmetic.
+    */
+  private def ppsBrute(rows: Seq[(Long, Long)]): (Seq[(Long, Long, Long)], Long) = {
+    import spark.implicits._
+    val hs = rows.toDF("doc_id", "w")
+      .select(col("doc_id"), col("w"), graft.functions.TextFns.hash60(
+        concat(lit("pps|"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bigW = hs.map(_._2).sum
+    val m = hs.length / Sampling.PpsDiv
+    var c = 0L
+    val drawn = hs.sortBy(r => (r._3, r._1)).flatMap { case (id, w, _) =>
+      val c0 = c; c += w
+      val d = (c * m + bigW / 2) / bigW - (c0 * m + bigW / 2) / bigW
+      if (d > 0) Some((id, w, d)) else None
+    }
+    (drawn.sortBy(_._1).toSeq, m)
+  }
+
+  test("pps sample: exact total, whale multi-drawn, zero-weight undrawable") {
+    import spark.implicits._
+    // 60 light docs + a whale holding exactly 2 strides (w·m = 2W) +
+    // two zero-weight docs → n = 63, m = 3, W = 1800, stride = 600
+    val rows = (1L to 60L).map(i => (i, 10L)) ++
+      Seq((90L, 0L), (91L, 0L), (99L, 1200L))
+    val got = Sampling.ppsSampleOf(rows.toDF("doc_id", "w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    TransientCache.drain()
+    val (want, m) = ppsBrute(rows)
+    assert(got.toSeq == want)
+    assert(m == 3 && got.map(_._3).sum == m, "Σ draws must equal m exactly")
+    // the whale spans two whole strides → exactly 2 draws wherever the
+    // hash order lands it; zero-weight docs structurally undrawable
+    assert(got.find(_._1 == 99L).map(_._3).contains(2L))
+    assert(!got.exists(r => r._1 == 90L || r._1 == 91L))
+  }
+
+  test("pps sample: fixture run matches brute force, partition-invariant") {
+    import graft.functions.TextFns.toks
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("w"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = Sampling.ppsSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    TransientCache.drain()
+    val (want, m) = ppsBrute(rows)
+    assert(got.toSeq == want)
+    assert(got.map(_._3).sum == m)
+    // partitioning must not leak into the two-tier prefix sums
+    val again = Sampling.ppsSampleOf(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    TransientCache.drain()
+    assert(again.toSeq == want)
+  }
 }
