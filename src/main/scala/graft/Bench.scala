@@ -177,10 +177,10 @@ object Bench {
         () => operators.Similarity.corpusPqCodebooks(spark, sfDir): Unit),
       ("annidx", Set("q89"),
         () => operators.Similarity.annIndexAtRest(spark, sfDir): Unit),
-      // the q119 tier's at-rest quantile histogram (corpus-side tokenize
-      // + ledger/manifest writes) — billed here so q119's marginal is
-      // the read path only, like bandidx/winidx/annidx
-      ("tqidx", Set("q119"),
+      // the q119/q120 tier's at-rest quantile histogram (corpus-side
+      // tokenize + ledger/manifest writes) — billed here so both
+      // readers' marginals are read-path only, like bandidx/winidx
+      ("tqidx", Set("q119", "q120"),
         () => operators.QuantileIndex.indexAtRest(spark, sfDir): Unit),
       // the corpus seen-set bitset (256 KB driver state via the typed
       // Bloom Aggregator; consumes the shingle cache, listed after it)

@@ -995,6 +995,16 @@ object Analytics {
     val vh = graft.TransientCache.register(
       vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("nv")).cache())
     vh.count()
+    winsorizedOfHist(vh)
+  }
+
+  /** The q118 consumer body over a MATERIALIZED collapsed (g, v, nv)
+    * frame — the [[rankCutsHist]] seam's twin for the clip aggregate,
+    * so q120's incremental reader serves the identical output off the
+    * at-rest ledger. Output names the group `source` (its only two
+    * callers group by it).
+    */
+  private[graft] def winsorizedOfHist(vh: DataFrame): DataFrame = {
     val cuts = rankCutsHist(vh, "g",
       Seq("p05" -> 0.05, "p95" -> 0.95).map { case (nm, q) =>
         nm -> ((n: org.apache.spark.sql.Column) =>

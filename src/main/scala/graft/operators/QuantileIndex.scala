@@ -72,13 +72,19 @@ object QuantileIndex {
     */
   private val Sentinel = " "
 
-  /** The per-document (doc_id, g, v) projection — the ONLY place the
-    * corpus text is ever tokenized, and it only ever sees a night's
-    * novel documents.
+  /** The per-document (doc_id, g, source, v) projection — the ONLY
+    * place the corpus text is ever tokenized, and it only ever sees a
+    * night's novel documents. Both group keys ride: the at-rest
+    * histogram stores the FINEST grouping any reader needs
+    * ((lang, source, v) — still value-support-bounded) and each reader
+    * marginalizes the keys it doesn't group by — the cube-at-rest
+    * discipline that lets ONE index serve the q119 quantile reader
+    * (by lang) and the q120 winsorized reader (by source).
     */
   private[graft] def valsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       coalesce(col("lang"), lit(Sentinel)).as("g"),
+      col("source"),
       size(toks(col("text"))).cast("long").as("v"))
 
   /** Deterministic key of the night's NOVEL doc set (the Corpus
@@ -108,14 +114,16 @@ object QuantileIndex {
     val vals = graft.TransientCache.register(valsOf(novel).cache())
     if (!cold && vals.isEmpty) return // night already committed
     val key = docSetKey(vals)
-    val delta = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("nv"))
+    val delta = vals.groupBy(col("g"), col("source"), col("v"))
+      .agg(count(lit(1)).as("nv"))
       .crossJoin(broadcast(key))
-      .select(col("batch_key"), col("g"), col("v"), col("nv"))
+      .select(col("batch_key"), col("g"), col("source"), col("v"), col("nv"))
     val guarded =
       if (!wh.exists("tq_hist")) delta
       else delta.join(
-        wh.read("tq_hist").select(col("batch_key"), col("g"), col("v")),
-        Seq("batch_key", "g", "v"), "left_anti")
+        wh.read("tq_hist")
+          .select(col("batch_key"), col("g"), col("source"), col("v")),
+        Seq("batch_key", "g", "source", "v"), "left_anti")
     if (!wh.exists("tq_hist")) wh.write("tq_hist", guarded)
     else wh.append("tq_hist", guarded)
     wh.compactIfFragmented("tq_hist")
@@ -205,4 +213,34 @@ object QuantileIndex {
     * scan the incremental path must never need.
     */
   val deltaQuantilesSql: String = Analytics.groupedQuantilesSql
+
+  /** q120 — q118's winsorized per-source statistics over corpus +
+    * tonight's batch off the SAME at-rest index as q119: the ledger
+    * stores the finest (lang, source, v) grouping, and this reader
+    * marginalizes LANG where q119 marginalizes SOURCE — two readers,
+    * one nightly advance, one tokenizer pass per document ever (the
+    * cube-at-rest payoff; a lang-only histogram would force a second
+    * index for the source profile). Read = Σnv by (source, v) over
+    * ledger ∪ night, then [[Analytics.winsorizedOfHist]] verbatim —
+    * so the output is q118's bit for bit, and the oracle is q118's
+    * full-scan SQL VERBATIM (the incremental ≡ rebuild hash proof).
+    */
+  def deltaWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexAtRest(spark, dir)
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    val batch = Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8)
+    val night = valsOf(batch)
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("nv"))
+    val merged = graft.TransientCache.register(
+      wh.read("tq_hist").select(col("source"), col("v"), col("nv"))
+        .unionByName(night)
+        .groupBy(col("source"), col("v")).agg(sum(col("nv")).as("nv"))
+        .withColumnRenamed("source", "g")
+        .cache())
+    merged.count()
+    Analytics.winsorizedOfHist(merged)
+  }
+
+  /** Oracle: q118's full-scan formulation, verbatim. */
+  val deltaWinsorizedSql: String = Analytics.winsorizedStatsSql
 }

@@ -128,7 +128,11 @@ class DeterminismSweepSpec extends SparkSpec {
     // at-rest histogram ∪ batch delta: additive integer counts into the
     // q116 argument — the q113 determinism shape for order statistics
     // (q119)
-    "q119_delta_quantiles")
+    "q119_delta_quantiles",
+    // the same ledger marginalized the other way into the q118
+    // argument: clip bounds rank-selected, clipped sum exact integer,
+    // one final IEEE division (q120)
+    "q120_delta_winsorized")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

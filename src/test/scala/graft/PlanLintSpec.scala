@@ -355,6 +355,13 @@ class PlanLintSpec extends SparkSpec {
                                   // no corpus rescan: the ledger scan is
                                   // value-support-bounded, only the one
                                   // night tokenizes
+    "q120_delta_winsorized" -> 14, // the same ledger marginalized by
+                                  // source into the q118 consumer
+                                  // (engine tiers + the clip re-agg);
+                                  // q119's 13 + one because the clip
+                                  // re-agg of the merged frame replaces
+                                  // nothing — the night's tokenizer
+                                  // pass is still the only corpus touch
     "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
                                   // agg + norm collect fold) +
                                   // |sources|-row window sorts + the q112

@@ -24,11 +24,16 @@ class QuantileIndexSpec extends SparkSpec {
     TransientCache.drain()
   }
 
-  /** The effective histogram (Σnv by (g, v)) at rest under `root`. */
-  private def histOf(root: String): Set[(String, Long, Long)] =
+  /** The effective histogram (Σnv at the ledger's finest
+    * (g, source, v) grain) at rest under `root`.
+    */
+  private def histOf(root: String): Set[(String, String, Long, Long)] =
     new Warehouse(spark, root).read("tq_hist")
-      .groupBy(col("g"), col("v")).agg(sum(col("nv")).as("nv"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      .groupBy(col("g"), col("source"), col("v"))
+      .agg(sum(col("nv")).as("nv"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
 
   /** A clean two-night reference root: corpus, then batch. */
   private def cleanTwoNights(): String = {
@@ -42,6 +47,14 @@ class QuantileIndexSpec extends SparkSpec {
     val want = Analytics.groupedQuantiles(spark, dir).collect().toSeq
     TransientCache.drain()
     val got = QuantileIndex.deltaQuantiles(spark, dir).collect().toSeq
+    TransientCache.drain()
+    assert(got == want)
+  }
+
+  test("incremental == rebuild: q120 equals q118 row for row") {
+    val want = Analytics.winsorizedStats(spark, dir).collect().toSeq
+    TransientCache.drain()
+    val got = QuantileIndex.deltaWinsorized(spark, dir).collect().toSeq
     TransientCache.drain()
     assert(got == want)
   }
@@ -63,9 +76,10 @@ class QuantileIndexSpec extends SparkSpec {
     // NOT swapped — byte-identical rows to what the advance derives
     val wh = new Warehouse(spark, root)
     val vals = QuantileIndex.valsOf(batch.dropDuplicates("doc_id"))
-    val delta = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("nv"))
+    val delta = vals.groupBy(col("g"), col("source"), col("v"))
+      .agg(count(lit(1)).as("nv"))
       .crossJoin(broadcast(QuantileIndex.docSetKey(vals)))
-      .select(col("batch_key"), col("g"), col("v"), col("nv"))
+      .select(col("batch_key"), col("g"), col("source"), col("v"), col("nv"))
     wh.append("tq_hist", delta)
     advance(root, batch) // the replay
     assert(histOf(root) == histOf(cleanTwoNights()),
@@ -80,9 +94,10 @@ class QuantileIndexSpec extends SparkSpec {
     advance(root, corpus)
     val wh = new Warehouse(spark, root)
     val vals = QuantileIndex.valsOf(batch.dropDuplicates("doc_id"))
-    val delta = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("nv"))
+    val delta = vals.groupBy(col("g"), col("source"), col("v"))
+      .agg(count(lit(1)).as("nv"))
       .crossJoin(broadcast(QuantileIndex.docSetKey(vals)))
-      .select(col("batch_key"), col("g"), col("v"), col("nv"))
+      .select(col("batch_key"), col("g"), col("source"), col("v"), col("nv"))
     wh.append("tq_hist", delta.where(pmod(col("v"), lit(2)) === 0))
     advance(root, batch) // the replay appends exactly the missing rows
     assert(histOf(root) == histOf(cleanTwoNights()))
@@ -110,6 +125,25 @@ class QuantileIndexSpec extends SparkSpec {
     val clean = freshRoot
     advance(clean, corpus)
     assert(seeded == histOf(clean))
+  }
+
+  test("reads come from the at-rest ledger: a poisoned index is visible") {
+    // the q113/q115 discipline: if the read path rescanned the corpus,
+    // corrupting the ledger would be invisible — so corrupt it and
+    // require the output to move
+    val root = freshRoot
+    advance(root, corpus)
+    val wh = new Warehouse(spark, root)
+    val firstLang = wh.read("tq_hist").select(col("g")).head().getString(0)
+    wh.write("tq_hist", wh.read("tq_hist").where(col("g") =!= firstLang))
+    QuantileIndex.installIndex(spark, dir, root)
+    try {
+      val got = QuantileIndex.deltaQuantiles(spark, dir).collect().toSeq
+      TransientCache.drain()
+      val want = Analytics.groupedQuantiles(spark, dir).collect().toSeq
+      TransientCache.drain()
+      assert(got != want, "poisoned ledger must show in the read")
+    } finally QuantileIndex.clearIndex(spark)
   }
 
   test("streaming twin: micro-batched nights land the batch state") {
