@@ -47,9 +47,9 @@ object Analytics {
       |    count(*) OVER (PARTITION BY lang) AS n
       |  FROM counts)
       |SELECT lang,
-      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN n_tokens END) AS p50,
-      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1 THEN n_tokens END) AS p90,
-      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.99) AS BIGINT) + 1 THEN n_tokens END) AS p99,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.5e0) AS BIGINT) + 1 THEN n_tokens END) AS p50,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.9e0) AS BIGINT) + 1 THEN n_tokens END) AS p90,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.99e0) AS BIGINT) + 1 THEN n_tokens END) AS p99,
       |  CAST(max(n) AS BIGINT) AS n_docs
       |FROM ranked GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
 
