@@ -232,6 +232,40 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("q117/q118 tier plans are invariant in row count at 10x") {
+    withAqeOff {
+      // q117: weight-space prefix sums — rows and distinct hash keys
+      // scale, the 1024-bucket carry stays the config constant, the
+      // (W, m) model stays one row
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), (col("n_chars") % 50 + 1).cast("long").as("w"))
+      def blow(f: Int): DataFrame = docs
+        .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("doc_id") * f + col("__s")).as("doc_id"), col("w"))
+      val p1 = planOf(graft.operators.Sampling.ppsSampleOf(blow(1)))
+      val p10 = planOf(graft.operators.Sampling.ppsSampleOf(blow(10)))
+      assert(shuffleCount(p1) == shuffleCount(p10), s"1x=$p1\n10x=$p10")
+      TransientCache.drain()
+      // q118/q120's shared consumer: group cardinality scales 10x, the
+      // per-group engine work stays histogram-bounded — the clip re-agg
+      // must stay group-keyed (a per-group sort or unpartitioned window
+      // sneaking in would change the count)
+      val vh0 = Tables.documents(spark, dir)
+        .select(col("source").as("g"), (col("n_chars") % 97).cast("long").as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("nv"))
+      def blowG(f: Int): DataFrame = graft.TransientCache.register(vh0
+        .withColumn("__s", explode(sequence(lit(0), lit(f - 1))))
+        .select(concat(col("g"), lit("#"), col("__s")).as("g"),
+          col("v"), col("nv"))
+        .cache())
+      val w1 = planOf(Analytics.winsorizedOfHist(blowG(1)))
+      val w10 = planOf(Analytics.winsorizedOfHist(blowG(10)))
+      assert(shuffleCount(w1) == shuffleCount(w10), s"1x=$w1\n10x=$w10")
+      assert(!w10.contains("CartesianProduct"))
+      TransientCache.drain()
+    }
+  }
+
   test("q99 triangle plan shape is invariant in edge count at 10x") {
     withAqeOff {
       val sql = spark.sqlContext
