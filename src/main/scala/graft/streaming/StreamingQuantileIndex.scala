@@ -31,6 +31,9 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   */
 object StreamingQuantileIndex {
 
+  final case class QDoc(doc_id: Long, lang: String, source: String,
+                        text: String)
+
   /** One micro-batch: fold novel documents into the at-rest histogram. */
   def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit =
     QuantileIndex.advance(wh.spark, wh.root, batch)

@@ -1068,6 +1068,78 @@ class StreamingSpec extends SparkSpec {
       lastBefore, "replayed batch moved the carry")
   }
 
+  test("streaming quantile index: histogram advance across batches + restart; replay no-ops on the manifest") {
+    import graft.streaming.StreamingQuantileIndex
+    import graft.streaming.StreamingQuantileIndex.QDoc
+    import graft.operators.{Analytics, QuantileIndex}
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stqidx").toString
+    val wh = new Warehouse(spark, s"$tmp/wh")
+    val docs = Tables.documents(spark, dir)
+    def night(pred: org.apache.spark.sql.Column): Seq[QDoc] =
+      docs.filter(pred)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .as[QDoc].collect().toSeq
+
+    val stream = MemoryStream[QDoc](spark)
+    // batch 0 seeds (cold warehouse — the first micro-batch IS the seed)
+    stream.addData(night(col("doc_id") % 10 < 8): _*)
+    StreamingQuantileIndex.sink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    // RESTART (new query, same checkpoint): batch 1 advances the ledger
+    stream.addData(night(col("doc_id") % 10 >= 8): _*)
+    StreamingQuantileIndex.sink(stream.toDF(), wh, s"$tmp/ckpt")
+      .start().awaitTermination()
+    TransientCache.drain()
+
+    def hist(): Map[(String, String, Long), Long] =
+      wh.read("tq_hist").groupBy(col("g"), col("source"), col("v"))
+        .agg(sum(col("nv")).as("nv")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+    // streamed ledger ≡ the batch two-night advance, at the finest grain
+    val rb = Files.createTempDirectory("graft-stqidx-rb").toString
+    QuantileIndex.advance(spark, rb, docs.filter(col("doc_id") % 10 < 8))
+    TransientCache.drain()
+    QuantileIndex.advance(spark, rb, docs.filter(col("doc_id") % 10 >= 8))
+    TransientCache.drain()
+    val w2 = new Warehouse(spark, rb)
+    val want = w2.read("tq_hist").groupBy(col("g"), col("source"), col("v"))
+      .agg(sum(col("nv")).as("nv")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val streamed = hist()
+    assert(streamed == want, "streamed ledger != batch advance")
+
+    // the READ off the fully-committed ledger equals the q116 full scan
+    // (the whole corpus is now at rest — no in-flight night to merge)
+    val merged = TransientCache.register(
+      wh.read("tq_hist").groupBy(col("g"), col("v"))
+        .agg(sum(col("nv")).as("nv")).cache())
+    merged.count()
+    val got = Analytics.rankCutsHist(merged, "g",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).map { case (nm, q) =>
+        nm -> ((n: org.apache.spark.sql.Column) =>
+          floor((n - 1) * lit(q)).cast("long") + lit(1L)) })
+      .select(
+        when(col("g") === lit(" "), lit(null).cast("string"))
+          .otherwise(col("g")).as("lang"),
+        col("p50"), col("p90"), col("p99"), col("n").as("n_docs"))
+      .orderBy(col("lang").asc_nulls_first).collect().toSeq
+    TransientCache.drain()
+    val wantRead = Analytics.groupedQuantiles(spark, dir).collect().toSeq
+    TransientCache.drain()
+    assert(got == wantRead, "at-rest read != full-scan quantiles")
+
+    // at-least-once: a DIRECT replay of batch 1 no-ops on the manifest
+    StreamingQuantileIndex.processBatch(wh,
+      docs.filter(col("doc_id") % 10 >= 8), 1L)
+    TransientCache.drain()
+    assert(hist() == streamed, "replayed batch moved the ledger")
+  }
+
   test("streaming cardinality: register advance across batches + restart; replay is an algebraic no-op") {
     import graft.streaming.StreamingCardinality
     import graft.operators.Sketch
