@@ -1055,4 +1055,56 @@ object Analytics {
       |    / CAST(n_docs AS DOUBLE) AS win_mean
       |FROM clipped GROUP BY g, n_docs, p05, p95
       |ORDER BY source""".stripMargin
+
+  /** q121 — q60's top-3-with-ties (dense_rank ≤ 3) re-expressed as the
+    * rank engine's third consumer flavor: after cut VALUES (q116) and a
+    * clipped AGGREGATE (q118), this is row SELECTION. dense_rank ranks
+    * DISTINCT values, so the engine runs over the tie-collapsed frame
+    * with UNIT weights (nv = 1: n becomes the group's distinct count
+    * and the k-th smallest becomes the k-th smallest DISTINCT value);
+    * the three cuts (top-1/2/3 distinct volumes, ranks n / n−1 / n−2
+    * clamped into 1..n so 1- and 2-value groups keep everything, as
+    * dense_rank ≤ 3 does) broadcast back, membership is `v ≥ c3`, and
+    * the rank REBUILDS by value comparison (v = c1 → 1, v = c2 → 2,
+    * else 3) — exactly dense_rank, because a kept value equals one of
+    * the three cuts by construction. Same output as q60 bit for bit
+    * (oracle verbatim); the difference is the plan: q60's window sorts
+    * each store's whole SKU set in one task (right for bounded groups),
+    * here no group is ever sorted — per-group work above the collapsed
+    * scan is the ≤[[RfmBuckets]]-row histogram, the shape that survives
+    * a group outgrowing an executor.
+    */
+  def topSkusUnbounded(spark: SparkSession, dir: String): DataFrame =
+    topSkusUnboundedOf(Tables.ledger(spark, dir)
+      .filter(!col("is_absolute"))
+      .groupBy(col("tienda_id"), col("art_id"))
+      .agg(sum(abs(col("delta_cantidad"))).as("volume")))
+
+  /** The engine body over an explicit (tienda_id, art_id, volume)
+    * frame — the spec's differential seam.
+    */
+  private[graft] def topSkusUnboundedOf(vol0: DataFrame): DataFrame = {
+    val vol = graft.TransientCache.register(vol0.cache())
+    vol.count()
+    // dense-rank space: one row per DISTINCT (group, value), unit weight
+    val vh = graft.TransientCache.register(
+      vol.select(col("tienda_id").as("g"), col("volume").as("v"))
+        .distinct().withColumn("nv", lit(1L)).cache())
+    vh.count()
+    val cuts = rankCutsHist(vh, "g", Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      "c1" -> (n => n),
+      "c2" -> (n => greatest(n - 1, lit(1L))),
+      "c3" -> (n => greatest(n - 2, lit(1L)))))
+    vol.join(broadcast(cuts.withColumnRenamed("g", "tienda_id")),
+        Seq("tienda_id"))
+      .where(col("volume") >= col("c3"))
+      .select(col("tienda_id"), col("art_id"), col("volume"),
+        when(col("volume") === col("c1"), 1L)
+          .when(col("volume") === col("c2"), 2L)
+          .otherwise(3L).as("rnk"))
+      .orderBy(col("tienda_id"), col("rnk"), col("art_id"))
+  }
+
+  /** Oracle: q60's dense-rank window formulation, verbatim. */
+  val topSkusUnboundedSql: String = topSkusWithTiesSql
 }

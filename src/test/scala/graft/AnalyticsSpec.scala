@@ -471,4 +471,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.keySet == want.keySet)
     for ((s, w) <- want) assert(got(s) == w, s"source $s: ${got(s)} vs $w")
   }
+
+  test("topk unbounded: equals q60's dense-rank window row for row") {
+    val want = Analytics.topSkusWithTies(spark, dir).collect().toSeq
+    val got = Analytics.topSkusUnbounded(spark, dir).collect().toSeq
+    TransientCache.drain()
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
+
+  test("topk unbounded: tie spans and tiny groups match a driver dense-rank") {
+    import spark.implicits._
+    // store 1: ties AT and ABOVE the 3rd distinct value; store 2: two
+    // distinct values (ranks n−1/n−2 clamp); store 3: one value
+    val vol = Seq(
+      (1L, 10L, 90L), (1L, 11L, 90L), (1L, 12L, 80L), (1L, 13L, 70L),
+      (1L, 14L, 70L), (1L, 15L, 70L), (1L, 16L, 60L), (1L, 17L, 50L),
+      (2L, 20L, 9L), (2L, 21L, 9L), (2L, 22L, 3L),
+      (3L, 30L, 1L)).toDF("tienda_id", "art_id", "volume")
+    val got = Analytics.topSkusUnboundedOf(vol).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    TransientCache.drain()
+    val rows = Seq(
+      (1L, 10L, 90L), (1L, 11L, 90L), (1L, 12L, 80L), (1L, 13L, 70L),
+      (1L, 14L, 70L), (1L, 15L, 70L), (1L, 16L, 60L), (1L, 17L, 50L),
+      (2L, 20L, 9L), (2L, 21L, 9L), (2L, 22L, 3L),
+      (3L, 30L, 1L))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val distincts = rs.map(_._3).distinct.sorted(Ordering[Long].reverse)
+      rs.flatMap { case (t, a, v) =>
+        val rnk = distincts.indexOf(v) + 1L
+        if (rnk <= 3) Some((t, a, v, rnk)) else None
+      }
+    }.sortBy(r => (r._1, r._4, r._2))
+    assert(got.toSeq == want)
+  }
 }

@@ -132,7 +132,11 @@ class DeterminismSweepSpec extends SparkSpec {
     // the same ledger marginalized the other way into the q118
     // argument: clip bounds rank-selected, clipped sum exact integer,
     // one final IEEE division (q120)
-    "q120_delta_winsorized")
+    "q120_delta_winsorized",
+    // selection by value comparison against rank-selected distinct-value
+    // cuts — dense-rank semantics with no window, all exact integers
+    // (q121)
+    "q121_topk_unbounded")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

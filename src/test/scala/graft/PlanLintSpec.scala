@@ -362,6 +362,13 @@ class PlanLintSpec extends SparkSpec {
                                   // re-agg of the merged frame replaces
                                   // nothing — the night's tokenizer
                                   // pass is still the only corpus touch
+    "q121_topk_unbounded" -> 13,  // the volume agg + the distinct-value
+                                  // collapse (dense-rank space) + the
+                                  // engine tiers + the presentation
+                                  // sort; membership + rank rebuild
+                                  // ride the cached vol frame with a
+                                  // broadcast cuts join — no per-group
+                                  // sort window anywhere (q60's twin)
     "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
                                   // agg + norm collect fold) +
                                   // |sources|-row window sorts + the q112
