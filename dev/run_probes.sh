@@ -29,8 +29,9 @@ shift || true; shift || true; shift || true
 # q114 (fixpoint loop, 2.64 s) and q116 (grouped rank engine, 3.16 s) joined r14
 # q118/q119/q120 (rank-engine consumers + the quantile index readers,
 # ~3.1/3.4/3.5 s first-pass solos) joined late r14; q117 stays off the
-# list at 0.75 s
-TOP15="q91 q88 q102 q99 q110 q98 q66 q74 q76 q97 q72 q22 q95 q51 q87 q111 q114 q116 q118 q119 q120"
+# list at 0.75 s; q121 (rank-engine selection, 2.92 s solo) joined
+# after the r14 refresh — first ledger row lands with the r15 pass
+TOP15="q91 q88 q102 q99 q110 q98 q66 q74 q76 q97 q72 q22 q95 q51 q87 q111 q114 q116 q118 q119 q120 q121"
 QUERIES=${*:-$TOP15}
 
 if pgrep -f "^java .*graft\.(Bench|Verify)" >/dev/null; then
