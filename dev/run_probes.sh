@@ -82,6 +82,11 @@ same_round = prev_doc.get("round") == round_n
 # cross-round leftovers keep their old reading and are distinguishable
 # by the per-row "round" stamp written below.
 probes = {q: dict(p) for q, p in prev.items()}
+# Rows written before the per-row "round" stamp existed carry no
+# attribution; backfill from the old doc-level round so every carried
+# row is distinguishable from this round's readings.
+for p in probes.values():
+    p.setdefault("round", prev_doc.get("round"))
 for q in queries:
     with open(f"{tmp}/{q}.json") as f:
         b = json.loads(f.read().strip())

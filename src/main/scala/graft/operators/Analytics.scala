@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** THE null-group sentinel, shared by every nullable-group consumer of
+    * the rank engine ([[groupedQuantiles]] here; `QuantileIndex`'s
+    * at-rest ledger): `g IS NULL` rides as NUL — written as the escape,
+    * never a raw byte, so the source stays greppable — through the
+    * engine's non-null key contract and maps back to null at the output
+    * surface. NUL cannot appear in a real lang code (unlike a space,
+    * which is a plausible dirty value), so the mapping never collides.
+    * Production migration rule: an at-rest ledger written under a
+    * DIFFERENT sentinel must be rewritten (one
+    * `replace(g, old, new)` pass over the value-support-bounded
+    * histogram) before a reader built on this constant touches it — the
+    * in-harness fixture index is memoized per session, so no persisted
+    * state migrates here.
+    */
+  private[graft] val NullGroup = "\u0000"
+
   /** q41 — exact grouped quantiles by ranking (discrete, lower-value
     * convention): the P50/P90/P99 token count per language. Rank-based
     * selection (`row_number` vs `floor((n-1)·q)`) sidesteps engines'
@@ -955,7 +971,7 @@ object Analytics {
     */
   def groupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.documents(spark, dir)
-      .select(coalesce(col("lang"), lit(" ")).as("g"),
+      .select(coalesce(col("lang"), lit(NullGroup)).as("g"),
         size(toks(col("text"))).cast("long").as("v"))
     val cuts = rankCutsBy(vals, "g",
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).map { case (nm, q) =>
@@ -963,7 +979,7 @@ object Analytics {
           floor((n - 1) * lit(q)).cast("long") + lit(1L))
       })
     cuts.select(
-        when(col("g") === lit(" "), lit(null).cast("string"))
+        when(col("g") === lit(NullGroup), lit(null).cast("string"))
           .otherwise(col("g")).as("lang"),
         col("p50"), col("p90"), col("p99"), col("n").as("n_docs"))
       .orderBy(col("lang").asc_nulls_first)

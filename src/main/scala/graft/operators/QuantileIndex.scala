@@ -65,12 +65,16 @@ import org.apache.spark.sql.functions._
   */
 object QuantileIndex {
 
-  /** q116's null-group sentinel, shared: `lang IS NULL` rides as " "
-    * through the engine's non-null key contract and maps back at the
-    * output surface. A single space can never collide with a real
-    * lang code.
+  /** q116's null-group sentinel, genuinely shared now: the ONE
+    * [[Analytics.NullGroup]] constant (NUL, written as the escape), so
+    * a reader borrowing q116's mapping reads this ledger's at-rest
+    * rows correctly — the r14 split (q116 on NUL, this ledger on a
+    * space, a plausible dirty lang value) is closed. Migration rule
+    * for a production ledger written under the old sentinel lives on
+    * the constant's scaladoc; the in-harness fixture index is
+    * memoized per session, so nothing persisted migrates here.
     */
-  private val Sentinel = " "
+  private val Sentinel = Analytics.NullGroup
 
   /** The per-document (doc_id, g, source, v) projection — the ONLY
     * place the corpus text is ever tokenized, and it only ever sees a

@@ -384,6 +384,17 @@ object Sampling {
 
   /** The draw engine over an explicit (doc_id, w) frame: every doc with
     * draws ≥ 1, Σ draws = count DIV [[PpsDiv]] exactly.
+    *
+    * Small-input edge, BY CONTRACT: n < [[PpsDiv]] ⇒ m = n DIV PpsDiv
+    * = 0 ⇒ the sample is EMPTY — Σ draws = n DIV PpsDiv holds at every
+    * n, including the degenerate prefix, and a 1-in-PpsDiv systematic
+    * draw over fewer than PpsDiv rows genuinely rounds to zero draws.
+    * This is deliberately NOT a `require` (the loud contracts here are
+    * the impossible states: W = 0 divides by zero, W·m overflow fails
+    * under ANSI) because an empty sample over a thin slice is a valid
+    * answer a caller composing per-partition samples must be able to
+    * receive; callers needing at-least-one semantics clamp m
+    * themselves.
     */
   private[graft] def ppsSampleOf(docs: DataFrame): DataFrame = {
     // one narrow frame feeds the (W, m) model, the bucket totals and

@@ -149,6 +149,7 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Sketch.clearHllIndex(spark)
     graft.operators.Sessions.clearRetentionIndex(spark)
     graft.operators.Sessions.clearTransitionsIndex(spark)
+    graft.operators.QuantileIndex.clearIndex(spark)
     // CacheManager matches by logical plan, so a cached winnow index
     // built under one partition count would serve the other verbatim —
     // evict it so q85/q86 genuinely recompute (unpersist resolves the
