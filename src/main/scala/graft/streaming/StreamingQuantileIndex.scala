@@ -16,11 +16,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * Exactly-once effect under at-least-once delivery, inherited
   * verbatim from the batch advance (streamed ≡ batch is an identity of
   * code, the StreamingSequence rule): in-batch duplicates drop at the
-  * entry, cross-batch redelivery anti-joins away against the swapped
-  * `tq_docs` manifest, a partially appended night's rows anti-join by
-  * (batch_key, g, v), and the manifest swap is the night's atomic
-  * commit — a crashed micro-batch replays to convergence through the
-  * same four windows argued in [[QuantileIndex]].
+  * entry, cross-batch redelivery anti-joins away against the
+  * append-only `tq_docs` manifest, a partially appended night's rows
+  * anti-join by (batch_key, g, source, v), and the tiny `tq_marker`
+  * swap is the night's atomic commit — a crashed micro-batch replays
+  * to convergence through the five windows argued in
+  * [[QuantileIndex]].
   *
   * Cold start: a cold warehouse's first micro-batch IS the seed (the
   * advance routes on `tq_docs` existence itself — no separate seed

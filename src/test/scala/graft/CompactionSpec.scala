@@ -73,6 +73,80 @@ class CompactionSpec extends SparkSpec {
     assert(cells == full, "100 compacted nights != one full rebuild")
   }
 
+  test("quantile-cube cadence probe: 100 synthetic nights keep tq_hist/tq_docs files bounded and the manifest append-only; read path == one full rebuild") {
+    // the r15 redesign's bill, measured: the manifest is APPEND-ONLY
+    // (the r14 full nightly rewrite is gone), so outside compaction
+    // nights every at-rest file written in an earlier night survives a
+    // later night byte-untouched — per-night I/O is O(novel docs),
+    // plus the amortized compaction rewrite the cadence bounds
+    import spark.implicits._
+    import graft.operators.QuantileIndex
+    val wh = new Warehouse(spark, tmpRoot("tqcadence"))
+    val nights = 100
+    val maxFiles = 16
+    val langs = Seq("en", "de", null)
+    val sources = Seq("web", "book")
+    var maxHist = 0
+    var maxDocs = 0
+    val all = Seq.newBuilder[(Long, String, String, String)]
+    def listing(table: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"${wh.root}/$table")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    for (n <- 0 until nights) {
+      val rows = (0 until 20).map { j =>
+        val id = n * 20L + j
+        (id, langs((n + j) % langs.size), sources(j % sources.size),
+          ("tok " * ((n + j) % 7 + 1)).trim)
+      }
+      all ++= rows
+      val histBefore = listing("tq_hist")
+      val docsBefore = listing("tq_docs")
+      QuantileIndex.advance(spark, wh.root,
+        rows.toDF("doc_id", "lang", "source", "text"))
+      TransientCache.drain()
+      val histAfter = listing("tq_hist")
+      val docsAfter = listing("tq_docs")
+      // append-only outside compaction: a night that did not compact
+      // leaves every pre-existing file byte-identical in place
+      if (histBefore.keySet.subsetOf(histAfter.keySet))
+        assert(histBefore.forall { case (k, v) => histAfter(k) == v },
+          s"night $n rewrote an existing tq_hist file")
+      if (docsBefore.keySet.subsetOf(docsAfter.keySet))
+        assert(docsBefore.forall { case (k, v) => docsAfter(k) == v },
+          s"night $n rewrote an existing tq_docs file")
+      wh.compactIfFragmented("tq_hist", maxFiles)
+      wh.compactIfFragmented("tq_docs", maxFiles)
+      maxHist = math.max(maxHist, wh.dataFileCount("tq_hist"))
+      maxDocs = math.max(maxDocs, wh.dataFileCount("tq_docs"))
+    }
+    assert(maxHist <= maxFiles + 8, s"tq_hist file count ran away: $maxHist")
+    assert(maxDocs <= maxFiles + 8, s"tq_docs file count ran away: $maxDocs")
+    val docs = all.result()
+    // manifest == every doc ever offered, exactly once
+    assert(wh.read("tq_docs").count() == docs.size)
+    assert(wh.read("tq_docs").distinct().count() == docs.size)
+    // marker == one committed row per night
+    assert(wh.read("tq_marker").count() == nights)
+    // 100 append+compact cycles must be invisible to the read path:
+    // Σnv at the ledger's finest grain == one full-rebuild histogram
+    val atRest = wh.read("tq_hist")
+      .groupBy(col("g"), col("source"), col("v"))
+      .agg(sum(col("nv")).as("nv")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val full = QuantileIndex.valsOf(
+        docs.toDF("doc_id", "lang", "source", "text"))
+      .groupBy(col("g"), col("source"), col("v"))
+      .agg(count(lit(1)).as("nv")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(atRest == full, "100 compacted nights != one full rebuild")
+  }
+
   test("compact preserves content, shrinks files, and is idempotent") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpRoot("compact"))

@@ -69,38 +69,92 @@ class QuantileIndexSpec extends SparkSpec {
     assert(histOf(root) == histOf(cleanTwoNights()))
   }
 
-  test("advance: crash after hist append, before manifest swap, converges") {
+  /** The night's delta rows exactly as the advance derives them for a
+    * fully-novel batch, keyed off the OFFERED batch (crash contract 1).
+    */
+  private def nightDelta(b: DataFrame): DataFrame = {
+    val bd = b.dropDuplicates("doc_id")
+    val keyVal = QuantileIndex.docSetKey(bd.select(col("doc_id")))
+      .head().getLong(0)
+    QuantileIndex.valsOf(bd)
+      .groupBy(col("g"), col("source"), col("v"))
+      .agg(count(lit(1)).as("nv"))
+      .select(lit(keyVal).as("batch_key"),
+        col("g"), col("source"), col("v"), col("nv"))
+  }
+
+  private def docsOf(root: String): Set[Long] =
+    new Warehouse(spark, root).read("tq_docs")
+      .collect().map(_.getLong(0)).toSet
+
+  private def markerOf(root: String): Set[Long] = {
+    val wh = new Warehouse(spark, root)
+    if (!wh.exists("tq_marker")) Set.empty
+    else wh.read("tq_marker").collect().map(_.getLong(0)).toSet
+  }
+
+  test("advance: crash mid-hist-append (half the delta rows) converges") {
     val root = freshRoot
     advance(root, corpus)
-    // reconstruct window 3: the night's delta fully appended, manifest
-    // NOT swapped — byte-identical rows to what the advance derives
-    val wh = new Warehouse(spark, root)
-    val vals = QuantileIndex.valsOf(batch.dropDuplicates("doc_id"))
-    val delta = vals.groupBy(col("g"), col("source"), col("v"))
-      .agg(count(lit(1)).as("nv"))
-      .crossJoin(broadcast(QuantileIndex.docSetKey(vals)))
-      .select(col("batch_key"), col("g"), col("source"), col("v"), col("nv"))
-    wh.append("tq_hist", delta)
-    advance(root, batch) // the replay
-    assert(histOf(root) == histOf(cleanTwoNights()),
-      "replay after the un-swapped crash must not double-count")
+    new Warehouse(spark, root)
+      .append("tq_hist", nightDelta(batch).where(pmod(col("v"), lit(2)) === 0))
+    advance(root, batch) // the replay appends exactly the missing rows
+    val clean = cleanTwoNights()
+    assert(histOf(root) == histOf(clean))
+    assert(docsOf(root) == docsOf(clean))
+  }
+
+  test("advance: crash after hist append, before the manifest append, converges") {
+    val root = freshRoot
+    advance(root, corpus)
+    new Warehouse(spark, root).append("tq_hist", nightDelta(batch))
+    advance(root, batch) // replay: every delta row anti-joins away
+    val clean = cleanTwoNights()
+    assert(histOf(root) == histOf(clean),
+      "replay after the un-committed crash must not double-count")
+    assert(docsOf(root) == docsOf(clean))
     val committed = histOf(root)
-    advance(root, batch) // and the night is now committed
+    advance(root, batch) // and the night is now marker-committed
     assert(histOf(root) == committed)
   }
 
-  test("advance: crash mid-append (half the delta rows) converges") {
+  test("advance: crash after hist append, MID-manifest-append, converges") {
+    // the window the r14 full-rewrite design could not survive without
+    // swapping the whole manifest: half the night's doc-ids landed in
+    // tq_docs, the marker did not. The replay's novel set shrinks, but
+    // batch_key is a function of the OFFERED batch, so every delta row
+    // still anti-joins away, and the manifest append lands exactly the
+    // missing doc-ids.
     val root = freshRoot
     advance(root, corpus)
     val wh = new Warehouse(spark, root)
-    val vals = QuantileIndex.valsOf(batch.dropDuplicates("doc_id"))
-    val delta = vals.groupBy(col("g"), col("source"), col("v"))
-      .agg(count(lit(1)).as("nv"))
-      .crossJoin(broadcast(QuantileIndex.docSetKey(vals)))
-      .select(col("batch_key"), col("g"), col("source"), col("v"), col("nv"))
-    wh.append("tq_hist", delta.where(pmod(col("v"), lit(2)) === 0))
-    advance(root, batch) // the replay appends exactly the missing rows
-    assert(histOf(root) == histOf(cleanTwoNights()))
+    wh.append("tq_hist", nightDelta(batch))
+    wh.append("tq_docs",
+      batch.select(col("doc_id")).where(pmod(col("doc_id"), lit(2)) === 0))
+    advance(root, batch) // the replay
+    val clean = cleanTwoNights()
+    assert(histOf(root) == histOf(clean),
+      "a shrunken novel set must not re-append under the same key")
+    assert(docsOf(root) == docsOf(clean),
+      "the manifest append must land exactly the missing doc-ids")
+  }
+
+  test("advance: crash after both appends, before the marker swap, completes the commit") {
+    val root = freshRoot
+    advance(root, corpus)
+    val wh = new Warehouse(spark, root)
+    wh.append("tq_hist", nightDelta(batch))
+    wh.append("tq_docs", batch.select(col("doc_id")))
+    val preMarker = markerOf(root)
+    advance(root, batch) // replay: appends nothing, swaps the marker
+    val clean = cleanTwoNights()
+    assert(histOf(root) == histOf(clean))
+    assert(docsOf(root) == docsOf(clean))
+    assert(markerOf(root).size == preMarker.size + 1,
+      "the replay must complete the night's marker commit")
+    val committed = histOf(root)
+    advance(root, batch) // marker-gated no-op now
+    assert(histOf(root) == committed)
   }
 
   test("advance: cross-night redelivery anti-joins away") {
