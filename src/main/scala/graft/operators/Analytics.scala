@@ -1123,4 +1123,150 @@ object Analytics {
 
   /** Oracle: q60's dense-rank window formulation, verbatim. */
   val topSkusUnboundedSql: String = topSkusWithTiesSql
+
+  /** The q125 consumer body over a MATERIALIZED collapsed
+    * (g, source, v, nv) frame — the quantile cube's THIRD reader, at
+    * the ledger's finest grain: for every (lang, source) cell, the L1
+    * distance between the cell's token-COUNT (document length)
+    * distribution and its language's overall length distribution —
+    * "is this source's length profile drifting away from its
+    * language's" (q96's drift shape transposed from token space to
+    * length space). Exact integer arithmetic throughout (the q96
+    * discipline): with c_gs(v) the cell's count at length v, c_g(v)
+    * the language marginal, N_gs / N_g the totals,
+    *
+    *   D = Σ_{v∈V_gs} |c_gs(v)·N_g − c_g(v)·N_gs|
+    *     + (N_g − Σ_{v∈V_gs} c_g(v))·N_gs
+    *
+    * — the remainder form needs only the cell's own support rows, and
+    * all three marginals are WINDOW sums over the same
+    * value-support-bounded frame (partitioned by (g,v) / (g,source) /
+    * (g) — null-lang groups ride the [[NullGroup]] sentinel on the
+    * Spark side and PARTITION BY's null-equality in the oracle, so no
+    * join ever compares nulls). Products ride DECIMAL(38,0) ↔ HUGEINT;
+    * the single float rounding is the final division.
+    */
+  private[graft] def lengthDriftOfHist(vh: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wLV = Window.partitionBy(col("g"), col("v"))
+    val wLS = Window.partitionBy(col("g"), col("source"))
+    val wL = Window.partitionBy(col("g"))
+    vh
+      .withColumn("cg", sum(col("nv")).over(wLV))
+      .withColumn("n_gs", sum(col("nv")).over(wLS))
+      .withColumn("n_g", sum(col("nv")).over(wL))
+      .groupBy(col("g"), col("source"), col("n_gs"), col("n_g"))
+      .agg(
+        sum(abs(col("nv").cast(dec) * col("n_g").cast(dec)
+          - col("cg").cast(dec) * col("n_gs").cast(dec))).as("d_in"),
+        sum(col("cg").cast(dec)).as("cov"))
+      .select(col("g"), col("source"), col("n_gs"), col("n_g"),
+        (col("d_in") + (col("n_g").cast(dec) - col("cov"))
+          * col("n_gs").cast(dec)).as("d"))
+      .select(
+        when(col("g") === lit(NullGroup), lit(null).cast("string"))
+          .otherwise(col("g")).as("lang"),
+        col("source"),
+        (col("d").cast("double")
+          / (col("n_gs").cast(dec) * col("n_g").cast(dec)).cast("double"))
+          .as("l1_len"),
+        col("n_gs").as("n_docs"))
+      .orderBy(col("lang").asc_nulls_first, col("source"))
+  }
+
+  /** Oracle: the full-scan formulation of [[lengthDriftOfHist]] — one
+    * tokenize pass, window marginals (PARTITION BY groups nulls, so the
+    * null lang needs no sentinel in SQL), HUGEINT products, the lone
+    * final division in the identical order.
+    */
+  val lengthDriftSql: String =
+    s"""WITH counts AS (
+      |  SELECT lang, source, CAST(len($toksSql) AS BIGINT) AS v FROM documents),
+      |cell AS (
+      |  SELECT lang, source, v, count(*) AS nv FROM counts GROUP BY 1, 2, 3),
+      |x AS (SELECT lang, source, v, nv,
+      |    CAST(sum(nv) OVER (PARTITION BY lang, v) AS BIGINT) AS cg,
+      |    CAST(sum(nv) OVER (PARTITION BY lang, source) AS BIGINT) AS n_gs,
+      |    CAST(sum(nv) OVER (PARTITION BY lang) AS BIGINT) AS n_g
+      |  FROM cell),
+      |agg AS (SELECT lang, source, n_gs, n_g,
+      |    sum(abs(CAST(nv AS HUGEINT) * CAST(n_g AS HUGEINT)
+      |      - CAST(cg AS HUGEINT) * CAST(n_gs AS HUGEINT))) AS d_in,
+      |    CAST(sum(cg) AS HUGEINT) AS cov
+      |  FROM x GROUP BY lang, source, n_gs, n_g)
+      |SELECT lang, source,
+      |  CAST(d_in + (CAST(n_g AS HUGEINT) - cov) * CAST(n_gs AS HUGEINT) AS DOUBLE)
+      |    / CAST(CAST(n_gs AS HUGEINT) * CAST(n_g AS HUGEINT) AS DOUBLE)
+      |    AS l1_len,
+      |  n_gs AS n_docs
+      |FROM agg ORDER BY lang ASC NULLS FIRST, source""".stripMargin
+
+  // ---------- bounded-vs-unbounded dispatch (q122/q123): the q41-vs-q116
+  // and q60-vs-q121 crossover as a FUNCTION, not a footnote
+
+  /** Dispatch threshold: the largest per-group row count the per-group
+    * sort formulations (q41's quantile window, q60's dense_rank window)
+    * are allowed to buffer in one window task. A config constant, never
+    * a data function: ~4M narrow rows sorts comfortably inside one
+    * executor task, and past it the rank engine's histogram shape —
+    * whose per-group state above the scan is ≤[[RfmBuckets]] rows —
+    * is the plan that survives. At fixture scale every group is far
+    * below this, so the dispatchers take the sort branch live (the
+    * measured crossover: q60 0.66 s vs q121 2.59 s at fixture scale —
+    * the engine's fixed job chain only pays off once a group outgrows
+    * a task); the spec forces BOTH branches and proves them
+    * bit-identical.
+    */
+  val BoundedGroupRows: Long = 1L << 22
+
+  /** q122 — q41 ≡ q116 with the formulation CHOSEN, not hand-picked:
+    * one cheap stats pass (a lang-only count hash-agg — the scan prunes
+    * to one column and nothing tokenizes) reads the max group size and
+    * dispatches to the per-group sort (bounded groups) or the rank
+    * engine (unbounded). Both branches are hash-proved bit-identical
+    * against the same oracle, so the dispatch can never change an
+    * answer — only a plan.
+    */
+  def groupedQuantilesAuto(spark: SparkSession, dir: String): DataFrame =
+    groupedQuantilesAutoAt(spark, dir, BoundedGroupRows)
+
+  /** The dispatcher with an injectable bound — the spec's seam for
+    * forcing both branches.
+    */
+  private[graft] def groupedQuantilesAutoAt(spark: SparkSession, dir: String,
+                                            bound: Long): DataFrame = {
+    val maxGroup = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("mx"))
+      .head().getLong(0)
+    if (maxGroup <= bound) tokenQuantiles(spark, dir)
+    else groupedQuantiles(spark, dir)
+  }
+
+  /** Oracle: the shared q41 formulation — either branch must hash to it. */
+  val groupedQuantilesAutoSql: String = tokenQuantilesSql
+
+  /** q123 — q60 ≡ q121 dispatched the same way: the stats pass estimates
+    * the max DISTINCT SKUs per store (the exact row count q60's window
+    * task would buffer) with `approx_count_distinct` — one partial-agg
+    * pass, order-of-magnitude accurate (~2% rsd), which is all a plan
+    * dispatch needs since both branches are bit-identical by proof.
+    */
+  def topSkusAuto(spark: SparkSession, dir: String): DataFrame =
+    topSkusAutoAt(spark, dir, BoundedGroupRows)
+
+  private[graft] def topSkusAutoAt(spark: SparkSession, dir: String,
+                                   bound: Long): DataFrame = {
+    val maxGroup = Tables.ledger(spark, dir)
+      .filter(!col("is_absolute"))
+      .groupBy(col("tienda_id"))
+      .agg(approx_count_distinct(col("art_id")).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("mx"))
+      .head().getLong(0)
+    if (maxGroup <= bound) topSkusWithTies(spark, dir)
+    else topSkusUnbounded(spark, dir)
+  }
+
+  /** Oracle: the shared q60 formulation — either branch must hash to it. */
+  val topSkusAutoSql: String = topSkusWithTiesSql
 }

@@ -279,4 +279,34 @@ object QuantileIndex {
 
   /** Oracle: q118's full-scan formulation, verbatim. */
   val deltaWinsorizedSql: String = Analytics.winsorizedStatsSql
+
+  /** q125 — the cube's THIRD reader, at the ledger's FINEST grain:
+    * per-(lang, source) length-distribution drift
+    * ([[Analytics.lengthDriftOfHist]]) over corpus + tonight's batch
+    * with zero new tokenizer passes. Where q119 marginalizes source
+    * and q120 marginalizes lang, this reader marginalizes NOTHING —
+    * the (g, source, v) grain the advance stores is consumed whole,
+    * proving the cube-at-rest grouping pays a third time (a lang-only
+    * or source-only histogram could not serve it). Read = Σnv over
+    * ledger ∪ night at full grain, then the drift body; oracle = the
+    * full-scan formulation, so the hash compare proves incremental ≡
+    * rebuild for the finest-grain read path too.
+    */
+  def deltaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val root = indexAtRest(spark, dir)
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    val batch = Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8)
+    val night = valsOf(batch)
+      .groupBy(col("g"), col("source"), col("v")).agg(count(lit(1)).as("nv"))
+    val merged = graft.TransientCache.register(
+      wh.read("tq_hist").select(col("g"), col("source"), col("v"), col("nv"))
+        .unionByName(night)
+        .groupBy(col("g"), col("source"), col("v")).agg(sum(col("nv")).as("nv"))
+        .cache())
+    merged.count()
+    Analytics.lengthDriftOfHist(merged)
+  }
+
+  /** Oracle: the full-scan drift formulation. */
+  val deltaDriftSql: String = Analytics.lengthDriftSql
 }

@@ -469,4 +469,74 @@ object Sketch {
       |SELECT p, vals[CAST(floor(p * (k - 1)) + 1 AS INT)] AS est_n_chars, k
       |FROM p, v ORDER BY p""".stripMargin
   }
+
+  // ------------------------- grouped quantile sketch Aggregator (q124)
+
+  /** Buffer bound for [[sketchQuantiles]]: exact while a group holds ≤
+    * this many rows (the buffer IS the group), DKW O(1/√k) rank error
+    * beyond. Deliberately small so the oracle-checkable exactness
+    * regime is visible at fixture scale.
+    */
+  val GroupQuantK = 64
+
+  /** q124 — GROUPED quantile estimates per source through the typed
+    * [[graft.functions.QuantileSketch]] Aggregator, registered via
+    * `functions.udaf` so the Aggregator itself (not a relational
+    * re-derivation) rides the driver gate — completing the sketch
+    * family's symmetry: HLL/KMV/CMS/Bloom each pair a driver-checked
+    * query with a typed mergeable twin, and this is the quantile twin's
+    * turn. One hash-agg, no per-group sort, ≤[[GroupQuantK]]·3 longs of
+    * state per group at any partitioning (the `reduce`/`merge` algebra
+    * is associative/commutative, so partial aggregation applies).
+    *
+    * Oracle trick: the output keeps only groups with n_docs ≤ k, where
+    * the value-carrying KMV buffer holds the WHOLE group and the
+    * estimate collapses to q41's exact rank formula
+    * `vals[floor(p·(n−1))]` — so the oracle is the exact per-group-sort
+    * formulation and the hash compare proves the Aggregator's sample,
+    * sort and rank arithmetic end to end. (Groups past k would be
+    * DKW-approximate — correct, but not oracle-equatable; the spec
+    * covers that regime against q90's relational form.)
+    */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns._
+    val qs = udaf(new graft.functions.QuantileSketch(GroupQuantK, Seq(0.5, 0.9)),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)]())
+    graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        hash60(concat(lit("gsk:"), col("doc_id").cast("string"))).as("h"),
+        col("doc_id").as("id"),
+        size(toks(col("text"))).cast("long").as("v"))
+      .groupBy(col("source"))
+      .agg(qs(col("h"), col("id"), col("v")).as("est"),
+        count(lit(1)).as("n_docs"))
+      .where(col("n_docs") <= GroupQuantK)
+      .select(col("source"),
+        element_at(col("est"), 1).as("p50"),
+        element_at(col("est"), 2).as("p90"),
+        col("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: q41's exact per-group-sort formulation over source groups,
+    * restricted to the ≤[[GroupQuantK]] groups where the sketch buffer
+    * is the whole group.
+    */
+  val sketchQuantilesSql: String = {
+    import graft.functions.TextFns._
+    s"""WITH counts AS (
+      |  SELECT source, CAST(len($toksSql) AS BIGINT) AS v FROM documents),
+      |ranked AS (
+      |  SELECT source, v,
+      |    row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM counts)
+      |SELECT source,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.5e0) AS BIGINT) + 1 THEN v END) AS p50,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.9e0) AS BIGINT) + 1 THEN v END) AS p90,
+      |  CAST(max(n) AS BIGINT) AS n_docs
+      |FROM ranked GROUP BY source
+      |HAVING CAST(max(n) AS BIGINT) <= $GroupQuantK
+      |ORDER BY source""".stripMargin
+  }
 }

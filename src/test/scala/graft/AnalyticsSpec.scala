@@ -505,4 +505,40 @@ class AnalyticsSpec extends SparkSpec {
     }.sortBy(r => (r._1, r._4, r._2))
     assert(got.toSeq == want)
   }
+
+  test("auto dispatch (q122): both branches bit-identical; bound picks the plan") {
+    // bound = MaxValue forces the per-group sort (q41), bound = 0 the
+    // rank engine (q116); the outputs must be indistinguishable
+    val sorted = Analytics.groupedQuantilesAutoAt(spark, dir, Long.MaxValue)
+    val engine = Analytics.groupedQuantilesAutoAt(spark, dir, 0L)
+    assert(sorted.queryExecution.analyzed.toString.contains("row_number"),
+      "bounded branch must be the q41 window formulation")
+    assert(!engine.queryExecution.analyzed.toString.contains("row_number"),
+      "unbounded branch must be the windowless rank engine")
+    val a = sorted.collect().toSeq.map(_.toSeq)
+    val b = engine.collect().toSeq.map(_.toSeq)
+    TransientCache.drain()
+    assert(a == b, "dispatch must never change an answer, only a plan")
+    // the live default at fixture scale: every lang group is far below
+    // the bound, so the production entry takes the sort branch
+    val live = Analytics.groupedQuantilesAuto(spark, dir)
+    assert(live.queryExecution.analyzed.toString.contains("row_number"))
+    TransientCache.drain()
+  }
+
+  test("auto dispatch (q123): both branches bit-identical; bound picks the plan") {
+    val sorted = Analytics.topSkusAutoAt(spark, dir, Long.MaxValue)
+    val engine = Analytics.topSkusAutoAt(spark, dir, 0L)
+    assert(sorted.queryExecution.analyzed.toString.contains("dense_rank"),
+      "bounded branch must be the q60 dense-rank window")
+    assert(!engine.queryExecution.analyzed.toString.contains("dense_rank"),
+      "unbounded branch must be the windowless rank engine")
+    val a = sorted.collect().toSeq.map(_.toSeq)
+    val b = engine.collect().toSeq.map(_.toSeq)
+    TransientCache.drain()
+    assert(a == b, "dispatch must never change an answer, only a plan")
+    val live = Analytics.topSkusAuto(spark, dir)
+    assert(live.queryExecution.analyzed.toString.contains("dense_rank"))
+    TransientCache.drain()
+  }
 }

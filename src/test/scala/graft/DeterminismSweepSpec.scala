@@ -136,7 +136,18 @@ class DeterminismSweepSpec extends SparkSpec {
     // selection by value comparison against rank-selected distinct-value
     // cuts — dense-rank semantics with no window, all exact integers
     // (q121)
-    "q121_topk_unbounded")
+    "q121_topk_unbounded",
+    // the dispatchers: a 1-row stats scalar picks a branch, and both
+    // branches are themselves swept members — swept to prove the
+    // dispatch layer adds no order sensitivity of its own (q122/q123)
+    "q122_quantiles_auto", "q123_topk_auto",
+    // the typed Aggregator rides partial aggregation: reduce/merge must
+    // land the identical bottom-k sample under any merge tree (q124)
+    "q124_sketch_quantiles",
+    // window marginals over the merged cube + one final division of
+    // exact decimals — the q96 determinism argument over the
+    // incremental shape at full grain (q125)
+    "q125_delta_drift")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself

@@ -237,4 +237,31 @@ class KmvSketchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(df.collect().toSeq == Sketch.sampleQuantiles(spark, dir).collect().toSeq)
   }
+
+  test("q124 grouped sketch: beyond k the estimate equals the relational bottom-k rank read") {
+    // the regime the driver row deliberately filters out (n_docs > k):
+    // the udaf-registered Aggregator must equal the relational
+    // ORDER BY (h, id) LIMIT k sample read at the exact rank, under
+    // any partitioning
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val k = 16
+    val rows = (1 to 200).map(i =>
+      ("g" + (i % 2), (i.toLong * 7919) % 1000003, i.toLong,
+        (i.toLong * 13) % 500))
+    val df = rows.toDF("g", "h", "id", "v")
+    val qs = udaf(new graft.functions.QuantileSketch(k, Seq(0.5)),
+      ExpressionEncoder[(Long, Long, Long)]())
+    def run(parts: Int): Map[String, Long] =
+      df.repartition(parts)
+        .groupBy(col("g"))
+        .agg(element_at(qs(col("h"), col("id"), col("v")), 1).as("p50"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run(3)
+    assert(run(7) == got, "merge tree must not move the sample")
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val sample = rs.sortBy(t => (t._2, t._3)).take(k).map(_._4).sorted
+      g -> sample(math.floor(0.5 * (sample.length - 1)).toInt)
+    }
+    assert(got == want)
+  }
 }

@@ -369,6 +369,28 @@ class PlanLintSpec extends SparkSpec {
                                   // ride the cached vol frame with a
                                   // broadcast cuts join — no per-group
                                   // sort window anywhere (q60's twin)
+    "q122_quantiles_auto" -> 2,   // the dispatcher's live branch at
+                                  // fixture scale is q41's sort (every
+                                  // lang group under the bound): the
+                                  // lang-count stats pass runs as its
+                                  // own 1-row job before the walk, so
+                                  // the pinned plan is the branch's —
+                                  // window exchange + the final agg
+    "q123_topk_auto" -> 3,        // likewise q60's branch: volume agg +
+                                  // dense-rank window exchange + sort
+    "q124_sketch_quantiles" -> 2, // ONE hash-agg over the Aggregator
+                                  // (partial reduce + final merge
+                                  // exchange) + the presentation sort —
+                                  // the whole grouped sketch is a
+                                  // single agg pass, no per-group sort
+    "q125_delta_drift" -> 4,      // ledger ∪ night merge agg + the
+                                  // three window marginals share the
+                                  // g-prefixed partitionings (two
+                                  // re-exchanges) + the (g, source)
+                                  // drift agg rides the last window's
+                                  // partitioning + presentation sort —
+                                  // all over the value-support-bounded
+                                  // cube, only the night side tokenizes
     "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
                                   // agg + norm collect fold) +
                                   // |sources|-row window sorts + the q112
@@ -432,7 +454,12 @@ class PlanLintSpec extends SparkSpec {
   private val scanWidthException: Map[(String, String), Int] = Map(
     // the fit groups by (lang, source), tokenizes text and regresses
     // n_chars — all four non-key columns are inputs
-    ("q93_length_fit", "documents") -> 4)
+    ("q93_length_fit", "documents") -> 4,
+    // the cube's finest-grain reader: the night-batch split filter
+    // consumes doc_id and the full (lang, source, text) grain is the
+    // payload — all four are demand (q119/q120 marginalize a key away
+    // and stay at 3)
+    ("q125_delta_drift", "documents") -> 4)
 
   /** Observed per-query ShuffleExchange counts, captured by the walk in
     * the first test and pinned by the budget test below.

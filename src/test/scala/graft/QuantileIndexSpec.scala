@@ -59,6 +59,19 @@ class QuantileIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("incremental == rebuild: q125 drift equals the full-scan formulation") {
+    val fullHist = TransientCache.register(
+      QuantileIndex.valsOf(docs)
+        .groupBy(col("g"), col("source"), col("v"))
+        .agg(count(lit(1)).as("nv")).cache())
+    fullHist.count()
+    val want = Analytics.lengthDriftOfHist(fullHist).collect().toSeq
+    TransientCache.drain()
+    val got = QuantileIndex.deltaDrift(spark, dir).collect().toSeq
+    TransientCache.drain()
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
+
   test("advance: committed night replays as a no-op; in-batch dups drop") {
     val root = freshRoot
     advance(root, corpus)
