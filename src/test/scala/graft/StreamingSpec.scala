@@ -1124,7 +1124,7 @@ class StreamingSpec extends SparkSpec {
         nm -> ((n: org.apache.spark.sql.Column) =>
           floor((n - 1) * lit(q)).cast("long") + lit(1L)) })
       .select(
-        when(col("g") === lit(" "), lit(null).cast("string"))
+        when(col("g") === lit(Analytics.NullGroup), lit(null).cast("string"))
           .otherwise(col("g")).as("lang"),
         col("p50"), col("p90"), col("p99"), col("n").as("n_docs"))
       .orderBy(col("lang").asc_nulls_first).collect().toSeq
