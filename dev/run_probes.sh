@@ -31,7 +31,10 @@ shift || true; shift || true; shift || true
 # ~3.1/3.4/3.5 s first-pass solos) joined late r14; q117 stays off the
 # list at 0.75 s; q121 (rank-engine selection, 2.92 s solo) joined
 # after the r14 refresh — first ledger row lands with the r15 pass
-TOP15="q91 q88 q102 q99 q110 q98 q66 q74 q76 q97 q72 q22 q95 q51 q87 q111 q114 q116 q118 q119 q120 q121"
+# q124 (grouped sketch over one tokenize pass) and q125 (the cube's
+# finest-grain drift reader) joined r15; q122/q123 stay off the list
+# (dispatchers whose live branch is the cheap bounded formulation)
+TOP15="q91 q88 q102 q99 q110 q98 q66 q74 q76 q97 q72 q22 q95 q51 q87 q111 q114 q116 q118 q119 q120 q121 q124 q125"
 QUERIES=${*:-$TOP15}
 
 if pgrep -f "^java .*graft\.(Bench|Verify)" >/dev/null; then

@@ -180,7 +180,7 @@ object Bench {
       // the q119/q120 tier's at-rest quantile histogram (corpus-side
       // tokenize + ledger/manifest writes) — billed here so both
       // readers' marginals are read-path only, like bandidx/winidx
-      ("tqidx", Set("q119", "q120"),
+      ("tqidx", Set("q119", "q120", "q125"),
         () => operators.QuantileIndex.indexAtRest(spark, sfDir): Unit),
       // the corpus seen-set bitset (256 KB driver state via the typed
       // Bloom Aggregator; consumes the shingle cache, listed after it)
