@@ -9,20 +9,26 @@ import org.apache.spark.sql.functions._
   * `mapPartitions`. Training-data pipeline extension (no reference
   * counterpart).
   *
-  * The decode step is STUBBED (no image/audio libs in this container):
-  * [[MediaDecoder.Stub]] is a deterministic fake that derives features
-  * from raw bytes. The Spark-side plumbing is real and what the judge
-  * should look at: binary column + metadata schema, typed Dataset with
-  * per-partition batching (amortizes decoder init, the shape a JNI/FFmpeg
-  * decoder needs), and a fully-columnar fallback for SQL-derivable
-  * features. Payloads here are UTF-8 text bytes standing in for image
-  * bytes; swapping [[MediaDecoder.Stub]] for a real decoder changes no
-  * plan shape.
+  * Decode tiers, from real to stubbed:
+  *   - IMAGE PIXEL DECODE IS REAL ([[RasterDecoder.ImageIo]]): the JDK
+  *     itself ships `javax.imageio` readers for PNG/JPEG/BMP/GIF —
+  *     no external codec lib needed — so payload → grayscale raster →
+  *     2-D resample is genuine end-to-end, spec'd on real PNG/JPEG
+  *     bytes the spec encodes with the same JDK.
+  *   - Container-header parsing is real, pure byte walking
+  *     ([[MediaHeaders]]).
+  *   - Byte-level features keep the deterministic [[MediaDecoder.Stub]]
+  *     because the fixture payloads are text bytes and the q28 driver
+  *     oracle must be SQL-derivable; swapping the stub for a real
+  *     decoder changes no plan shape.
+  *   - VIDEO/AUDIO codecs (FFmpeg-class) remain the one stubbed seam —
+  *     genuinely absent from both the container and the JDK; the frame
+  *     sampler exercises the batch shape behind the same interface.
   *
   * Scale notes: payload rows are wide (binary blobs) — the pipeline never
   * shuffles them. Decode runs in the scan stage (narrow mapPartitions),
-  * only the small feature rows flow downstream; at 100 TB that is the
-  * difference between shuffling blobs and shuffling longs.
+  * only the small feature/raster rows flow downstream; at 100 TB that is
+  * the difference between shuffling blobs and shuffling longs.
   */
 object Multimodal {
 
@@ -172,6 +178,122 @@ object Multimodal {
     decodeFeatures(mediaTable(spark, dir), MediaDecoder.Stub)
       .toDF()
       .orderBy(col("doc_id"))
+
+  // ------------------------------------------------- real pixel decode
+
+  /** A decoded image: 8-bit grayscale raster, row-major, `w*h` bytes.
+    * `format` names the container that decoded ("png", "jpeg", …);
+    * undecodable payloads ride as `format = "unknown"` with an empty
+    * 0×0 raster — the pipeline never drops rows at decode.
+    */
+  final case class RasterRow(doc_id: Long, format: String, w: Int, h: Int,
+                             pixels: Array[Byte])
+
+  /** Pluggable FULL decoder: payload bytes → grayscale raster. This is
+    * the seam a JNI/FFmpeg decoder would fill for video; for still
+    * images [[RasterDecoder.ImageIo]] fills it TODAY with the JDK's own
+    * codecs.
+    */
+  trait RasterDecoder extends Serializable {
+    def decode(payload: Array[Byte]): Option[(String, Int, Int, Array[Byte])]
+  }
+
+  object RasterDecoder {
+    /** REAL pixel decode via `javax.imageio` (PNG/JPEG/BMP/GIF readers
+      * ship in every JDK): read the payload, draw into a TYPE_BYTE_GRAY
+      * buffer (the JDK's ITU-R 601 luma conversion), return the backing
+      * raster. Headless-safe: offscreen BufferedImage drawing needs no
+      * display. `ImageIO.read` returns null when no reader claims the
+      * bytes — mapped to None, never an exception, so a corrupt blob in
+      * a 100 TB scan costs one unknown row, not a task retry storm.
+      * Format is named by the header walk ([[MediaHeaders]]) so the
+      * two metadata tiers can never disagree about what decoded.
+      */
+    object ImageIo extends RasterDecoder {
+      // never touch a display; decoders run inside executor tasks
+      java.awt.GraphicsEnvironment.isHeadless // force-load AWT headless-safe
+      def decode(payload: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+        if (payload.length < 4) return None
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        Option(img).map { src =>
+          val (w, h) = (src.getWidth, src.getHeight)
+          val gray = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = gray.createGraphics()
+          try g.drawImage(src, 0, 0, null) finally g.dispose()
+          val px = gray.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          val fmt = MediaHeaders.parse(0L, payload).format
+          (if (fmt == "unknown") "imageio" else fmt, w, h, px)
+        }
+      }
+    }
+  }
+
+  /** Batched REAL decode: the [[decodeFeatures]] shape with pixels out —
+    * one decoder per partition, blobs never shuffle, only `w*h`-byte
+    * rasters flow downstream (and a resize directly after this bounds
+    * even those).
+    */
+  def decodeRasters(media: Dataset[MediaRow],
+                    decoder: RasterDecoder = RasterDecoder.ImageIo): Dataset[RasterRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decoder.decode(r.payload) match {
+          case Some((fmt, w, h, px)) => RasterRow(r.doc_id, fmt, w, h, px)
+          case None => RasterRow(r.doc_id, "unknown", 0, 0, Array.emptyByteArray)
+        }
+      }
+    }
+  }
+
+  /** True 2-D nearest-neighbor resample over a row-major grayscale
+    * raster: output pixel (x, y) samples source
+    * (⌊x·sw/w⌋, ⌊y·sh/h⌋) — the raster-aware upgrade of
+    * [[PixelResizer.NearestRaw]]'s 1-D byte resample. Empty source →
+    * zero raster (rows never vanish).
+    */
+  private[graft] def resampleNearest2d(src: Array[Byte], sw: Int, sh: Int,
+                                       w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (sw > 0 && sh > 0 && src.length >= sw * sh) {
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * sh / h).toInt
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = src(sy * sw + (x.toLong * sw / w).toInt)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** Decode → 2-D resample in ONE narrow stage: real pixels in, bounded
+    * `w*h`-byte thumbnails out — the full X12 resize path with nothing
+    * stubbed. The intermediate full-size raster lives only inside the
+    * task; neither blobs nor full rasters ever shuffle.
+    */
+  def resizeDecoded(media: Dataset[MediaRow], w: Int, h: Int,
+                    decoder: RasterDecoder = RasterDecoder.ImageIo): Dataset[ThumbRow] = {
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      "thumbnail dims must be positive with w*h within Int range")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val px = decoder.decode(r.payload) match {
+          case Some((_, sw, sh, src)) => resampleNearest2d(src, sw, sh, w, h)
+          case None => new Array[Byte](w * h)
+        }
+        ThumbRow(r.doc_id, w, h, px)
+      }
+    }
+  }
 
   // ------------------------------------------------- resize / frame-sample
 

@@ -624,6 +624,79 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out == Multimodal.MediaHeader(5L, "jpeg", Some(800), Some(600), Some(8)))
   }
 
+  /** Real encoded image bytes, produced by the SAME JDK codecs the
+    * decoder reads with — a deterministic gradient so pixel equality is
+    * checkable.
+    */
+  private def encodedImage(fmt: String, w: Int, h: Int,
+                           px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(x, y) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("real pixel decode: PNG round-trips bit-exact through the Spark path; garbage rows survive") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    def grad(x: Int, y: Int) = (x * 40 + y * 7) % 256
+    val png = encodedImage("png", 8, 6, grad)
+    // sanity: these are REAL container bytes — the header walk agrees
+    val hdr = Multimodal.MediaHeaders.parse(1L, png)
+    assert(hdr.format == "png" && hdr.width.contains(8) && hdr.height.contains(6))
+    val media = Seq(
+      Multimodal.MediaRow(1L, png, "image/png"),
+      Multimodal.MediaRow(2L, "not an image".getBytes("UTF-8"), "text/plain"))
+      .toDS().repartition(2)
+    val rows = Multimodal.decodeRasters(media).collect()
+      .map(r => r.doc_id -> r).toMap
+    val ok = rows(1L)
+    assert(ok.format == "png" && ok.w == 8 && ok.h == 6)
+    // PNG is lossless and the gray->gray draw is identity: bit-exact
+    val want = for (y <- 0 until 6; x <- 0 until 8) yield grad(x, y).toByte
+    assert(ok.pixels.toSeq == want)
+    val bad = rows(2L)
+    assert(bad.format == "unknown" && bad.w == 0 && bad.pixels.isEmpty,
+      "undecodable payloads must ride as unknown rows, never drop")
+  }
+
+  test("real pixel decode: JPEG decodes to the right dims and close pixels") {
+    def grad(x: Int, y: Int) = (x * 8 + y * 4) % 256
+    val jpg = encodedImage("jpg", 16, 12, grad)
+    assert(Multimodal.MediaHeaders.parse(1L, jpg).format == "jpeg")
+    val got = Multimodal.RasterDecoder.ImageIo.decode(jpg)
+    assert(got.isDefined, "the JDK's own JPEG must decode")
+    val (fmt, w, h, px) = got.get
+    assert(fmt == "jpeg" && w == 16 && h == 12)
+    // lossy codec on a smooth gradient: close, not exact
+    val diffs = for (y <- 0 until 12; x <- 0 until 16)
+      yield math.abs((px(y * 16 + x) & 0xff) - grad(x, y))
+    assert(diffs.sum.toDouble / diffs.size < 16.0,
+      s"JPEG decode drifted: mean abs diff ${diffs.sum.toDouble / diffs.size}")
+  }
+
+  test("real resize: decode -> 2-D nearest resample lands the exact source pixels") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // 4x4 quadrant image: nearest 2x2 must pick one pixel per quadrant
+    def quad(x: Int, y: Int) = (if (y < 2) 0 else 2) * 100 + (if (x < 2) 0 else 1) * 50
+    val png = encodedImage("png", 4, 4, quad)
+    val media = Seq(Multimodal.MediaRow(7L, png, "image/png")).toDS()
+    val thumb = Multimodal.resizeDecoded(media, 2, 2).collect().head
+    assert(thumb.w == 2 && thumb.h == 2)
+    // floor sampling: out (x,y) reads src (2x, 2y) -> quadrant corners
+    assert(thumb.pixels.map(_ & 0xff).toSeq ==
+      Seq(quad(0, 0), quad(2, 0), quad(0, 2), quad(2, 2)))
+    // undecodable input resizes to a kept zero raster
+    val none = Multimodal.resizeDecoded(
+      Seq(Multimodal.MediaRow(8L, Array[Byte](1, 2, 3), "bin")).toDS(), 2, 2)
+      .collect().head
+    assert(none.pixels.toSeq == Seq[Byte](0, 0, 0, 0))
+  }
+
   test("media headers: garbage, truncation and text fall back to unknown") {
     val cases = Seq(
       Array.emptyByteArray,
