@@ -199,34 +199,64 @@ object Multimodal {
   }
 
   object RasterDecoder {
+    /** Decompression-bomb ceiling: the largest `w*h` a single payload may
+      * decode to (2^26 px = a 64 MB grayscale raster — comfortably one
+      * task's working set; ~8192² images pass). A tiny crafted PNG can
+      * DECLARE 100k×100k and would otherwise force an O(w·h) allocation
+      * inside the task before any downstream resize bounds it; the
+      * header walk reads the declared dims from the first bytes, so the
+      * refusal costs nothing and the allocation never happens. Config
+      * constant, not a data function.
+      */
+    val MaxDecodePixels: Long = 1L << 26
+
     /** REAL pixel decode via `javax.imageio` (PNG/JPEG/BMP/GIF readers
       * ship in every JDK): read the payload, draw into a TYPE_BYTE_GRAY
       * buffer (the JDK's ITU-R 601 luma conversion), return the backing
       * raster. Headless-safe: offscreen BufferedImage drawing needs no
-      * display. `ImageIO.read` returns null when no reader claims the
-      * bytes — mapped to None, never an exception, so a corrupt blob in
-      * a 100 TB scan costs one unknown row, not a task retry storm.
-      * Format is named by the header walk ([[MediaHeaders]]) so the
-      * two metadata tiers can never disagree about what decoded.
+      * display. Adversarial bytes ride as None — never an exception —
+      * so a corrupt blob in a 100 TB scan costs one unknown row, not a
+      * task retry storm. Two guards make that contract real:
+      *
+      *  - the [[MediaHeaders]] walk runs FIRST and refuses any payload
+      *    whose DECLARED `w*h` exceeds [[MaxDecodePixels]], so a
+      *    decompression bomb is rejected before `ImageIO.read` can
+      *    allocate its raster (and undeclared-container decodes are
+      *    re-checked after the read, before the gray buffer doubles
+      *    the footprint);
+      *  - the read is wrapped in `NonFatal`, not just `IOException`:
+      *    the JDK's own plugin readers throw RuntimeException
+      *    subclasses (IllegalArgumentException, IndexOutOfBounds,
+      *    CMMException) on malformed streams — truncated JPEGs do so
+      *    today, spec'd on real bytes in TrainingOpsSpec.
+      *
+      * Format is named by the header walk so the two metadata tiers can
+      * never disagree about what decoded.
       */
     object ImageIo extends RasterDecoder {
       // never touch a display; decoders run inside executor tasks
       java.awt.GraphicsEnvironment.isHeadless // force-load AWT headless-safe
       def decode(payload: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
         if (payload.length < 4) return None
+        val hdr = MediaHeaders.parse(0L, payload)
+        for (w <- hdr.width; h <- hdr.height) // bomb guard, pre-allocation
+          if (w.toLong * h > MaxDecodePixels) return None
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null }
-        Option(img).map { src =>
-          val (w, h) = (src.getWidth, src.getHeight)
-          val gray = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val g = gray.createGraphics()
-          try g.drawImage(src, 0, 0, null) finally g.dispose()
-          val px = gray.getRaster.getDataBuffer
-            .asInstanceOf[java.awt.image.DataBufferByte].getData
-          val fmt = MediaHeaders.parse(0L, payload).format
-          (if (fmt == "unknown") "imageio" else fmt, w, h, px)
+          catch { case scala.util.control.NonFatal(_) => null }
+        Option(img).filter(src => // containers the header walk can't size
+          src.getWidth.toLong * src.getHeight <= MaxDecodePixels
+        ).flatMap { src =>
+          try {
+            val (w, h) = (src.getWidth, src.getHeight)
+            val gray = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val g = gray.createGraphics()
+            try g.drawImage(src, 0, 0, null) finally g.dispose()
+            val px = gray.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
+            Some((if (hdr.format == "unknown") "imageio" else hdr.format, w, h, px))
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
       }
     }
@@ -259,7 +289,10 @@ object Multimodal {
   private[graft] def resampleNearest2d(src: Array[Byte], sw: Int, sh: Int,
                                        w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
-    if (sw > 0 && sh > 0 && src.length >= sw * sh) {
+    // Long product: RasterDecoder is a pluggable seam, and a decoder
+    // reporting dims with sw*sh past Int.MaxValue would overflow an Int
+    // product to a negative, pass the guard, and index out of bounds
+    if (sw > 0 && sh > 0 && src.length >= sw.toLong * sh) {
       var y = 0
       while (y < h) {
         val sy = (y.toLong * sh / h).toInt

@@ -32,10 +32,17 @@ import org.apache.spark.sql.functions._
   *     each night appends exactly its novel doc-ids (the append is the
   *     doc_id anti-join's complement, so it is row-level idempotent
   *     under replay — the q74/q113 guard), compacted on cadence.
-  *   - `tq_marker` (batch_key): the committed-night set, one row per
-  *     night, REWRITTEN via tmp-swap each night — the night's atomic
-  *     commit point (the q115 night-marker discipline; tiny, O(nights)
-  *     rows, so the swap is free).
+  *   - `tq_marker` (batch_key, n_docs): the committed-night set, one
+  *     row per night, REWRITTEN via tmp-swap each night — the night's
+  *     atomic commit point (the q115 night-marker discipline; tiny,
+  *     O(nights) rows, so the swap is free). The no-op gate requires
+  *     BOTH columns to match: the gate's blast radius is total (a
+  *     false positive silently drops a whole night, where the
+  *     row-level (batch_key, g, source, v) anti-joins only risk
+  *     overlap), so the 64-bit key alone — negligible but nonzero
+  *     collision odds at nightly cadence — is backed by the offered
+  *     cardinality, which a colliding different night would also have
+  *     to reproduce.
   *
   * Crash contract (replay routing keys off the MARKER, never the
   * manifest, so partial manifest appends cannot shift anything):
@@ -117,7 +124,8 @@ object QuantileIndex {
     ids.agg(
       coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L)).as("h"),
       count(lit(1)).as("nd"))
-      .select(xxhash64(col("h"), col("nd")).as("batch_key"))
+      .select(xxhash64(col("h"), col("nd")).as("batch_key"),
+        col("nd").as("n_docs"))
 
   /** Nightly advance: fold the batch's novel documents into the
     * at-rest histogram. Replay-convergent per the crash contract above;
@@ -129,9 +137,14 @@ object QuantileIndex {
     val batch = rawBatch.dropDuplicates("doc_id")
     // contract 1: the key is a pure function of the offered batch (a
     // 1-row checkpoint-class scalar, like every sibling's marker read)
-    val keyVal = docSetKey(batch.select(col("doc_id"))).head().getLong(0)
+    val keyRow = docSetKey(batch.select(col("doc_id"))).head()
+    val keyVal = keyRow.getLong(0)
+    val nOffered = keyRow.getLong(1)
+    // no-op gate matches BOTH marker columns — see the tq_marker
+    // blast-radius note in the object scaladoc
     if (wh.exists("tq_marker") &&
-        !wh.read("tq_marker").where(col("batch_key") === keyVal).isEmpty)
+        !wh.read("tq_marker").where(col("batch_key") === keyVal &&
+          col("n_docs") === nOffered).isEmpty)
       return // the night committed in full; replay is a no-op
     val cold = !wh.exists("tq_docs")
     val novel =
@@ -163,7 +176,7 @@ object QuantileIndex {
     wh.compactIfFragmented("tq_docs")
     // marker tmp-swap LAST — the atomic commit point of the night
     import spark.implicits._
-    val mine = Seq(keyVal).toDF("batch_key")
+    val mine = Seq((keyVal, nOffered)).toDF("batch_key", "n_docs")
     wh.write("tq_marker",
       if (!wh.exists("tq_marker")) mine
       else wh.read("tq_marker").unionByName(mine))

@@ -193,6 +193,22 @@ object Jdbc {
     * sink). LIVE-TESTED against embedded Derby in JdbcLiveSpec — the
     * first sink in this family exercised against a real JDBC engine
     * end to end.
+    *
+    * SINGLE-WRITER contract, same as the parquet warehouse's serial
+    * nights: truncate, bulk append and MERGE run as three independent
+    * auto-commit connections with no table lock, so two CONCURRENT
+    * upserts to the same target would interleave staging content and
+    * merge a mixed batch. One upsert per target at a time — the
+    * §2.9 serial-nights discipline every sink in this family assumes
+    * (a crashed night is replayed before the next is offered, never
+    * raced). Cross-target concurrency is fine: staging tables are
+    * per-target.
+    *
+    * Staging reset is `TRUNCATE TABLE` with a `DELETE` fallback:
+    * DELETE row-logs the whole table — O(rows) of log I/O per night
+    * on a big staging table — while TRUNCATE is a metadata operation
+    * on every ANSI target this sink names (Derby ≥10.13, DB2, Oracle,
+    * SQL Server); the fallback keeps engines without it working.
     */
   final class JdbcStagedMergeSink(src: Source, batchSize: Int = 1000)
       extends graft.pipelines.UpsertSink with Serializable {
@@ -200,7 +216,10 @@ object Jdbc {
                versionCol: String, tiebreakCol: String): Unit = {
       val batch = prepareUpsertBatch(incoming, keys, versionCol, tiebreakCol)
       val staging = s"${table}_stg"
-      execute(src, s"DELETE FROM ${qq(staging)}")
+      try execute(src, s"TRUNCATE TABLE ${qq(staging)}")
+      catch { case _: java.sql.SQLException =>
+        execute(src, s"DELETE FROM ${qq(staging)}")
+      }
       // quoted so Spark's writer (which ANSI-quotes COLUMN identifiers)
       // and this builder resolve the same case-exact table
       append(batch, src, qq(staging), batchSize)

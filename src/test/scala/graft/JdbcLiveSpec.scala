@@ -123,6 +123,19 @@ class JdbcLiveSpec extends SparkSpec {
     assert(table()(7L) == ((1L, 1L, 1L)))
   }
 
+  test("S9 live: staging reset takes the TRUNCATE path on Derby (no DELETE fallback)") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    tryExec("DROP TABLE \"trunc_probe\"")
+    exec("CREATE TABLE \"trunc_probe\" (\"k\" BIGINT NOT NULL)")
+    Jdbc.append((1L to 50L).toDF("k"), src, "\"trunc_probe\"")
+    // the exact statement the sink issues first — must succeed live
+    // (DELETE row-logs the whole table; TRUNCATE is the O(1) reset every
+    // ANSI target the sink's scaladoc names supports)
+    exec("TRUNCATE TABLE \"trunc_probe\"")
+    assert(spark.read.jdbc(src.url, "\"trunc_probe\"", src.properties).count() == 0)
+  }
+
   test("statement builders: ANSI merge quotes and validates like the MySQL twin") {
     val m = Jdbc.stagedMergeSql("inv", "inv_stg",
       Seq("art_id", "qty", "ver"), Seq("art_id"))

@@ -678,6 +678,49 @@ class TrainingOpsSpec extends SparkSpec {
       s"JPEG decode drifted: mean abs diff ${diffs.sum.toDouble / diffs.size}")
   }
 
+  test("real pixel decode: adversarial bytes ride as unknown rows — truncated JPEG, decompression bomb, overflow dims") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    def grad(x: Int, y: Int) = (x * 8 + y * 4) % 256
+    // (a) truncated REAL JPEG: the JDK's own reader throws a
+    // RuntimeException subclass on this stream — the IOException-only
+    // catch turned one crafted blob into a task retry storm
+    val truncated = encodedImage("jpg", 16, 12, grad).take(40)
+    // (b) decompression bomb: REAL PNG bytes with the IHDR dims patched
+    // to 100k x 100k — a ~10 GB raster if ImageIO.read ever ran; the
+    // header pre-walk must refuse on the declared product
+    val bomb = encodedImage("png", 8, 6, grad).clone()
+    def putBe32(b: Array[Byte], i: Int, v: Long): Unit = {
+      b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+      b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+    }
+    putBe32(bomb, 16, 100000L) // IHDR width
+    putBe32(bomb, 20, 100000L) // IHDR height
+    assert(Multimodal.MediaHeaders.parse(0L, bomb).width.contains(100000))
+    // (c) the synthetic-header bomb too (no pixel data at all)
+    val hdrBomb = pngBytes(50000, 50000, 8)
+    // none may throw, none may exceed MaxDecodePixels
+    for (b <- Seq(truncated, bomb, hdrBomb))
+      assert(Multimodal.RasterDecoder.ImageIo.decode(b).isEmpty,
+        "adversarial payloads must decode to None, never throw or allocate")
+    // and the Spark path keeps one row per input, all unknown
+    val media = Seq(
+      Multimodal.MediaRow(1L, truncated, "image/jpeg"),
+      Multimodal.MediaRow(2L, bomb, "image/png"),
+      Multimodal.MediaRow(3L, hdrBomb, "image/png")).toDS().repartition(2)
+    val rows = Multimodal.decodeRasters(media).collect()
+    assert(rows.length == 3 && rows.forall(r =>
+      r.format == "unknown" && r.w == 0 && r.pixels.isEmpty),
+      "adversarial rows must survive as unknown, never drop or retry")
+    // a legitimate image within the cap still decodes through the guard
+    assert(Multimodal.RasterDecoder.ImageIo
+      .decode(encodedImage("png", 8, 6, grad)).isDefined)
+    // resample guard overflow: sw*sh past Int.MaxValue must zero-raster,
+    // not index out of bounds (the Int product used to wrap negative)
+    val out = Multimodal.resampleNearest2d(new Array[Byte](100), 65536, 65536, 2, 2)
+    assert(out.toSeq == Seq[Byte](0, 0, 0, 0))
+  }
+
   test("real resize: decode -> 2-D nearest resample lands the exact source pixels") {
     val sql = spark.sqlContext
     import sql.implicits._
