@@ -541,4 +541,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(live.queryExecution.analyzed.toString.contains("dense_rank"))
     TransientCache.drain()
   }
+
+  test("auto dispatch: the stats scalar is memoized — repeated calls, one stats job each") {
+    // the kmFitCount discipline for the dispatchers: the stats pass is a
+    // full (column-pruned) corpus agg, so repeated dispatcher calls must
+    // consult the memo, not rescan; eviction re-derives
+    Analytics.clearDispatchMemo(spark)
+    val before = Analytics.dispatchStatsCount.get()
+    Analytics.groupedQuantilesAuto(spark, dir)
+    Analytics.groupedQuantilesAuto(spark, dir) // memo hit
+    Analytics.topSkusAuto(spark, dir)
+    Analytics.topSkusAuto(spark, dir) // memo hit
+    assert(Analytics.dispatchStatsCount.get() - before == 2,
+      "two dispatchers x two calls must run exactly two stats jobs")
+    // both-branch forcing shares the same scalar (the bound differs,
+    // never the stat)
+    Analytics.groupedQuantilesAutoAt(spark, dir, 0L)
+    assert(Analytics.dispatchStatsCount.get() - before == 2)
+    // eviction at the ingest boundary re-derives from the current corpus
+    Analytics.clearDispatchMemo(spark)
+    Analytics.groupedQuantilesAuto(spark, dir)
+    assert(Analytics.dispatchStatsCount.get() - before == 3)
+    TransientCache.drain()
+  }
 }
