@@ -182,6 +182,10 @@ object Bench {
       // readers' marginals are read-path only, like bandidx/winidx
       ("tqidx", Set("q119", "q120", "q125"),
         () => operators.QuantileIndex.indexAtRest(spark, sfDir): Unit),
+      // the q126 retraction fixture (its OWN root: seed advance + one
+      // retract — the shared tqidx tier must never see the retraction)
+      ("rqidx", Set("q126"),
+        () => operators.QuantileIndex.retractedIndexAtRest(spark, sfDir): Unit),
       // the corpus seen-set bitset (256 KB driver state via the typed
       // Bloom Aggregator; consumes the shingle cache, listed after it)
       ("bloom", Set("q84"),

@@ -827,6 +827,39 @@ object Dedup {
       wh.read("corpus_shingles"), wh.read("corpus_docs"), idx.root)
   }
 
+  /** RETRACTION for the fuzzy tier — take committed docs OUT of the
+    * at-rest index (takedowns/opt-outs; a doc revised later is
+    * retract + re-offer). Every index row is per-doc, so retraction is
+    * three guarded anti-join tmp-swaps and is EXACTLY a
+    * rebuild-without-those-docs (signature work is content-
+    * deterministic; surviving rows are untouched — spec'd table by
+    * table in RetractionSpec). The MANIFEST swaps FIRST — the inverse
+    * of the append's manifest-last discipline, preserving the family
+    * invariant "manifest membership ⇒ rows fully at rest" through
+    * every crash window: a crash mid-retraction leaves at worst an
+    * unmanifested doc with data rows, the exact state a mid-append
+    * crash leaves, which every screen already excludes via the
+    * residual guard and a replayed retraction finishes dropping.
+    * Idempotent (removing absent rows is a no-op); serial with
+    * nights like every sibling op. The id set is takedown-sized —
+    * operator-bounded, hence the broadcast — and a re-offer of a
+    * retracted doc counts as novel again (the manifest row is gone).
+    */
+  private[graft] def retractFromCorpusIndexOf(idx: CorpusIndex,
+                                              docIds: DataFrame): CorpusIndex = {
+    val spark = docIds.sparkSession
+    val wh = new graft.pipelines.Warehouse(spark, idx.root)
+    val ids = docIds.select(col("doc_id")).dropDuplicates("doc_id")
+      .localCheckpoint(true) // pinned: the swaps rewrite scanned paths
+    try {
+      for (t <- Seq("corpus_docs", "corpus_shingles", "corpus_band_index"))
+        wh.write(t,
+          wh.read(t).join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    } finally graft.TransientCache.unpersistCheckpoint(ids)
+    CorpusIndex(wh.read("corpus_band_index"),
+      wh.read("corpus_shingles"), wh.read("corpus_docs"), idx.root)
+  }
+
   val deltaMinhashSql: String = {
     val minCols = A.indices
       .map(j => s"min((${A(j)} * x + ${B(j)}) % $P) AS v$j").mkString(",\n      |    ")
@@ -1441,6 +1474,28 @@ object Dedup {
     }.foreach(_.unpersist(false))
     wh.compactIfFragmented("corpus_winnow")
     wh.compactIfFragmented("corpus_winnow_docs")
+    WinnowIndex(wh.read("corpus_winnow"),
+      wh.read("corpus_winnow_docs"), idx.root)
+  }
+
+  /** RETRACTION for the winnow tier — [[retractFromCorpusIndexOf]]'s
+    * twin (same manifest-first swap order, same exact
+    * rebuild-without-those-docs equivalence: fingerprint rows are
+    * per-doc and content-deterministic, so surviving rows are
+    * untouched). Idempotent, serial with nights, re-offer counts as
+    * novel again.
+    */
+  private[graft] def retractFromWinnowIndexOf(idx: WinnowIndex,
+                                              docIds: DataFrame): WinnowIndex = {
+    val spark = docIds.sparkSession
+    val wh = new graft.pipelines.Warehouse(spark, idx.root)
+    val ids = docIds.select(col("doc_id")).dropDuplicates("doc_id")
+      .localCheckpoint(true)
+    try {
+      for (t <- Seq("corpus_winnow_docs", "corpus_winnow"))
+        wh.write(t,
+          wh.read(t).join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    } finally graft.TransientCache.unpersistCheckpoint(ids)
     WinnowIndex(wh.read("corpus_winnow"),
       wh.read("corpus_winnow_docs"), idx.root)
   }

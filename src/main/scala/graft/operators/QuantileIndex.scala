@@ -79,10 +79,16 @@ import org.apache.spark.sql.functions._
   *
   * In-batch redelivery (a doc offered twice in ONE night) is dropped
   * at the entry (`dropDuplicates("doc_id")`, the InBatchRedelivery
-  * discipline); a doc REVISED in a later night is out of scope, as in
-  * every sibling family (ingest is append-only by the §2.9 contract).
-  * Serial nights, as everywhere in the family: a crashed night is
-  * replayed before the next night is offered.
+  * discipline). Serial nights, as everywhere in the family: a crashed
+  * night is replayed before the next night is offered.
+  *
+  * RETRACTION ([[retract]]) makes doc deletion/revision in-scope:
+  * because the cube is ADDITIVE, a retracted doc's contribution is
+  * cancelled by appending its (g, source, v) rows with NEGATIVE nv
+  * under a retraction batch_key — the ledger read already sums, so no
+  * histogram row is ever rewritten — and every reader filters Σnv ≠ 0
+  * so a fully cancelled cell reads exactly like a rebuild that never
+  * saw the doc. A doc REVISED in a later night is retract + re-offer.
   */
 object QuantileIndex {
 
@@ -182,6 +188,83 @@ object QuantileIndex {
       else wh.read("tq_marker").unionByName(mine))
   }
 
+  /** RETRACTION — take a committed doc OUT of the at-rest cube without
+    * rewriting a single histogram row: the additive family's answer to
+    * takedowns/opt-outs/contaminated-source recalls. `rawDocs` is the
+    * retraction payload (documents-shaped — the cube stores no per-doc
+    * values, so the docs' text is re-tokenized ONCE here, exactly the
+    * one-tokenize-per-event bill the advance pays), restricted to the
+    * manifest so retracting a never-ingested or already-retracted doc
+    * is a no-op. Three steps, in this order:
+    *
+    *   1. append the restricted docs' (g, source, v) counts NEGATED,
+    *      under a retraction batch_key (salted, so it can never collide
+    *      with a night's key), row-level guarded by the same
+    *      (batch_key, g, source, v) anti-join as the advance;
+    *   2. tmp-swap `tq_docs` minus the ids — the doc may be RE-OFFERED
+    *      later and must then count as novel again (takedown reversal);
+    *   3. append the retraction marker (batch_key, n_docs of the
+    *      OFFERED id set) — the no-op gate for a fully-committed replay.
+    *
+    * Crash windows (serial with nights, like every sibling op): mid-1 →
+    * manifest intact, replay re-derives byte-identical negative rows,
+    * the guard appends only the missing ones; after 1, around 2 → the
+    * swap is atomic (bak-heal), and a replay's manifest restriction
+    * shrinks to the not-yet-swapped ids (∅ once the swap landed), whose
+    * rows all guard away — the retraction key is a pure function of the
+    * OFFERED id set, so every window replays under the identical key;
+    * after 3 → the marker gate no-ops. Readers need no retraction
+    * awareness at all: they sum the ledger and drop Σnv = 0 cells.
+    *
+    * Retract ≡ rebuild-without-those-docs is spec'd at every table
+    * boundary (RetractionSpec) and rides the DRIVER gate as q126: a
+    * post-retraction read whose oracle is the full scan over the
+    * surviving docs.
+    */
+  def retract(spark: SparkSession, root: String, rawDocs: DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    if (!wh.exists("tq_docs")) return // nothing ever ingested
+    val ids = rawDocs.select(col("doc_id")).dropDuplicates("doc_id")
+    val keyRow = ids.agg(
+        coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L)).as("h"),
+        count(lit(1)).as("nd"))
+      // the salt keeps retraction keys disjoint from night keys even
+      // for an identical doc set (retract-the-whole-night is legal)
+      .select(xxhash64(col("h"), col("nd"), lit("retract")).as("batch_key"),
+        col("nd").as("n_docs")).head()
+    val keyVal = keyRow.getLong(0)
+    val nOffered = keyRow.getLong(1)
+    if (wh.exists("tq_marker") &&
+        !wh.read("tq_marker").where(col("batch_key") === keyVal &&
+          col("n_docs") === nOffered).isEmpty)
+      return // this retraction committed in full; replay is a no-op
+    // manifest restriction: only committed docs cancel (and it is what
+    // makes the post-swap replay windows derive an empty delta)
+    val present = rawDocs.dropDuplicates("doc_id")
+      .join(wh.read("tq_docs"), Seq("doc_id"), "left_semi")
+    val vals = graft.TransientCache.register(valsOf(present).cache())
+    val nothingPresent = vals.isEmpty
+    val delta = vals.groupBy(col("g"), col("source"), col("v"))
+      .agg((-count(lit(1))).as("nv"))
+      .select(lit(keyVal).as("batch_key"),
+        col("g"), col("source"), col("v"), col("nv"))
+    if (!nothingPresent) {
+      wh.append("tq_hist",
+        delta.join(
+          wh.read("tq_hist")
+            .select(col("batch_key"), col("g"), col("source"), col("v")),
+          Seq("batch_key", "g", "source", "v"), "left_anti"))
+      wh.compactIfFragmented("tq_hist")
+      wh.write("tq_docs",
+        wh.read("tq_docs").join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    }
+    import spark.implicits._
+    val mine = Seq((keyVal, nOffered)).toDF("batch_key", "n_docs")
+    wh.write("tq_marker",
+      if (!wh.exists("tq_marker")) mine
+      else wh.read("tq_marker").unionByName(mine))
+  }
+
   // ---------- fixture index (memoized per context+dir, the q113/q115
   // time-split discipline transposed to the doc tier's % 10 split)
 
@@ -234,8 +317,19 @@ object QuantileIndex {
     * incremental ≡ rebuild bit-for-bit (the q109/q113/q115 discipline,
     * now for exact order statistics).
     */
-  def deltaQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val root = indexAtRest(spark, dir)
+  def deltaQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesOfRoot(spark, indexAtRest(spark, dir), dir)
+
+  /** The q119 read body against an explicit ledger root — shared with
+    * the q126 post-retraction read (same plan, different at-rest
+    * state). The Σnv ≠ 0 filter is the retraction lane's entire
+    * footprint on the read path: a fully cancelled (g, v) cell must
+    * read exactly like a rebuild that never saw the doc (on a
+    * never-retracted ledger every Σnv is positive and the filter is a
+    * no-op).
+    */
+  private def quantilesOfRoot(spark: SparkSession, root: String,
+                              dir: String): DataFrame = {
     val wh = new graft.pipelines.Warehouse(spark, root)
     val batch = Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8)
     val night = valsOf(batch)
@@ -244,6 +338,7 @@ object QuantileIndex {
       wh.read("tq_hist").select(col("g"), col("v"), col("nv"))
         .unionByName(night)
         .groupBy(col("g"), col("v")).agg(sum(col("nv")).as("nv"))
+        .filter(col("nv") =!= 0)
         .cache())
     merged.count()
     val cuts = Analytics.rankCutsHist(merged, "g",
@@ -284,6 +379,7 @@ object QuantileIndex {
       wh.read("tq_hist").select(col("source"), col("v"), col("nv"))
         .unionByName(night)
         .groupBy(col("source"), col("v")).agg(sum(col("nv")).as("nv"))
+        .filter(col("nv") =!= 0) // retraction lane: drop cancelled cells
         .withColumnRenamed("source", "g")
         .cache())
     merged.count()
@@ -315,6 +411,7 @@ object QuantileIndex {
       wh.read("tq_hist").select(col("g"), col("source"), col("v"), col("nv"))
         .unionByName(night)
         .groupBy(col("g"), col("source"), col("v")).agg(sum(col("nv")).as("nv"))
+        .filter(col("nv") =!= 0) // retraction lane: drop cancelled cells
         .cache())
     merged.count()
     Analytics.lengthDriftOfHist(merged)
@@ -322,4 +419,83 @@ object QuantileIndex {
 
   /** Oracle: the full-scan drift formulation. */
   val deltaDriftSql: String = Analytics.lengthDriftSql
+
+  // ---------- q126: the retraction lane on the driver gate
+
+  /** The retraction fixture's predicate: which CORPUS docs are
+    * retracted (1/9 of the seen corpus; disjoint from the `%10 >= 8`
+    * batch by construction, so the read is corpus-minus-retracted plus
+    * the night's batch). Shared verbatim by the Spark fixture and the
+    * oracle SQL's survivor filter.
+    */
+  private[graft] val RetractPredSql = "doc_id % 10 < 8 AND doc_id % 9 = 4"
+
+  private val retractMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The q126 fixture: the q119 at-rest index seeded through the SAME
+    * advance path, then [[retract]]ed of the [[RetractPredSql]] docs —
+    * memoized per context+dir like every index fixture (its own root:
+    * the shared q119/q120/q125 index must never see the retraction).
+    */
+  private[graft] def retractedIndexAtRest(spark: SparkSession, dir: String): String = {
+    val key = (spark.sparkContext, dir)
+    retractMemo.get(key).getOrElse {
+      val fresh =
+        java.nio.file.Files.createTempDirectory("graft_rqidx_").toString
+      val docs = Tables.documents(spark, dir)
+      advance(spark, fresh, docs.filter(col("doc_id") % 10 < 8))
+      retract(spark, fresh, docs.filter(expr(RetractPredSql)))
+      retractMemo.putIfAbsent(key, fresh) match {
+        case Some(winner) =>
+          graft.pipelines.Fs.delete(spark, fresh); winner
+        case None =>
+          createdRoots.synchronized { createdRoots += fresh }
+          fresh
+      }
+    }
+  }
+
+  /** Drop this context's memoized retraction fixtures; owned roots
+    * deleted ([[clearIndex]] semantics).
+    */
+  def clearRetractedIndex(spark: SparkSession): Unit =
+    retractMemo.keys.filter(_._1 eq spark.sparkContext).foreach { k =>
+      retractMemo.remove(k).foreach { root =>
+        val owned = createdRoots.synchronized { createdRoots.remove(root) }
+        if (owned) graft.pipelines.Fs.delete(spark, root)
+      }
+    }
+
+  /** q126 — the q109-discipline INVERTED: q119's read over an at-rest
+    * ledger that has RETRACTED documents (negative-delta cancellation,
+    * [[retract]]), hash-checked against an oracle that full-scans only
+    * the SURVIVING docs. The driver compare is the retraction proof:
+    * it passes iff cancel + Σnv≠0-read ≡ a rebuild that never saw the
+    * retracted docs, bit for bit — the same way q119 proves
+    * incremental ≡ rebuild for the advance direction.
+    */
+  def retractQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesOfRoot(spark, retractedIndexAtRest(spark, dir), dir)
+
+  /** Oracle: q41's full-scan formulation restricted to the surviving
+    * docs — the scan the retraction path must never need.
+    */
+  val retractQuantilesSql: String = {
+    import graft.functions.TextFns.toksSql
+    s"""WITH counts AS (
+      |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents
+      |  WHERE NOT ($RetractPredSql)),
+      |ranked AS (
+      |  SELECT lang, n_tokens,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM counts)
+      |SELECT lang,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.5e0) AS BIGINT) + 1 THEN n_tokens END) AS p50,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.9e0) AS BIGINT) + 1 THEN n_tokens END) AS p90,
+      |  max(CASE WHEN rn = CAST(floor((n-1) * 0.99e0) AS BIGINT) + 1 THEN n_tokens END) AS p99,
+      |  CAST(max(n) AS BIGINT) AS n_docs
+      |FROM ranked GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
+  }
 }

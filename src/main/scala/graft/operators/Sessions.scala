@@ -898,6 +898,30 @@ object Sessions {
     wh.compactIfFragmented("ret_weeks")
   }
 
+  /** RETRACTION for the retention tier — a user opt-out: drop every
+    * at-rest row of the retracted users (both tables key per-user and
+    * carry nothing cross-user, so two anti-join tmp-swaps are EXACTLY
+    * a rebuild over the surviving users' events — spec'd in
+    * RetractionSpec). `ret_user` swaps FIRST: mid-crash, a user with
+    * offsets but no fd is invisible to the q113 read (the acts⋈fds
+    * inner join drops them) and a replayed retraction finishes the
+    * drop — the reverse order would leave a readable half-user.
+    * Idempotent; serial with nights; a re-offered user re-enters as
+    * new (fd from the re-offer night — the opt-out erased their
+    * history by design).
+    */
+  private[graft] def retractRetentionUsers(spark: SparkSession, root: String,
+                                           userIds: DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    val ids = userIds.select(col("user_id")).dropDuplicates("user_id")
+      .localCheckpoint(true) // pinned: the swaps rewrite scanned paths
+    try {
+      for (t <- Seq("ret_user", "ret_weeks"))
+        wh.write(t,
+          wh.read(t).join(broadcast(ids), Seq("user_id"), "left_anti"))
+    } finally graft.TransientCache.unpersistCheckpoint(ids)
+  }
+
   /** The fixture's at-rest index (memoized per context+dir like the HLL
     * index): corpus = events STRICTLY BEFORE the 80%-of-range split day
     * — a TIME split, not a hash split, because the delta contract here
@@ -1107,6 +1131,79 @@ object Sessions {
     wh.write("tr_last", nextLast(carry, batch, key)) // atomic commit point
   }
 
+  /** RETRACTION for the transitions tier — a user opt-out for the
+    * ADDITIVE member: the matrix cells aggregate across users, so rows
+    * cannot be anti-joined away per user (the HLL non-invertibility
+    * problem) — but a user's transitions never cross users (the lag
+    * window partitions by user_id), so their TOTAL contribution is
+    * recomputable from their own event history alone, and because the
+    * carry chain makes the union of nightly deltas equal the pairs of
+    * the full ordered sequence (the in-order-per-user contract), one
+    * [[transitionDelta]] over that history NEGATED cancels the user
+    * exactly. `userEvents` is the retracted users' COMPLETE ingested
+    * history — the very rows a takedown deletes, read back from the
+    * event log before the purge; a partial history would half-cancel
+    * (documented requirement, like the quantile retract's "payload
+    * carries the docs").
+    *
+    * Steps: (1) restrict to users with a `tr_last` row (the tier's
+    * membership test — never-ingested users contribute nothing), (2)
+    * append the negated delta under a retraction batch_key, row-level
+    * guarded by the same (batch_key, from, to) anti-join as the
+    * advance, (3) tmp-swap `tr_last` minus the users (their carry must
+    * not seed boundary pairs for events that no longer exist; a
+    * re-offered user re-enters as new). The key is salted AND stamped
+    * with the current night marker, so a retract → re-ingest →
+    * retract-again cycle (epochs separated by at least one night by
+    * the serial contract) never collides keys and never half-cancels.
+    *
+    * Crash windows: mid-(2) → tr_last intact, the replay re-derives a
+    * byte-identical negated delta under the identical key and the
+    * guard appends only the missing rows; after (2), around (3) → the
+    * swap is atomic, and a replay's restriction shrinks to the
+    * not-yet-swapped users (∅ once the swap landed) so nothing
+    * re-appends. Retract ≡ rebuild-without-those-users is spec'd at
+    * both table boundaries in RetractionSpec.
+    */
+  private[graft] def retractTransitionsUsers(spark: SparkSession, root: String,
+                                             userEvents: DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    if (!wh.exists("tr_last")) return // nothing ever ingested
+    val members = wh.read("tr_last").select(col("user_id"))
+    val ev = userEvents
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .dropDuplicates("event_id")
+      .join(members, Seq("user_id"), "left_semi")
+      .localCheckpoint(true) // pinned: step 3 rewrites the files the
+                             // restriction's lineage reads
+    try {
+      if (!ev.isEmpty) {
+        // epoch stamp: the committed night marker is stable while
+        // tr_last still holds the users (every replay window that can
+        // append) and advances with any intervening ingest
+        val epoch = wh.read("tr_last").select(col("night_key"))
+          .head(1).headOption.map(_.getLong(0)).getOrElse(0L)
+        val key = ev.agg(
+            coalesce(bit_xor(xxhash64(col("event_id"))), lit(0L)).as("h"),
+            count(lit(1)).as("ne"))
+          .select(xxhash64(col("h"), col("ne"), lit("retract"), lit(epoch))
+            .as("batch_key"))
+        val delta = transitionDelta(None, ev)
+          .withColumn("n", -col("n"))
+          .crossJoin(broadcast(key))
+          .select(col("batch_key"), col("from_type"), col("to_type"), col("n"))
+        wh.append("tr_deltas",
+          delta.join(wh.read("tr_deltas")
+              .select(col("batch_key"), col("from_type"), col("to_type")),
+            Seq("batch_key", "from_type", "to_type"), "left_anti"))
+        wh.compactIfFragmented("tr_deltas")
+        wh.write("tr_last",
+          wh.read("tr_last").join(broadcast(ev.select(col("user_id")).distinct()),
+            Seq("user_id"), "left_anti"))
+      }
+    } finally graft.TransientCache.unpersistCheckpoint(ev)
+  }
+
   /** The fixture's at-rest transitions index (memoized per context+dir,
     * the q113 time-split discipline): corpus = events strictly before
     * the 80%-of-range split day, seeded through the SAME advance path
@@ -1168,6 +1265,9 @@ object Sessions {
         transitionDelta(Some(wh.read("tr_last")), batch))
       .groupBy(col("from_type"), col("to_type"))
       .agg(sum(col("n")).as("n_trans"))
+      // retraction lane: a fully cancelled cell (Σn = 0) must read
+      // exactly like a rebuild that never saw it (no-op otherwise)
+      .filter(col("n_trans") =!= 0)
     val from = cells.groupBy(col("from_type")).agg(sum(col("n_trans")).as("n_from"))
     cells.join(from, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),

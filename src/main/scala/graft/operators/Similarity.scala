@@ -1233,6 +1233,27 @@ object Similarity {
     AnnIndex(wh.read("corpus_codes"), idx.root)
   }
 
+  /** RETRACTION for the embedding tier — the FAISS `remove_ids()`
+    * contract beside [[appendAnnWith]]'s `add()`: drop the retracted
+    * vec_ids' code rows via one anti-join tmp-swap. One row per vector
+    * and the fits are FROZEN by the family contract (append encodes,
+    * never refits), so survivors' codes are byte-identical to a
+    * from-scratch build over the surviving corpus — retract ≡
+    * rebuild-without-those-vectors EXACTLY, with zero re-encoding
+    * (spec'd in RetractionSpec). Idempotent; a re-offered vector
+    * counts as novel again (the codes table is its own manifest).
+    */
+  private[graft] def retractFromAnnIndexOf(idx: AnnIndex,
+                                           vecIds: DataFrame): AnnIndex = {
+    val wh = new graft.pipelines.Warehouse(vecIds.sparkSession, idx.root)
+    val ids = vecIds.select(col("vec_id")).dropDuplicates("vec_id")
+      .localCheckpoint(true) // pinned: the swap rewrites scanned paths
+    try wh.write("corpus_codes",
+      wh.read("corpus_codes").join(broadcast(ids), Seq("vec_id"), "left_anti"))
+    finally graft.TransientCache.unpersistCheckpoint(ids)
+    AnnIndex(wh.read("corpus_codes"), idx.root)
+  }
+
   /** q89 — delta ANN screen: the INCREMENTAL twin of q83, closing the
     * §2.9 loop for the embedding tier the way q74 closed the fuzzy tier
     * and q88 the deterministic one. A nightly batch of new vectors

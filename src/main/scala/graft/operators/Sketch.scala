@@ -274,6 +274,35 @@ object Sketch {
         .groupBy(col("reg")).agg(max(col("mj")).as("mj")))
   }
 
+  /** RETRACTION for the cardinality tier: REBUILD-ON-RETRACT, and
+    * honestly so — HLL registers are a MAX algebra, which is exactly
+    * what makes the advance manifest-free and idempotent, and exactly
+    * what makes them non-invertible: a register's max carries no
+    * memory of which elements pushed it there, so no negative delta
+    * or anti-join can subtract a retracted doc's contribution (the
+    * additive quantile cube can cancel; the max register cannot).
+    * The retraction therefore recomputes the register table from the
+    * SURVIVING element stream — one tmp-swap, atomic like every
+    * rebuild, idempotent by determinism, and trivially equal to
+    * rebuild-without-those-docs because it IS one.
+    *
+    * At 100 TB this is the documented price of the max algebra: one
+    * corpus-side scan per retraction epoch, amortized by BATCHING
+    * retractions (takedowns queue; one rebuild clears the queue — the
+    * refreshFull cadence discipline). The amortization upgrade when
+    * retraction traffic grows is epoch-keyed registers — one (epoch,
+    * reg, mj) stripe per ingest window, retract = drop the epochs that
+    * contained the docs and re-max the rest, re-scanning only the
+    * affected windows; not built because nothing in the harness
+    * exercises per-epoch recall, but the at-rest schema extends to it
+    * without touching any reader (reads already max-merge).
+    */
+  private[graft] def retractHllRebuild(spark: SparkSession, root: String,
+                                       survivingHashes: DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    wh.write("hll_regs", registersOf(survivingHashes))
+  }
+
   /** q109 — incremental cardinality (the delta-family slot the q61/q74/
     * q84/q88/q89 screens left open): "how many distinct shingles does
     * corpus + tonight's batch hold" WITHOUT rescanning the corpus. The

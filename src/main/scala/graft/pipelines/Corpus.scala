@@ -365,6 +365,131 @@ object CorpusPipeline {
     log.toSeq
   }
 
+  /** RETRACTION for the live lane — the takedown/opt-out/recall path a
+    * production corpus MUST have: purge a doc set from every table the
+    * nightly cycle maintains, leaving the warehouse exactly as if the
+    * docs had never been admitted (spec'd invariant-by-invariant in
+    * RetractionSpec). Scope and per-table mechanism:
+    *
+    *   - `live_token_counts`: the maintained distribution is ADDITIVE,
+    *     so the retracted docs' counts append NEGATED under a
+    *     retraction batch_key ((batch_key, tok) anti-join guarded, the
+    *     nightly delta's own discipline) — [[liveTokenCounts]] sums, so
+    *     the invariant "== tokenCountsOf(corpus_live) at all times"
+    *     survives retraction with no corpus re-tokenize;
+    *   - `live_keys`: the retracted docs' content keys are REMOVED —
+    *     identical content RE-OFFERED later must be re-screened fresh
+    *     (takedown reversal), not auto-rejected by its own ghost. Keys
+    *     of content that was screened out and never admitted stay (the
+    *     first-seen-wins semantic is defined over admissions; the
+    *     ledger holds hashes, not content, so it is not itself
+    *     takedown material);
+    *   - `corpus_live`, `corpus_raw`, `corpus_quarantine`: doc_id
+    *     anti-join tmp-swaps. The RAW ledger purge is load-bearing:
+    *     [[refreshFull]] rebuilds everything from `corpus_raw`, so a
+    *     doc left there would resurrect — post-retraction,
+    *     `refreshFull ≡ refine over raw-minus-retracted` (spec'd).
+    *     Derived stage tables (corpus_clean…corpus_mixed) are NOT
+    *     swept row-by-row: they are rebuild artifacts, and the full
+    *     purge of published state is retract + refreshFull (the same
+    *     cadence pairing the incremental lane already has);
+    *   - `live_index` / `live_winnow`: the per-family retracts
+    *     ([[Dedup.retractFromCorpusIndexOf]] /
+    *     [[Dedup.retractFromWinnowIndexOf]]) — manifest-first swaps,
+    *     so a retracted doc can never screen a future batch;
+    *   - `gate_log` is untouched: decisions key whole OFFERED batches,
+    *     not content presence, and replaying a gated night must still
+    *     take its recorded branch.
+    *
+    * Order and crash discipline (idempotent end to end, no marker
+    * needed): the token delta and the key removal derive from the
+    * retracted docs' AT-REST corpus_live rows, so both run BEFORE the
+    * corpus_live swap — a replay from any crash point re-pins the same
+    * docs while corpus_live is intact (the delta's row guard absorbs
+    * partial appends; the key swap is idempotent), and once the
+    * corpus_live swap lands, every derivation shrinks to the empty
+    * set and the remaining id-keyed swaps are self-idempotent. The
+    * retraction batch_key is salted and stamped with an EPOCH (the
+    * xor of the committed POSITIVE delta keys — stable under the
+    * retraction's own replays since its rows are negative, advanced
+    * by any intervening ingest), so retract → re-offer → retract
+    * cycles never collide keys and never half-cancel. Serial with
+    * nights, like every lane op.
+    */
+  def retractFromLive(wh: Warehouse, docIds: DataFrame): Unit = {
+    val spark = wh.spark
+    require(wh.exists("corpus_raw"),
+      "retractFromLive purges a refined warehouse — run refine() first")
+    // the same idempotent seed guards as the nightly body: a takedown
+    // may arrive before the first incremental night
+    if (!wh.exists("corpus_live"))
+      wh.write("corpus_live", wh.read("corpus_clean"))
+    if (!wh.exists("live_keys"))
+      wh.write("live_keys",
+        Dedup.exactDedupOf(wh.read("corpus_live")).select(col("k")))
+    seedTokenCounts(wh)
+    val ids = docIds.select(col("doc_id")).dropDuplicates("doc_id")
+      .localCheckpoint(true)
+    // the retracted docs' at-rest live rows, pinned: the swaps below
+    // rewrite the very files this lineage reads
+    val docs = wh.read("corpus_live").join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    try {
+      if (!docs.isEmpty) {
+        // 1 — negative token delta (before the corpus_live swap)
+        val epoch = wh.read("live_token_counts").filter(col("cnt") > 0)
+          .select(col("batch_key")).distinct()
+          .agg(coalesce(bit_xor(xxhash64(col("batch_key"))), lit(0L)))
+          .head().getLong(0)
+        val key = ids.agg(
+            coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L)).as("h"),
+            count(lit(1)).as("nd"))
+          .select(xxhash64(col("h"), col("nd"), lit("retract"), lit(epoch))
+            .as("batch_key"))
+        wh.append("live_token_counts",
+          graft.operators.TextOps.tokenCountsOf(docs)
+            .withColumn("cnt", -col("cnt"))
+            .crossJoin(broadcast(key))
+            .select(col("batch_key"), col("tok"), col("cnt"))
+            .join(wh.read("live_token_counts")
+                .select(col("batch_key"), col("tok")),
+              Seq("batch_key", "tok"), "left_anti"))
+        wh.compactIfFragmented("live_token_counts")
+        // 2 — key removal (re-offered identical content re-screens)
+        wh.write("live_keys",
+          wh.read("live_keys").join(
+            broadcast(Dedup.exactDedupOf(docs).select(col("k"))),
+            Seq("k"), "left_anti"))
+        // 3 — the live corpus itself
+        wh.write("corpus_live",
+          wh.read("corpus_live").join(broadcast(ids), Seq("doc_id"), "left_anti"))
+      }
+      // 4/5 — the raw ledger purge (refreshFull must not resurrect)
+      // and the quarantine sweep; id-keyed, idempotent, run regardless
+      // of live membership (a doc can sit in raw or quarantine without
+      // ever having been admitted)
+      wh.write("corpus_raw",
+        wh.read("corpus_raw").join(broadcast(ids), Seq("doc_id"), "left_anti"))
+      if (wh.exists("corpus_quarantine"))
+        wh.write("corpus_quarantine",
+          wh.read("corpus_quarantine")
+            .join(broadcast(ids), Seq("doc_id"), "left_anti"))
+      // 6/7 — the live screen indexes (build-or-reopen reads the
+      // already-purged corpus_live, so a missing index self-heals to
+      // the post-retraction state and the retract below is a no-op)
+      Dedup.retractFromCorpusIndexOf(
+        Dedup.corpusIndexAt(spark, s"${wh.root}/live_index",
+          wh.read("corpus_live")), ids)
+      Dedup.retractFromWinnowIndexOf(
+        Dedup.winnowIndexAt(spark, s"${wh.root}/live_winnow",
+          wh.read("corpus_live")), ids)
+    } finally {
+      graft.TransientCache.unpersistCheckpoint(docs)
+      graft.TransientCache.unpersistCheckpoint(ids)
+    }
+    graft.TransientCache.drain()
+  }
+
   /** The PERIODIC full-refine reconciliation lane the incremental cycle
     * defers to — the analog of the reference's date-watermark
     * full-rebuild beside its incremental ones. [[refineIncremental]]

@@ -35,9 +35,36 @@ object StreamingQuantileIndex {
   final case class QDoc(doc_id: Long, lang: String, source: String,
                         text: String)
 
+  /** A document event WITH a control verb — the retraction lane's
+    * streamed form: `op = "advance"` folds the doc in, `op = "retract"`
+    * cancels it ([[QuantileIndex.retract]] — the takedown/opt-out
+    * control message riding the same stream as the data, the classic
+    * CDC upsert/delete shape).
+    */
+  final case class QDocOp(doc_id: Long, lang: String, source: String,
+                          text: String, op: String)
+
   /** One micro-batch: fold novel documents into the at-rest histogram. */
   def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit =
     QuantileIndex.advance(wh.spark, wh.root, batch)
+
+  /** One CONTROL micro-batch: advances fold first, then retractions
+    * cancel — so a doc arriving and being recalled in the same
+    * micro-batch nets to absent, matching the nightly serial order
+    * (ingest, then takedown). Both halves inherit their batch twins'
+    * whole replay contract verbatim (marker-gated no-op on redelivery,
+    * guarded row-level convergence through every crash window), so the
+    * streamed retraction path ≡ the nightly retraction path is an
+    * identity of code — the same twin discipline as the seven advance
+    * lanes, spec'd end-state-equal in RetractionSpec.
+    */
+  def processControlBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    if (!adds.isEmpty) QuantileIndex.advance(wh.spark, wh.root, adds)
+    val rets = batch.filter(col("op") === "retract").drop("op")
+    if (!rets.isEmpty) QuantileIndex.retract(wh.spark, wh.root, rets)
+  }
 
   /** foreachBatch sink wiring: checkpointed, available-now triggered —
     * the [[StreamingRetentionIndex.sink]] convention.
@@ -50,5 +77,19 @@ object StreamingQuantileIndex {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         processBatch(wh, batch, id)
+      }
+
+  /** The control-lane sink: [[sink]] with the `op` verb honored —
+    * retraction messages flow through the SAME checkpointed stream as
+    * document arrivals.
+    */
+  def sinkWithControl(docsStream: DataFrame, wh: Warehouse,
+                      checkpoint: String): DataStreamWriter[Row] =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processControlBatch(wh, batch, id)
       }
 }

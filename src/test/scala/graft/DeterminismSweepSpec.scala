@@ -147,7 +147,11 @@ class DeterminismSweepSpec extends SparkSpec {
     // window marginals over the merged cube + one final division of
     // exact decimals — the q96 determinism argument over the
     // incremental shape at full grain (q125)
-    "q125_delta_drift")
+    "q125_delta_drift",
+    // the q119 argument over a ledger holding NEGATIVE retraction
+    // deltas: additive integer counts, the Σnv≠0 filter, rank-selected
+    // cuts (q126)
+    "q126_retract_quantiles")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself
@@ -161,6 +165,8 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Sessions.clearRetentionIndex(spark)
     graft.operators.Sessions.clearTransitionsIndex(spark)
     graft.operators.QuantileIndex.clearIndex(spark)
+    graft.operators.QuantileIndex.clearRetractedIndex(spark)
+    graft.operators.Analytics.clearDispatchMemo(spark)
     // CacheManager matches by logical plan, so a cached winnow index
     // built under one partition count would serve the other verbatim —
     // evict it so q85/q86 genuinely recompute (unpersist resolves the

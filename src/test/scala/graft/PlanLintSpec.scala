@@ -391,6 +391,12 @@ class PlanLintSpec extends SparkSpec {
                                   // partitioning + presentation sort —
                                   // all over the value-support-bounded
                                   // cube, only the night side tokenizes
+    "q126_retract_quantiles" -> 13, // q119's read plan verbatim over the
+                                  // RETRACTED ledger root — the Σnv≠0
+                                  // filter is a scan-stage predicate,
+                                  // never an exchange, so the retraction
+                                  // lane's entire read-path footprint is
+                                  // zero extra shuffles
     "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
                                   // agg + norm collect fold) +
                                   // |sources|-row window sorts + the q112
