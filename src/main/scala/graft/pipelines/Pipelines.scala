@@ -34,15 +34,28 @@ object SalesPipeline {
     * advance the watermark (reference update_clean_data.py:41-107). Seeding
     * is the same call on an empty warehouse (checkpoint None → extract all,
     * like seed_historical.py). Returns rows processed.
+    *
+    * `landing` is the [[UpsertSink]] seam made a parameter: the default
+    * lands in the parquet warehouse itself, and a JDBC deployment passes
+    * [[graft.sources.Jdbc.JdbcStagedMergeSink]] (or the MySQL
+    * row-statement sink) with NOTHING else changing — the watermark
+    * checkpoint stays in `wh` and still advances only AFTER the sink's
+    * merge commits (§7.3), so a crash between the two replays the window
+    * into the keyed merge, which is idempotent on every sink in the
+    * family. Live-tested end to end against embedded Derby
+    * (JdbcLiveSpec: the same nightly cycle, a real PRIMARY KEY, replay
+    * a no-op).
     */
-  def update(wh: Warehouse, srcDir: String, upToId: Option[Long] = None): Long = {
+  def update(wh: Warehouse, srcDir: String, upToId: Option[Long] = None,
+             landing: Option[UpsertSink] = None): Long = {
+    val sink = landing.getOrElse(wh)
     val cp = wh.checkpoint("sales_last_ven_id").getOrElse(Long.MinValue)
     val incoming = source(wh.spark, srcDir, upToId)
       .filter(col("ven_id") > cp) // P7 high-water-mark predicate
       .cache()
     val n = incoming.count()
     if (n > 0) {
-      wh.upsert("ventas_limpias", incoming, Seq("ven_id"), "ven_id", "ven_id")
+      sink.upsert("ventas_limpias", incoming, Seq("ven_id"), "ven_id", "ven_id")
       val maxId = incoming.agg(max(col("ven_id"))).first().getLong(0)
       wh.setCheckpoint("sales_last_ven_id", maxId) // after sink commit (§7.3)
     }

@@ -136,6 +136,48 @@ class JdbcLiveSpec extends SparkSpec {
     assert(spark.read.jdbc(src.url, "\"trunc_probe\"", src.properties).count() == 0)
   }
 
+  test("nightly sales cycle live: seed + catch-up + replay through the staged-merge sink against a real PK") {
+    import graft.pipelines.{SalesPipeline, Warehouse}
+    import graft.operators.Sales
+    val dir = "/root/testdata/sf0.001"
+    // schema owned by the deployment, as the sink contract says: the
+    // waterfallClean frame is (BIGINT, TIMESTAMP, DOUBLE x4)
+    tryExec("DROP TABLE \"ventas_limpias\"")
+    tryExec("DROP TABLE \"ventas_limpias_stg\"")
+    val cols = "\"ven_id\" BIGINT NOT NULL, \"fecha_hora\" TIMESTAMP, " +
+      "\"efectivo\" DOUBLE, \"tarjeta\" DOUBLE, \"otros\" DOUBLE, " +
+      "\"total_venta\" DOUBLE"
+    exec(s"""CREATE TABLE "ventas_limpias" ($cols, PRIMARY KEY ("ven_id"))""")
+    exec(s"""CREATE TABLE "ventas_limpias_stg" ($cols)""")
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-derby-wh").toString)
+    val sink = Some(new Jdbc.JdbcStagedMergeSink(src, batchSize = 200)
+      : graft.pipelines.UpsertSink)
+    val full = Sales.waterfallClean(spark, dir)
+    val midId = full.agg(expr("percentile_approx(ven_id, 0.5)")).first().getLong(0)
+
+    // the PipelinesSpec nightly cycle, landing in Derby instead of
+    // parquet: seed half, catch up, then a no-op night — checkpoints
+    // stay in the parquet warehouse, the sink is the only moving part
+    val n1 = SalesPipeline.update(wh, dir, upToId = Some(midId), landing = sink)
+    val n2 = SalesPipeline.update(wh, dir, landing = sink)
+    val n3 = SalesPipeline.update(wh, dir, landing = sink)
+    assert(n1 > 0 && n2 > 0 && n3 == 0)
+    def landed(): Seq[String] =
+      spark.read.jdbc(src.url, "\"ventas_limpias\"", src.properties)
+        .collect().map(_.mkString("|")).toSeq.sorted
+    val want = full.collect().map(_.mkString("|")).toSeq.sorted
+    assert(landed() == want,
+      "incremental nights through the live merge sink != the full rebuild")
+
+    // crash-window replay: re-merge night 2's whole window verbatim
+    // (checkpoint not yet advanced) — the keyed MERGE makes it a no-op
+    new Jdbc.JdbcStagedMergeSink(src, batchSize = 200).upsert(
+      "ventas_limpias", full.filter(col("ven_id") > midId),
+      Seq("ven_id"), "ven_id", "ven_id")
+    assert(landed() == want, "a replayed window must be a no-op on the DB")
+  }
+
   test("statement builders: ANSI merge quotes and validates like the MySQL twin") {
     val m = Jdbc.stagedMergeSql("inv", "inv_stg",
       Seq("art_id", "qty", "ver"), Seq("art_id"))
