@@ -34,7 +34,11 @@ shift || true; shift || true; shift || true
 # q124 (grouped sketch over one tokenize pass) and q125 (the cube's
 # finest-grain drift reader) joined r15; q122/q123 stay off the list
 # (dispatchers whose live branch is the cheap bounded formulation)
-TOP15="q91 q88 q102 q99 q110 q98 q66 q74 q76 q97 q72 q22 q95 q51 q87 q111 q114 q116 q118 q119 q120 q121 q124 q125"
+# q101/q103 joined r16 (the funnel pair was the one sweep-adjudication
+# class with no solo anchor — r15 verdict wrong #3); q126 joined r16
+# (the retraction lane's driver row — q119's read over the retracted
+# fixture, rqidx cache tier)
+TOP15="q91 q88 q102 q99 q110 q98 q66 q74 q76 q97 q72 q22 q95 q51 q87 q101 q103 q111 q114 q116 q118 q119 q120 q121 q124 q125 q126"
 QUERIES=${*:-$TOP15}
 
 if pgrep -f "^java .*graft\.(Bench|Verify)" >/dev/null; then
