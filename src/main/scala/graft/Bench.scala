@@ -186,6 +186,9 @@ object Bench {
       // retract — the shared tqidx tier must never see the retraction)
       ("rqidx", Set("q126"),
         () => operators.QuantileIndex.retractedIndexAtRest(spark, sfDir): Unit),
+      // the q127 retracted band-index fixture (build + three-table swap)
+      ("rbandidx", Set("q127"),
+        () => operators.Dedup.retractedCorpusIndex(spark, sfDir): Unit),
       // the corpus seen-set bitset (256 KB driver state via the typed
       // Bloom Aggregator; consumes the shingle cache, listed after it)
       ("bloom", Set("q84"),

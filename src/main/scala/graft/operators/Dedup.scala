@@ -776,6 +776,18 @@ object Dedup {
     fresh
   }
 
+  /** [[retractFromCorpusIndexOf]] against this context's memoized
+    * per-dir index — [[appendToCorpusIndex]]'s retraction twin (the
+    * refreshed index is re-memoized so the next screen sees the
+    * narrowed corpus).
+    */
+  def retractFromCorpusIndex(spark: SparkSession, dir: String,
+                             docIds: DataFrame): CorpusIndex = {
+    val fresh = retractFromCorpusIndexOf(corpusIndex(spark, dir), docIds)
+    installCorpusIndex(spark, dir, fresh)
+    fresh
+  }
+
   /** The index advance against an EXPLICIT index (no memo traffic) —
     * [[screenAgainstIndexOf]]'s append half, shared by the per-dir path
     * above and the pipeline's live-corpus index.
@@ -860,7 +872,14 @@ object Dedup {
       wh.read("corpus_shingles"), wh.read("corpus_docs"), idx.root)
   }
 
-  val deltaMinhashSql: String = {
+  /** The q74 full-rebuild oracle with the CORPUS-side membership as a
+    * parameter — shared by the standing q74 oracle (the whole `%10<8`
+    * corpus) and the q127 retraction oracle (the corpus minus the
+    * retracted ninth): only the candidate join's corpus side narrows;
+    * the signature CTEs stay whole-table (a retracted doc's bands can
+    * only matter through `c`, which the predicate excludes).
+    */
+  private def deltaMinhashSqlWith(corpusPred: String): String = {
     val minCols = A.indices
       .map(j => s"min((${A(j)} * x + ${B(j)}) % $P) AS v$j").mkString(",\n      |    ")
     val bandSelects = (0 until Bands).map { bd =>
@@ -878,7 +897,7 @@ object Dedup {
       |cand AS (
       |  SELECT DISTINCT i.doc_id AS di, c.doc_id AS dc
       |  FROM bands i JOIN bands c ON i.band = c.band AND i.sig = c.sig
-      |  WHERE i.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
+      |  WHERE i.doc_id % 10 >= 8 AND $corpusPred),
       |ds AS (SELECT doc_id, $shingles3Sql AS sh FROM toks),
       |v AS (
       |  SELECT di, dc, len(list_intersect(sa.sh, sb.sh)) AS inter,
@@ -888,6 +907,8 @@ object Dedup {
       |FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
       |ORDER BY di, dc""".stripMargin
   }
+
+  val deltaMinhashSql: String = deltaMinhashSqlWith("c.doc_id % 10 < 8")
 
   /** q80 — signature-space similarity estimate (Broder '97's estimator):
     * for every LSH candidate pair, the fraction of MATCHING minhash
@@ -1445,6 +1466,16 @@ object Dedup {
     fresh
   }
 
+  /** [[retractFromWinnowIndexOf]] against this context's memoized
+    * per-dir index — [[appendToWinnowIndex]]'s retraction twin.
+    */
+  def retractFromWinnowIndex(spark: SparkSession, dir: String,
+                             docIds: DataFrame): WinnowIndex = {
+    val fresh = retractFromWinnowIndexOf(winnowIndexAtRest(spark, dir), docIds)
+    installWinnowIndex(spark, dir, fresh)
+    fresh
+  }
+
   /** The append with the index as an argument — the
     * [[appendToCorpusIndexOf]] twin for callers that own their index
     * (the pipeline's live winnow index); no memo interaction.
@@ -1499,6 +1530,68 @@ object Dedup {
     WinnowIndex(wh.read("corpus_winnow"),
       wh.read("corpus_winnow_docs"), idx.root)
   }
+
+  // ---------- q127: the retraction lane on the gate, per-row-store flavor
+
+  private val retractedBandMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String, String), CorpusIndex]
+
+  /** The q127 fixture: the q74 at-rest band index built through the
+    * normal path, then [[retractFromCorpusIndexOf]]-ed of the shared
+    * retraction predicate ([[QuantileIndex.RetractPredSql]] — the same
+    * ninth of the corpus q126 retracts). Its OWN root and memo (keyed
+    * with the hash mode, like every signature-bearing index): the
+    * shared q74 index must never see the retraction.
+    */
+  private[graft] def retractedCorpusIndex(spark: SparkSession,
+                                          dir: String): CorpusIndex = {
+    val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
+    retractedBandMemo.get(key).getOrElse {
+      val root = java.nio.file.Files.createTempDirectory("graft_rbandidx_").toString
+      val docs = Tables.documents(spark, dir)
+      val built = corpusIndexAt(spark, root,
+        docs.filter(col("doc_id") % 10 < 8).select(col("doc_id"), col("text")))
+      val retr = retractFromCorpusIndexOf(built,
+        docs.filter(expr(QuantileIndex.RetractPredSql)).select(col("doc_id")))
+      retractedBandMemo.putIfAbsent(key, retr) match {
+        case Some(winner) => deleteRootDir(root); winner
+        case None => createdRoots.synchronized { createdRoots += root }; retr
+      }
+    }
+  }
+
+  /** Drop this context's memoized retracted band fixtures; owned roots
+    * deleted ([[clearCorpusIndex]] semantics).
+    */
+  def clearRetractedCorpusIndex(spark: SparkSession): Unit =
+    retractedBandMemo.keys.filter(_._1 eq spark.sparkContext).foreach { k =>
+      retractedBandMemo.remove(k).foreach { ci =>
+        val owned = createdRoots.synchronized { createdRoots.remove(ci.root) }
+        if (owned) deleteRootDir(ci.root)
+      }
+    }
+
+  /** q127 — the retraction lane on the driver gate for the PER-ROW-STORE
+    * flavor (q126 proves the additive flavor): q74's screen, plan
+    * VERBATIM, against an at-rest band index that has RETRACTED a ninth
+    * of the corpus via the manifest-first anti-join swaps. The oracle
+    * narrows ONLY the candidate join's corpus side to the survivors, so
+    * the driver hash compare passes iff the three-table swap left the
+    * screen behaving exactly like an index that never ingested the
+    * retracted docs — no ghost candidate pairs, no lost survivor rows,
+    * bit for bit (the swap ≡ rebuild equivalence of RetractionSpec,
+    * now hash-proved cross-engine).
+    */
+  def retractMinhash(spark: SparkSession, dir: String): DataFrame =
+    screenAgainstIndexOf(retractedCorpusIndex(spark, dir),
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8))
+
+  /** Oracle: the q74 full-rebuild formulation restricted to the
+    * surviving corpus docs.
+    */
+  val retractMinhashSql: String =
+    deltaMinhashSqlWith("c.doc_id % 10 < 8 AND c.doc_id % 9 <> 4")
 
   /** q88 — winnow delta-screen: the INCREMENTAL twin of q86, and the
     * deterministic-guarantee analog of q74. The batch (q61's

@@ -1212,6 +1212,17 @@ object Similarity {
     widened
   }
 
+  /** [[retractFromAnnIndexOf]] against this context's memoized per-dir
+    * index — [[appendToAnnIndex]]'s retraction twin (FAISS
+    * `remove_ids` on the open index).
+    */
+  def retractFromAnnIndex(spark: SparkSession, dir: String,
+                          vecIds: DataFrame): AnnIndex = {
+    val narrowed = retractFromAnnIndexOf(annIndexAtRest(spark, dir), vecIds)
+    installAnnIndex(spark, dir, narrowed)
+    narrowed
+  }
+
   /** The append with the index and the frozen fits as arguments — the
     * [[Dedup.appendToWinnowIndexOf]] twin for callers that own their
     * index; geometry rides in with the codebooks, no memo interaction

@@ -57,6 +57,36 @@ object StreamingAnn {
     graft.TransientCache.drain()
   }
 
+  /** The retraction unit — [[StreamingDedup.retractBatch]]'s embedding
+    * twin: FAISS `remove_ids` on the open index
+    * ([[Similarity.retractFromAnnIndex]] — survivor codes byte-stable
+    * under the frozen fits) and a sweep of `ann_matches` for every row
+    * naming a retracted vector on EITHER side (as query or neighbor).
+    */
+  def retractBatch(dir: String, wh: Warehouse, vecIds: DataFrame,
+                   indexRoot: Option[String] = None): Unit = {
+    val spark = vecIds.sparkSession
+    indexRoot.foreach(Similarity.openAnnIndex(spark, dir, _))
+    val ids = vecIds.select(col("vec_id")).dropDuplicates("vec_id")
+    Similarity.retractFromAnnIndex(spark, dir, ids)
+    if (wh.exists("ann_matches"))
+      wh.write("ann_matches", wh.read("ann_matches")
+        .join(broadcast(ids.select(col("vec_id").as("q_id"))), Seq("q_id"), "left_anti")
+        .join(broadcast(ids), Seq("vec_id"), "left_anti"))
+    graft.TransientCache.drain()
+  }
+
+  /** One CONTROL micro-batch — op-routed advance/retract (the
+    * [[StreamingQuantileIndex.processControlBatch]] convention).
+    */
+  def processControlBatch(dir: String, wh: Warehouse, batch: DataFrame,
+                          indexRoot: Option[String] = None): Unit = {
+    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    if (!adds.isEmpty) processBatch(dir, wh, adds, indexRoot)
+    val rets = batch.filter(col("op") === "retract").drop("op")
+    if (!rets.isEmpty) retractBatch(dir, wh, rets, indexRoot)
+  }
+
   /** Wire an embeddings stream into the loop. Each micro-batch runs
     * [[processBatch]]; the streaming checkpoint gives at-least-once
     * delivery and the batch body upgrades it to exactly-once effect

@@ -33,6 +33,14 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   */
 object StreamingCardinality {
 
+  // No retraction control lane here, deliberately: max registers are
+  // non-invertible (the same idempotent max that makes this twin
+  // manifest-free), so a retract message carrying the deleted docs
+  // could not be served from the stream — retraction for this family
+  // is the documented batch rebuild-on-retract lane
+  // ([[graft.operators.Sketch.retractHllRebuild]] over the surviving
+  // element stream, amortized by batching takedowns).
+
   /** One micro-batch: tokenize/shingle/hash the batch docs exactly as
     * the at-rest seed did, advance the registers, log the estimate.
     */

@@ -70,6 +70,45 @@ object StreamingDedup {
     graft.TransientCache.drain() // the screen's transients die with the batch
   }
 
+  /** The retraction unit — shared VERBATIM by the control lane below
+    * and any batch caller (streamed ≡ batch as an identity of code, the
+    * family discipline): take the retracted docs out of the at-rest
+    * index (manifest-first anti-join swaps,
+    * [[Dedup.retractFromCorpusIndex]]) AND sweep the derived
+    * `dedup_pairs` table of every pair referencing them — pairs naming
+    * a deleted doc are themselves derived data the takedown reaches.
+    * Idempotent id-keyed ops throughout; serial with batches like every
+    * sibling op.
+    */
+  def retractBatch(dir: String, wh: Warehouse, docIds: DataFrame,
+                   indexRoot: Option[String] = None): Unit = {
+    val spark = docIds.sparkSession
+    indexRoot.foreach(Dedup.openCorpusIndex(spark, dir, _))
+    val ids = docIds.select(col("doc_id")).dropDuplicates("doc_id")
+    Dedup.retractFromCorpusIndex(spark, dir, ids)
+    if (wh.exists("dedup_pairs"))
+      wh.write("dedup_pairs", wh.read("dedup_pairs")
+        .join(broadcast(ids.select(col("doc_id").as("di"))), Seq("di"), "left_anti")
+        .join(broadcast(ids.select(col("doc_id").as("dc"))), Seq("dc"), "left_anti"))
+    graft.TransientCache.drain()
+  }
+
+  /** One CONTROL micro-batch — the retraction lane's streamed form (the
+    * [[StreamingQuantileIndex.processControlBatch]] convention): rows
+    * carry `op = "advance" | "retract"`; advances fold first, then
+    * retractions cancel, so a doc arriving and being recalled in one
+    * micro-batch nets to absent. Both halves are the batch units
+    * verbatim, so redelivery and crash replay inherit their whole
+    * contracts.
+    */
+  def processControlBatch(dir: String, wh: Warehouse, batch: DataFrame,
+                          indexRoot: Option[String] = None): Unit = {
+    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    if (!adds.isEmpty) processBatch(dir, wh, adds, indexRoot)
+    val rets = batch.filter(col("op") === "retract").drop("op")
+    if (!rets.isEmpty) retractBatch(dir, wh, rets, indexRoot)
+  }
+
   /** Wire a documents stream into the loop. Each micro-batch runs
     * [[processBatch]]; the streaming checkpoint gives at-least-once
     * delivery and the batch body upgrades it to exactly-once effect

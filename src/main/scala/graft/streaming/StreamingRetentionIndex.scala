@@ -55,6 +55,24 @@ object StreamingRetentionIndex {
     else
       Sessions.advanceRetentionIndex(wh.spark, wh.root, batch)
 
+  /** One CONTROL micro-batch — op-routed advance/opt-out (the
+    * [[StreamingQuantileIndex.processControlBatch]] convention): rows
+    * with `op = "retract"` are USER OPT-OUT messages (only `user_id`
+    * matters; the event payload rides for schema uniformity) and drop
+    * every at-rest row of those users
+    * ([[Sessions.retractRetentionUsers]] — ret_user-first swaps);
+    * everything else advances as usual. Both halves are the batch units
+    * verbatim.
+    */
+  def processControlBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    if (!adds.isEmpty) processBatch(wh, adds, batchId)
+    val rets = batch.filter(col("op") === "retract").drop("op")
+    if (!rets.isEmpty)
+      Sessions.retractRetentionUsers(wh.spark, wh.root, rets.select(col("user_id")))
+  }
+
   /** foreachBatch sink wiring: checkpointed, available-now triggered —
     * the [[StreamingDedup.sink]] convention.
     */

@@ -38,6 +38,25 @@ object StreamingTransitionsIndex {
   def processBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit =
     Sessions.advanceTransitionsIndex(wh.spark, wh.root, batch)
 
+  /** One CONTROL micro-batch — op-routed advance/opt-out (the
+    * [[StreamingQuantileIndex.processControlBatch]] convention). A
+    * `retract` message carries the opted-out users' COMPLETE ingested
+    * event history — the natural CDC delete payload (the rows the
+    * takedown deletes), and exactly what
+    * [[Sessions.retractTransitionsUsers]] needs to cancel their
+    * additive cells (a user's transitions never cross users, so their
+    * full-history delta negated is their exact total contribution).
+    * Both halves are the batch units verbatim.
+    */
+  def processControlBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    if (!adds.isEmpty) processBatch(wh, adds, batchId)
+    val rets = batch.filter(col("op") === "retract").drop("op")
+    if (!rets.isEmpty)
+      Sessions.retractTransitionsUsers(wh.spark, wh.root, rets)
+  }
+
   /** foreachBatch sink wiring: checkpointed, available-now triggered —
     * the [[StreamingDedup.sink]] convention.
     */

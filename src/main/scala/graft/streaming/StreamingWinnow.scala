@@ -63,6 +63,37 @@ object StreamingWinnow {
     graft.TransientCache.drain() // the screen's transients die with the batch
   }
 
+  /** The retraction unit — [[StreamingDedup.retractBatch]]'s winnow
+    * twin, shared verbatim by the control lane and batch callers: drop
+    * the docs from the at-rest fingerprint index (manifest-first swaps,
+    * [[Dedup.retractFromWinnowIndex]]) and sweep `winnow_pairs` of
+    * every pair referencing them.
+    */
+  def retractBatch(dir: String, wh: Warehouse, docIds: DataFrame,
+                   indexRoot: Option[String] = None): Unit = {
+    val spark = docIds.sparkSession
+    indexRoot.foreach(Dedup.openWinnowIndex(spark, dir, _))
+    val ids = docIds.select(col("doc_id")).dropDuplicates("doc_id")
+    Dedup.retractFromWinnowIndex(spark, dir, ids)
+    if (wh.exists("winnow_pairs"))
+      wh.write("winnow_pairs", wh.read("winnow_pairs")
+        .join(broadcast(ids.select(col("doc_id").as("di"))), Seq("di"), "left_anti")
+        .join(broadcast(ids.select(col("doc_id").as("dc"))), Seq("dc"), "left_anti"))
+    graft.TransientCache.drain()
+  }
+
+  /** One CONTROL micro-batch — op-routed advance/retract (the
+    * [[StreamingQuantileIndex.processControlBatch]] convention; both
+    * halves are the batch units verbatim).
+    */
+  def processControlBatch(dir: String, wh: Warehouse, batch: DataFrame,
+                          indexRoot: Option[String] = None): Unit = {
+    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    if (!adds.isEmpty) processBatch(dir, wh, adds, indexRoot)
+    val rets = batch.filter(col("op") === "retract").drop("op")
+    if (!rets.isEmpty) retractBatch(dir, wh, rets, indexRoot)
+  }
+
   /** Wire a documents stream into the loop. Each micro-batch runs
     * [[processBatch]]; the streaming checkpoint gives at-least-once
     * delivery and the batch body upgrades it to exactly-once effect

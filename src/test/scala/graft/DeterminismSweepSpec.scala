@@ -151,7 +151,10 @@ class DeterminismSweepSpec extends SparkSpec {
     // the q119 argument over a ledger holding NEGATIVE retraction
     // deltas: additive integer counts, the Σnv≠0 filter, rank-selected
     // cuts (q126)
-    "q126_retract_quantiles")
+    "q126_retract_quantiles",
+    // the q74 argument over a RETRACTED band index: index-screened
+    // delta pairs off swapped tables (q127)
+    "q127_retract_minhash")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself
@@ -166,6 +169,7 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Sessions.clearTransitionsIndex(spark)
     graft.operators.QuantileIndex.clearIndex(spark)
     graft.operators.QuantileIndex.clearRetractedIndex(spark)
+    graft.operators.Dedup.clearRetractedCorpusIndex(spark)
     graft.operators.Analytics.clearDispatchMemo(spark)
     // CacheManager matches by logical plan, so a cached winnow index
     // built under one partition count would serve the other verbatim —

@@ -397,6 +397,10 @@ class PlanLintSpec extends SparkSpec {
                                   // never an exchange, so the retraction
                                   // lane's entire read-path footprint is
                                   // zero extra shuffles
+    "q127_retract_minhash" -> 8,  // q74's screen plan verbatim over the
+                                  // RETRACTED band index root — the
+                                  // three-table swap leaves the read
+                                  // path untouched (same budget as q74)
     "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
                                   // agg + norm collect fold) +
                                   // |sources|-row window sorts + the q112

@@ -217,6 +217,17 @@ class RetractionSpec extends SparkSpec {
     assert(manifestOf(s"$tmp/wh") == manifestOf(rebuild))
   }
 
+  test("q127 read == the screen against an independently rebuilt survivor index (the driver row, locally)") {
+    val got = Dedup.retractMinhash(spark, dir).collect().toSeq
+    TransientCache.drain()
+    val b = Dedup.corpusIndexAt(spark, tmpRoot("mh127"),
+      surviving.select(col("doc_id"), col("text")))
+    val want = Dedup.screenAgainstIndexOf(b,
+      docs.filter(col("doc_id") % 10 >= 8)).collect().toSeq
+    TransientCache.drain()
+    assert(got == want, "post-retraction screen != survivor-rebuilt screen")
+  }
+
   // ------------------------------------------- band + winnow + ANN
 
   test("band index: retract == independent rebuild over survivors; idempotent; re-offer == full build") {
@@ -410,6 +421,138 @@ class RetractionSpec extends SparkSpec {
     Sessions.retractTransitionsUsers(spark, c, history) // the replay
     assert(cellsOf(c) == cellsOf(b), "mid-crash replay double-cancelled")
     assert(carryOf(c) == carryOf(b))
+  }
+
+  private def op(df: DataFrame, o: String): DataFrame =
+    df.withColumn("op", lit(o))
+
+  test("streaming control lanes: the three screen twins route advance/retract, sweep their pairs, and no-op on redelivery") {
+    import graft.streaming.{StreamingAnn, StreamingDedup, StreamingWinnow}
+    val b8 = docs.filter(col("doc_id") % 10 === 8).select(col("doc_id"), col("text"))
+    val b9 = docs.filter(col("doc_id") % 10 === 9).select(col("doc_id"), col("text"))
+    val retrDocs = retracted.select(col("doc_id"), col("text"))
+    val ids = retracted.select(col("doc_id"))
+
+    // --- fuzzy tier: advance, then a MIXED batch (arrivals + a retract
+    // control message), then the mixed batch REDELIVERED
+    Dedup.clearCorpusIndex(spark)
+    val rootD = tmpRoot("scD")
+    val whD = new Warehouse(spark, tmpRoot("scDwh"))
+    val mixed = op(b9, "advance").unionByName(op(retrDocs, "retract"))
+    StreamingDedup.processControlBatch(dir, whD, op(b8, "advance"), Some(rootD))
+    StreamingDedup.processControlBatch(dir, whD, mixed, Some(rootD))
+    val dTabs = Seq("corpus_docs", "corpus_shingles", "corpus_band_index")
+    val whDi = new Warehouse(spark, rootD)
+    val before = dTabs.map(t => t -> rowsOf(whDi.read(t))).toMap +
+      ("pairs" -> rowsOf(whD.read("dedup_pairs")))
+    StreamingDedup.processControlBatch(dir, whD, mixed, Some(rootD)) // redelivery
+    dTabs.foreach(t => assert(rowsOf(whDi.read(t)) == before(t),
+      s"$t moved on a redelivered control batch"))
+    assert(rowsOf(whD.read("dedup_pairs")) == before("pairs"))
+    // retracted ids gone from index AND pairs (either side)
+    dTabs.foreach(t =>
+      assert(whDi.read(t).join(ids, Seq("doc_id"), "left_semi").isEmpty, t))
+    assert(whD.read("dedup_pairs")
+      .join(ids.withColumnRenamed("doc_id", "dc"), Seq("dc"), "left_semi").isEmpty)
+    // end state == an index independently built over survivors + both
+    // streamed batches (content-deterministic signatures)
+    val rebuilt = Dedup.corpusIndexAt(spark, tmpRoot("scDrb"),
+      surviving.select(col("doc_id"), col("text"))
+        .unionByName(b8).unionByName(b9))
+    for (t <- dTabs)
+      assert(rowsOf(whDi.read(t)) ==
+        rowsOf(new Warehouse(spark, rebuilt.root).read(t)),
+        s"$t: streamed control lane != survivor rebuild")
+    Dedup.clearCorpusIndex(spark)
+
+    // --- winnow tier
+    Dedup.clearWinnowIndexAtRest(spark)
+    val rootW = tmpRoot("scW")
+    val whW = new Warehouse(spark, tmpRoot("scWwh"))
+    StreamingWinnow.processControlBatch(dir, whW, op(b8, "advance"), Some(rootW))
+    StreamingWinnow.processControlBatch(dir, whW, mixed, Some(rootW))
+    StreamingWinnow.processControlBatch(dir, whW, mixed, Some(rootW)) // redelivery
+    val whWi = new Warehouse(spark, rootW)
+    for (t <- Seq("corpus_winnow_docs", "corpus_winnow"))
+      assert(whWi.read(t).join(ids, Seq("doc_id"), "left_semi").isEmpty, t)
+    assert(whW.read("winnow_pairs")
+      .join(ids.withColumnRenamed("doc_id", "dc"), Seq("dc"), "left_semi").isEmpty)
+    Dedup.clearWinnowIndexAtRest(spark)
+
+    // --- embedding tier
+    Similarity.clearAnnIndex(spark)
+    val rootA = tmpRoot("scA")
+    val whA = new Warehouse(spark, tmpRoot("scAwh"))
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val v8 = emb.filter(col("vec_id") % 10 === 8)
+    val v9 = emb.filter(col("vec_id") % 10 === 9)
+    val retrV = emb.filter(col("vec_id") % 10 < 8 && col("vec_id") % 9 === 4)
+    val vMixed = op(v9, "advance").unionByName(op(retrV, "retract"))
+    Similarity.openAnnIndex(spark, dir, rootA)
+    StreamingAnn.processControlBatch(dir, whA, op(v8, "advance"), Some(rootA))
+    StreamingAnn.processControlBatch(dir, whA, vMixed, Some(rootA))
+    StreamingAnn.processControlBatch(dir, whA, vMixed, Some(rootA)) // redelivery
+    val vids = retrV.select(col("vec_id"))
+    assert(new Warehouse(spark, rootA).read("corpus_codes")
+      .join(vids, Seq("vec_id"), "left_semi").isEmpty)
+    assert(whA.read("ann_matches")
+      .join(vids, Seq("vec_id"), "left_semi").isEmpty,
+      "matches naming a retracted neighbor must be swept")
+    Similarity.clearAnnIndex(spark)
+  }
+
+  test("streaming control lanes: the event twins treat retract as a user opt-out message") {
+    import graft.streaming.{StreamingRetentionIndex, StreamingTransitionsIndex}
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+    val bnd = ev.agg(min(col("day")), max(col("day"))).head()
+    val (lo, hi) = (bnd.getLong(0), bnd.getLong(1))
+    val step = math.max(1L, (hi - lo + 2) / 2) // two slices cover everything
+    def slice(i: Int): DataFrame = ev
+      .filter(col("day") >= lo + i * step && col("day") < lo + (i + 1) * step)
+    val optOutPred = col("user_id") % 5 === 2
+    val history = ev.filter(optOutPred)
+
+    // --- retention: advance slice 0; mixed batch = slice 1 + opt-out
+    val whR = new Warehouse(spark, tmpRoot("scR"))
+    def rEv(df: DataFrame) = df.select(col("user_id"), col("ts"))
+    StreamingRetentionIndex.processControlBatch(whR, op(rEv(slice(0)), "advance"), 0L)
+    val rMixed = op(rEv(slice(1)), "advance").unionByName(op(rEv(history), "retract"))
+    StreamingRetentionIndex.processControlBatch(whR, rMixed, 1L)
+    val beforeR = Seq("ret_user", "ret_weeks").map(t => t -> rowsOf(whR.read(t))).toMap
+    StreamingRetentionIndex.processControlBatch(whR, rMixed, 2L) // redelivery
+    Seq("ret_user", "ret_weeks").foreach(t =>
+      assert(rowsOf(whR.read(t)) == beforeR(t), s"$t moved on redelivery"))
+    // == rebuild over the surviving users' events
+    val rb = tmpRoot("scRrb")
+    Sessions.retentionIndexAt(spark, rb, ev.filter(!optOutPred))
+    for (t <- Seq("ret_user", "ret_weeks"))
+      assert(rowsOf(whR.read(t)) == rowsOf(new Warehouse(spark, rb).read(t)),
+        s"$t: streamed opt-out != survivor rebuild")
+
+    // --- transitions: same shape; the retract message carries the
+    // users' complete ingested history (the CDC delete payload)
+    val whT = new Warehouse(spark, tmpRoot("scT"))
+    def tEv(df: DataFrame) = df.select(col("user_id"), col("ts"),
+      col("event_id"), col("event_type"))
+    StreamingTransitionsIndex.processControlBatch(whT, op(tEv(slice(0)), "advance"), 0L)
+    val tMixed = op(tEv(slice(1)), "advance").unionByName(op(tEv(history), "retract"))
+    StreamingTransitionsIndex.processControlBatch(whT, tMixed, 1L)
+    StreamingTransitionsIndex.processControlBatch(whT, tMixed, 2L) // redelivery
+    def cellsOf(root: String): Map[(String, String), Long] =
+      new Warehouse(spark, root).read("tr_deltas")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(sum(col("n")).as("n")).filter(col("n") =!= 0)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tb = tmpRoot("scTrb")
+    (0 until 2).foreach(i =>
+      Sessions.advanceTransitionsIndex(spark, tb, tEv(slice(i).filter(!optOutPred))))
+    assert(cellsOf(whT.root) == cellsOf(tb),
+      "streamed opt-out cells != survivor rebuild")
+    assert(whT.read("tr_last").filter(optOutPred).isEmpty,
+      "opted-out users' carry must leave tr_last")
   }
 
   // ------------------------------------------------------ live lane
