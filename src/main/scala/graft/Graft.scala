@@ -90,6 +90,39 @@ object Graft {
   def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame =
     Graph.connectedComponents(edges, src, dst)
 
+  // --- retraction lane (takedowns / opt-outs / source recalls) -------------
+
+  /** Purge a doc set from the live corpus pipeline — every maintained
+    * table, both screen indexes, the raw ledger (so a rebuild cannot
+    * resurrect), with re-offered content re-screened fresh. See
+    * [[pipelines.CorpusPipeline.retractFromLive]].
+    */
+  def retractDocs(wh: Warehouse, docIds: DataFrame): Unit =
+    pipelines.CorpusPipeline.retractFromLive(wh, docIds)
+
+  /** Cancel documents out of the at-rest quantile cube (negative-delta
+    * retraction; the docs frame is the takedown payload). See
+    * [[operators.QuantileIndex.retract]].
+    */
+  def retractFromQuantileIndex(spark: SparkSession, root: String,
+                               docs: DataFrame): Unit =
+    QuantileIndex.retract(spark, root, docs)
+
+  /** User opt-out for the retention index (drops every at-rest row of
+    * the users). See [[operators.Sessions.retractRetentionUsers]].
+    */
+  def retractUsersFromRetention(spark: SparkSession, root: String,
+                                userIds: DataFrame): Unit =
+    Sessions.retractRetentionUsers(spark, root, userIds)
+
+  /** User opt-out for the transitions ledger — `userEvents` is the
+    * users' complete ingested history (the CDC delete payload). See
+    * [[operators.Sessions.retractTransitionsUsers]].
+    */
+  def retractUsersFromTransitions(spark: SparkSession, root: String,
+                                  userEvents: DataFrame): Unit =
+    Sessions.retractTransitionsUsers(spark, root, userEvents)
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = Graph.dedupClusters(spark, dir)
   def piiScrub(spark: SparkSession, dir: String): DataFrame = TextOps.piiScrub(spark, dir)
   def docRanks(spark: SparkSession, dir: String): DataFrame = Analytics.docRanks(spark, dir)
