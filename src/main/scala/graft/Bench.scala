@@ -189,6 +189,10 @@ object Bench {
       // the q127 retracted band-index fixture (build + three-table swap)
       ("rbandidx", Set("q127"),
         () => operators.Dedup.retractedCorpusIndex(spark, sfDir): Unit),
+      // the q128 retracted retention fixture (seed + per-user swaps —
+      // its OWN root: the shared q113 index must never see it)
+      ("rretidx", Set("q128"),
+        () => operators.Sessions.retractedRetentionIndexAtRest(spark, sfDir): Unit),
       // the corpus seen-set bitset (256 KB driver state via the typed
       // Bloom Aggregator; consumes the shingle cache, listed after it)
       ("bloom", Set("q84"),

@@ -123,6 +123,31 @@ object Graft {
                                   userEvents: DataFrame): Unit =
     Sessions.retractTransitionsUsers(spark, root, userEvents)
 
+  /** Advance one ingest window's register stripe of the EPOCH-STRIPED
+    * cardinality index (`hashes` = the window's element stream). See
+    * [[operators.Sketch.advanceHllEpoch]].
+    */
+  def advanceCardinalityEpoch(spark: SparkSession, root: String, epoch: Long,
+                              hashes: DataFrame): Unit =
+    Sketch.advanceHllEpoch(spark, root, epoch, hashes)
+
+  /** O(affected windows) retraction for the striped cardinality index:
+    * drop the named epochs, re-max their survivors (`survivors` =
+    * (epoch, sh_h), affected windows only). See
+    * [[operators.Sketch.retractHllEpochs]].
+    */
+  def retractCardinalityEpochs(spark: SparkSession, root: String,
+                               epochs: Seq[Long], survivors: DataFrame): Unit =
+    Sketch.retractHllEpochs(spark, root, epochs, survivors)
+
+  /** Full rebuild-on-retract for the collapsed cardinality lane (the
+    * fallback when the epoch → docs mapping is unknown). See
+    * [[operators.Sketch.retractHllRebuild]].
+    */
+  def retractCardinalityRebuild(spark: SparkSession, root: String,
+                                survivingHashes: DataFrame): Unit =
+    Sketch.retractHllRebuild(spark, root, survivingHashes)
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = Graph.dedupClusters(spark, dir)
   def piiScrub(spark: SparkSession, dir: String): DataFrame = TextOps.piiScrub(spark, dir)
   def docRanks(spark: SparkSession, dir: String): DataFrame = Analytics.docRanks(spark, dir)

@@ -88,7 +88,14 @@ import org.apache.spark.sql.functions._
   * under a retraction batch_key — the ledger read already sums, so no
   * histogram row is ever rewritten — and every reader filters Σnv ≠ 0
   * so a fully cancelled cell reads exactly like a rebuild that never
-  * saw the doc. A doc REVISED in a later night is retract + re-offer.
+  * saw the doc. A doc REVISED in a later night is retract + re-offer,
+  * and the cycle composes indefinitely: both directions stamp their
+  * keys with an EPOCH derived from the opposite sign's committed key
+  * set ([[advanceEpoch]] / [[retractEpoch]]), so a re-offer of a
+  * retracted night and a re-retraction of a re-offered set each get
+  * fresh keys — never silently no-oped by the first cycle's marker or
+  * row guards — while each direction's own crash replays stay on the
+  * identical key (its appends never move the opposite sign's set).
   */
 object QuantileIndex {
 
@@ -120,18 +127,71 @@ object QuantileIndex {
 
   /** Deterministic key of the night's OFFERED (deduped) doc set (the
     * Corpus `docSetKey` discipline — order-free xor fold +
-    * cardinality). Keyed off the offered batch, NOT the novel set, so
-    * the key is invariant under every partial-progress crash state
-    * (crash contract 1). Internal guard key only: never compared
+    * cardinality), stamped with the advance-side EPOCH
+    * ([[advanceEpoch]]). Keyed off the offered batch, NOT the novel
+    * set, so the key is invariant under every partial-progress crash
+    * state (crash contract 1). Internal guard key only: never compared
     * against the oracle, so it stays native xxhash64 in every hash
     * mode.
     */
-  private[graft] def docSetKey(ids: DataFrame): DataFrame =
+  private[graft] def docSetKey(ids: DataFrame, epoch: Long = 0L): DataFrame =
     ids.agg(
       coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L)).as("h"),
       count(lit(1)).as("nd"))
-      .select(xxhash64(col("h"), col("nd")).as("batch_key"),
+      .select(xxhash64(col("h"), col("nd"), lit(epoch)).as("batch_key"),
         col("nd").as("n_docs"))
+
+  /** The ADVANCE-side epoch: xor of the committed RETRACTION keys (the
+    * distinct batch_keys of negative-nv ledger rows). Stamping this
+    * into the night key makes a re-offer of a doc set identical to a
+    * committed-then-retracted night derive a FRESH key — so neither
+    * the marker gate nor the (batch_key, g, source, v) row guard can
+    * collide with the original night's still-present positive rows,
+    * and the re-offer restores (takedown reversal for whole nights).
+    * Stable under the advance's own replays by construction: an
+    * advance appends only POSITIVE rows, so the negative-key set —
+    * and with it every partial-progress replay's derived key — cannot
+    * move mid-night (crash contract 1 survives the stamp). Advanced by
+    * any intervening retraction, exactly when a fresh key is wanted.
+    * Dual of [[retractEpoch]] — the `Corpus.retractFromLive` epoch-xor
+    * discipline, specialized to the cube's sign algebra.
+    */
+  private def advanceEpoch(wh: graft.pipelines.Warehouse): Long =
+    if (!wh.exists("tq_hist")) 0L
+    else wh.read("tq_hist").filter(col("nv") < 0)
+      .select(col("batch_key")).distinct()
+      .agg(coalesce(bit_xor(xxhash64(col("batch_key"))), lit(0L)))
+      .head().getLong(0)
+
+  /** The RETRACT-side epoch: xor of the committed POSITIVE (night)
+    * keys. A retraction appends only NEGATIVE rows, so this is stable
+    * under the retraction's own replays — every crash-window replay
+    * derives the identical key and the marker gate / row guards work
+    * exactly as before — while any intervening advance (in particular
+    * the re-offer of the very docs being retracted again) flips the
+    * epoch and gives the second retraction a fresh key: the
+    * retract → re-offer → retract cycle cancels instead of silently
+    * no-oping on the first retraction's marker.
+    */
+  private def retractEpoch(wh: graft.pipelines.Warehouse): Long =
+    wh.read("tq_hist").filter(col("nv") > 0)
+      .select(col("batch_key")).distinct()
+      .agg(coalesce(bit_xor(xxhash64(col("batch_key"))), lit(0L)))
+      .head().getLong(0)
+
+  /** Read `tq_marker` tolerating the pre-`n_docs` at-rest layout: a
+    * warehouse written before the two-column marker gained the
+    * cardinality backstop would otherwise throw on the gate's where()
+    * and on unionByName — a replay of an already-committed night must
+    * DEGRADE (legacy rows never match the two-column gate, the replay
+    * re-derives an empty novel set, no-ops the appends and re-commits
+    * a two-column marker row), never crash.
+    */
+  private def readMarker(wh: graft.pipelines.Warehouse): DataFrame = {
+    val m = wh.read("tq_marker")
+    if (m.columns.contains("n_docs")) m
+    else m.withColumn("n_docs", lit(-1L))
+  }
 
   /** Nightly advance: fold the batch's novel documents into the
     * at-rest histogram. Replay-convergent per the crash contract above;
@@ -141,15 +201,17 @@ object QuantileIndex {
   def advance(spark: SparkSession, root: String, rawBatch: DataFrame): Unit = {
     val wh = new graft.pipelines.Warehouse(spark, root)
     val batch = rawBatch.dropDuplicates("doc_id")
-    // contract 1: the key is a pure function of the offered batch (a
-    // 1-row checkpoint-class scalar, like every sibling's marker read)
-    val keyRow = docSetKey(batch.select(col("doc_id"))).head()
+    // contract 1: the key is a pure function of the offered batch AND
+    // the at-rest retraction-key set (a 1-row checkpoint-class scalar,
+    // like every sibling's marker read) — stable across this night's
+    // own crash replays, fresh after any intervening retraction
+    val keyRow = docSetKey(batch.select(col("doc_id")), advanceEpoch(wh)).head()
     val keyVal = keyRow.getLong(0)
     val nOffered = keyRow.getLong(1)
     // no-op gate matches BOTH marker columns — see the tq_marker
     // blast-radius note in the object scaladoc
     if (wh.exists("tq_marker") &&
-        !wh.read("tq_marker").where(col("batch_key") === keyVal &&
+        !readMarker(wh).where(col("batch_key") === keyVal &&
           col("n_docs") === nOffered).isEmpty)
       return // the night committed in full; replay is a no-op
     val cold = !wh.exists("tq_docs")
@@ -185,7 +247,7 @@ object QuantileIndex {
     val mine = Seq((keyVal, nOffered)).toDF("batch_key", "n_docs")
     wh.write("tq_marker",
       if (!wh.exists("tq_marker")) mine
-      else wh.read("tq_marker").unionByName(mine))
+      else readMarker(wh).unionByName(mine))
   }
 
   /** RETRACTION — take a committed doc OUT of the at-rest cube without
@@ -199,7 +261,10 @@ object QuantileIndex {
     *
     *   1. append the restricted docs' (g, source, v) counts NEGATED,
     *      under a retraction batch_key (salted, so it can never collide
-    *      with a night's key), row-level guarded by the same
+    *      with a night's key, AND stamped with [[retractEpoch]] — the
+    *      xor of committed positive keys — so a retraction of the same
+    *      id set AFTER a re-offer derives a fresh key and cancels
+    *      again), row-level guarded by the same
     *      (batch_key, g, source, v) anti-join as the advance;
     *   2. tmp-swap `tq_docs` minus the ids — the doc may be RE-OFFERED
     *      later and must then count as novel again (takedown reversal);
@@ -212,9 +277,11 @@ object QuantileIndex {
     * swap is atomic (bak-heal), and a replay's manifest restriction
     * shrinks to the not-yet-swapped ids (∅ once the swap landed), whose
     * rows all guard away — the retraction key is a pure function of the
-    * OFFERED id set, so every window replays under the identical key;
-    * after 3 → the marker gate no-ops. Readers need no retraction
-    * awareness at all: they sum the ledger and drop Σnv = 0 cells.
+    * OFFERED id set and the at-rest POSITIVE-key set (which a
+    * retraction never touches: it appends only negative rows), so
+    * every window replays under the identical key; after 3 → the
+    * marker gate no-ops. Readers need no retraction awareness at all:
+    * they sum the ledger and drop Σnv = 0 cells.
     *
     * Retract ≡ rebuild-without-those-docs is spec'd at every table
     * boundary (RetractionSpec) and rides the DRIVER gate as q126: a
@@ -229,13 +296,17 @@ object QuantileIndex {
         coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L)).as("h"),
         count(lit(1)).as("nd"))
       // the salt keeps retraction keys disjoint from night keys even
-      // for an identical doc set (retract-the-whole-night is legal)
-      .select(xxhash64(col("h"), col("nd"), lit("retract")).as("batch_key"),
+      // for an identical doc set (retract-the-whole-night is legal);
+      // the epoch ([[retractEpoch]]) keeps a LATER retraction of the
+      // same id set — after the docs were re-offered — off the first
+      // retraction's marker and row guards, so the cycle cancels
+      .select(xxhash64(col("h"), col("nd"), lit("retract"),
+          lit(retractEpoch(wh))).as("batch_key"),
         col("nd").as("n_docs")).head()
     val keyVal = keyRow.getLong(0)
     val nOffered = keyRow.getLong(1)
     if (wh.exists("tq_marker") &&
-        !wh.read("tq_marker").where(col("batch_key") === keyVal &&
+        !readMarker(wh).where(col("batch_key") === keyVal &&
           col("n_docs") === nOffered).isEmpty)
       return // this retraction committed in full; replay is a no-op
     // manifest restriction: only committed docs cancel (and it is what
@@ -262,7 +333,7 @@ object QuantileIndex {
     val mine = Seq((keyVal, nOffered)).toDF("batch_key", "n_docs")
     wh.write("tq_marker",
       if (!wh.exists("tq_marker")) mine
-      else wh.read("tq_marker").unionByName(mine))
+      else readMarker(wh).unionByName(mine))
   }
 
   // ---------- fixture index (memoized per context+dir, the q113/q115

@@ -978,9 +978,18 @@ object Sessions {
     */
   def deltaRetention(spark: SparkSession, dir: String): DataFrame = {
     val (root, split) = retentionIndexAtRest(spark, dir)
+    retentionOfRoot(spark, root,
+      Tables.events(spark, dir)
+        .filter(expr("unix_timestamp(ts) DIV 86400") >= split))
+  }
+
+  /** The q113 read body against an explicit index root + batch — shared
+    * with the q128 post-retraction read (same plan, different at-rest
+    * state and a survivor-restricted batch).
+    */
+  private def retentionOfRoot(spark: SparkSession, root: String,
+                              batch: DataFrame): DataFrame = {
     val wh = new graft.pipelines.Warehouse(spark, root)
-    val batch = Tables.events(spark, dir)
-      .filter(expr("unix_timestamp(ts) DIV 86400") >= split)
     val bdays = eventDays(batch).dropDuplicates("user_id", "day")
     val atUser = wh.read("ret_user")
     val fds = atUser.unionByName(
@@ -1008,6 +1017,98 @@ object Sessions {
     * whole event log the incremental path must never touch.
     */
   val deltaRetentionSql: String = retentionCohortsSql
+
+  // ---------- q128: the retraction lane on the EVENT tier's driver row
+
+  /** The opt-out predicate: which USERS are retracted (the q126
+    * fixture discipline transposed to the event tier — 1/9 of all
+    * users). Shared verbatim by the Spark fixture and the oracle SQL's
+    * survivor filter.
+    */
+  private[graft] val RetractUsersPredSql = "user_id % 9 = 4"
+
+  private val retRetractMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), (String, Long)]
+
+  /** The q128 fixture: the q113 at-rest retention index seeded through
+    * the SAME path, then [[retractRetentionUsers]]'d of the opt-out
+    * users — memoized per context+dir in its own root (the shared q113
+    * index must never see the retraction; the q126 rqidx discipline).
+    */
+  private[graft] def retractedRetentionIndexAtRest(spark: SparkSession,
+                                                   dir: String): (String, Long) = {
+    val key = (spark.sparkContext, dir)
+    val v = retRetractMemo.get(key).getOrElse {
+      val ev = Tables.events(spark, dir)
+      val r = eventDays(ev)
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+      val split = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 4 / 5
+      val fresh =
+        java.nio.file.Files.createTempDirectory("graft_rretidx_").toString
+      retentionIndexAt(spark, fresh,
+        ev.filter(expr("unix_timestamp(ts) DIV 86400") < split))
+      retractRetentionUsers(spark, fresh,
+        ev.select(col("user_id")).filter(expr(RetractUsersPredSql)))
+      retRetractMemo.putIfAbsent(key, (fresh, split)) match {
+        case Some(winner) =>
+          graft.pipelines.Fs.delete(spark, fresh); winner
+        case None =>
+          retCreatedRoots.synchronized { retCreatedRoots += fresh }
+          (fresh, split)
+      }
+    }
+    v
+  }
+
+  /** Drop this context's memoized q128 fixtures; owned roots deleted. */
+  def clearRetractedRetentionIndex(spark: SparkSession): Unit =
+    retRetractMemo.keys.filter(_._1 eq spark.sparkContext).foreach { k =>
+      retRetractMemo.remove(k).foreach { case (root, _) =>
+        val owned = retCreatedRoots.synchronized { retCreatedRoots.remove(root) }
+        if (owned) graft.pipelines.Fs.delete(spark, root)
+      }
+    }
+
+  /** q128 — the q126 discipline on the EVENT tier: q113's cohort read
+    * over an at-rest index from which the opt-out users were RETRACTED
+    * ([[retractRetentionUsers]] — the per-user `ret_user`-first
+    * anti-join swaps), hash-checked against an oracle that full-scans
+    * only the SURVIVING users' events. The batch side excludes the
+    * opted-out users too (a takedown also filters the incoming feed),
+    * so the driver compare passes iff swap-retract ≡ a rebuild that
+    * never saw those users, bit for bit — completing the retraction
+    * trio on the gate: q126 the additive cube, q127 the row stores,
+    * q128 the event tier.
+    */
+  def retractRetention(spark: SparkSession, dir: String): DataFrame = {
+    val (root, split) = retractedRetentionIndexAtRest(spark, dir)
+    retentionOfRoot(spark, root,
+      Tables.events(spark, dir)
+        .filter(expr("unix_timestamp(ts) DIV 86400") >= split)
+        .filter(!expr(RetractUsersPredSql)))
+  }
+
+  /** Oracle: q104's full-scan formulation restricted to the surviving
+    * users — the scan the retraction path must never need.
+    */
+  val retractRetentionSql: String =
+    s"""WITH d AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events WHERE NOT ($RetractUsersPredSql)),
+      |f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT d.user_id, f.fd // 7 AS cohort_week,
+      |    (d.day - f.fd) // 7 AS week_offset
+      |  FROM d JOIN f ON d.user_id = f.user_id),
+      |c AS (SELECT cohort_week, week_offset, count(*) AS n_active
+      |      FROM a GROUP BY 1, 2),
+      |s AS (SELECT cohort_week, count(*) AS n_cohort
+      |      FROM a WHERE week_offset = 0 GROUP BY 1)
+      |SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
+      |  CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+      |FROM c JOIN s ON c.cohort_week = s.cohort_week
+      |ORDER BY c.cohort_week, c.week_offset""".stripMargin
 
   // ---------- q115: incremental transitions (the ADDITIVE delta slot)
 
@@ -1163,7 +1264,17 @@ object Sessions {
     * swap is atomic, and a replay's restriction shrinks to the
     * not-yet-swapped users (∅ once the swap landed) so nothing
     * re-appends. Retract ≡ rebuild-without-those-users is spec'd at
-    * both table boundaries in RetractionSpec.
+    * both table boundaries in RetractionSpec, including the full
+    * retract → re-ingest → retract cycle (the re-ingest night swaps a
+    * NEW marker into `tr_last`, which stamps the second retraction's
+    * key fresh). One advance-side caveat, documented rather than
+    * keyed: the advance's no-op marker is only ONE night deep
+    * (`tr_last.night_key`), so a re-offer batch that is
+    * event-set-identical to the still-current LAST committed night
+    * would gate away — offer it after, or merged with, any other
+    * arrival night. (The quantile lane, whose marker retains all
+    * history, instead stamps its advance keys with a retraction-epoch
+    * xor — here the one-deep marker makes the window a single night.)
     */
   private[graft] def retractTransitionsUsers(spark: SparkSession, root: String,
                                              userEvents: DataFrame): Unit = {

@@ -212,14 +212,80 @@ object Sketch {
 
   /** Build-or-open the at-rest register table at `root` (the
     * winnowIndexAt discipline: existing tables re-open as-is, so the
-    * nightly loop resumes where the last process stopped).
+    * nightly loop resumes where the last process stopped). The at-rest
+    * layout is EPOCH-STRIPED — (epoch, reg, mj), one stripe per ingest
+    * window, the seed being stripe 0 — which is what turns retraction
+    * from O(corpus) into O(affected windows) ([[retractHllEpochs]])
+    * while leaving every reader untouched: reads already max-merge, so
+    * multiple stripe rows per register collapse in the same aggregation
+    * that merges the night's batch ([[deltaHll]] — zero plan change).
     */
   private[graft] def hllIndexAt(spark: SparkSession, root: String,
                                 corpusHashes: => DataFrame): DataFrame = {
     val wh = new graft.pipelines.Warehouse(spark, root)
     if (!wh.exists("hll_regs"))
-      wh.write("hll_regs", registersOf(corpusHashes))
+      wh.write("hll_regs", epochRegistersOf(0L, corpusHashes))
     wh.read("hll_regs")
+  }
+
+  /** One ingest window's stripe: [[registersOf]] labeled with its
+    * epoch — deterministic of (epoch, batch), which is what makes the
+    * striped advance row-level idempotent.
+    */
+  private[graft] def epochRegistersOf(epoch: Long, h: DataFrame): DataFrame =
+    registersOf(h)
+      .select(lit(epoch).as("epoch"), col("reg"), col("mj"))
+
+  /** Advance one ingest window's stripe into the striped at-rest table.
+    * Idempotent under at-least-once delivery WITHOUT a manifest, like
+    * the collapsed advance but by a different mechanism: the stripe is
+    * a pure function of (epoch, batch), so a replay re-derives
+    * byte-identical (epoch, reg, mj) rows and the anti-join appends
+    * exactly the ones a crashed partial append is missing.
+    */
+  private[graft] def advanceHllEpoch(spark: SparkSession, root: String,
+                                     epoch: Long, batchHashes: DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    val stripe = epochRegistersOf(epoch, batchHashes)
+    if (!wh.exists("hll_regs")) wh.write("hll_regs", stripe)
+    else {
+      wh.append("hll_regs",
+        stripe.join(wh.read("hll_regs")
+            .select(col("epoch"), col("reg"), col("mj")),
+          Seq("epoch", "reg", "mj"), "left_anti"))
+      wh.compactIfFragmented("hll_regs")
+    }
+  }
+
+  /** RETRACTION for the striped layout — the amortization upgrade the
+    * collapsed lane documents: drop the AFFECTED epochs' stripes and
+    * re-max only their survivors. `survivors` is the surviving element
+    * stream OF THE AFFECTED WINDOWS ONLY, epoch-labeled
+    * ((epoch, sh_h)) so each replacement stripe lands under its
+    * original epoch and later retractions keep their granularity; an
+    * affected window whose survivors are empty simply contributes no
+    * replacement rows. One tmp-swap: non-affected stripes are copied
+    * through BYTE-IDENTICALLY and never re-scanned — the per-epoch
+    * re-tokenize bill is O(affected windows), not O(corpus) (spec'd:
+    * untouched stripes compare equal before/after). Idempotent by
+    * determinism, atomic like every swap. The epoch → docs mapping is
+    * the CALLER's ingest ledger (the corpus pipeline's night markers)
+    * — the register table itself stays element-level manifest-free.
+    */
+  private[graft] def retractHllEpochs(spark: SparkSession, root: String,
+                                      epochs: Seq[Long],
+                                      survivors: DataFrame): Unit = {
+    val wh = new graft.pipelines.Warehouse(spark, root)
+    val keep = wh.read("hll_regs").filter(!col("epoch").isin(epochs: _*))
+    val rebuilt = survivors
+      .filter(col("epoch").isin(epochs: _*)) // belt: affected only
+      .select(col("epoch"), expr(s"sh_h % $HllM").as("reg"),
+        expr(s"sh_h DIV $HllM").as("hq"))
+      .select(col("epoch"), col("reg"),
+        when(col("hq") > 0, lit(53) - length(bin(col("hq"))))
+          .otherwise(lit(53)).as("rk"))
+      .groupBy(col("epoch"), col("reg")).agg(max(col("rk")).as("mj"))
+    wh.write("hll_regs", keep.unionByName(rebuilt))
   }
 
   /** The corpus-side register table as an at-rest parquet index,
@@ -238,7 +304,12 @@ object Sketch {
           hllCreatedRoots.synchronized { hllCreatedRoots += fresh }; fresh
       }
     }
+    // project the stripe label away: the reader's contract is "rows that
+    // max-merge per reg", which striped rows satisfy — the q109 merge
+    // agg is the collapse, so the striped layout costs zero plan change
+    // (a pre-striping flat table projects identically — migration-free)
     new graft.pipelines.Warehouse(spark, root).read("hll_regs")
+      .select(col("reg"), col("mj"))
   }
 
   /** Test seam — inject a register table root (the poisoned-index
@@ -264,14 +335,22 @@ object Sketch {
     * against registers that already absorbed it, so at-least-once
     * delivery gives exactly-once effect for free (the property the
     * additive q74/q88 indexes need doc-manifest anti-join guards to
-    * buy; spec'd: advance-replay is bit-identical a no-op).
+    * buy; spec'd: advance-replay is bit-identical a no-op). This is
+    * the COLLAPSED lane — the streamed twin's advance: the result is a
+    * single epoch-0 stripe (≤ m rows forever), in the same
+    * (epoch, reg, mj) schema the striped lane uses, so the two lanes
+    * share one at-rest format and either retraction path can follow.
+    * Collapsing any striping it finds is deliberate (stripe identity
+    * is the batch lane's concern; this lane's guarantee is algebraic).
     */
   private[graft] def appendToHllIndex(spark: SparkSession, root: String,
                                       batchHashes: DataFrame): Unit = {
     val wh = new graft.pipelines.Warehouse(spark, root)
     wh.write("hll_regs",
-      wh.read("hll_regs").unionByName(registersOf(batchHashes))
-        .groupBy(col("reg")).agg(max(col("mj")).as("mj")))
+      wh.read("hll_regs").select(col("reg"), col("mj"))
+        .unionByName(registersOf(batchHashes))
+        .groupBy(col("reg")).agg(max(col("mj")).as("mj"))
+        .select(lit(0L).as("epoch"), col("reg"), col("mj")))
   }
 
   /** RETRACTION for the cardinality tier: REBUILD-ON-RETRACT, and
@@ -289,18 +368,21 @@ object Sketch {
     * At 100 TB this is the documented price of the max algebra: one
     * corpus-side scan per retraction epoch, amortized by BATCHING
     * retractions (takedowns queue; one rebuild clears the queue — the
-    * refreshFull cadence discipline). The amortization upgrade when
-    * retraction traffic grows is epoch-keyed registers — one (epoch,
-    * reg, mj) stripe per ingest window, retract = drop the epochs that
-    * contained the docs and re-max the rest, re-scanning only the
-    * affected windows; not built because nothing in the harness
-    * exercises per-epoch recall, but the at-rest schema extends to it
-    * without touching any reader (reads already max-merge).
+    * refreshFull cadence discipline). The amortization upgrade IS now
+    * built for the batch index lane: epoch-keyed stripes
+    * ([[advanceHllEpoch]] / [[retractHllEpochs]]) re-scan only the
+    * affected windows. This full rebuild remains the right lane when
+    * the epoch → docs mapping is unknown (or the takedown spans most
+    * windows), and the STREAMED twin keeps the collapsed layout plus
+    * this fallback on purpose — its manifest-free algebraic replay
+    * guarantee is the collapsed layout's property. The rebuild lands
+    * as a single epoch-0 stripe so both lanes share one at-rest
+    * schema (a striped index rebuilt here simply collapses).
     */
   private[graft] def retractHllRebuild(spark: SparkSession, root: String,
                                        survivingHashes: DataFrame): Unit = {
     val wh = new graft.pipelines.Warehouse(spark, root)
-    wh.write("hll_regs", registersOf(survivingHashes))
+    wh.write("hll_regs", epochRegistersOf(0L, survivingHashes))
   }
 
   /** q109 — incremental cardinality (the delta-family slot the q61/q74/

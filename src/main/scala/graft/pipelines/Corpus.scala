@@ -389,10 +389,17 @@ object CorpusPipeline {
     *     [[refreshFull]] rebuilds everything from `corpus_raw`, so a
     *     doc left there would resurrect — post-retraction,
     *     `refreshFull ≡ refine over raw-minus-retracted` (spec'd).
-    *     Derived stage tables (corpus_clean…corpus_mixed) are NOT
-    *     swept row-by-row: they are rebuild artifacts, and the full
-    *     purge of published state is retract + refreshFull (the same
-    *     cadence pairing the incremental lane already has);
+    *     INTERMEDIATE stage tables (corpus_clean…corpus_mixed) are NOT
+    *     swept row-by-row: they are rebuild artifacts on the
+    *     refreshFull cadence;
+    *   - `corpus_shards` — the PUBLISHED artifact — IS swept in the
+    *     same call: a takedown SLA is measured at what training jobs
+    *     actually read, not at the next refresh. One doc_id-keyed
+    *     anti-join tmp-swap, partition layout kept; the packing is
+    *     deliberately NOT re-run (shards keep their budgets, minus the
+    *     holes), and the next [[refreshFull]] + [[publish]] re-packs
+    *     over the survivors, converging to the same state as a publish
+    *     that never saw the docs (spec'd);
     *   - `live_index` / `live_winnow`: the per-family retracts
     *     ([[Dedup.retractFromCorpusIndexOf]] /
     *     [[Dedup.retractFromWinnowIndexOf]]) — manifest-first swaps,
@@ -474,6 +481,14 @@ object CorpusPipeline {
         wh.write("corpus_quarantine",
           wh.read("corpus_quarantine")
             .join(broadcast(ids), Seq("doc_id"), "left_anti"))
+      // 5b — the PUBLISHED shards, immediately: no training reader may
+      // see a retracted doc between this call and the next refresh
+      // (id-keyed, idempotent, same swap mechanism — kept partitioned
+      // so readers' shard pruning survives the sweep)
+      if (wh.exists("corpus_shards"))
+        wh.writePartitioned("corpus_shards",
+          wh.read("corpus_shards").join(broadcast(ids), Seq("doc_id"), "left_anti"),
+          Seq("shard"))
       // 6/7 — the live screen indexes (build-or-reopen reads the
       // already-purged corpus_live, so a missing index self-heals to
       // the post-retraction state and the retract below is a no-op)

@@ -60,8 +60,17 @@ object StreamingAnn {
   /** The retraction unit — [[StreamingDedup.retractBatch]]'s embedding
     * twin: FAISS `remove_ids` on the open index
     * ([[Similarity.retractFromAnnIndex]] — survivor codes byte-stable
-    * under the frozen fits) and a sweep of `ann_matches` for every row
-    * naming a retracted vector on EITHER side (as query or neighbor).
+    * under the frozen fits) and a sweep of `ann_matches`: rows whose
+    * QUERY is retracted go, and any query whose result set NAMES a
+    * retracted neighbor is dropped WHOLE. Whole, not row-by-row,
+    * because the derived log is keyed (q_id, rank): sweeping only the
+    * neighbor rows would leave rank holes that a later re-screen of
+    * the same query could backfill against the post-retraction index —
+    * one q_id mixing pre- and post-retraction rankings (the same
+    * neighbor at two ranks). Dropping the whole query keeps the log's
+    * invariant "every present q_id is one single-screening's intact
+    * top-k"; the re-screen path stays gated by the codes-table seen
+    * guard, so a dropped query is gone, never half-rebuilt.
     */
   def retractBatch(dir: String, wh: Warehouse, vecIds: DataFrame,
                    indexRoot: Option[String] = None): Unit = {
@@ -69,10 +78,16 @@ object StreamingAnn {
     indexRoot.foreach(Similarity.openAnnIndex(spark, dir, _))
     val ids = vecIds.select(col("vec_id")).dropDuplicates("vec_id")
     Similarity.retractFromAnnIndex(spark, dir, ids)
-    if (wh.exists("ann_matches"))
-      wh.write("ann_matches", wh.read("ann_matches")
+    if (wh.exists("ann_matches")) {
+      val m = wh.read("ann_matches")
+      // affected is NOT takedown-bounded (a popular neighbor can sit in
+      // many queries' top-k), so no forced broadcast — let AQE pick
+      val affected = m.join(broadcast(ids), Seq("vec_id"), "left_semi")
+        .select(col("q_id")).distinct()
+      wh.write("ann_matches", m
         .join(broadcast(ids.select(col("vec_id").as("q_id"))), Seq("q_id"), "left_anti")
-        .join(broadcast(ids), Seq("vec_id"), "left_anti"))
+        .join(affected, Seq("q_id"), "left_anti"))
+    }
     graft.TransientCache.drain()
   }
 
@@ -81,9 +96,8 @@ object StreamingAnn {
     */
   def processControlBatch(dir: String, wh: Warehouse, batch: DataFrame,
                           indexRoot: Option[String] = None): Unit = {
-    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    val (adds, rets) = ControlLane.route(batch)
     if (!adds.isEmpty) processBatch(dir, wh, adds, indexRoot)
-    val rets = batch.filter(col("op") === "retract").drop("op")
     if (!rets.isEmpty) retractBatch(dir, wh, rets, indexRoot)
   }
 

@@ -37,9 +37,15 @@ object StreamingCardinality {
   // non-invertible (the same idempotent max that makes this twin
   // manifest-free), so a retract message carrying the deleted docs
   // could not be served from the stream — retraction for this family
-  // is the documented batch rebuild-on-retract lane
+  // is a batch lane: the full rebuild-on-retract
   // ([[graft.operators.Sketch.retractHllRebuild]] over the surviving
-  // element stream, amortized by batching takedowns).
+  // element stream, amortized by batching takedowns), or — where the
+  // index was advanced epoch-striped
+  // ([[graft.operators.Sketch.advanceHllEpoch]]) — the O(affected
+  // windows) stripe retraction
+  // ([[graft.operators.Sketch.retractHllEpochs]]). This twin keeps the
+  // COLLAPSED single-stripe layout on purpose: its manifest-free
+  // algebraic replay guarantee is the collapsed layout's property.
 
   /** One micro-batch: tokenize/shingle/hash the batch docs exactly as
     * the at-rest seed did, advance the registers, log the estimate.
@@ -52,10 +58,11 @@ object StreamingCardinality {
     // ingest lane — and a crash mid-seed leaves the table MISSING,
     // never stale (the tmp-swap write), replayed to the same seed
     if (!wh.exists("hll_regs"))
-      wh.write("hll_regs", Sketch.registersOf(hashes))
+      wh.write("hll_regs", Sketch.epochRegistersOf(0L, hashes))
     else
       Sketch.appendToHllIndex(wh.spark, wh.root, hashes)
-    val est = Sketch.hllEstimate(wh.read("hll_regs"))
+    val est = Sketch.hllEstimate(
+      wh.read("hll_regs").select(col("reg"), col("mj")))
       .select(lit(batchId).as("batch_id"), col("n_nonzero_regs"),
         col("sum_scaled"), col("hll_estimate"))
     val novel =

@@ -103,9 +103,8 @@ object StreamingDedup {
     */
   def processControlBatch(dir: String, wh: Warehouse, batch: DataFrame,
                           indexRoot: Option[String] = None): Unit = {
-    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    val (adds, rets) = ControlLane.route(batch)
     if (!adds.isEmpty) processBatch(dir, wh, adds, indexRoot)
-    val rets = batch.filter(col("op") === "retract").drop("op")
     if (!rets.isEmpty) retractBatch(dir, wh, rets, indexRoot)
   }
 

@@ -59,10 +59,8 @@ object StreamingQuantileIndex {
     * lanes, spec'd end-state-equal in RetractionSpec.
     */
   def processControlBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.col
-    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    val (adds, rets) = ControlLane.route(batch)
     if (!adds.isEmpty) QuantileIndex.advance(wh.spark, wh.root, adds)
-    val rets = batch.filter(col("op") === "retract").drop("op")
     if (!rets.isEmpty) QuantileIndex.retract(wh.spark, wh.root, rets)
   }
 

@@ -66,9 +66,8 @@ object StreamingRetentionIndex {
     */
   def processControlBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.col
-    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    val (adds, rets) = ControlLane.route(batch)
     if (!adds.isEmpty) processBatch(wh, adds, batchId)
-    val rets = batch.filter(col("op") === "retract").drop("op")
     if (!rets.isEmpty)
       Sessions.retractRetentionUsers(wh.spark, wh.root, rets.select(col("user_id")))
   }

@@ -49,10 +49,8 @@ object StreamingTransitionsIndex {
     * Both halves are the batch units verbatim.
     */
   def processControlBatch(wh: Warehouse, batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.col
-    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    val (adds, rets) = ControlLane.route(batch)
     if (!adds.isEmpty) processBatch(wh, adds, batchId)
-    val rets = batch.filter(col("op") === "retract").drop("op")
     if (!rets.isEmpty)
       Sessions.retractTransitionsUsers(wh.spark, wh.root, rets)
   }

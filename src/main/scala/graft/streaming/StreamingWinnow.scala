@@ -88,9 +88,8 @@ object StreamingWinnow {
     */
   def processControlBatch(dir: String, wh: Warehouse, batch: DataFrame,
                           indexRoot: Option[String] = None): Unit = {
-    val adds = batch.filter(col("op") =!= "retract").drop("op")
+    val (adds, rets) = ControlLane.route(batch)
     if (!adds.isEmpty) processBatch(dir, wh, adds, indexRoot)
-    val rets = batch.filter(col("op") === "retract").drop("op")
     if (!rets.isEmpty) retractBatch(dir, wh, rets, indexRoot)
   }
 

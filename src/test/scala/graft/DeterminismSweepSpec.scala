@@ -154,7 +154,10 @@ class DeterminismSweepSpec extends SparkSpec {
     "q126_retract_quantiles",
     // the q74 argument over a RETRACTED band index: index-screened
     // delta pairs off swapped tables (q127)
-    "q127_retract_minhash")
+    "q127_retract_minhash",
+    // the q113 argument over a USER-RETRACTED retention index: per-user
+    // swapped tables are bare scans, the read is two keyed aggs (q128)
+    "q128_retract_retention")
 
   // every memoized fit/index rebuilds per partition config — a memo hit
   // would hide partition sensitivity in the memoized stage itself
@@ -166,6 +169,7 @@ class DeterminismSweepSpec extends SparkSpec {
     graft.operators.Dedup.clearCorpusBloom(spark)
     graft.operators.Sketch.clearHllIndex(spark)
     graft.operators.Sessions.clearRetentionIndex(spark)
+    graft.operators.Sessions.clearRetractedRetentionIndex(spark)
     graft.operators.Sessions.clearTransitionsIndex(spark)
     graft.operators.QuantileIndex.clearIndex(spark)
     graft.operators.QuantileIndex.clearRetractedIndex(spark)

@@ -149,18 +149,31 @@ class KmvSketchSpec extends SparkSpec {
       val corpus = sh.filter(col("doc_id") % 10 < 8).select(col("sh_h"))
       val batch = sh.filter(col("doc_id") % 10 >= 8).select(col("sh_h"))
       Sketch.hllIndexAt(spark, root, corpus)
-      Sketch.appendToHllIndex(spark, root, batch)
+      // the batch lane's striped advance: the night lands as its own
+      // (epoch, reg, mj) stripe beside the epoch-0 seed
+      Sketch.advanceHllEpoch(spark, root, 1L, batch)
       val wh = new graft.pipelines.Warehouse(spark, root)
-      def regsNow(): Seq[(Long, Int)] = wh.read("hll_regs").collect()
+      // the reader's collapse: max-merge across stripes
+      def regsNow(): Seq[(Long, Int)] = wh.read("hll_regs")
+        .groupBy(col("reg")).agg(max(col("mj")).as("mj")).collect()
         .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      def rawNow(): Seq[String] = wh.read("hll_regs").collect()
+        .map(_.mkString("|")).sorted.toSeq
       val advanced = regsNow()
       val rebuilt = Sketch.registersOf(sh.select(col("sh_h"))).collect()
         .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
       assert(advanced == rebuilt, "advance-then-read != rebuild-from-scratch")
-      // at-least-once delivery: the replay maxes against registers that
-      // already absorbed the batch — idempotent WITHOUT a doc manifest
+      // at-least-once delivery: the replayed stripe re-derives
+      // byte-identical rows and the anti-join drops every one —
+      // idempotent WITHOUT a doc manifest, at the ROW level
+      val raw = rawNow()
+      Sketch.advanceHllEpoch(spark, root, 1L, batch)
+      assert(rawNow() == raw, "replayed striped advance must be a no-op")
+      // ... and the collapsed lane's algebraic idempotence still holds
+      // (the streamed twin's advance, collapsing the stripes is fine
+      // for a lane that never retracts per-epoch)
       Sketch.appendToHllIndex(spark, root, batch)
-      assert(regsNow() == advanced, "replayed advance must be a no-op")
+      assert(regsNow() == advanced, "replayed collapsed advance must be a no-op")
     } finally graft.pipelines.Fs.delete(spark, root)
   }
 

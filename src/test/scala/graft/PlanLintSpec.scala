@@ -401,6 +401,12 @@ class PlanLintSpec extends SparkSpec {
                                   // RETRACTED band index root — the
                                   // three-table swap leaves the read
                                   // path untouched (same budget as q74)
+    "q128_retract_retention" -> 6, // q113's read plan verbatim over the
+                                  // USER-RETRACTED index root — the
+                                  // per-user anti-join swaps leave the
+                                  // read path untouched (q113's budget);
+                                  // the survivor filter on the batch is
+                                  // a scan-stage predicate, no exchange
     "q114_mix_quota_sample" -> 10, // the q78 weight model build (counts
                                   // agg + norm collect fold) +
                                   // |sources|-row window sorts + the q112

@@ -194,6 +194,32 @@ class QuantileIndexSpec extends SparkSpec {
     assert(seeded == histOf(clean))
   }
 
+  test("advance/retract tolerate a pre-n_docs tq_marker at-rest layout (degrade, never crash)") {
+    val root = freshRoot
+    advance(root, corpus)
+    val wh = new Warehouse(spark, root)
+    // strip the marker to the legacy single-column layout: a warehouse
+    // written before n_docs joined the marker must keep replaying —
+    // legacy rows never match the two-column gate, so the replay
+    // re-derives an empty novel set, no-ops the appends, and
+    // re-commits a two-column marker row (convergence, not a crash)
+    wh.write("tq_marker", wh.read("tq_marker").select(col("batch_key")))
+    val seeded = histOf(root)
+    advance(root, corpus) // replay of the already-committed night
+    assert(histOf(root) == seeded,
+      "the legacy-marker replay must not double-count")
+    assert(wh.read("tq_marker").columns.toSeq == Seq("batch_key", "n_docs"),
+      "the replay must migrate the marker to the two-column layout")
+    // retraction against a legacy marker: same degrade-never-crash path
+    wh.write("tq_marker", wh.read("tq_marker").select(col("batch_key")))
+    QuantileIndex.retract(spark, root, corpus.filter(col("doc_id") % 9 === 4))
+    TransientCache.drain()
+    val survivors = freshRoot
+    advance(survivors, corpus.filter(col("doc_id") % 9 =!= 4))
+    assert(histOf(root).filter(_._4 != 0L) == histOf(survivors),
+      "retraction over a migrated marker must still cancel exactly")
+  }
+
   test("reads come from the at-rest ledger: a poisoned index is visible") {
     // the q113/q115 discipline: if the read path rescanned the corpus,
     // corrupting the ledger would be invisible — so corrupt it and

@@ -55,14 +55,20 @@ class RetractionSpec extends SparkSpec {
     new Warehouse(spark, root).read("tq_docs").collect().map(_.getLong(0)).toSet
 
   /** The retraction's negative delta exactly as [[QuantileIndex.retract]]
-    * derives it — for crash-window reconstruction.
+    * derives it — for crash-window reconstruction. The key carries the
+    * root's retract-side epoch (xor of committed POSITIVE keys), as the
+    * production path's does.
     */
-  private def negDelta(b: DataFrame): DataFrame = {
+  private def negDelta(root: String, b: DataFrame): DataFrame = {
+    val epoch = new Warehouse(spark, root).read("tq_hist")
+      .filter(col("nv") > 0).select(col("batch_key")).distinct()
+      .agg(coalesce(bit_xor(xxhash64(col("batch_key"))), lit(0L)))
+      .head().getLong(0)
     val ids = b.dropDuplicates("doc_id")
     val keyVal = ids.select(col("doc_id")).agg(
         coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L)).as("h"),
         count(lit(1)).as("nd"))
-      .select(xxhash64(col("h"), col("nd"), lit("retract")).as("k"))
+      .select(xxhash64(col("h"), col("nd"), lit("retract"), lit(epoch)).as("k"))
       .head().getLong(0)
     QuantileIndex.valsOf(ids)
       .groupBy(col("g"), col("source"), col("v"))
@@ -108,12 +114,65 @@ class RetractionSpec extends SparkSpec {
       "retract + re-offer must restore the advance-only state")
   }
 
+  test("quantile cube: retract → re-offer → retract cycles cancel (epoch-stamped keys)") {
+    // subset cycle: the doc-revision story composed twice — the second
+    // retraction re-derives the SAME id set, so without the epoch
+    // stamp it would reproduce the first retraction's key, hit the
+    // marker gate, and silently no-op
+    val a = tmpRoot("tqcyc")
+    QuantileIndex.advance(spark, a, corpus)
+    QuantileIndex.retract(spark, a, retracted)
+    QuantileIndex.advance(spark, a, retracted) // re-offer
+    QuantileIndex.retract(spark, a, retracted) // retract AGAIN
+    TransientCache.drain()
+    val surv = tmpRoot("tqcycs")
+    QuantileIndex.advance(spark, surv, surviving)
+    TransientCache.drain()
+    assert(histOf(a) == histOf(surv),
+      "the second retraction of a re-offered set silently no-oped")
+    assert(manifestOf(a) == manifestOf(surv))
+    // the committed second retraction replays as a no-op (its epoch —
+    // the positive-key set — is untouched by its own negative appends)
+    val histRows = rowsOf(new Warehouse(spark, a).read("tq_hist"))
+    QuantileIndex.retract(spark, a, retracted)
+    TransientCache.drain()
+    assert(rowsOf(new Warehouse(spark, a).read("tq_hist")) == histRows,
+      "a replayed second retraction must still marker-gate")
+    // third leg: the cycle composes indefinitely (re-offer restores again)
+    QuantileIndex.advance(spark, a, retracted)
+    TransientCache.drain()
+    val full = tmpRoot("tqcycf")
+    QuantileIndex.advance(spark, full, corpus)
+    TransientCache.drain()
+    assert(histOf(a) == histOf(full) && manifestOf(a) == manifestOf(full),
+      "the second re-offer must restore the advance-only state")
+
+    // whole-night cycle: the re-offer batch is SET-IDENTICAL to the
+    // committed-then-retracted night — the advance-side epoch (xor of
+    // retraction keys) keeps it off the original night's marker and
+    // row guards, so it restores instead of being gated away
+    val w = tmpRoot("tqwn")
+    QuantileIndex.advance(spark, w, corpus)
+    QuantileIndex.retract(spark, w, corpus)
+    TransientCache.drain()
+    assert(histOf(w).isEmpty && manifestOf(w).isEmpty,
+      "retracting the whole night must cancel the cube to zero")
+    QuantileIndex.advance(spark, w, corpus) // set-identical re-offer
+    TransientCache.drain()
+    assert(histOf(w) == histOf(full) && manifestOf(w) == manifestOf(full),
+      "a re-offer night set-identical to a retracted night must restore")
+    QuantileIndex.retract(spark, w, corpus) // and the cycle closes
+    TransientCache.drain()
+    assert(histOf(w).isEmpty && manifestOf(w).isEmpty,
+      "re-retracting the restored night must cancel again")
+  }
+
   test("quantile cube: retraction crash windows converge under replay") {
     // window 1: crash mid-negative-append (half the rows landed)
     val r1 = tmpRoot("tqc1")
     QuantileIndex.advance(spark, r1, corpus)
     new Warehouse(spark, r1)
-      .append("tq_hist", negDelta(retracted).where(pmod(col("v"), lit(2)) === 0))
+      .append("tq_hist", negDelta(r1, retracted).where(pmod(col("v"), lit(2)) === 0))
     QuantileIndex.retract(spark, r1, retracted) // the replay
     TransientCache.drain()
     val clean = tmpRoot("tqcl")
@@ -129,7 +188,7 @@ class RetractionSpec extends SparkSpec {
     val r2 = tmpRoot("tqc2")
     QuantileIndex.advance(spark, r2, corpus)
     val w2 = new Warehouse(spark, r2)
-    w2.append("tq_hist", negDelta(retracted))
+    w2.append("tq_hist", negDelta(r2, retracted))
     w2.write("tq_docs",
       w2.read("tq_docs").join(
         retracted.select(col("doc_id")).dropDuplicates("doc_id"),
@@ -228,6 +287,17 @@ class RetractionSpec extends SparkSpec {
     assert(got == want, "post-retraction screen != survivor-rebuilt screen")
   }
 
+  test("q128 read == the full scan over the surviving users (the driver row, locally)") {
+    val got = Sessions.retractRetention(spark, dir).collect().toSeq
+    TransientCache.drain()
+    // the q104 formulation over the survivor universe, independently
+    val want = Sessions.retentionCohortsOf(
+      Tables.events(spark, dir).filter(!expr(Sessions.RetractUsersPredSql)))
+      .collect().toSeq
+    TransientCache.drain()
+    assert(got == want, "post-retraction read != survivor full scan")
+  }
+
   // ------------------------------------------- band + winnow + ANN
 
   test("band index: retract == independent rebuild over survivors; idempotent; re-offer == full build") {
@@ -257,6 +327,13 @@ class RetractionSpec extends SparkSpec {
       assert(rowsOf(new Warehouse(spark, back.root).read(t)) ==
         rowsOf(new Warehouse(spark, full.root).read(t)),
         s"$t: retract + re-offer != full build")
+    // the cycle closes (by construction for swap-based stores):
+    // retracting the re-offered docs AGAIN == the survivor rebuild
+    val cyc = Dedup.retractFromCorpusIndexOf(back, ids)
+    for (t <- tables)
+      assert(rowsOf(new Warehouse(spark, cyc.root).read(t)) ==
+        rowsOf(new Warehouse(spark, b.root).read(t)),
+        s"$t: retract → re-offer → retract != survivor rebuild")
   }
 
   test("winnow index: retract == independent rebuild over survivors; idempotent; re-offer == full build") {
@@ -280,6 +357,11 @@ class RetractionSpec extends SparkSpec {
       assert(rowsOf(new Warehouse(spark, back.root).read(t)) ==
         rowsOf(new Warehouse(spark, full.root).read(t)),
         s"$t: retract + re-offer != full build")
+    val cyc = Dedup.retractFromWinnowIndexOf(back, ids)
+    for (t <- tables)
+      assert(rowsOf(new Warehouse(spark, cyc.root).read(t)) ==
+        rowsOf(new Warehouse(spark, b.root).read(t)),
+        s"$t: retract → re-offer → retract != survivor rebuild")
   }
 
   test("ann codes: retract == remove_ids == rebuild over survivors (frozen fits); re-offer == full build") {
@@ -311,6 +393,10 @@ class RetractionSpec extends SparkSpec {
       Similarity.pqCodesOf(Similarity.vecsOf(corpusV), cents, cbs))
     assert(rowsOf(wa.read("corpus_codes")) == rowsOf(wf.read("corpus_codes")),
       "retract + re-offer != full build")
+    // the cycle closes: remove_ids of the re-offered vectors == survivors
+    Similarity.retractFromAnnIndexOf(again, subV.select(col("vec_id")))
+    assert(rowsOf(wa.read("corpus_codes")) == rowsOf(wb.read("corpus_codes")),
+      "retract → re-offer → retract != survivor rebuild")
   }
 
   // -------------------------------------------------- HLL + event tier
@@ -323,10 +409,53 @@ class RetractionSpec extends SparkSpec {
     val survH = corpusH.filter(col("doc_id") % 9 =!= 4).select(col("sh_h"))
     Sketch.retractHllRebuild(spark, root, survH)
     val wh = new Warehouse(spark, root)
-    assert(rowsOf(wh.read("hll_regs")) == rowsOf(Sketch.registersOf(survH)),
+    def flat(): Seq[String] =
+      rowsOf(wh.read("hll_regs").select(col("reg"), col("mj")))
+    assert(flat() == rowsOf(Sketch.registersOf(survH)),
       "rebuild-on-retract != fresh build over survivors")
     Sketch.retractHllRebuild(spark, root, survH) // idempotent by determinism
-    assert(rowsOf(wh.read("hll_regs")) == rowsOf(Sketch.registersOf(survH)))
+    assert(flat() == rowsOf(Sketch.registersOf(survH)))
+    TransientCache.drain()
+  }
+
+  test("hll epoch stripes: retract = drop affected windows + re-max their survivors; untouched stripes never move") {
+    val hashes = Dedup.shingleIndex(spark, dir)
+    val corpusH = hashes.filter(col("doc_id") % 10 < 8)
+    val root = tmpRoot("hlle")
+    // four ingest windows, advanced as stripes
+    (0 until 4).foreach { e =>
+      Sketch.advanceHllEpoch(spark, root, e.toLong,
+        corpusH.filter(pmod(col("doc_id"), lit(4)) === e).select(col("sh_h")))
+    }
+    val wh = new Warehouse(spark, root)
+    // the reader's collapse over stripes == the flat full build
+    assert(rowsOf(wh.read("hll_regs")
+        .groupBy(col("reg")).agg(max(col("mj")).as("mj"))) ==
+      rowsOf(Sketch.registersOf(corpusH.select(col("sh_h")))),
+      "collapsed stripes != flat build over the same stream")
+    // takedown hits only window 2: survivors of that window, labeled
+    val surv2 = corpusH.filter(pmod(col("doc_id"), lit(4)) === 2 &&
+        col("doc_id") % 9 =!= 4)
+      .select(lit(2L).as("epoch"), col("sh_h"))
+    val untouchedBefore = rowsOf(wh.read("hll_regs").filter(col("epoch") =!= 2))
+    Sketch.retractHllEpochs(spark, root, Seq(2L), surv2)
+    // the O(affected windows) claim, literally: other stripes unmoved
+    assert(rowsOf(wh.read("hll_regs").filter(col("epoch") =!= 2)) ==
+      untouchedBefore, "unaffected stripes must be copied byte-identically")
+    // == a fresh striped build whose window 2 never saw the docs
+    val clean = tmpRoot("hllc")
+    (0 until 4).foreach { e =>
+      val w = corpusH.filter(pmod(col("doc_id"), lit(4)) === e)
+      Sketch.advanceHllEpoch(spark, clean, e.toLong,
+        (if (e == 2) w.filter(col("doc_id") % 9 =!= 4) else w)
+          .select(col("sh_h")))
+    }
+    def stripes(r: String): Seq[String] =
+      rowsOf(new Warehouse(spark, r).read("hll_regs"))
+    assert(stripes(root) == stripes(clean),
+      "stripe retraction != rebuild whose window never saw the docs")
+    Sketch.retractHllEpochs(spark, root, Seq(2L), surv2) // idempotent
+    assert(stripes(root) == stripes(clean))
     TransientCache.drain()
   }
 
@@ -360,6 +489,21 @@ class RetractionSpec extends SparkSpec {
     for (t <- Seq("ret_user", "ret_weeks"))
       assert(rowsOf(wc.read(t)) == rowsOf(new Warehouse(spark, b).read(t)),
         s"$t: mid-crash replay must converge")
+    // the cycle closes: re-offer the opted-out users' complete history
+    // as a night (a re-entering user's fd re-derives from the batch),
+    // then retract again — swap-based, so both legs are by construction
+    Sessions.advanceRetentionIndex(spark, a, ev.filter(col("user_id") % 5 === 2))
+    val fullIdx = tmpRoot("retf")
+    Sessions.retentionIndexAt(spark, fullIdx, ev)
+    for (t <- Seq("ret_user", "ret_weeks"))
+      assert(rowsOf(new Warehouse(spark, a).read(t)) ==
+        rowsOf(new Warehouse(spark, fullIdx).read(t)),
+        s"$t: opt-out + re-offer != full build")
+    Sessions.retractRetentionUsers(spark, a, optOut)
+    for (t <- Seq("ret_user", "ret_weeks"))
+      assert(rowsOf(new Warehouse(spark, a).read(t)) ==
+        rowsOf(new Warehouse(spark, b).read(t)),
+        s"$t: retract → re-offer → retract != survivor rebuild")
   }
 
   test("transitions ledger: user opt-out cancels additively == rebuild over surviving users; replay + crash converge") {
@@ -421,6 +565,19 @@ class RetractionSpec extends SparkSpec {
     Sessions.retractTransitionsUsers(spark, c, history) // the replay
     assert(cellsOf(c) == cellsOf(b), "mid-crash replay double-cancelled")
     assert(carryOf(c) == carryOf(b))
+    // the cycle closes: re-ingest the opted-out users' complete history
+    // as a fresh night (the CDC re-offer shape), then retract again —
+    // tr_last's NEW night marker stamps the second retraction's key, so
+    // it cancels instead of colliding with the first retraction's rows
+    Sessions.advanceTransitionsIndex(spark, a, history)
+    val d = tmpRoot("trd")
+    (0 until 4).foreach(i => Sessions.advanceTransitionsIndex(spark, d, slice(ev, i)))
+    assert(cellsOf(a) == cellsOf(d),
+      "opt-out + re-ingest != the full-ingestion totals")
+    Sessions.retractTransitionsUsers(spark, a, history)
+    assert(cellsOf(a) == cellsOf(b),
+      "retract → re-ingest → retract != survivor rebuild")
+    assert(carryOf(a) == carryOf(b))
   }
 
   private def op(df: DataFrame, o: String): DataFrame =
@@ -428,6 +585,8 @@ class RetractionSpec extends SparkSpec {
 
   test("streaming control lanes: the three screen twins route advance/retract, sweep their pairs, and no-op on redelivery") {
     import graft.streaming.{StreamingAnn, StreamingDedup, StreamingWinnow}
+    val sqlc = spark.sqlContext
+    import sqlc.implicits._
     val b8 = docs.filter(col("doc_id") % 10 === 8).select(col("doc_id"), col("text"))
     val b9 = docs.filter(col("doc_id") % 10 === 9).select(col("doc_id"), col("text"))
     val retrDocs = retracted.select(col("doc_id"), col("text"))
@@ -491,14 +650,32 @@ class RetractionSpec extends SparkSpec {
     val vMixed = op(v9, "advance").unionByName(op(retrV, "retract"))
     Similarity.openAnnIndex(spark, dir, rootA)
     StreamingAnn.processControlBatch(dir, whA, op(v8, "advance"), Some(rootA))
+    val vids = retrV.select(col("vec_id"))
+    // queries whose pre-retraction top-k names a soon-retracted neighbor
+    val affectedQ = whA.read("ann_matches")
+      .join(vids, Seq("vec_id"), "left_semi").select(col("q_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(affectedQ.nonEmpty,
+      "fixture must produce at least one query naming a retracted neighbor")
     StreamingAnn.processControlBatch(dir, whA, vMixed, Some(rootA))
     StreamingAnn.processControlBatch(dir, whA, vMixed, Some(rootA)) // redelivery
-    val vids = retrV.select(col("vec_id"))
     assert(new Warehouse(spark, rootA).read("corpus_codes")
       .join(vids, Seq("vec_id"), "left_semi").isEmpty)
     assert(whA.read("ann_matches")
       .join(vids, Seq("vec_id"), "left_semi").isEmpty,
       "matches naming a retracted neighbor must be swept")
+    // the sweep is WHOLE-QUERY: no rank holes left behind —
+    val leftQ = whA.read("ann_matches").select(col("q_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(affectedQ.intersect(leftQ).isEmpty,
+      "a query naming a retracted neighbor must be dropped whole")
+    // — and a redelivered original query batch cannot backfill the
+    // dropped queries against the post-retraction index (the codes-
+    // table seen guard): no q_id ever mixes two screenings' rankings
+    StreamingAnn.processControlBatch(dir, whA, op(v8, "advance"), Some(rootA))
+    assert(whA.read("ann_matches")
+      .join(affectedQ.toSeq.toDF("q_id"), Seq("q_id"), "left_semi").isEmpty,
+      "redelivered queries must not half-rebuild swept results")
     Similarity.clearAnnIndex(spark)
   }
 
@@ -556,6 +733,52 @@ class RetractionSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------ live lane
+
+  test("published shards: retractFromLive sweeps corpus_shards in the same call; refreshFull + publish converge") {
+    val wh = new Warehouse(spark, tmpRoot("shards"))
+    val docsAll = Tables.spread(docs)
+      .select(col("doc_id"), col("source"), col("text"))
+    wh.write("corpus_raw", docsAll.filter(col("doc_id") % 10 < 8))
+    CorpusPipeline.refreshFull(wh)
+    CorpusPipeline.publish(wh)
+    TransientCache.drain()
+    val sqlc = spark.sqlContext
+    import sqlc.implicits._
+    // pinned as literals: the retraction swaps the corpus_live files a
+    // lazy lineage would re-read
+    val ids = wh.read("corpus_live").select(col("doc_id"))
+      .filter(col("doc_id") % 9 === 4)
+      .collect().map(_.getLong(0)).toSeq.toDF("doc_id")
+    // load-bearing fixture: some retracted docs ARE published
+    assert(!wh.read("corpus_shards").join(ids, Seq("doc_id"), "left_semi").isEmpty,
+      "fixture must publish at least one soon-retracted doc")
+    val keep = rowsOf(wh.read("corpus_shards")
+      .join(ids, Seq("doc_id"), "left_anti"))
+
+    CorpusPipeline.retractFromLive(wh, ids)
+    // the takedown SLA: immediately post-retract — not at the next
+    // refresh — no published shard contains a retracted doc
+    assert(wh.read("corpus_shards").join(ids, Seq("doc_id"), "left_semi").isEmpty,
+      "published shards still hold retracted ids right after the call")
+    // and the sweep is surgical: surviving shard rows are untouched
+    // (the packing is NOT re-run — budgets keep their holes)
+    assert(rowsOf(wh.read("corpus_shards")) == keep,
+      "the shard sweep must move nothing but the retracted rows")
+    TransientCache.drain()
+
+    // the cadence pairing still converges: refreshFull + re-publish ==
+    // a publish over a pipeline that NEVER saw the retracted docs
+    CorpusPipeline.refreshFull(wh)
+    CorpusPipeline.publish(wh)
+    TransientCache.drain()
+    val whB = new Warehouse(spark, tmpRoot("shardsB"))
+    whB.write("corpus_raw", wh.read("corpus_raw")) // the purged raw ledger
+    CorpusPipeline.refreshFull(whB)
+    CorpusPipeline.publish(whB)
+    TransientCache.drain()
+    assert(rowsOf(wh.read("corpus_shards")) == rowsOf(whB.read("corpus_shards")),
+      "refreshFull + re-publish != publish over survivors")
+  }
 
   test("live lane: retractFromLive purges every table, keeps the maintained invariants, re-screens re-offers, and refreshFull cannot resurrect") {
     val wh = new Warehouse(spark, tmpRoot("live"))
@@ -635,6 +858,19 @@ class RetractionSpec extends SparkSpec {
     assert(rowsOf(CorpusPipeline.liveTokenCounts(wh)) ==
       rowsOf(TextOps.tokenCountsOf(wh.read("corpus_live"))),
       "liveTokenCounts != recompute after the re-offer night")
+    TransientCache.drain()
+
+    // ... and the cycle closes: a SECOND retraction of the re-offered
+    // docs derives a fresh epoch-stamped key (the re-offer night's
+    // positive delta key advanced the epoch), so it cancels again
+    // instead of no-oping on the first retraction's guard rows
+    CorpusPipeline.retractFromLive(wh, ids)
+    for (t <- docTables)
+      assert(wh.read(t).join(ids, Seq("doc_id"), "left_semi").isEmpty,
+        s"$t still holds ids after the second retraction of the cycle")
+    assert(rowsOf(CorpusPipeline.liveTokenCounts(wh)) ==
+      rowsOf(TextOps.tokenCountsOf(wh.read("corpus_live"))),
+      "liveTokenCounts != recompute after the cycle's second retraction")
     TransientCache.drain()
   }
 }

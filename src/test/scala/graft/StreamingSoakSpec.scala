@@ -49,54 +49,87 @@ class StreamingSoakSpec extends SparkSpec {
     if (i % 5 == 4) run()
   }
 
-  test("soak: quantile index — 20 checkpointed micro-batch nights + replays stay value-bounded; final == rebuild") {
+  /** Interleaved retraction schedule for the six control-lane soaks —
+    * ≥3 retractions per family, containing a full
+    * retract → re-offer → retract → re-offer cycle of one entity set
+    * (R, the epoch-stamp fix's streamed exercise) plus a second set
+    * (R2) retracted for good, so the final rebuild reference is a
+    * genuine survivor set.
+    */
+  private val RetractR = Set(6, 14)
+  private val ReofferR = Set(10, 18)
+  private val RetractR2 = Set(16)
+  private def retractsUpTo(i: Int): Int =
+    (RetractR ++ RetractR2).count(_ <= i)
+
+  test("soak: quantile index — 20 checkpointed nights + replays + interleaved retract/re-offer cycles; final == survivor rebuild") {
     val sql = spark.sqlContext
     import sql.implicits._
     import graft.streaming.StreamingQuantileIndex
-    import graft.streaming.StreamingQuantileIndex.QDoc
+    import graft.streaming.StreamingQuantileIndex.QDocOp
     val tmp = tmpRoot("tq")
     val wh = new Warehouse(spark, s"$tmp/wh")
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
     val support = QuantileIndex.valsOf(docs)
       .select(col("g"), col("source"), col("v")).distinct().count()
-    def slice(i: Int): Seq[QDoc] = docs.filter(col("doc_id") % Batches === i)
+    def qops(df: DataFrame, op: String): Seq[QDocOp] = df
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      .as[QDoc].collect().toSeq
+      .collect().map(r =>
+        QDocOp(r.getLong(0), r.getString(1), r.getString(2), r.getString(3), op))
+      .toSeq
+    def sliceDf(i: Int): DataFrame = docs.filter(col("doc_id") % Batches === i)
+    val R = sliceDf(2)  // retracted twice, re-offered twice — survives
+    val R2 = sliceDf(3) // retracted for good at night 16
 
-    val stream = MemoryStream[QDoc](spark)
+    val stream = MemoryStream[QDocOp](spark)
     for (i <- 0 until Batches) {
       // a REAL micro-batch: one AvailableNow run per night against the
-      // same checkpoint — every iteration is also a restart
-      stream.addData(slice(i): _*)
-      StreamingQuantileIndex.sink(stream.toDF(), wh, s"$tmp/ckpt")
+      // same checkpoint — every iteration is also a restart; retract
+      // and re-offer messages ride the SAME batch as the night's docs
+      val batch: Seq[QDocOp] =
+        qops(sliceDf(i), "advance") ++
+        (if (ReofferR(i)) qops(R, "advance") else Nil) ++
+        (if (RetractR(i)) qops(R, "retract") else Nil) ++
+        (if (RetractR2(i)) qops(R2, "retract") else Nil)
+      stream.addData(batch: _*)
+      StreamingQuantileIndex.sinkWithControl(stream.toDF(), wh, s"$tmp/ckpt")
         .start().awaitTermination()
       TransientCache.drain()
-      if (i % 5 == 4) { // redelivery of the latest night, outside the stream
-        StreamingQuantileIndex.processBatch(wh, slice(i).toDF(), i.toLong)
+      if (i % 5 == 4) { // redelivery of the latest batch, outside the stream
+        StreamingQuantileIndex.processControlBatch(wh, batch.toDF(), i.toLong)
         TransientCache.drain()
       }
-      // value/entity/calendar bounds, measured per batch
+      // value/entity/calendar bounds, measured per batch (the negative
+      // retraction rows reuse the corpus value support, so the support
+      // bound holds through every cancellation)
       assert(wh.read("tq_hist")
         .select(col("g"), col("source"), col("v")).distinct().count() <= support,
         s"night $i: tq_hist support outgrew the corpus value support")
       assert(wh.read("tq_docs").count() <= nDocs,
         s"night $i: manifest outgrew the offered doc set")
-      assert(wh.read("tq_marker").count() <= i + 1,
-        s"night $i: marker outgrew the night count")
+      // markers: one per committed night + one per retraction + at most
+      // one per post-retraction redelivery (the epoch moved, so the
+      // replay re-commits under a fresh key — converging, O(nights))
+      assert(wh.read("tq_marker").count() <=
+        (i + 1) + retractsUpTo(i) + (i / 5 + 1),
+        s"night $i: marker outgrew nights + retraction events")
     }
-    // final at-rest state == one batch rebuild over all docs
+    // final at-rest state == one batch rebuild over the SURVIVORS
+    // (R went through two full retract/re-offer cycles and is present;
+    // R2 stayed retracted)
     def hist(root: String): Map[(String, String, Long), Long] =
       new Warehouse(spark, root).read("tq_hist")
         .groupBy(col("g"), col("source"), col("v"))
-        .agg(sum(col("nv")).as("nv")).collect()
+        .agg(sum(col("nv")).as("nv")).filter(col("nv") =!= 0).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
         .toMap
     val rb = tmpRoot("tqrb")
-    QuantileIndex.advance(spark, rb, docs)
+    QuantileIndex.advance(spark, rb, docs.filter(col("doc_id") % Batches =!= 3))
     TransientCache.drain()
-    assert(hist(s"$tmp/wh") == hist(rb), "soaked ledger != one-shot rebuild")
-    assert(wh.read("tq_docs").count() == nDocs)
+    assert(hist(s"$tmp/wh") == hist(rb), "soaked ledger != survivor rebuild")
+    assert(wh.read("tq_docs").count() ==
+      new Warehouse(spark, rb).read("tq_docs").count())
   }
 
   test("soak: cardinality registers — 20 micro-batches + replays stay register-bounded; final == rebuild") {
@@ -113,12 +146,21 @@ class StreamingSoakSpec extends SparkSpec {
     }
     val want = Sketch.registersOf(StreamingCardinality.batchHashes(docs))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
-    val got = wh.read("hll_regs").collect()
+    val got = wh.read("hll_regs").select(col("reg"), col("mj")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(got == want, "soaked registers != batch rebuild")
   }
 
-  test("soak: retention index — 20 day-sliced nights + replays stay user/week-bounded; final == rebuild") {
+  // The event twins' opt-out/opt-in cycle entities: U cycles out and
+  // back twice (the epoch-discipline exercise), V opts out for good at
+  // night 16 — while opted out, a user's future events also leave the
+  // FEED (a real opt-out filters ingestion, not just state)
+  private def uPred = col("user_id") % 7 === 3
+  private def vPred = col("user_id") % 7 === 5
+  private def uOptedOut(i: Int): Boolean =
+    (i > 6 && i < 10) || (i > 14 && i < 18)
+
+  test("soak: retention index — 20 day-sliced nights + replays + opt-out/opt-in cycles; final == survivor rebuild") {
     import graft.streaming.StreamingRetentionIndex
     val wh = new Warehouse(spark, tmpRoot("ret"))
     val ev = Tables.events(spark, dir)
@@ -130,28 +172,44 @@ class StreamingSoakSpec extends SparkSpec {
     val users = ev.select(col("user_id")).distinct().count()
     val userWeeks = ev.select(col("user_id"),
       expr("day DIV 7").as("w")).distinct().count()
-    def slice(i: Int): DataFrame = ev
-      .filter(col("day") >= lo + i * step && col("day") < lo + (i + 1) * step)
-      .select(col("user_id"), col("ts"))
+    def feedSlice(i: Int): DataFrame = {
+      var s = ev.filter(col("day") >= lo + i * step &&
+        col("day") < lo + (i + 1) * step)
+      if (uOptedOut(i)) s = s.filter(!uPred)
+      if (i > 16) s = s.filter(!vPred)
+      s
+    }
+    // opt-in re-ingests the user's COMPLETE history to date (in-order
+    // holds: the user is absent from ret_user, so every day is new)
+    def history(p: org.apache.spark.sql.Column, i: Int): DataFrame =
+      ev.filter(p && col("day") < lo + (i + 1) * step)
+    def rEv(df: DataFrame) = df.select(col("user_id"), col("ts"))
+    def op(df: DataFrame, o: String) = df.withColumn("op", lit(o))
     for (i <- 0 until Batches) {
       // TIME-ordered slices (the in-order-per-user contract); trailing
       // slices may be empty — an empty night must no-op
-      withReplay(i)(() => StreamingRetentionIndex.processBatch(wh, slice(i), i.toLong))
+      var m = op(rEv(feedSlice(i)), "advance")
+      if (ReofferR(i)) m = m.unionByName(op(rEv(history(uPred, i)), "advance"))
+      if (RetractR(i)) m = m.unionByName(op(rEv(ev.filter(uPred)), "retract"))
+      if (RetractR2(i)) m = m.unionByName(op(rEv(ev.filter(vPred)), "retract"))
+      withReplay(i)(() => StreamingRetentionIndex.processControlBatch(wh, m, i.toLong))
       assert(wh.read("ret_user").count() <= users,
         s"night $i: ret_user outgrew the user set")
       assert(wh.read("ret_weeks").count() <= userWeeks,
         s"night $i: ret_weeks outgrew the user-week support")
     }
+    // final == rebuild over the surviving users' events (U cycled back
+    // with full history both times; V stayed out)
     val rb = tmpRoot("retrb")
-    Sessions.retentionIndexAt(spark, rb, Tables.events(spark, dir))
+    Sessions.retentionIndexAt(spark, rb, Tables.events(spark, dir).filter(!vPred))
     val w2 = new Warehouse(spark, rb)
     assert(rowsOf(wh.read("ret_user")) == rowsOf(w2.read("ret_user")),
-      "soaked ret_user != batch rebuild")
+      "soaked ret_user != survivor rebuild")
     assert(rowsOf(wh.read("ret_weeks")) == rowsOf(w2.read("ret_weeks")),
-      "soaked ret_weeks != batch rebuild")
+      "soaked ret_weeks != survivor rebuild")
   }
 
-  test("soak: transitions ledger — 20 day-sliced nights + replays stay nights x types^2-bounded; cells == batch matrix") {
+  test("soak: transitions ledger — 20 day-sliced nights + replays + opt-out/opt-in cycles; cells == survivor matrix") {
     import graft.streaming.StreamingTransitionsIndex
     val wh = new Warehouse(spark, tmpRoot("tr"))
     val ev = Tables.events(spark, dir)
@@ -162,25 +220,65 @@ class StreamingSoakSpec extends SparkSpec {
     val step = math.max(1L, (hi - lo + Batches) / Batches)
     val types = ev.select(col("event_type")).distinct().count()
     val users = ev.select(col("user_id")).distinct().count()
-    def slice(i: Int): DataFrame = ev
-      .filter(col("day") >= lo + i * step && col("day") < lo + (i + 1) * step)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    def tEv(df: DataFrame) = df.select(col("user_id"), col("ts"),
+      col("event_id"), col("event_type"))
+    def feedSlice(i: Int): DataFrame = {
+      var s = ev.filter(col("day") >= lo + i * step &&
+        col("day") < lo + (i + 1) * step)
+      if (uOptedOut(i)) s = s.filter(!uPred)
+      if (i > 16) s = s.filter(!vPred)
+      s
+    }
+    // the retract payload is the user's complete INGESTED history (the
+    // CDC delete payload); with the feed exclusions above that is
+    // exactly every event with day < the next slice's start
+    def history(p: org.apache.spark.sql.Column, i: Int): DataFrame =
+      ev.filter(p && col("day") < lo + (i + 1) * step)
+    def op(df: DataFrame, o: String) = df.withColumn("op", lit(o))
     for (i <- 0 until Batches) {
-      withReplay(i)(() => StreamingTransitionsIndex.processBatch(wh, slice(i), i.toLong))
-      assert(wh.read("tr_deltas").count() <= (i + 1) * types * types,
-        s"night $i: ledger outgrew nights x |types|^2")
+      var m = op(tEv(feedSlice(i)), "advance")
+      if (ReofferR(i)) m = m.unionByName(op(tEv(history(uPred, i)), "advance"))
+      if (RetractR(i)) m = m.unionByName(op(tEv(history(uPred, i)), "retract"))
+      if (RetractR2(i)) m = m.unionByName(op(tEv(history(vPred, i)), "retract"))
+      withReplay(i)(() => StreamingTransitionsIndex.processControlBatch(wh, m, i.toLong))
+      assert(wh.read("tr_deltas").count() <=
+        ((i + 1) + retractsUpTo(i)) * types * types,
+        s"night $i: ledger outgrew (nights + retractions) x |types|^2")
       assert(wh.read("tr_last").count() <= users,
         s"night $i: carry outgrew the user set")
     }
+    // net cells == the q105 matrix over the surviving users' events
+    // (U's cancel/re-ingest cycles net to their full-sequence pairs)
     val cells = wh.read("tr_deltas").groupBy(col("from_type"), col("to_type"))
-      .agg(sum(col("n")).as("n")).collect()
+      .agg(sum(col("n")).as("n")).filter(col("n") =!= 0).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val want = Sessions.sessionTransitions(spark, dir).collect()
+    val rb = tmpRoot("trrb")
+    (0 until Batches).foreach { i =>
+      Sessions.advanceTransitionsIndex(spark, rb,
+        tEv(ev.filter(!vPred && col("day") >= lo + i * step &&
+          col("day") < lo + (i + 1) * step)))
+    }
+    val want = new Warehouse(spark, rb).read("tr_deltas")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).as("n")).filter(col("n") =!= 0).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(cells == want, "soaked ledger != batch q105 matrix")
+    assert(cells == want, "soaked net cells != survivor matrix")
   }
 
-  test("soak: minhash index — 20 micro-batch nights + replays stay doc-bounded; final == one-shot append") {
+  /** The op-mixed control batch for night `i`: the night's arrivals
+    * plus the schedule's retract/re-offer messages over (R, R2).
+    */
+  private def controlMix(i: Int, slice: DataFrame, r: DataFrame,
+                         r2: DataFrame): DataFrame = {
+    def op(df: DataFrame, o: String) = df.withColumn("op", lit(o))
+    var m = op(slice, "advance")
+    if (ReofferR(i)) m = m.unionByName(op(r, "advance"))
+    if (RetractR(i)) m = m.unionByName(op(r, "retract"))
+    if (RetractR2(i)) m = m.unionByName(op(r2, "retract"))
+    m
+  }
+
+  test("soak: minhash index — 20 nights + replays + interleaved retract/re-offer cycles; final == survivor one-shot append") {
     import graft.streaming.StreamingDedup
     Dedup.clearCorpusIndex(spark)
     val rootA = tmpRoot("mhA")
@@ -194,8 +292,8 @@ class StreamingSoakSpec extends SparkSpec {
       held.filter(expr(s"doc_id DIV 10") % Batches === i)
     val whA = new Warehouse(spark, rootA)
     for (i <- 0 until Batches) {
-      withReplay(i)(() =>
-        StreamingDedup.processBatch(dir01, wh, slice(i), Some(rootA)))
+      withReplay(i)(() => StreamingDedup.processControlBatch(dir01, wh,
+        controlMix(i, slice(i), slice(2), slice(3)), Some(rootA)))
       // entity bounds: the manifest never outgrows the docs ever
       // offered, and the data tables never hold docs off the manifest
       assert(whA.read("corpus_docs").count() <= total,
@@ -204,19 +302,21 @@ class StreamingSoakSpec extends SparkSpec {
         .count() <= whA.read("corpus_docs").count(),
         s"night $i: band rows for unmanifested docs")
     }
-    // final index state == one-shot append of the same docs
+    // final index state == one-shot append of the SURVIVORS (R cycled
+    // back in twice; R2 stayed retracted)
     Dedup.clearCorpusIndex(spark)
     val rootB = tmpRoot("mhB")
     Dedup.openCorpusIndex(spark, dir01, rootB)
-    Dedup.appendToCorpusIndex(spark, dir01, held)
+    Dedup.appendToCorpusIndex(spark, dir01,
+      held.filter(expr(s"doc_id DIV 10") % Batches =!= 3))
     val whB = new Warehouse(spark, rootB)
     for (t <- Seq("corpus_shingles", "corpus_band_index", "corpus_docs"))
       assert(rowsOf(whA.read(t)) == rowsOf(whB.read(t)),
-        s"soaked $t != one-shot append")
+        s"soaked $t != survivor one-shot append")
     Dedup.clearCorpusIndex(spark)
   }
 
-  test("soak: winnow index — 20 micro-batch nights + replays stay doc-bounded; final == one-shot append") {
+  test("soak: winnow index — 20 nights + replays + interleaved retract/re-offer cycles; final == survivor one-shot append") {
     import graft.streaming.StreamingWinnow
     Dedup.clearWinnowIndexAtRest(spark)
     val rootA = tmpRoot("wnA")
@@ -230,8 +330,8 @@ class StreamingSoakSpec extends SparkSpec {
       held.filter(expr(s"doc_id DIV 10") % Batches === i)
     val whA = new Warehouse(spark, rootA)
     for (i <- 0 until Batches) {
-      withReplay(i)(() =>
-        StreamingWinnow.processBatch(dir01, wh, slice(i), Some(rootA)))
+      withReplay(i)(() => StreamingWinnow.processControlBatch(dir01, wh,
+        controlMix(i, slice(i), slice(2), slice(3)), Some(rootA)))
       assert(whA.read("corpus_winnow_docs").count() <= total,
         s"night $i: manifest outgrew the corpus")
       assert(whA.read("corpus_winnow").select(col("doc_id")).distinct()
@@ -241,15 +341,16 @@ class StreamingSoakSpec extends SparkSpec {
     Dedup.clearWinnowIndexAtRest(spark)
     val rootB = tmpRoot("wnB")
     Dedup.openWinnowIndex(spark, dir01, rootB)
-    Dedup.appendToWinnowIndex(spark, dir01, held)
+    Dedup.appendToWinnowIndex(spark, dir01,
+      held.filter(expr(s"doc_id DIV 10") % Batches =!= 3))
     val whB = new Warehouse(spark, rootB)
     for (t <- Seq("corpus_winnow", "corpus_winnow_docs"))
       assert(rowsOf(whA.read(t)) == rowsOf(whB.read(t)),
-        s"soaked $t != one-shot append")
+        s"soaked $t != survivor one-shot append")
     Dedup.clearWinnowIndexAtRest(spark)
   }
 
-  test("soak: ann index — 20 micro-batch nights + replays stay vec-bounded; final == one-shot append") {
+  test("soak: ann index — 20 nights + replays + interleaved retract/re-offer cycles; final == survivor one-shot append") {
     import graft.streaming.StreamingAnn
     Similarity.clearAnnIndex(spark)
     Similarity.clearKmeansMemo(spark)
@@ -264,20 +365,22 @@ class StreamingSoakSpec extends SparkSpec {
       held.filter(expr(s"vec_id DIV 10") % Batches === i)
     val whA = new Warehouse(spark, rootA)
     for (i <- 0 until Batches) {
-      withReplay(i)(() =>
-        StreamingAnn.processBatch(dir01, wh, slice(i), Some(rootA)))
+      withReplay(i)(() => StreamingAnn.processControlBatch(dir01, wh,
+        controlMix(i, slice(i), slice(2), slice(3)), Some(rootA)))
       assert(whA.read("corpus_codes").count() <= total,
         s"night $i: code table outgrew the vector set")
     }
-    // the fit is frozen (memoized off the same corpus), so a one-shot
-    // append must code every vector identically
+    // the fit is frozen (memoized off the same corpus), so a survivor
+    // one-shot append must code every vector identically (retracted
+    // codes removed FAISS-style, re-offered ones re-encoded byte-equal)
     Similarity.clearAnnIndex(spark)
     val rootB = tmpRoot("annB")
     Similarity.openAnnIndex(spark, dir01, rootB)
-    Similarity.appendToAnnIndex(spark, dir01, held)
+    Similarity.appendToAnnIndex(spark, dir01,
+      held.filter(expr(s"vec_id DIV 10") % Batches =!= 3))
     val whB = new Warehouse(spark, rootB)
     assert(rowsOf(whA.read("corpus_codes")) == rowsOf(whB.read("corpus_codes")),
-      "soaked corpus_codes != one-shot append")
+      "soaked corpus_codes != survivor one-shot append")
     Similarity.clearAnnIndex(spark)
   }
 }

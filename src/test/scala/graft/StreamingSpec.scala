@@ -1163,7 +1163,8 @@ class StreamingSpec extends SparkSpec {
     StreamingCardinality.sink(stream.toDF(), wh, s"$tmp/ckpt")
       .start().awaitTermination()
 
-    def regs(): Seq[(Long, Int)] = wh.read("hll_regs").collect()
+    def regs(): Seq[(Long, Int)] = wh.read("hll_regs")
+      .select(col("reg"), col("mj")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     // streamed ≡ batch rebuild over the concatenated nights
     val want = Sketch.registersOf(StreamingCardinality.batchHashes(
