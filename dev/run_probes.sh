@@ -38,7 +38,12 @@ shift || true; shift || true; shift || true
 # class with no solo anchor — r15 verdict wrong #3); q126 joined r16
 # (the retraction lane's driver row — q119's read over the retracted
 # fixture, rqidx cache tier)
-TOP15="q91 q88 q102 q99 q110 q98 q66 q74 q76 q97 q72 q22 q95 q51 q87 q101 q103 q111 q114 q116 q118 q119 q120 q121 q124 q125 q126"
+# q127 (row-store retraction row, rbandidx tier) formalized r17 after
+# its first r16 rows; q128 (event-tier retraction row, rretidx tier)
+# joined r17; q14/q19/q20 joined r17 to anchor the r16 verdict's three
+# sub-second sweep movers (the fixed-overhead noise class — one solo
+# row each closes them for good, the q101 precedent)
+TOP15="q91 q88 q102 q99 q110 q98 q66 q74 q76 q97 q72 q22 q95 q51 q87 q101 q103 q111 q114 q116 q118 q119 q120 q121 q124 q125 q126 q127 q128 q14 q19 q20"
 QUERIES=${*:-$TOP15}
 
 if pgrep -f "^java .*graft\.(Bench|Verify)" >/dev/null; then
