@@ -236,6 +236,24 @@ object Sketch {
     registersOf(h)
       .select(lit(epoch).as("epoch"), col("reg"), col("mj"))
 
+  /** At-rest migration for the striped ops: a register table written
+    * before the epoch column existed (the flat (reg, mj) layout) is
+    * rewritten ONCE as a single epoch-0 stripe. A tmp-swap rewrite,
+    * not a tolerant read, on purpose: appending 3-column files beside
+    * 2-column ones would leave a parquet directory whose footers
+    * disagree — readers infer one schema and break. The rewrite is
+    * ≤ m rows (the collapsed layout's bound), idempotent, and the
+    * collapsed lane needs no such step (its own write path re-lands
+    * the whole table striped on the next advance).
+    */
+  private def ensureStriped(wh: graft.pipelines.Warehouse): Unit =
+    if (wh.exists("hll_regs")) {
+      val t = wh.read("hll_regs")
+      if (!t.columns.contains("epoch"))
+        wh.write("hll_regs",
+          t.select(lit(0L).as("epoch"), col("reg"), col("mj")))
+    }
+
   /** Advance one ingest window's stripe into the striped at-rest table.
     * Idempotent under at-least-once delivery WITHOUT a manifest, like
     * the collapsed advance but by a different mechanism: the stripe is
@@ -249,6 +267,7 @@ object Sketch {
     val stripe = epochRegistersOf(epoch, batchHashes)
     if (!wh.exists("hll_regs")) wh.write("hll_regs", stripe)
     else {
+      ensureStriped(wh)
       wh.append("hll_regs",
         stripe.join(wh.read("hll_regs")
             .select(col("epoch"), col("reg"), col("mj")),
@@ -276,6 +295,7 @@ object Sketch {
                                       epochs: Seq[Long],
                                       survivors: DataFrame): Unit = {
     val wh = new graft.pipelines.Warehouse(spark, root)
+    ensureStriped(wh)
     val keep = wh.read("hll_regs").filter(!col("epoch").isin(epochs: _*))
     val rebuilt = survivors
       .filter(col("epoch").isin(epochs: _*)) // belt: affected only

@@ -177,6 +177,30 @@ class KmvSketchSpec extends SparkSpec {
     } finally graft.pipelines.Fs.delete(spark, root)
   }
 
+  test("q109 advance: a pre-striping flat register table migrates on the first striped op") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_hllmig_").toString
+    try {
+      val sh = graft.operators.Dedup.shingleIndex(spark, dir)
+      val corpus = sh.filter(col("doc_id") % 10 < 8).select(col("sh_h"))
+      val batch = sh.filter(col("doc_id") % 10 >= 8).select(col("sh_h"))
+      val wh = new graft.pipelines.Warehouse(spark, root)
+      // the legacy at-rest layout: (reg, mj), no epoch column — a
+      // striped op must REWRITE it as stripe 0, never append 3-column
+      // files beside 2-column ones (parquet footers would disagree)
+      wh.write("hll_regs", Sketch.registersOf(corpus))
+      Sketch.advanceHllEpoch(spark, root, 1L, batch)
+      assert(wh.read("hll_regs").columns.toSeq == Seq("epoch", "reg", "mj"),
+        "the first striped op must migrate the legacy layout")
+      val collapsed = wh.read("hll_regs")
+        .groupBy(col("reg")).agg(max(col("mj")).as("mj")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val rebuilt = Sketch.registersOf(sh.select(col("sh_h"))).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(collapsed == rebuilt, "post-migration advance != rebuild")
+    } finally graft.pipelines.Fs.delete(spark, root)
+  }
+
   // ------------------------- q90: value-carrying KMV quantile estimate
 
   test("q90 sample quantiles: estimates bracket the true corpus ranks (DKW)") {
