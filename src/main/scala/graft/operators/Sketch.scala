@@ -310,13 +310,23 @@ object Sketch {
 
   /** The corpus-side register table as an at-rest parquet index,
     * memoized per (context, dir, hash mode) like the winnow index.
+    * Built as TWO ingest-window stripes on purpose: the q109 driver
+    * row then hash-proves the striped-layout read cross-engine — the
+    * oracle recomputes the registers from the full element stream, so
+    * the compare passes iff the reader's max-collapse over stripes ≡
+    * a flat rebuild, bit for bit (the same plan either way: the merge
+    * agg IS the collapse).
     */
   private[graft] def hllIndexAtRest(spark: SparkSession, dir: String): DataFrame = {
     val key = (spark.sparkContext, dir, graft.functions.TextFns.hashMode)
     val root = hllIndexMemo.get(key).getOrElse {
       val fresh = java.nio.file.Files.createTempDirectory("graft_hllidx_").toString
-      hllIndexAt(spark, fresh, Dedup.shingleIndex(spark, dir)
-        .filter(col("doc_id") % 10 < 8).select(col("sh_h")))
+      val corpusH = Dedup.shingleIndex(spark, dir)
+        .filter(col("doc_id") % 10 < 8)
+      hllIndexAt(spark, fresh,
+        corpusH.filter(col("doc_id") % 2 === 0).select(col("sh_h")))
+      advanceHllEpoch(spark, fresh, 1L,
+        corpusH.filter(col("doc_id") % 2 === 1).select(col("sh_h")))
       hllIndexMemo.putIfAbsent(key, fresh) match {
         case Some(winner) =>
           graft.pipelines.Fs.delete(spark, fresh); winner
