@@ -45,15 +45,34 @@ object Dedup {
       // tokenize in its own projection BELOW the generator: Catalyst keeps
       // it there, so the regex split runs once per doc, not once per shingle
       .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), explode(shingles3All(col("t"))).as("s"))
-      .select(col("doc_id"), hash60(col("s")).as("sh_h"))
-      .distinct()
+      .select(col("doc_id"), shingles3All(col("t")).as("gs"))
+      // hash INSIDE the array, then dedupe per doc with array_distinct —
+      // evaluated ONCE per doc in a projection below the generator (the
+      // shingles3 perf note's 15× hazard was array_distinct re-evaluated
+      // per OUTPUT row inside the generator child; this is the safe
+      // placement), over fixed-width longs, not gram strings
+      .select(col("doc_id"),
+        array_distinct(transform(col("gs"), g => hash60(g))).as("hs"))
+      // explode_outer: the non-outer form lets InferFiltersFromGenerate
+      // push a synthesized size(hs)>0 filter into the single-task scan
+      // stage (the winnowFingerprintsOf lesson); hs is provably non-null
+      // and non-empty (shingles3All's ELSE branch emits one whole-doc
+      // gram), so outer ≡ inner and the rule never fires
+      .select(col("doc_id"), explode_outer(col("hs")).as("sh_h"))
 
   /** `(doc_id, sh_h)` — the distinct inverted-index rows, shingle as
-    * 60-bit hash. Explodes the NON-distinct shingle array (cheap generator
-    * — see TextFns.shingles3 perf note) and dedupes relationally after
-    * hashing, so the distinct shuffles fixed-width longs instead of
-    * re-running an interpreted array_distinct per output row.
+    * 60-bit hash. r17: the dedup key is exactly (doc_id, sh_h), so the
+    * per-doc `array_distinct` over the hashed array IS the distinct —
+    * the old relational `.distinct()` after the explode paid a full
+    * Exchange + two hash-aggregates over every shingle OCCURRENCE
+    * (corpus-token-scale rows at 100 TB) for the same row set. The tier
+    * build is now map-only: scan → spread rebalance → project →
+    * generate, zero shuffles (plans/r17/q21_*.txt: the tier subtree
+    * lost its Exchange). No consumer relied on the deleted exchange's
+    * (doc_id, sh_h) partitioning: hash(doc_id, sh_h) satisfies neither
+    * the doc_id clustering minhashesOf needs nor the sh_h clustering
+    * the inverted-index joins need, so every consumer already
+    * re-partitions for its own keys.
     *
     * Cached: this is the shared intermediate of q21 AND q22 (Spark's
     * CacheManager matches by logical plan, so both queries hit one
@@ -1216,35 +1235,49 @@ object Dedup {
     * Null-text docs are dropped up front (parquet-pushed predicate; the
     * oracle CTE carries the same WHERE, so the semantics are pinned).
     *
-    * Scale: the window partitions by doc_id with a bounded ROWS frame —
-    * each partition is ONE document's grams, never corpus-wide, so the
-    * sort is doc-length-bounded and the shuffle carries fixed-width
-    * (doc_id, pos, hash) rows. Everything else is scan-stage expressions
-    * plus one relational distinct on fixed-width keys.
+    * Scale (r17 rewrite): the per-window minima are computed INSIDE the
+    * per-doc hash array (`transform(sequence(1, max(m−w+1, 1)), p →
+    * array_min(slice(hs, p, w)))`) — pure codegen'd array expressions in
+    * the same map stage as tokenize/gram/hash — and only the SELECTED
+    * fingerprints are exploded into the relational distinct. The
+    * previous formulation exploded every gram occurrence and ran a
+    * doc-partitioned sliding `min().over(window)`: semantically
+    * identical (the window frame `[current, +w−1]` clipped at the
+    * partition end ≡ the NULL-ignoring `least` over `get`s clipped at
+    * the array end; the pos filter becomes the sequence bound), but it
+    * paid one extra Exchange (hashpartitioning(doc_id) for the window)
+    * + a sort over every gram OCCURRENCE + non-codegen WindowExec frame
+    * re-evaluation. Plan at sf0.1: 2 Exchanges → 1 (the spread
+    * rebalance + ONE distinct exchange; the window exchange+sort are
+    * gone — plans/r17/q85_*.txt). Wall at sf0.1 is NEUTRAL (min-of-3
+    * back-to-back 0.47–0.67 s both ways: tokenize+gram+hash dominates
+    * and the deleted shuffle is ~260 k fixed-width rows here); the win
+    * is the SCALE shape — at 100 TB the deleted Exchange is a full
+    * shuffle of the gram stream (~gram-count × 28 B rows), the
+    * doc-partitioned sort is gone with it, and the explode now carries
+    * ~2/(w+1) of the rows into the distinct instead of every gram.
+    * q85/q86/q88, the winnow/winidx tiers, the streamed twin and the
+    * retraction fixture all ride this one body.
     *
-    * Two plan-shape rules keep the heavy work parallel and long-typed
-    * (together they took the sf0.1 tier build from ~20 s to shingle-tier
-    * cost):
+    * Plan-shape rules kept from the previous formulation:
     *
     *   - grams are hashed INSIDE the array (`transform(gs, hash60)`)
-    *     before the generator, so the explode and the window-sort
-    *     shuffle carry fixed-width longs, never gram strings;
-    *   - the generator is `posexplode_outer`, NOT `posexplode`: for the
+    *     before the generator, so the explode carries fixed-width
+    *     longs, never gram strings;
+    *   - the generator is `explode_outer`, NOT `explode`: for the
     *     non-outer form over a plain attribute, InferFiltersFromGenerate
-    *     synthesizes `size(hs) > 0 AND isnotnull(hs)`, and predicate
+    *     synthesizes `size(fps) > 0 AND isnotnull(fps)`, and predicate
     *     pushdown rewrites that through the projections and the spread
     *     exchange into the SCAN stage — re-running the entire
     *     tokenize+gram build serially in the (single-file ⇒ single-task)
     *     scan. Measured at sf0.1: 11.5 s of the tier's ~20 s sat in that
-    *     one-task stage. `hs` is provably non-null and non-empty given
+    *     one-task stage. `fps` is provably non-null and non-empty given
     *     text IS NOT NULL (shingles3All's ELSE branch emits one
-    *     whole-doc gram), so outer ≡ inner here and the rule (which
-    *     skips outer generates) never fires.
+    *     whole-doc gram, so m ≥ 1 and the position sequence is ≥ 1
+    *     long), so outer ≡ inner here and the rule (which skips outer
+    *     generates) never fires.
     */
   private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WinnowW - 1)
     Tables.spread(docs.filter(col("text").isNotNull))
       // tokenize and build the gram array in projections BELOW the
       // generator (the shingleRowsOf discipline — the generator child
@@ -1253,12 +1286,16 @@ object Dedup {
       .select(col("doc_id"), shingles3All(col("t")).as("gs"))
       .select(col("doc_id"), size(col("gs")).as("m"),
         transform(col("gs"), g => hash60(g)).as("hs"))
-      .select(col("doc_id"), col("m"),
-        posexplode_outer(col("hs")).as(Seq("pos0", "h")))
-      .select(col("doc_id"), col("m"), (col("pos0") + 1).as("pos"), col("h"))
-      .withColumn("fp_h", min(col("h")).over(w))
-      .filter(col("pos") <= greatest(col("m") - WinnowW + 1, lit(1)))
-      .select(col("doc_id"), col("fp_h"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0), greatest(col("m") - WinnowW, lit(0))),
+          // allocation-free window min: `get` is 0-based and returns
+          // NULL past the end (only reachable for the single p=0 window
+          // of an m<w doc), and `least` ignores NULLs — so the frame
+          // clips exactly like the old window's [current, +w−1]
+          p => least((0 until WinnowW).map(j => get(col("hs"), p + j)): _*))
+          .as("fps"))
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp_h"))
       .distinct()
   }
 
@@ -1325,7 +1362,13 @@ object Dedup {
       Seq("fp_h"))
       .select(col("doc_id"), col("fp_h"))
       .cache())
-    val nf = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    // nf is consumed by BOTH report joins (da and db side): aggregate it
+    // once and cache, so the per-doc counts are one exchange, not two —
+    // before r17 the two nf subtrees happened to collapse via exchange
+    // reuse only while the df guard was broadcast-shaped (fixture-size
+    // artifact); the cache makes the single build unconditional
+    val nf = graft.TransientCache.register(
+      keep.groupBy(col("doc_id")).agg(count(lit(1)).as("nf")).cache())
     val shared = keep.select(col("doc_id").as("da"), col("fp_h"))
       .join(keep.select(col("doc_id").as("db"), col("fp_h")), Seq("fp_h"))
       .filter(col("da") < col("db"))

@@ -759,23 +759,23 @@ class CorpusPipelineSpec extends SparkSpec {
       // first night pays the one-time seeds (live_keys hash, token-count
       // seed tokenize, both index builds) — 8 text scans, two 1-row
       // BNLJ broadcasts (night key + gate total)
-      "night_seeded" -> LanePins(129, 18, 2, 8),
+      "night_seeded" -> LanePins(125, 18, 2, 8), // r17: shingleRowsOf lost its distinct exchange (4 instances across seeds+screens)
       // a refused night touches NO live state: the gate reading (1-row
       // total broadcast) + the quarantine append — zero text scans
       "night_gated" -> LanePins(15, 8, 1, 0),
       // the steady-state night: screens + guarded appends + both index
       // advances; text rides ONLY the screens' batch frames and the
       // batchInLive index reads (2)
-      "night_warm" -> LanePins(120, 18, 2, 2),
+      "night_warm" -> LanePins(117, 18, 2, 2), // r17: shingle-tier distinct removed (3 screen/advance instances)
       // admit-all review re-offers through the warm-night body, but the
       // quarantined spam never reaches corpus_live (every screen drops
       // it pre-index), so no corpus text scan at all; the static total
       // is far above the executed one here — AQE's empty-relation
       // propagation collapses most of the re-offer screens at runtime
-      "review_drain" -> LanePins(91, 18, 0, 0),
+      "review_drain" -> LanePins(88, 18, 0, 0), // r17: same shingle-tier change through the re-offer screens
       // refresh: the full refine chain over corpus_raw + live reseeds;
       // the three BNLJ are the q78 mixture 1-row totals/normalizers
-      "refresh_full" -> LanePins(49, 11, 3, 7))
+      "refresh_full" -> LanePins(47, 10, 3, 7)) // r17: shingle distinct removed from the refine chain (also drops the max-per-exec peak 11 -> 10)
     val driftNames = phases.map(_._1)
       .filterNot(n => pinned.get(n).contains(observed(n)))
     val drift = driftNames.map(n => s"""      "$n" -> ${observed(n)},""")
