@@ -1679,6 +1679,11 @@ object Dedup {
     // batch-only fingerprint work; consumed 2x (df probe + keep join)
     val batchFp = graft.TransientCache.register(
       winnowFingerprintsOf(batchDocs).cache())
+    // NO eager fill, deliberately (r17 probe): unlike q91/q99's sibling
+    // map stages, the concurrent readers here (dfB's broadcast probe
+    // build + the unionFp agg) hit the same cached blocks and the block
+    // manager serializes the fill — adding a count() measured +0.4 s
+    // solo (5.81/6.06 → 6.28/6.36), a pure extra-job cost
     // the df universe: every fingerprint occurrence, corpus ∪ batch —
     // scan-only on the corpus side
     val unionFp = idx.fingerprints.select(col("fp_h"))
