@@ -252,10 +252,14 @@ class PlanLintSpec extends SparkSpec {
     "q88_delta_winnow" -> 14,
     "q89_delta_ann" -> 4,
     "q90_sample_quantiles" -> 0, // TakeOrderedAndProject + 1-partition agg: shuffle-free
-    "q91_pagerank" -> 10, // base-pair distinct (the symmetrized list is deduped by
-                          // parity, no second distinct) + degree build (deg doubles as
-                          // the node set) + 3 x (contrib join keeps the cached hash(a)
-                          // partitioning; dst re-agg shuffles)
+    "q91_pagerank" -> 8, // base-pair distinct (the symmetrized list is deduped by
+                         // parity, no second distinct) + degree build (deg doubles as
+                         // the node set) + the ONE (b, a)-layout repartition baked into
+                         // the cached edge list (r18): each iteration's ordered fold is
+                         // a running window sum + max_by whose distribution/ordering the
+                         // cached layout pre-satisfies, so the former 3 per-iteration
+                         // dst re-agg exchanges are gone (10 -> 8; the loop body plans
+                         // exchange-free once the cache is materialized)
     "q92_bigram_lm" -> 9, // stream build + the SHARED model build (its own corpus
                           // pass when cold — one extra spread+agg vs r9; warm
                           // sessions hit the vocab-bounded `bigram` tier) + probe
