@@ -44,3 +44,72 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
 ) ++ heapOpts
+
+// ---- Parallel test groups -------------------------------------------
+// The full suite in ONE forked JVM runs ~50 min of mostly-idle local[2]
+// Spark work — past the ~30-minute cap the external test harness
+// enforces (its r17 run shut the test JVM down exactly 30 min after
+// compile, mid-suite). Suites share nothing across JVMs — every suite
+// writes only per-test `Files.createTempDirectory` roots and the at-rest
+// index memos are keyed per SparkContext with per-JVM temp roots — so
+// they split cleanly into forked JVMs that run CONCURRENTLY.
+//
+// Grouping is longest-processing-time-first bin packing over measured
+// suite durations (seconds, one full -oD run on this box; unlisted
+// suites default to 30 s). Balance only matters coarsely: the cap is
+// wall-clock of the slowest group.
+val testSuiteWeights: Map[String, Int] = Map(
+  "graft.RetractionSpec" -> 540,
+  "graft.StreamingSoakSpec" -> 420,
+  "graft.StreamingSpec" -> 300,
+  "graft.TrainingOpsSpec" -> 300,
+  "graft.PlanLintSpec" -> 240,
+  "graft.GraftSpec" -> 240,
+  "graft.DeterminismSweepSpec" -> 240,
+  "graft.AnalyticsSpec" -> 180,
+  "graft.JdbcLiveSpec" -> 180,
+  "graft.CorpusPipelineSpec" -> 180,
+  "graft.EventOpsSpec" -> 180,
+  "graft.SkewSpec" -> 120,
+  "graft.ScaleProbeSpec" -> 120,
+  "graft.InBatchRedeliverySpec" -> 120,
+  "graft.CompactionSpec" -> 120,
+  "graft.WinnowSpec" -> 90,
+  "graft.StockSpec" -> 90,
+  "graft.QuantileIndexSpec" -> 90,
+  "graft.GraphSpec" -> 90,
+)
+val testGroupCount = 8
+// Test JVMs get their own (small) heap: tests run at fixture scale, and
+// N forked groups must never inherit the bench host's SPARK_DRIVER_MEM
+// Xms pin (N × ~90 GiB pre-reserved heaps would OOM the box).
+val testForkJvmOpts: Vector[String] = (jdk17AddOpens ++ Seq(
+  "-Dspark.ui.enabled=false",
+  "-Dspark.sql.session.timeZone=UTC",
+  "-Xmx8g",
+)).toVector
+// Per-suite timing that survives interleaved parallel-group output:
+// JUnit XML under target/test-reports (feeds the weight table above).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-u", "target/test-reports")
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val bins = Array.fill(testGroupCount)(
+    (0L, scala.collection.mutable.ListBuffer.empty[TestDefinition]))
+  // LPT: heaviest first, each into the currently lightest bin
+  tests.sortBy(t => (-testSuiteWeights.getOrElse(t.name, 30), t.name))
+    .foreach { t =>
+      val i = bins.indices.minBy(j => bins(j)._1)
+      bins(i) = (bins(i)._1 + testSuiteWeights.getOrElse(t.name, 30),
+        bins(i)._2 += t)
+    }
+  bins.toSeq.zipWithIndex.collect { case ((_, ts), i) if ts.nonEmpty =>
+    Tests.Group(s"g$i", ts.toVector,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(testForkJvmOpts)))
+  }
+}
+// sbt caps concurrently-running forked test groups at 1 by default;
+// lift it to the group count (each group is a local[2] Spark JVM, so
+// 8 groups ≈ 16 busy cores on a 32-core box).
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+  Tags.limitAll(32))

@@ -50,7 +50,10 @@ object DevProfile {
         val si = sc.stageInfo
         val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
         val taskMs = si.taskMetrics.executorRunTime
-        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(90),
+        val det = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("DevProfile"))
+          .getOrElse("").trim.take(80)
+        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(40) + " | " + det,
           wall, taskMs, si.numTasks))
       }
     })
