@@ -31,7 +31,14 @@ object DevProfile {
 
     val cacheBuilds: Map[String, () => Long] = Map(
       "winnow" -> (() => operators.Dedup.winnowIndex(spark, sfDir).count()),
-      "shingle" -> (() => operators.Dedup.shingleIndex(spark, sfDir).count()))
+      "shingle" -> (() => operators.Dedup.shingleIndex(spark, sfDir).count()),
+      "cc" -> (() => operators.Graph.simhashComponents(spark, sfDir).count()),
+      "legacy" -> (() => operators.Sales.legacyAggDecimal(spark, sfDir).count()),
+      "kmfit" -> (() => { operators.Similarity.kmeansCentroids(spark, sfDir); 0L }),
+      "rqidx" -> (() => { operators.QuantileIndex.retractedIndexAtRest(spark, sfDir); 0L }),
+      "stock" -> (() => operators.Stock.stockPoints(spark, sfDir).count()),
+      "bandidx" -> (() => { operators.Dedup.corpusIndex(spark, sfDir); 0L }),
+      "ledger" -> (() => operators.Ledger.unionLedger(spark, sfDir).count()))
 
     // same warmup + preceding-query state as Bench (caches built by earlier
     // queries change what the profiled query actually executes)

@@ -29,9 +29,18 @@ import org.apache.spark.sql.functions._
 object TextFns {
 
   /** Lowercased whitespace tokens, empty strings dropped (leading/double
-    * whitespace would otherwise yield "" in both engines).
+    * whitespace would otherwise yield "" in both engines). r18: delegates
+    * to the native fused walk ([[org.apache.spark.sql.graft.WsTokens]] —
+    * same array bit for bit, differential-spec'd in VectorExprsSpec);
+    * [[toksHof]] keeps the declarative form as the parity witness.
     */
   def toks(text: Column): Column =
+    org.apache.spark.sql.graft.TextExprs.wsTokens(text)
+
+  /** The pre-r18 declarative tokenizer — the oracle-mirroring HOF form,
+    * kept as the differential-test witness for [[toks]].
+    */
+  def toksHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Hash-tier mode. The shingle/token hash is the hottest expression of
@@ -118,6 +127,21 @@ object TextFns {
       |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2])
       |  ELSE [array_to_string(t, ' ')] END""".stripMargin
   val shingles3Sql: String = s"list_distinct($shingles3AllSql)"
+
+  /** Native whitespace token count — `size(toks(text))` fused into one
+    * byte walk (identical values, including size()'s legacy -1 for NULL
+    * input; parity contract in [[org.apache.spark.sql.graft.TextNative]]).
+    */
+  def tokCount(text: Column): Column =
+    org.apache.spark.sql.graft.TextExprs.wsTokenCount(text)
+
+  /** Native fused tokenize → 3-gram → hash60 (→ winnow window-min, when
+    * `w > 0`) in the current [[hashMode]] — the
+    * `transform(shingles3All(toks(text)), hash60)` chain as one codegen'd
+    * walk (parity contract in [[org.apache.spark.sql.graft.TextNative]]).
+    */
+  def shingleFps(text: Column, w: Int): Column =
+    org.apache.spark.sql.graft.TextExprs.shingleFps(text, w, hashMode == "md5")
 
   /** English stopword probe set used by lang-ID / quality scoring. Tiny on
     * purpose: the point is the operator shape (set-membership ratio over

@@ -40,7 +40,7 @@ object Analytics {
     */
   def tokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
-      .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .select(col("lang"), graft.functions.TextFns.tokCount(col("text")).cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
     val ranked = counts
       .withColumn("rn", row_number().over(w))
@@ -477,7 +477,7 @@ object Analytics {
     val dec = "decimal(38,0)"
     val base = docs
       .select(col("lang"), col("source"),
-        size(toks(col("text"))).cast("long").as("x"), col("n_chars").as("y"))
+        graft.functions.TextFns.tokCount(col("text")).cast("long").as("x"), col("n_chars").as("y"))
     val sums = base.groupBy(col("lang"), col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("x").cast(dec)).as("sx"),
@@ -586,9 +586,18 @@ object Analytics {
     // eager fill: the self-join consumes BOTH gridded sides of `op`
     // inside one job while the order-total broadcast materializes from
     // it too
+    // dedup keyed to the ORDER: repartition(o) + dropDuplicates lands the
+    // (o, p) dedup on hashpartitioning(o), which clusters (o, p) too, so
+    // the basket-size window right after it re-uses the SAME exchange —
+    // a plain distinct() keyed (o, p) forced a second, window-only
+    // exchange of every line (guide §2.4 "two operations keyed the same
+    // way share one exchange"; r18: 3 -> 2 exchanges in the op build).
+    // Map-side partial dedup is the only thing given up, and TPC-H
+    // (o, p) duplicates are ~1% — the deleted exchange carried more.
     val op = graft.TransientCache.register(
       lines
-        .distinct()
+        .repartition(col("o"))
+        .dropDuplicates("o", "p")
         .withColumn("nb", greatest(lit(1L),
           ceil(count(lit(1)).over(Window.partitionBy(col("o")))
             .cast("double") / cap).cast("long")))
@@ -972,7 +981,7 @@ object Analytics {
   def groupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.documents(spark, dir)
       .select(coalesce(col("lang"), lit(NullGroup)).as("g"),
-        size(toks(col("text"))).cast("long").as("v"))
+        graft.functions.TextFns.tokCount(col("text")).cast("long").as("v"))
     val cuts = rankCutsBy(vals, "g",
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).map { case (nm, q) =>
         nm -> ((n: org.apache.spark.sql.Column) =>
@@ -1007,7 +1016,7 @@ object Analytics {
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.documents(spark, dir)
       .select(col("source").as("g"),
-        size(toks(col("text"))).cast("long").as("v"))
+        graft.functions.TextFns.tokCount(col("text")).cast("long").as("v"))
     val vh = graft.TransientCache.register(
       vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("nv")).cache())
     vh.count()

@@ -55,9 +55,16 @@ object Contamination {
   private[graft] def contaminationOf(docsIn: DataFrame,
                                      benchSource: String = "src0"): DataFrame = {
     val docs = docsIn
-      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
-      .select(col("doc_id"), col("source"), explode(shingles3All(col("t"))).as("s"))
-      .select(col("doc_id"), col("source"), hash60(col("s")).as("sh_h"))
+      // r18: hash INSIDE the per-doc array via the native fused walk
+      // (one codegen'd pass; parity contract in TextExprs), then explode
+      // fixed-width longs — the old chain exploded gram STRINGS and
+      // hashed per occurrence. explode_outer + a projection below the
+      // generator per the shingleRowsOf discipline; shingleFps is null
+      // only for null text, where the old chain emitted one null sh_h
+      // row too (explode of [null] ≡ explode_outer of null).
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.shingleFps(col("text"), 0).as("hs"))
+      .select(col("doc_id"), col("source"), explode_outer(col("hs")).as("sh_h"))
       .distinct()
     val bench = docs.filter(col("source") === benchSource)
       .select(col("sh_h")).distinct()

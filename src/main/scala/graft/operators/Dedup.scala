@@ -42,17 +42,16 @@ object Dedup {
     */
   private[graft] def shingleRowsOf(docs: DataFrame): DataFrame =
     Tables.spread(docs)
-      // tokenize in its own projection BELOW the generator: Catalyst keeps
-      // it there, so the regex split runs once per doc, not once per shingle
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), shingles3All(col("t")).as("gs"))
-      // hash INSIDE the array, then dedupe per doc with array_distinct —
-      // evaluated ONCE per doc in a projection below the generator (the
-      // shingles3 perf note's 15× hazard was array_distinct re-evaluated
-      // per OUTPUT row inside the generator child; this is the safe
-      // placement), over fixed-width longs, not gram strings
+      // r18: the tokenize → gram → hash chain is ONE native codegen'd
+      // walk (TextFns.shingleFps — parity contract and differential
+      // specs in TextExprs/VectorExprsSpec); the r17 HOF form
+      // interpreted every per-gram lambda. Per-doc array_distinct stays
+      // in a projection BELOW the generator (the shingles3 perf note's
+      // 15× hazard was array_distinct re-evaluated per OUTPUT row
+      // inside the generator child; this is the safe placement), over
+      // fixed-width longs, not gram strings
       .select(col("doc_id"),
-        array_distinct(transform(col("gs"), g => hash60(g))).as("hs"))
+        array_distinct(graft.functions.TextFns.shingleFps(col("text"), 0)).as("hs"))
       // explode_outer: the non-outer form lets InferFiltersFromGenerate
       // push a synthesized size(hs)>0 filter into the single-task scan
       // stage (the winnowFingerprintsOf lesson); hs is provably non-null
@@ -1279,22 +1278,15 @@ object Dedup {
     */
   private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
     Tables.spread(docs.filter(col("text").isNotNull))
-      // tokenize and build the gram array in projections BELOW the
+      // r18: the whole tokenize → gram → hash → window-min chain is ONE
+      // native codegen'd walk (TextFns.shingleFps with w = WinnowW —
+      // parity contract and differential specs in TextExprs /
+      // VectorExprsSpec, including the short-doc frame clip the r17
+      // least(get...) form encoded). Still a projection BELOW the
       // generator (the shingleRowsOf discipline — the generator child
-      // must be a plain column reference)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), shingles3All(col("t")).as("gs"))
-      .select(col("doc_id"), size(col("gs")).as("m"),
-        transform(col("gs"), g => hash60(g)).as("hs"))
+      // must be a plain column reference).
       .select(col("doc_id"),
-        transform(
-          sequence(lit(0), greatest(col("m") - WinnowW, lit(0))),
-          // allocation-free window min: `get` is 0-based and returns
-          // NULL past the end (only reachable for the single p=0 window
-          // of an m<w doc), and `least` ignores NULLs — so the frame
-          // clips exactly like the old window's [current, +w−1]
-          p => least((0 until WinnowW).map(j => get(col("hs"), p + j)): _*))
-          .as("fps"))
+        graft.functions.TextFns.shingleFps(col("text"), WinnowW).as("fps"))
       .select(col("doc_id"), explode_outer(col("fps")).as("fp_h"))
       .distinct()
   }

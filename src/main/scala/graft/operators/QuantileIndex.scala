@@ -123,7 +123,7 @@ object QuantileIndex {
     docs.select(col("doc_id"),
       coalesce(col("lang"), lit(Sentinel)).as("g"),
       col("source"),
-      size(toks(col("text"))).cast("long").as("v"))
+      graft.functions.TextFns.tokCount(col("text")).cast("long").as("v"))
 
   /** Deterministic key of the night's OFFERED (deduped) doc set (the
     * Corpus `docSetKey` discipline — order-free xor fold +

@@ -378,7 +378,7 @@ object Sampling {
   def ppsSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFns.toks
     ppsSampleOf(Tables.documents(spark, dir)
-        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("w")))
+        .select(col("doc_id"), graft.functions.TextFns.tokCount(col("text")).cast("long").as("w")))
       .orderBy(col("doc_id"))
   }
 

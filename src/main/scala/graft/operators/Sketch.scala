@@ -647,7 +647,7 @@ object Sketch {
       .select(col("source"),
         hash60(concat(lit("gsk:"), col("doc_id").cast("string"))).as("h"),
         col("doc_id").as("id"),
-        size(toks(col("text"))).cast("long").as("v"))
+        graft.functions.TextFns.tokCount(col("text")).cast("long").as("v"))
       .groupBy(col("source"))
       .agg(qs(col("h"), col("id"), col("v")).as("est"),
         count(lit(1)).as("n_docs"))

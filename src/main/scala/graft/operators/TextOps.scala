@@ -584,7 +584,7 @@ object TextOps {
     import spark.implicits._
     Tables.spread(Tables.documents(spark, dir))
       .select(col("source"), col("doc_id").cast("long"),
-        size(toks(col("text"))).cast("int").as("n_tokens"))
+        graft.functions.TextFns.tokCount(col("text")).as("n_tokens"))
       .as[DocTok]
       .groupByKey(_.source)
       .flatMapGroups { (src: String, it: Iterator[DocTok]) =>

@@ -280,8 +280,10 @@ class PlanLintSpec extends SparkSpec {
                                // doc->source join + (source,gram) distinct +
                                // df guard + totals + self-join reusing the guarded
                                // frame's partitioning + pair agg + sort
-    "q102_basket_lift" -> 6, // distinct (order, part) dedup + the basket-size
-                             // window (the live sub-block guard) + gridded
+    "q102_basket_lift" -> 5, // ONE order-keyed exchange now serves BOTH the
+                             // (order, part) dedup and the basket-size window
+                             // (r18: repartition(o) + dropDuplicates replaced
+                             // the (o, p)-keyed distinct, 6 -> 5) + gridded
                              // (order, cell) pair self-join + pair agg +
                              // per-part counts + the 1-row order total's
                              // exchange; top-k is TakeOrderedAndProject

@@ -184,4 +184,119 @@ class VectorExprsSpec extends SparkSpec {
     val e2 = org.apache.spark.sql.graft.BloomContains(lit, bits.clone().toIndexedSeq, k)
     assert(e1 == e2 && e1.hashCode == e2.hashCode && e1.semanticEquals(e2))
   }
+
+  // ---- r18 text-tier natives: ws_token_count / shingle_fps ----------
+
+  /** Adversarial inputs for the tokenize-parity laws: every Java-\s
+    * whitespace byte, unicode multi-byte (incl. lowercase-expanding İ and
+    * case-mapped Σ), degenerate token counts (0/1/2/3), exactly-w and
+    * under-w gram counts, repeated grams (array_distinct interplay).
+    */
+  private val textCases: Seq[String] = Seq(
+    "", " ", " \t\n\f\r ", "one", "one two", "one two three",
+    "a b c d e f g h i j k l m n o p", "  lead", "trail  ", "a  b\tc\nd",
+    "Ñandú NORTH 北京 test 😀 emoji", "İstanbul ΣΙΓΜΑ ΤΕΛΟΣ tschüß",
+    "x x x x x x x x x x", "a b c a b c a b c", "Ab aB AB ab",
+    (1 to 9).map(i => s"tok$i").mkString(" "),
+    (1 to 10).map(i => s"t$i").mkString("\t"),
+    "ß ẞ ǅ ǆ ǳ", " nbsp is not java ws joined")
+
+  private def withMode[A](mode: String)(f: => A): A = {
+    val prev = sys.props.get("graft.hashMode")
+    sys.props("graft.hashMode") = mode
+    try f finally prev match {
+      case Some(v) => sys.props("graft.hashMode") = v
+      case None => sys.props.remove("graft.hashMode")
+    }
+  }
+
+  test("ws_token_count is bit-identical to size(filter(split(lower)))") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val rnd = new scala.util.Random(11)
+    val fuzz = Seq.fill(300)(Seq.fill(rnd.nextInt(30))(
+      rnd.alphanumeric.take(rnd.nextInt(8)).mkString).mkString(" "))
+    val df = (textCases ++ fuzz).toDF("text")
+      .withColumn("native", graft.functions.TextFns.tokCount(col("text")))
+      .withColumn("hof", size(graft.functions.TextFns.toksHof(col("text"))))
+    assert(df.filter(col("native") =!= col("hof")).isEmpty)
+    // the legacy null contract: -1, never null (size() parity)
+    val nulls = Seq((1, Option.empty[String])).toDF("i", "text")
+      .select(graft.functions.TextFns.tokCount(col("text"))).first()
+    assert(!nulls.isNullAt(0) && nulls.getInt(0) == -1)
+  }
+
+  test("ws_tokens is bit-identical to filter(split(lower))") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val rnd = new scala.util.Random(13)
+    val fuzz = Seq.fill(300)(Seq.fill(rnd.nextInt(30))(
+      rnd.alphanumeric.take(rnd.nextInt(8)).mkString).mkString(" "))
+    val df = (textCases ++ fuzz).toDF("text")
+      .withColumn("native", graft.functions.TextFns.toks(col("text")))
+      .withColumn("hof", graft.functions.TextFns.toksHof(col("text")))
+    assert(df.filter(col("native") =!= col("hof") ||
+      col("native").isNull =!= col("hof").isNull).isEmpty)
+    // the real corpus too
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(docs.select(graft.functions.TextFns.toks(col("text")).as("n"),
+        graft.functions.TextFns.toksHof(col("text")).as("h"))
+      .filter(col("n") =!= col("h")).isEmpty)
+  }
+
+  test("shingle_fps matches transform(shingles3All(toks), hash60) in BOTH hash modes") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    import graft.functions.TextFns
+    for (mode <- Seq("xxhash64", "md5")) withMode(mode) {
+      val df = textCases.toDF("text")
+        .withColumn("native", TextFns.shingleFps(col("text"), 0))
+        .withColumn("hof",
+          transform(TextFns.shingles3All(TextFns.toksHof(col("text"))),
+            g => TextFns.hash60(g)))
+      val bad = df.filter(col("native") =!= col("hof"))
+      assert(bad.isEmpty, s"mode=$mode: ${bad.collect().mkString("; ")}")
+    }
+  }
+
+  test("shingle_fps winnow minima match the r17 least(get...) window form, both modes") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    import graft.functions.TextFns
+    val w = graft.operators.Dedup.WinnowW
+    for (mode <- Seq("xxhash64", "md5")) withMode(mode) {
+      val hof = textCases.toDF("text")
+        .select(col("text"), TextFns.toksHof(col("text")).as("t"))
+        .select(col("text"), TextFns.shingles3All(col("t")).as("gs"))
+        .select(col("text"), size(col("gs")).as("m"),
+          transform(col("gs"), g => TextFns.hash60(g)).as("hs"))
+        .select(col("text"),
+          transform(
+            sequence(lit(0), greatest(col("m") - w, lit(0))),
+            p => least((0 until w).map(j => get(col("hs"), p + j)): _*))
+            .as("hof"))
+      val both = hof.withColumn("native", TextFns.shingleFps(col("text"), w))
+      val bad = both.filter(col("native") =!= col("hof"))
+      assert(bad.isEmpty, s"mode=$mode: ${bad.collect().mkString("; ")}")
+    }
+  }
+
+  test("shingle_fps interpreted eval matches the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val sql = spark.sqlContext
+    import sql.implicits._
+    for (s <- textCases; md5Mode <- Seq(true, false)) {
+      val interp = org.apache.spark.sql.graft.ShingleFps(
+        Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType),
+        0, md5Mode).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      val codegen = withMode(if (md5Mode) "md5" else "xxhash64") {
+        Seq(s).toDF("text")
+          .select(graft.functions.TextFns.shingleFps(col("text"), 0))
+          .first().getSeq[Long](0)
+      }
+      assert(interp.toSeq == codegen, s"text='$s' md5=$md5Mode")
+    }
+  }
 }
